@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — joins: equi / broadcast-dim / outer / semi / anti /
+  * interval / as-of-temporal / theta.
+  *
+  * Scale notes:
+  *  - dim joins (`nation`,`region`,`customer`) use `broadcast()` — the genre's
+  *    Redis/HBase dim-lookup is a broadcast hash join in Spark;
+  *  - the interval join keeps an equi key (`user_id`) so Catalyst plans a
+  *    hash/sort-merge join with the range as a post-condition, never a
+  *    cartesian product;
+  *  - the as-of join is a single window pass (no self-join blowup): O(n log n)
+  *    per key partition, the plan a 1000-executor cluster wants.
+  */
+object Joins {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    // Fact⋈dim equi inner join; Catalyst picks SMJ/SHJ by stats + AQE.
+    "join_inner_hash" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // Small-dim snowflake via explicit broadcast (dim lookup at scale).
+    "join_broadcast_dim" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy("c_custkey")),
+
+    // Keep facts without a match (customers with no orders -> NULL orderkey).
+    "join_left_outer" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    // EXISTS-style filter: customers having at least one order.
+    "join_semi" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // NOT EXISTS: customers without orders (churn set).
+    "join_anti" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Flink KeyedStream.intervalJoin: click within 15 min after a view,
+    // same user. Equi key + range condition => hash join, not cartesian.
+    "join_interval" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      v.join(c, col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 15 minutes"))
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+        .orderBy("view_id", "click_id")
+    }),
+
+    // Temporal/as-of join (FOR SYSTEM_TIME AS OF): each purchase joined to
+    // the user's latest view at-or-before it. Single window pass —
+    // last(ignoreNulls) over (user, ts) — instead of a range self-join.
+    "join_asof_temporal" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("asof_view_id",
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Non-equi theta join: parts cheaper than a tenth of a supplier's
+    // balance (broadcast nested-loop on the small side), aggregated.
+    "join_theta" -> ((s, d) =>
+      broadcast(t(s, d, "supplier"))
+        .join(t(s, d, "part"), col("p_retailprice") < col("s_acctbal") / 10)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_cheaper"))
+        .orderBy("s_suppkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice,2) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_interval" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        | v.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type='view') v
+        |JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    "join_asof_temporal" ->
+      """SELECT event_id AS purchase_id, user_id,
+        | coalesce(asof_view_id, -1) AS asof_view_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |        last(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_view_id
+        |      FROM events)
+        |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_cheaper
+        |FROM supplier JOIN part ON p_retailprice < s_acctbal / 10
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SURVEY.md §2.1 — scans, sources, sinks, CDC ingest.
+  *
+  * The reference genre (Flink real-time warehouse, /root/reference/README.md:2)
+  * ingests Kafka JSON into an ODS layer and materializes changelogs into
+  * latest-image tables. Batch-verifiable forms here; streaming wrappers live
+  * in graft.streaming.
+  */
+object Scans {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    // Full table scan; shipdate emitted as epoch micros for engine-neutral compare.
+    "scan_parquet" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("l_shipdate_us", ep(col("l_shipdate")))
+        .drop("l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Column pruning + predicate pushdown reach the parquet scan
+    // (verify with .explain: PushedFilters + 4-column ReadSchema).
+    "scan_projected" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ODS Kafka-JSON ingest shape: payload string -> typed columns.
+    // Prod path is spark.readStream.format("kafka") (graft.streaming);
+    // the batch-verifiable core is the same from_json/get_json_object expr.
+    "source_kafka_shape" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"),
+          ep(col("ts")).as("ts_us"))
+        .orderBy("event_id")),
+
+    // Synthetic source (Flink DataGeneratorSource analog). Streaming form is
+    // readStream.format("rate"); deterministic batch emulation for the driver.
+    "source_rate_stream" -> ((s, _) => {
+      s.range(0, 1000)
+        .select(col("id").as("value"),
+          (lit(1704067200L) + col("id")).as("timestamp_s"))
+        .orderBy("value")
+    }),
+
+    // ADS-layer file sink: write then read back (round-trip proves the sink).
+    "sink_parquet" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("event_type")
+    }),
+
+    // Upsert sink semantics (genre: HBase/Redis/ClickHouse keyed upsert via
+    // foreachBatch). Emulates three arriving micro-batches folded through an
+    // idempotent keyed merge; converges to the latest image per key.
+    "sink_foreach_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      val batches = (0 until 3).map(i => ev.where(pmod(col("event_id"), lit(3)) === i))
+      val merged = batches.reduce { (state, batch) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        state.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+      }
+      merged
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    }),
+
+    // CDC changelog -> latest image: binlog ops modeled on event_type
+    // (signup=+I, error=-D, else +U); keep newest op per key, drop deletes.
+    "cdc_ingest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("op",
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("op"), col("event_id"),
+          ep(col("ts")).as("ts_us"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        | epoch_us(l_shipdate) AS l_shipdate_us
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_projected" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "source_kafka_shape" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(json_extract_string(props,'$.k') AS BIGINT) AS prop_k,
+        | epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_foreach_upsert" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        | round(value,2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_ingest" ->
+      """SELECT user_id, op, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN event_type='signup' THEN 'I'
+        |             WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+  )
+}
