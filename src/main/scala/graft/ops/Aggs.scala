@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregation: global / grouped / distinct / approx /
+  * grouping-sets / pivot / typed UDAF / collect-state.
+  *
+  * Flink anchors: keyBy(...).aggregate(AggregateFunction), Table
+  * GROUPING SETS / PIVOT, MapState UV dedup, ListState accumulation.
+  *
+  * Scale notes: everything here is a hash aggregate with map-side partial
+  * aggregation (Catalyst plans partial+final automatically), so the shuffle
+  * carries one row per (partition, group) — the plan that survives 100 TB.
+  * Money sums accumulate in DECIMAL(18,2) (order-independent across
+  * partitions); the oracle mirrors the same decimal-then-double arithmetic.
+  */
+object Aggs {
+  import Tables._
+
+  /** Typed UDAF (Flink AggregateFunction analog): weighted average of
+    * price by quantity, accumulated as (sum(x*w), sum(w)). */
+  private object WeightedAvg
+      extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) 0.0 else r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val pivotTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  val queries: Map[String, Q] = Map(
+    // Global DWS totals: one row, partial+final agg, no groupBy shuffle fan-out.
+    "agg_hash_global" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        ep(min(col("l_shipdate"))).as("min_ship_us"),
+        ep(max(col("l_shipdate"))).as("max_ship_us"))),
+
+    // TPC-H Q1 shape: multi-key grouped agg over the biggest table.
+    "agg_group_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact UV per event type (genre MapState dedup-count).
+    "agg_distinct_count" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("uv"),
+          count(lit(1)).as("pv"))
+        .orderBy("event_type")),
+
+    // Approximate UV (HLL++) for 100 TB scale; oracle-exempt per contract
+    // (approx ≠ DuckDB exact). Driver records rows-only check.
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
+        .orderBy("event_type")),
+
+    // Multi-dim rollup for the ADS layer; grouping_id distinguishes levels.
+    "agg_grouping_sets" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Wide table: event counts pivoted by type per user (Table PIVOT).
+    "agg_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", pivotTypes)
+        .agg(count(lit(1)))
+        .na.fill(0, pivotTypes)
+        .select(col("user_id") +: pivotTypes.map(v => col(v).as(s"n_$v")): _*)
+        .orderBy("user_id")),
+
+    // Custom typed Aggregator registered as a UDAF (Flink AggregateFunction).
+    "agg_udaf_typed" -> ((s, d) => {
+      val wavg = udaf(WeightedAvg)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-key set accumulation (ListState analog), emitted as a sorted
+    // joined string so the oracle compare is order- and type-stable.
+    "agg_collect_state" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_hash_global" ->
+      """SELECT count(*) AS n_rows,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | epoch_us(min(l_shipdate)) AS min_ship_us,
+        | epoch_us(max(l_shipdate)) AS max_ship_us
+        |FROM lineitem""".stripMargin,
+    "agg_group_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uv, count(*) AS pv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type='view') AS n_view,
+        | count(*) FILTER (event_type='click') AS n_click,
+        | count(*) FILTER (event_type='purchase') AS n_purchase,
+        | count(*) FILTER (event_type='signup') AS n_signup,
+        | count(*) FILTER (event_type='error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_udaf_typed" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect_state" ->
+      """SELECT user_id,
+        | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 — scalar function surface: one composite query per
+  * family (string / date / math / array / map / json / conditional /
+  * scalar UDF / generator), every column mirrored in the DuckDB oracle.
+  *
+  * Flink anchors: built-in Table functions, ScalarFunction, TableFunction
+  * (the genre's ik-analyzer keyword UDTF ≙ posexplode).
+  *
+  * Scale notes: everything is a codegen'd Catalyst expression except the
+  * one deliberate scalar UDF (`udf_scalar`, the genre's mapping-UDF shape);
+  * array ops use higher-order functions, never per-row JVM lambdas on
+  * exploded data.
+  */
+object Fns {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+          substring(col("c_name"), 1, 8).as("sub8"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]", "").as("letters"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          length(col("c_name")).as("len"),
+          element_at(split(col("c_name"), "#"), 1).as("first_part"))
+        .orderBy("c_custkey")),
+
+    "fn_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          ep(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+          ep(date_add(to_date(col("o_orderdate")), 30).cast("timestamp"))
+            .as("plus30_us"),
+          datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("days_to_99"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_extendedprice")).as("flr"),
+          ceil(col("l_extendedprice")).as("cl"),
+          round(abs(col("l_discount") - 0.05), 4).as("ab"),
+          round(pow(col("l_quantity"), 2), 2).as("sq"),
+          round(sqrt(col("l_quantity")), 4).as("rt"),
+          round(log(col("l_extendedprice")), 4).as("lg"),
+          round(greatest(col("l_tax"), col("l_discount")), 2).as("gr"),
+          round(least(col("l_tax"), col("l_discount")), 2).as("ls"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"),
+          signum(col("l_quantity") - 25).cast("int").as("sg"))
+        // (orderkey, linenumber) is not unique in the fixture: order by
+        // every output column for a deterministic sequence.
+        .orderBy("l_orderkey", "l_linenumber", "r1", "ab", "sq", "gr", "ls",
+          "flr", "cl", "rt", "lg", "pm", "sg")),
+
+    "fn_array" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          array_contains(toks, "data").as("has_data"),
+          array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+            .as("first3_sorted"),
+          size(filter(toks, x => length(x) > 5)).as("n_long"),
+          array_join(transform(slice(toks, 1, 3), x => upper(x)), ",")
+            .as("up3"))
+        .orderBy("doc_id")
+    }),
+
+    "fn_map" -> ((s, d) => {
+      val m = map(lit("base"), col("value"), lit("twice"), col("value") * 2)
+      t(s, d, "events")
+        .select(col("event_id"),
+          round(element_at(m, "base"), 2).as("base_v"),
+          round(element_at(m, "twice"), 2).as("twice_v"),
+          size(m).as("m_size"),
+          array_join(map_keys(m), ",").as("keys"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), lit("k LONG")).getField("k").as("k_long"),
+          json_tuple(col("props"), "k").as("k_tup"),
+          to_json(struct(col("user_id"))).as("uj"))
+        .orderBy("event_id")),
+
+    "fn_conditional" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          when(col("value") < 1.0, "low")
+            .when(col("value") < 5.0, "mid")
+            .otherwise("high").as("tier_case"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("clean"))
+            .as("cleaned"),
+          nvl(col("user_id"), lit(-1L)).as("uid"))
+        .orderBy("event_id")),
+
+    // Genre mapping UDF (keyword/province lookup). Deliberately a JVM UDF
+    // to cover the extension point; everything else stays codegen'd.
+    "udf_scalar" -> ((s, d) => {
+      val tier = udf((v: Double) =>
+        if (v < 1.0) "bronze" else if (v < 5.0) "silver" else "gold")
+      t(s, d, "events")
+        .select(col("event_id"), tier(col("value")).as("tier"))
+        .orderBy("event_id")
+    }),
+
+    // Table function: one row -> N rows with position (ik-analyzer UDTF ≙).
+    "udtf_generator" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        | trim('  ' || c_name || '  ') AS trimmed,
+        | substring(c_name, 1, 8) AS sub8,
+        | concat_ws('-', c_mktsegment, c_name) AS cw,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        | regexp_replace(c_name, '[0-9]', '', 'g') AS letters,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        | length(c_name) AS len,
+        | string_split(c_name, '#')[1] AS first_part
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | day(o_orderdate) AS dom,
+        | epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+        | epoch_us(CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)) AS plus30_us,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        | quarter(o_orderdate) AS qtr,
+        | dayofweek(o_orderdate) + 1 AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice, 1) AS r1,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        | round(abs(l_discount - 0.05), 4) AS ab,
+        | round(pow(l_quantity, 2), 2) AS sq,
+        | round(sqrt(l_quantity), 4) AS rt,
+        | round(ln(l_extendedprice), 4) AS lg,
+        | round(greatest(l_tax, l_discount), 2) AS gr,
+        | round(least(l_tax, l_discount), 2) AS ls,
+        | l_orderkey % 7 AS pm,
+        | CAST(sign(l_quantity - 25) AS INT) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, ab, sq, gr, ls,
+        | flr, cl, rt, lg, pm, sg""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        | len(string_split(text,' ')) AS n_toks,
+        | list_contains(string_split(text,' '), 'data') AS has_data,
+        | array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3], ',') AS first3_sorted,
+        | len(list_filter(string_split(text,' '), x -> length(x) > 5)) AS n_long,
+        | array_to_string(list_transform(string_split(text,' ')[1:3], x -> upper(x)), ',') AS up3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        | round(value, 2) AS base_v,
+        | round(value * 2, 2) AS twice_v,
+        | 2 AS m_size,
+        | 'base,twice' AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        | json_extract_string(props, '$.k') AS k_tup,
+        | CAST(to_json(struct_pack(user_id := user_id)) AS VARCHAR) AS uj
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT event_id,
+        | CASE WHEN value < 1.0 THEN 'low' WHEN value < 5.0 THEN 'mid'
+        |      ELSE 'high' END AS tier_case,
+        | coalesce(nullif(event_type, 'error'), 'clean') AS cleaned,
+        | coalesce(user_id, -1) AS uid
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT event_id,
+        | CASE WHEN value < 1.0 THEN 'bronze' WHEN value < 5.0 THEN 'silver'
+        |      ELSE 'gold' END AS tier
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udtf_generator" ->
+      """SELECT doc_id,
+        | generate_subscripts(string_split(text,' '), 1) - 1 AS pos,
+        | unnest(string_split(text,' ')) AS word
+        |FROM documents ORDER BY doc_id, pos""".stripMargin
+  )
+}

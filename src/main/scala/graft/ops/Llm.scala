@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 — LLM-training-data pipeline operators (north-star
+  * additions): text stats, exact + MinHash/LSH near-dedup, embedding
+  * vector math, brute-force top-k cosine KNN, multimodal record assembly.
+  *
+  * Scale notes (the whole point of these ops):
+  *  - minhash dedup is banded LSH: signatures per doc (one shuffle keyed
+  *    by doc), band keys exploded, candidates found by an equi self-join
+  *    on (band, band_hash) — never an all-pairs O(n²) comparison;
+  *  - knn broadcasts the (small) query set so the corpus streams through
+  *    map-side only — one pass, no shuffle of the 100 TB side;
+  *  - all vector math is higher-order functions (`zip_with`/`aggregate`),
+  *    codegen-friendly, no per-row JVM UDFs.
+  */
+object Llm {
+  import Tables._
+
+  /** Dot product of two double arrays via HOFs (stays in codegen). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = a.cast("array<double>")
+
+  private val nBands = 4
+  private val rowsPerBand = 2 // 8 minhashes = 4 bands × 2 rows
+
+  /** Per-doc MinHash signature columns mh0..mh7 over 3-word shingles. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    val sigCols = (0 until nBands * rowsPerBand).map(k =>
+      min(xxhash64(concat(lit(s"seed$k#"), col("shingle")))).as(s"mh$k"))
+    docs
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Text analysis: token counts, avg token length, vowel density,
+    // declared-vs-actual length QA flag (quality scoring primitives).
+    "llm_text_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars_actual"),
+          size(toks).as("n_toks"),
+          round((length(col("text")) - size(toks) + 1).cast("double")
+            / size(toks), 4).as("avg_tok_len"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"),
+          (col("n_chars") === length(col("text"))).as("len_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup on normalized text: canonical keeper + duplicate count
+    // per distinct content (hash-groupBy — one shuffle on the text key).
+    "llm_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(trim(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("norm_text"))
+          .as("text_len"))
+        .orderBy("keep_id")),
+
+    // Near-dup candidates via banded MinHash LSH. Oracle-exempt (depends
+    // on hash seeds); property-tested instead. Emits candidate pairs
+    // (a < b) that share at least one of 4 bands of 2 minhashes.
+    "llm_dedup_minhash" -> ((s, d) => {
+      val sigs = minhashSignatures(t(s, d, "documents"))
+      val bands = sigs.select(col("doc_id"), posexplode(array(
+        (0 until nBands).map(b => xxhash64(
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)): _*
+      ))).toDF("doc_id", "band", "band_hash")
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Vector column family: L2 norm, first normalized component, dim.
+    "llm_embed_norm" -> ((s, d) => {
+      val e = toDouble(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(dot(e, e)), 4).as("l2_norm"),
+          round(element_at(e, 1) / sqrt(dot(e, e)), 4).as("first_unit"))
+        .orderBy("vec_id")
+    }),
+
+    // Top-5 cosine neighbors for query vectors (vec_id < 5): broadcast
+    // query set × streamed corpus, HOF dot product, Top-N window. Ranking
+    // uses the rounded similarity so Spark and the oracle agree on ties.
+    "llm_similarity_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      val q = broadcast(emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("qe")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(emb, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("qe"), col("e"))
+            / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))), 4)
+            .as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Multimodal record assembly: text ↔ embedding lineage in one nested
+    // struct, exported as JSON (binary media columns would ride alongside
+    // as opaque `binary` + this same metadata struct).
+    "llm_multimodal_cols" -> ((s, d) =>
+      t(s, d, "documents")
+        .join(t(s, d, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"),
+            col("label"), size(col("embedding")).as("dim"))).as("record_json"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_text_stats" ->
+      """SELECT doc_id, lang,
+        | length(text) AS n_chars_actual,
+        | len(string_split(text, ' ')) AS n_toks,
+        | round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4) AS avg_tok_len,
+        | length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+        | n_chars = length(text) AS len_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | length(trim(text)) AS text_len
+        |FROM documents GROUP BY trim(text) ORDER BY keep_id""".stripMargin,
+    "llm_embed_norm" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |   CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
+        | round(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |   CAST(embedding AS DOUBLE[]))), 4) AS first_unit
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "llm_similarity_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |  round(list_dot_product(q.e, c.e)
+        |    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+        | FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY q_id
+        |   ORDER BY cos DESC, vec_id) AS rk FROM pairs)
+        |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+    "llm_multimodal_cols" ->
+      """SELECT doc_id,
+        | CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |   source := source, label := label,
+        |   dim := len(embedding))) AS VARCHAR) AS record_json
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}

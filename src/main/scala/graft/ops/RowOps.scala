@@ -12,14 +12,16 @@ object RowOps {
 
   val queries: Map[String, Q] = Map(
     // net price = extprice * (1-disc) * (1+tax): per-row arithmetic + rename.
+    // money2 rounds via exact decimal; (orderkey, linenumber) is NOT unique
+    // in the fixture, so the ORDER BY covers every output column.
     "project_compute" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          money2(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("disc_price"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax")), 2).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")),
+          money2(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge")),
 
     // BETWEEN + IN-list + LIKE + conjunction; pushes to the parquet scan.
     "filter_predicate" -> ((s, d) =>
@@ -31,7 +33,7 @@ object RowOps {
           && col("l_linestatus").like("F%"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
 
     // One-to-many: doc text -> words (aggregated per word for a
     // deterministic, order-stable output).
@@ -51,7 +53,10 @@ object RowOps {
         .withColumn("route", lit("dirty"))
       val low = ev.where(col("event_type") =!= "error" && col("value") < 1.0)
         .withColumn("route", lit("low"))
-      val main = ev.where(col("event_type") =!= "error" && col("value") >= 1.0)
+      // Complement predicate (NULL value → "main") so every row lands in
+      // exactly one child, matching the oracle's CASE ladder under nulls.
+      val main = ev.where(col("event_type") =!= "error" &&
+          coalesce(col("value") >= 1.0, lit(true)))
         .withColumn("route", lit("main"))
       dirty.unionByName(low).unionByName(main)
         .select(col("event_id"), col("route"), col("event_type"),
@@ -70,9 +75,9 @@ object RowOps {
   val oracleSql: Map[String, String] = Map(
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice * (1-l_discount), 2) AS disc_price,
-        | round(l_extendedprice * (1-l_discount) * (1+l_tax), 2) AS charge
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        | CAST(round(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS disc_price,
+        | CAST(round(CAST(l_extendedprice * (1-l_discount) * (1+l_tax) AS DECIMAL(28,6)), 2) AS DOUBLE) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, charge""".stripMargin,
     "filter_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem
@@ -80,7 +85,7 @@ object RowOps {
         |  AND l_returnflag IN ('A','R')
         |  AND l_quantity BETWEEN 5 AND 45
         |  AND l_linestatus LIKE 'F%'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
     "flatmap_explode" ->
       """SELECT doc_id, word, count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)

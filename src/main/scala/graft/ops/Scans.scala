@@ -15,12 +15,16 @@ object Scans {
   import Tables._
 
   val queries: Map[String, Q] = Map(
-    // Full table scan; shipdate emitted as epoch micros for engine-neutral compare.
+    // Full table scan; shipdate emitted as epoch micros for engine-neutral
+    // compare. (orderkey, linenumber) is NOT unique in the fixture, so the
+    // deterministic ORDER BY covers every column.
     "scan_parquet" -> ((s, d) =>
       t(s, d, "lineitem")
         .withColumn("l_shipdate_us", ep(col("l_shipdate")))
         .drop("l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate_us")),
 
     // Column pruning + predicate pushdown reach the parquet scan
     // (verify with .explain: PushedFilters + 4-column ReadSchema).
@@ -30,7 +34,7 @@ object Scans {
           col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     // ODS Kafka-JSON ingest shape: payload string -> typed columns.
     // Prod path is spark.readStream.format("kafka") (graft.streaming);
@@ -53,7 +57,10 @@ object Scans {
 
     // ADS-layer file sink: write then read back (round-trip proves the sink).
     "sink_parquet" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+      // Path derived from the input dir so each sf / concurrent run
+      // round-trips its own data instead of clobbering a shared file.
+      val tag = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_$tag"
       t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -105,12 +112,14 @@ object Scans {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         | epoch_us(l_shipdate) AS l_shipdate_us
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+        | l_linestatus, l_shipdate_us""".stripMargin,
     "scan_projected" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     "source_kafka_shape" ->
       """SELECT event_id, user_id, event_type,
         | CAST(json_extract_string(props,'$.k') AS BIGINT) AS prop_k,

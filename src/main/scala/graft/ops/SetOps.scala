@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 — global sort/limit and set operations.
+  *
+  * Flink anchors: Table ORDER BY/LIMIT (batch mode), DataStream.union,
+  * Table INTERSECT/EXCEPT.
+  *
+  * Scale notes: `orderBy(...).limit(k)` plans TakeOrderedAndProject —
+  * per-partition top-k then a k-row driver merge, never a global sort.
+  * intersect/except are distinct-aggregating shuffles on the compared
+  * columns (project to the narrow key set first, as here).
+  */
+object SetOps {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    // ADS serving query: global top-100 orders by price.
+    "sort_limit_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+          .as("o_totalprice"))),
+
+    // Merge parallel streams (genre: union of log topics).
+    "set_union_all" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view")
+        .unionByName(ev.where(col("event_type") === "signup"))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")
+    }),
+
+    // Audience overlap: users who both viewed and purchased.
+    "set_intersect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view").select("user_id")
+        .intersect(
+          ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // Churn set: viewers who never purchased.
+    "set_except" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view").select("user_id")
+        .except(
+          ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "set_union_all" ->
+      """SELECT event_id, event_type, user_id FROM events WHERE event_type='view'
+        |UNION ALL
+        |SELECT event_id, event_type, user_id FROM events WHERE event_type='signup'
+        |ORDER BY event_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type='view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type='purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type='view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type='purchase'
+        |ORDER BY user_id""".stripMargin
+  )
+}

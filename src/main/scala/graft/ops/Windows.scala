@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — analytic window functions: Top-N / rank ladder /
+  * lag-lead / running frames / first-last image.
+  *
+  * Flink anchors: Table Top-N (`ROW_NUMBER() ... WHERE rn<=N`), keyed
+  * ValueState session stitching and running reduce.
+  *
+  * Scale notes: every window partitions on a real key (priority, flag,
+  * user) so work distributes across executors — no `Window.orderBy`
+  * without partitioning (which would funnel 100 TB through one task).
+  * Orderings always include a unique tiebreaker for determinism.
+  */
+object Windows {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    // The genre's signature ADS op: top-3 orders by price per priority.
+    "win_rank_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // rank / dense_rank / ntile ladder (unique ordering => ntile stable).
+    "win_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        // quartile in the sort: tied (price, okey, lineno) rows are output-
+        // identical except for ntile position, so sorting by it keeps the
+        // sequence deterministic across engines.
+        .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
+          "quartile")
+    }),
+
+    // Session stitching: seconds since the user's previous event.
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          ep(col("ts")).as("ts_us"),
+          (ep(col("ts")) - lag(ep(col("ts")), 1).over(w)).as("gap_us"),
+          lead(col("event_id"), 1).over(w).as("next_event"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Running totals: cumulative revenue by order date per priority,
+    // both ROWS (unique order => deterministic) and RANGE (tie-inclusive).
+    "win_running_frame" -> ((s, d) => {
+      val rows = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val range = Window.partitionBy("o_orderpriority")
+        .orderBy(ep(col("o_orderdate")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ep(col("o_orderdate")).as("o_date_us"),
+          round(sum(col("o_totalprice").cast(dec)).over(rows).cast("double"), 2)
+            .as("cum_rows"),
+          round(sum(col("o_totalprice").cast(dec)).over(range).cast("double"), 2)
+            .as("cum_range"))
+        .orderBy("o_orderpriority", "o_date_us", "o_orderkey")
+    }),
+
+    // Latest/earliest status image per user via frame-to-end first/last.
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), ep(col("ts")).as("ts_us"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .orderBy("user_id", "ts_us", "event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank_topn" ->
+      """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice,2) AS o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber, quartile""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        | lead(event_id, 1) OVER w AS next_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "win_running_frame" ->
+      """SELECT o_orderpriority, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_rows,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_orderpriority ORDER BY epoch_us(o_orderdate)
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_range
+        |FROM orders
+        |ORDER BY o_orderpriority, o_date_us, o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
+  )
+}
