@@ -27,8 +27,13 @@ object Tables {
     * comparisons line up. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // NANOS read as long
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // already a (micro/milli) timestamp, possibly NTZ
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** timestamp -> epoch microseconds (bigint): exact, engine-neutral.

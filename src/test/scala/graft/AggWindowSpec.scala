@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.4 aggregation + §2.5 window-function invariants. */
+class AggWindowSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("agg_group_multi group counts sum to the filtered row count") {
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    val got = q("agg_group_multi").agg(sum("count_order")).first().getLong(0)
+    assert(got === expected)
+  }
+
+  test("agg_pivot per-user counts sum to total events") {
+    val total = ops.Tables.events(spark, sf).count()
+    val summed = q("agg_pivot")
+      .select((col("n_view") + col("n_click") + col("n_purchase") +
+        col("n_signup") + col("n_error")).as("s"))
+      .agg(sum("s")).first().getLong(0)
+    assert(summed === total)
+  }
+
+  test("agg_grouping_sets: gid=3 grand total equals orders count") {
+    val grand = q("agg_grouping_sets").where(col("gid") === 3)
+    assert(grand.count() === 1)
+    assert(grand.first().getAs[Long]("n") ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("uv <= pv and approx uv within 10% of exact") {
+    val exact = q("agg_distinct_count")
+    assert(exact.where(col("uv") > col("pv")).count() === 0)
+    val joined = exact.join(q("agg_approx_distinct"), "event_type")
+    val off = joined.where(
+      abs(col("uv_approx") - col("uv")) > col("uv") * 0.1).count()
+    assert(off === 0)
+  }
+
+  test("agg_udaf_typed weighted avg lies within [min, max] price") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val mm = li.agg(min("l_extendedprice"), max("l_extendedprice")).first()
+    val bad = q("agg_udaf_typed")
+      .where(col("wavg_price") < mm.getDouble(0) ||
+        col("wavg_price") > mm.getDouble(1)).count()
+    assert(bad === 0)
+  }
+
+  test("win_rank_topn: at most 3 per group, and they are the max prices") {
+    val topn = q("win_rank_topn")
+    assert(topn.groupBy("o_orderpriority").count()
+      .where(col("count") > 3).count() === 0)
+    // rank-1 rows carry the group max price
+    val maxes = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(round(max("o_totalprice"), 2).as("mx"))
+    val r1 = topn.where(col("rn") === 1)
+    assert(r1.join(maxes, "o_orderpriority")
+      .where(col("o_totalprice") =!= col("mx")).count() === 0)
+  }
+
+  test("win_running_frame cumulative sums are non-decreasing per partition") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_date_us", "o_orderkey")
+    val bad = q("win_running_frame")
+      .withColumn("prev", lag(col("cum_rows"), 1).over(w))
+      .where(col("prev").isNotNull && col("cum_rows") < col("prev"))
+    assert(bad.count() === 0)
+  }
+
+  test("win_lag_lead gaps are non-negative (ordered by ts)") {
+    assert(q("win_lag_lead").where(col("gap_us") < 0).count() === 0)
+  }
+
+  test("sort_limit_topk is the sorted prefix of orders") {
+    val topk = q("sort_limit_topk")
+    assert(topk.count() === 100)
+    val kth = topk.agg(min("o_totalprice")).first().getDouble(0)
+    val higher = spark.read.parquet(s"$sf/orders.parquet")
+      .where(round(col("o_totalprice"), 2) > kth).count()
+    assert(higher < 100)
+  }
+
+  test("set ops algebra: |A∪B| = |A|+|B|, except ∩ intersect = ∅") {
+    val ev = ops.Tables.events(spark, sf)
+    val nView = ev.where(col("event_type") === "view").count()
+    val nSignup = ev.where(col("event_type") === "signup").count()
+    assert(q("set_union_all").count() === nView + nSignup)
+    assert(q("set_except").join(q("set_intersect"), "user_id").count() === 0)
+  }
+}

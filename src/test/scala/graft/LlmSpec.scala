@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.9 LLM-pipeline invariants. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("embed_norm: norms positive, first_unit within [-1, 1]") {
+    val df = q("llm_embed_norm")
+    assert(df.where(col("l2_norm") <= 0).count() === 0)
+    assert(df.where(abs(col("first_unit")) > 1.0001).count() === 0)
+  }
+
+  test("knn: cosine in [-1, 1], 5 neighbors per query, no self-match") {
+    val df = q("llm_similarity_knn")
+    assert(df.where(abs(col("cos")) > 1.0001).count() === 0)
+    assert(df.groupBy("q_id").count().where(col("count") =!= 5).count() === 0)
+    assert(df.where(col("q_id") === col("vec_id")).count() === 0)
+  }
+
+  test("knn: neighbor list is sorted by descending similarity") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy("rk")
+    val bad = q("llm_similarity_knn")
+      .withColumn("prev", lag(col("cos"), 1).over(w))
+      .where(col("prev").isNotNull && col("cos") > col("prev"))
+    assert(bad.count() === 0)
+  }
+
+  test("minhash candidates contain every exact-duplicate pair") {
+    // Identical texts share all shingles, hence all minhashes and every
+    // band — exact dups MUST surface as LSH candidates.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), trim(col("text")).as("tx"))
+    val exactPairs = docs.as("a").join(docs.as("b"),
+        col("a.tx") === col("b.tx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = q("llm_dedup_minhash")
+    val missed = exactPairs.join(cands, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0)
+  }
+
+  test("minhash candidate pairs are plausibly similar (>= 1/3 token overlap)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val withToks = q("llm_dedup_minhash")
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+    val loose = withToks.where(col("jac") < 1.0 / 3).count()
+    val all = withToks.count()
+    // banded LSH admits some false positives; most candidates must be real
+    assert(all === 0 || loose.toDouble / all < 0.5)
+  }
+
+  test("text stats: token counts positive, avg token length sane") {
+    val df = q("llm_text_stats")
+    assert(df.where(col("n_toks") <= 0).count() === 0)
+    assert(df.where(col("avg_tok_len") <= 0 || col("avg_tok_len") > 40).count() === 0)
+  }
+
+  test("exact dedup partitions all docs") {
+    assert(q("llm_dedup_exact").agg(sum("n_copies")).first().getLong(0) ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Ev, Streams}
+
+/** SURVEY §5.3: MemoryStream → operator → memory sink, asserting the
+  * streaming wrappers converge to the same result as the oracle-checked
+  * batch forms on the same input (SIGMOD'18 incrementalization model). */
+class StreamingParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** sf0.001 events as typed rows in arrival (event_id) order. */
+  private lazy val allEvents: Seq[Ev] = {
+    import spark.implicits._
+    Streams.typed(ops.Tables.events(spark, sf))
+      .orderBy("event_id").collect().toSeq
+  }
+
+  private def runStream[T](name: String)(build: MemoryStream[Ev] =>
+      org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val ds = build(input)
+    val query = ds.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // three micro-batches in arrival order (in-order per key)
+    val chunks = allEvents.grouped((allEvents.size + 2) / 3).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+    spark.table(name)
+  }
+
+  test("visitCounter stream == stream_stateful_counter batch") {
+    val streamed = runStream("visits")(in => Streams.visitCounter(in.toDS()))
+    val batch = q("stream_stateful_counter")
+    assert(streamed.count() === batch.count())
+    val diff = streamed
+      .join(batch.withColumnRenamed("visit_kind", "b_kind")
+          .withColumnRenamed("visit_no", "b_no"),
+        Seq("event_id", "user_id"))
+      .where(col("visit_kind") =!= col("b_kind") ||
+        col("visit_no") =!= col("b_no"))
+    assert(diff.count() === 0)
+  }
+
+  test("cepFunnel stream == stream_cep_pattern batch") {
+    val streamed = runStream("funnel")(in => Streams.cepFunnel(in.toDS()))
+    val batch = q("stream_cep_pattern")
+    assert(streamed.count() === batch.count())
+    val diff = streamed.join(batch,
+      Seq("user_id", "view_us", "click_us", "purchase_us"), "full_outer")
+      .where(col("user_id").isNull)
+    assert(diff.count() === 0)
+  }
+
+  test("tumbling windows stream (complete mode) == batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Streams.tumblingCounts(
+      input.toDS().toDF()).drop("total") // counts compare exactly
+    val query = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    input.addData(allEvents)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("tumbling")
+      .select(unix_micros(col("w_start").cast("timestamp")).as("w_start_us"),
+        col("event_type"), col("n"))
+    val batch = q("stream_window_tumbling").drop("total")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch.withColumnRenamed("n", "b_n"),
+        Seq("w_start_us", "event_type"))
+      .where(col("n") =!= col("b_n")).count() === 0)
+  }
+
+  test("session windows stream (complete) == batch session count per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Streams.sessionAgg(input.toDS().toDF())
+    val query = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    input.addData(allEvents)
+    query.processAllAvailable()
+    query.stop()
+    val streamedPerUser = spark.table("sessions")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sess"),
+        sum("n_events").as("n_ev"))
+    val batchPerUser = q("stream_window_session")
+      .groupBy("user_id").agg(count(lit(1)).as("b_sess"),
+        sum("n_events").as("b_ev"))
+    val diff = streamedPerUser.join(batchPerUser, "user_id")
+      .where(col("n_sess") =!= col("b_sess") || col("n_ev") =!= col("b_ev"))
+    assert(diff.count() === 0)
+  }
+
+  test("streaming dedup: watermarked form covers all pairs; global form exact") {
+    // dropDuplicatesWithinWatermark only dedups inside the watermark
+    // horizon (state evicts after it) — so it emits every distinct pair
+    // at least once and never more than the raw stream.
+    val streamed = runStream("dedup")(in =>
+      Streams.dedupWithinWatermark(in.toDS().toDF()))
+    val distinctPairs = q("dedup_exact").count()
+    assert(streamed.select("user_id", "event_type").distinct().count() ===
+      distinctPairs)
+    assert(streamed.count() >= distinctPairs &&
+      streamed.count() <= allEvents.size)
+    // unbounded-state global dedup matches the batch form exactly
+    val global = runStream("dedup_global")(in =>
+      in.toDS().toDF().dropDuplicates("user_id", "event_type"))
+    assert(global.count() === distinctPairs)
+  }
+
+  test("foreachBatch upsert sink converges to batch latest-image") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[Ev]
+    val query = Streams.upsertLatestToParquet(
+      input.toDS().toDF(), s"$dir/state", s"$dir/ckpt")
+    allEvents.grouped((allEvents.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+    val got = spark.read.parquet(s"$dir/state")
+      .select(col("user_id"), col("event_id"),
+        ops.Tables.ep(col("ts")).as("ts_us"))
+    val want = q("stream_upsert_latest").select("user_id", "event_id", "ts_us")
+    assert(got.count() === want.count())
+    assert(got.join(want, Seq("user_id", "event_id", "ts_us")).count() ===
+      want.count())
+  }
+}
