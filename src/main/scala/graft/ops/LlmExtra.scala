@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended LLM-training-data pipeline operators beyond SURVEY §2.9's
+  * core five: the dedup family (SimHash, n-gram Jaccard, embedding-
+  * cosine), similarity-search scale path (IVF), text analysis
+  * (language-ID, BPE-ish token counting, rolling-hash fingerprint), and
+  * binary multimodal column plumbing.
+  *
+  * Scale notes:
+  *  - every dedup variant generates candidates through a BLOCKING key
+  *    (LSH band, SimHash band, source, IVF bucket) joined equi-style —
+  *    all-pairs comparison never appears in any plan;
+  *  - the multimodal decode is a typed mapPartitions pipeline (the Spark
+  *    batch-shape for per-record media decoding); the actual image/audio
+  *    decode is a clearly-marked deterministic STUB — the schema,
+  *    batching, and partition behavior are the real, tested parts.
+  */
+object LlmExtra {
+  import Tables._
+
+  // ---- shared text expressions -------------------------------------
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-gram shingles of a text column. */
+  private def shingles3(c: Column): Column = {
+    val tk = toks(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+  }
+
+  /** Same shingle set, hashed to 64-bit longs: set sizes and
+    * intersections are identical (collisions are ~|sh|²/2⁶⁵ ≈ never) but
+    * the pairwise intersect compares longs instead of strings — the
+    * dominant cost of blocked pairwise Jaccard. */
+  private def shingleHashes3(c: Column): Column = {
+    val tk = toks(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3))))))
+  }
+
+  // ---- simhash ------------------------------------------------------
+
+  /** Token hashes once per doc (not once per bit). */
+  private val tokenHashes: Column =
+    expr("transform(split(text, ' '), t -> xxhash64(t))")
+
+  /** 64 bit-votes per doc: bit b is 1 when the sum over token hashes of
+    * (+1 if bit b set else -1) is positive. SQL expr because the Scala
+    * DSL's shiftright only takes a literal Int shift. */
+  private val simhashBits: Column = expr(
+    """transform(sequence(0, 63), b ->
+      |  if(aggregate(hs, 0L,
+      |       (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+      |     1L, 0L))""".stripMargin)
+
+  /** Pack bit-slices into 4 16-bit band values (arithmetic only — no
+    * variable shifts, which the HOF lambda can't express). */
+  private def simhashBands(bits: Column): Column =
+    transform(sequence(lit(0), lit(3)), g =>
+      aggregate(slice(bits, g * 16 + 1, lit(16)), lit(0L),
+        (acc, x) => acc * 2 + x))
+
+  // ---- language-ID marker sets (deterministic scoring ladder) -------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "de" -> Seq("der", "und", "das", "ist"))
+
+  private def markerScore(c: Column, markers: Seq[String]): Column =
+    size(filter(toks(c), x =>
+      markers.map(m => x === m).reduce(_ || _)))
+
+  val queries: Map[String, Q] = Map(
+    // Near-dup detection by exact n-gram Jaccard over blocked candidate
+    // pairs (block = source; at 100 TB the block key is a MinHash band —
+    // compose with llm_dedup_minhash's candidates).
+    "llm_dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          shingleHashes3(col("text")).as("sh"))
+      val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+      docs.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("a_sh"))
+        .join(docs.select(col("source"), col("doc_id").as("doc_b"),
+          col("sh").as("b_sh")), "source")
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(inter.cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - inter), 4).as("jac"))
+        .where(col("jac") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit bands for candidate
+    // generation, exact Hamming distance on candidates only.
+    // Oracle-exempt (hash-function specific); property-tested.
+    "llm_dedup_simhash" -> ((s, d) => {
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"), tokenHashes.as("hs"))
+        .select(col("doc_id"), simhashBits.as("bits"))
+      val bands = sigs
+        .select(col("doc_id"), col("bits"),
+          posexplode(simhashBands(col("bits"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      val cands = bands.select(col("doc_id").as("doc_a"), col("band"),
+          col("band_val"), col("bits").as("bits_a"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+          col("band_val"), col("bits").as("bits_b")), Seq("band", "band_val"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          aggregate(zip_with(col("bits_a"), col("bits_b"),
+            (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v)
+            .as("hamming"))
+        .distinct()
+      cands.where(col("hamming") <= 16).orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup: candidates blocked by label (the coarse
+    // quantization cell; at scale the block is an IVF/LSH bucket), top-3
+    // most-similar pairs per block.
+    "llm_dedup_embcos" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val cos = round(
+        aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(transform(col("a_v"), x => x * x), lit(0.0),
+            (acc, x) => acc + x)) *
+            sqrt(aggregate(transform(col("b_v"), x => x * x), lit(0.0),
+              (acc, x) => acc + x))), 4)
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+      e.select(col("label"), col("vec_id").as("doc_a"), col("v").as("a_v"))
+        .join(e.select(col("label"), col("vec_id").as("doc_b"),
+          col("v").as("b_v")), "label")
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("label"), col("doc_a"), col("doc_b"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("label", "rk")
+    }),
+
+    // IVF-style ANN (the similarity-search scale path): assign vectors to
+    // the nearest of 8 deterministic centroids, then answer each query by
+    // scanning ONLY its bucket — the corpus-side work drops by ~K×.
+    "llm_knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = broadcast(e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      def cosc(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)) *
+            sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.join(cents)
+        .select(col("vec_id"), col("v"), col("c_id"),
+          round(cosc(col("v"), col("cv")), 6).as("c_cos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      val q = assigned.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(assigned, "bucket")
+        .where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosc(col("qv"), col("v")), 4).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Language-ID via marker-token scoring + CJK char detection: a
+    // deterministic n-gram-heuristic ladder (fixture text is synthetic,
+    // so the mechanism — not the accuracy — is what's verified).
+    "llm_lang_id" -> ((s, d) => {
+      val scored = langMarkers.foldLeft(t(s, d, "documents")) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"s_$lang", markerScore(col("text"), markers))
+      }
+      scored
+        .withColumn("pred",
+          when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+              col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de"))
+        .select(col("doc_id"), col("s_en"), col("s_es"), col("s_fr"),
+          col("s_de"), col("pred"),
+          (col("pred") === col("lang")).as("hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars) + chars-per-token.
+    "llm_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("n_ws"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("n_bpe"),
+          round(length(col("text")).cast("double") /
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")),
+            4).as("chars_per_tok"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: rolling 8-char window hashes, keep the min
+    // (winnowing-lite) + distinct-window count. Oracle-exempt (xxhash64);
+    // property: identical text ⇒ identical fingerprint.
+    "llm_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_min(transform(
+            sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+            i => xxhash64(col("text").substr(i, lit(8))))).as("fp_min"),
+          size(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+            i => xxhash64(col("text").substr(i, lit(8)))))).as("fp_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Binary multimodal plumbing: utf-8 payload bytes + typed metadata
+    // through the mapPartitions decode pipeline (decode itself is the
+    // deterministic STUB in Multimodal.decodeStub).
+    "llm_multimodal_binary" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.toMedia(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("byte_len"),
+          col("f0"), col("f1"), col("f2"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        | FROM documents)
+        |SELECT doc_a, doc_b, jac FROM (
+        | SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
+        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_embcos" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |p AS (SELECT a.label, a.vec_id doc_a, b.vec_id doc_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos DESC, doc_a, doc_b) rk FROM p)
+        |SELECT label, doc_a, doc_b, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY label, rk""".stripMargin,
+    "llm_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |c AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, v, c_id bucket FROM (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.c_id) arn
+        |  FROM e, c) WHERE arn = 1),
+        |q AS (SELECT vec_id q_id, v qv, bucket FROM asn WHERE vec_id < 5),
+        |p AS (SELECT q.q_id, a.vec_id,
+        |   round(list_cosine_similarity(q.qv, a.v), 4) cos
+        |  FROM q JOIN asn a ON q.bucket = a.bucket AND q.q_id <> a.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, vec_id) rk FROM p)
+        |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
+    "llm_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+        | len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','of','and','is'], x))) s_en,
+        | len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['el','la','de','es'], x))) s_es,
+        | len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['le','la','et','est'], x))) s_fr,
+        | len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['der','und','das','ist'], x))) s_de
+        | FROM documents)
+        |SELECT doc_id, s_en, s_es, s_fr, s_de,
+        | CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred,
+        | (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS hit
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text,' ')) AS n_ws,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        | round(length(text)::DOUBLE /
+        |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
+        |   AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_binary" ->
+      """SELECT doc_id, 'text' AS modality,
+        | octet_length(encode(text)) AS byte_len,
+        | octet_length(encode(text)) % 256 AS f0,
+        | octet_length(encode(text)) // 256 AS f1,
+        | CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text,1,1)) END AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

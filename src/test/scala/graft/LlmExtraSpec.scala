@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Extended LLM-op invariants (dedup family, IVF ANN, text analysis,
+  * multimodal plumbing). */
+class LlmExtraSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ngram jaccard: values in (0,1], pairs ordered a<b") {
+    val df = q("llm_dedup_ngram_jaccard")
+    assert(df.where(col("jac") <= 0 || col("jac") > 1).count() === 0)
+    assert(df.where(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("simhash: near-identical docs collide; hamming within [0,64]") {
+    val df = q("llm_dedup_simhash")
+    assert(df.where(col("hamming") < 0 || col("hamming") > 64).count() === 0)
+    // docs with identical text have identical signatures => hamming 0 and
+    // are guaranteed candidates (they share every band)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dups = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val missed = dups.join(df.where(col("hamming") === 0),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0)
+  }
+
+  test("embcos near-dup: 3 pairs per label block, cos descending") {
+    val df = q("llm_dedup_embcos")
+    assert(df.groupBy("label").count().where(col("count") > 3).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label").orderBy("rk")
+    assert(df.withColumn("prev", lag(col("cos"), 1).over(w))
+      .where(col("prev").isNotNull && col("cos") > col("prev")).count() === 0)
+  }
+
+  test("IVF: neighbors come from the query's own bucket and rank correctly") {
+    val ivf = q("llm_knn_ivf")
+    assert(ivf.groupBy("q_id").count().where(col("count") > 3).count() === 0)
+    // IVF results are a subset of brute-force candidates' similarity range:
+    // every IVF neighbor's cos must be <= the brute-force rank-1 cos.
+    val bf1 = q("llm_similarity_knn").where(col("rk") === 1)
+      .select(col("q_id"), col("cos").as("best"))
+    assert(ivf.join(bf1, "q_id").where(col("cos") > col("best")).count() === 0)
+  }
+
+  test("lang_id: prediction is always one of the five languages") {
+    val df = q("llm_lang_id")
+    assert(df.where(!col("pred").isin("en", "es", "fr", "de", "zh")).count() === 0)
+  }
+
+  test("token_count: bpe segmentation never yields fewer than ws tokens") {
+    // every ws token splits into >= 1 bpe tokens (letters/digits/punct)
+    assert(q("llm_token_count").where(col("n_bpe") < col("n_ws")).count() === 0)
+    assert(q("llm_token_count").where(col("chars_per_tok") <= 0).count() === 0)
+  }
+
+  test("fingerprint: identical text => identical fingerprint, and stable") {
+    val fp1 = q("llm_fingerprint")
+    val fp2 = q("llm_fingerprint")
+    assert(fp1.join(fp2.withColumnRenamed("fp_min", "fp2"), "doc_id")
+      .where(col("fp_min") =!= col("fp2")).count() === 0)
+    assert(fp1.where(col("fp_distinct") <= 0).count() === 0)
+  }
+
+  test("multimodal pipeline: payload bytes round-trip and batch shape holds") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.toMedia(docs)
+    // payload decodes back to the original text
+    val back = media.map(r => (r.doc_id, new String(r.payload, "UTF-8")))
+      .toDF("doc_id", "text2")
+    assert(docs.join(back, "doc_id")
+      .where(col("text") =!= col("text2")).count() === 0)
+    // mapPartitions preserves row count and partitioning
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() === docs.count())
+    assert(feats.rdd.getNumPartitions === media.rdd.getNumPartitions)
+    assert(feats.where(col("byte_len") =!= col("f0") + col("f1") * 256).count() === 0)
+  }
+}
