@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native vector expressions (SURVEY §4 "back pocket" extension point,
+  * now warranted by measurement): the higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*),…)`) is CodegenFallback — every element
+  * goes through an interpreted lambda call, and cosine needs three such
+  * passes. These expressions generate a single fused Java loop inside
+  * whole-stage codegen. Semantics match the HOF/DuckDB formulation
+  * exactly: sequential left-to-right double accumulation.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs MUST be array<double> (AbstractDataType is private[sql], so
+  // no ExpectsInputTypes; all call sites cast explicitly)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cos(a,b) = dot/(||a||·||b||) in ONE loop: dot, |a|², |b|² accumulate
+  * together — a third of the passes and no lambda dispatch. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs MUST be array<double> (AbstractDataType is private[sql], so
+  // no ExpectsInputTypes; all call sites cast explicitly)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ||a||₂ in one codegen'd loop. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+  // input MUST be array<double> (see note on DotProduct)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val xi = x.getDouble(i); s += xi * xi; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val xi = ctx.freshName("xi")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $xi = $a.getDouble($i); $s += $xi * $xi;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Registration: production path is
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; sessions the
+  * driver builds without that config call `VectorFunctions.register`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    VectorFunctions.inject(e)
+}
+
+object VectorFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es.head, es(1))),
+    "graft_cosine" -> (es => CosineSimilarity(es.head, es(1))),
+    "graft_l2norm" -> (es => L2Norm(es.head)))
+
+  def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
+    e.injectFunction((FunctionIdentifier(n),
+      new ExpressionInfo(classOf[DotProduct].getName, n), b))
+  }
+
+  /** Idempotent per-session registration for driver-built sessions. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (n, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      n, b, "built-in")
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_dot", a, b)
+  }
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_cosine", a, b)
+  }
+  def l2norm(spark: SparkSession, a: Column): Column = {
+    register(spark); call_function("graft_l2norm", a)
+  }
+}

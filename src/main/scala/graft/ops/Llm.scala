@@ -19,9 +19,7 @@ import org.apache.spark.sql.functions._
 object Llm {
   import Tables._
 
-  /** Dot product of two double arrays via HOFs (stays in codegen). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import graft.functions.VectorFunctions
 
   private def toDouble(a: Column): Column = a.cast("array<double>")
 
@@ -87,14 +85,16 @@ object Llm {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Vector column family: L2 norm, first normalized component, dim.
+    // Vector column family: L2 norm, first normalized component, dim —
+    // via the native codegen'd graft_l2norm expression.
     "llm_embed_norm" -> ((s, d) => {
       val e = toDouble(col("embedding"))
       t(s, d, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(sqrt(dot(e, e)), 4).as("l2_norm"),
-          round(element_at(e, 1) / sqrt(dot(e, e)), 4).as("first_unit"))
+          round(VectorFunctions.l2norm(s, e), 4).as("l2_norm"),
+          round(element_at(e, 1) / VectorFunctions.l2norm(s, e), 4)
+            .as("first_unit"))
         .orderBy("vec_id")
     }),
 
@@ -111,9 +111,7 @@ object Llm {
         .orderBy(col("cos").desc, col("vec_id"))
       q.join(emb, col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          round(dot(col("qe"), col("e"))
-            / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))), 4)
-            .as("cos"))
+          round(VectorFunctions.cosine(s, col("qe"), col("e")), 4).as("cos"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))

@@ -131,12 +131,7 @@ object LlmExtra {
         .select(col("label"), col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
       val cos = round(
-        aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) /
-          (sqrt(aggregate(transform(col("a_v"), x => x * x), lit(0.0),
-            (acc, x) => acc + x)) *
-            sqrt(aggregate(transform(col("b_v"), x => x * x), lit(0.0),
-              (acc, x) => acc + x))), 4)
+        graft.functions.VectorFunctions.cosine(s, col("a_v"), col("b_v")), 4)
       val w = Window.partitionBy("label")
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
       e.select(col("label"), col("vec_id").as("doc_a"), col("v").as("a_v"))
@@ -158,9 +153,7 @@ object LlmExtra {
       val cents = broadcast(e.where(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("v").as("cv")))
       def cosc(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-          (sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)) *
-            sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)))
+        graft.functions.VectorFunctions.cosine(s, a, b)
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("c_cos").desc, col("c_id"))
       val assigned = e.join(cents)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Native vector expressions: parity with the HOF formulation (which is
+  * also the DuckDB oracle's arithmetic), SQL registration, codegen. */
+class VectorExprSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("graft_dot == aggregate(zip_with(...)) bit-for-bit") {
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.select(VectorFunctions.dot(spark, col("v"), col("v"))
+      .as("native"), hof.as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("graft_cosine of a vector with itself is 1") {
+    val bad = emb.select(
+      VectorFunctions.cosine(spark, col("v"), col("v")).as("c"))
+      .where(abs(col("c") - 1.0) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("graft_l2norm == sqrt(graft_dot(v, v))") {
+    val diff = emb.select(
+      VectorFunctions.l2norm(spark, col("v")).as("n"),
+      sqrt(VectorFunctions.dot(spark, col("v"), col("v"))).as("s"))
+      .where(col("n") =!= col("s"))
+    assert(diff.count() === 0)
+  }
+
+  test("functions are SQL-callable after registration") {
+    VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT graft_cosine(v, v) c, graft_l2norm(v) n FROM emb_v LIMIT 5")
+      .collect()
+    assert(r.length === 5)
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("null inputs propagate null") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").first()
+    assert(r.isNullAt(0))
+  }
+}
