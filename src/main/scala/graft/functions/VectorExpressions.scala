@@ -141,6 +141,109 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHash bit vector from token hashes in ONE native pass: vote on all
+  * 64 bit positions per hash, then threshold. The HOF formulation is a
+  * 64-way nested interpreted aggregate — O(64n) lambda dispatches; this
+  * is the same O(64n) arithmetic in a fused codegen loop. */
+case class SimhashBits(child: Expression) extends UnaryExpression {
+  // input MUST be array<long> (token hashes); output: 64 0/1 longs
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_bits"
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L); b += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      votes.map(v => if (v > 0) 1L else 0L))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val bits = ctx.freshName("bits")
+      s"""
+         |long[] $votes = new long[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long[] $bits = new long[64];
+         |for (int $b = 0; $b < 64; $b++) $bits[$b] = $votes[$b] > 0 ? 1L : 0L;
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($bits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| for two SORTED ascending array<long> (e.g. hashed shingle
+  * sets) via a merge scan: O(n+m) primitive comparisons, no per-pair
+  * hash-set allocation like array_intersect. The workhorse of blocked
+  * pairwise Jaccard. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs MUST be sorted array<long>
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: production path is
   * `spark.sql.extensions=graft.functions.GraftExtensions`; sessions the
   * driver builds without that config call `VectorFunctions.register`. */
@@ -153,7 +256,10 @@ object VectorFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_cosine" -> (es => CosineSimilarity(es.head, es(1))),
-    "graft_l2norm" -> (es => L2Norm(es.head)))
+    "graft_l2norm" -> (es => L2Norm(es.head)),
+    "graft_simhash_bits" -> (es => SimhashBits(es.head)),
+    "graft_sorted_intersect_count" ->
+      (es => SortedIntersectCount(es.head, es(1))))
 
   def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
     e.injectFunction((FunctionIdentifier(n),
@@ -174,5 +280,11 @@ object VectorFunctions {
   }
   def l2norm(spark: SparkSession, a: Column): Column = {
     register(spark); call_function("graft_l2norm", a)
+  }
+  def simhashBits(spark: SparkSession, hashes: Column): Column = {
+    register(spark); call_function("graft_simhash_bits", hashes)
+  }
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_sorted_intersect_count", a, b)
   }
 }

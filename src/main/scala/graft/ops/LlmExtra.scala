@@ -34,15 +34,16 @@ object LlmExtra {
       i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
   }
 
-  /** Same shingle set, hashed to 64-bit longs: set sizes and
+  /** Same shingle set, hashed to 64-bit longs and SORTED: set sizes and
     * intersections are identical (collisions are ~|sh|²/2⁶⁵ ≈ never) but
-    * the pairwise intersect compares longs instead of strings — the
-    * dominant cost of blocked pairwise Jaccard. */
+    * |A∩B| becomes a native O(n+m) merge over primitive longs
+    * (graft_sorted_intersect_count) — the dominant cost of blocked
+    * pairwise Jaccard. */
   private def shingleHashes3(c: Column): Column = {
     val tk = toks(c)
-    array_distinct(transform(
+    sort_array(array_distinct(transform(
       sequence(lit(0), greatest(size(tk) - 3, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3))))))
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3)))))))
   }
 
   // ---- simhash ------------------------------------------------------
@@ -51,14 +52,8 @@ object LlmExtra {
   private val tokenHashes: Column =
     expr("transform(split(text, ' '), t -> xxhash64(t))")
 
-  /** 64 bit-votes per doc: bit b is 1 when the sum over token hashes of
-    * (+1 if bit b set else -1) is positive. SQL expr because the Scala
-    * DSL's shiftright only takes a literal Int shift. */
-  private val simhashBits: Column = expr(
-    """transform(sequence(0, 63), b ->
-      |  if(aggregate(hs, 0L,
-      |       (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
-      |     1L, 0L))""".stripMargin)
+  // 64 bit-votes per doc via the native graft_simhash_bits expression
+  // (one fused codegen loop; see graft.functions.SimhashBits).
 
   /** Pack bit-slices into 4 16-bit band values (arithmetic only — no
     * variable shifts, which the HOF lambda can't express). */
@@ -87,7 +82,8 @@ object LlmExtra {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           shingleHashes3(col("text")).as("sh"))
-      val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+      val inter = graft.functions.VectorFunctions
+        .sortedIntersectCount(s, col("a_sh"), col("b_sh"))
       docs.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("a_sh"))
         .join(docs.select(col("source"), col("doc_id").as("doc_b"),
           col("sh").as("b_sh")), "source")
@@ -105,7 +101,9 @@ object LlmExtra {
     "llm_dedup_simhash" -> ((s, d) => {
       val sigs = t(s, d, "documents")
         .select(col("doc_id"), tokenHashes.as("hs"))
-        .select(col("doc_id"), simhashBits.as("bits"))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.simhashBits(s, col("hs"))
+            .as("bits"))
       val bands = sigs
         .select(col("doc_id"), col("bits"),
           posexplode(simhashBands(col("bits"))))

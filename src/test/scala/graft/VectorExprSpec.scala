@@ -47,6 +47,22 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("sorted intersect count == size(array_intersect) on shingle sets") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        sort_array(array_distinct(transform(split(col("text"), " "),
+          t => xxhash64(t)))).as("h"))
+    val pairs = docs.select(col("source"), col("h").as("ha"))
+      .join(docs.select(col("source"), col("h").as("hb")), "source")
+      .limit(2000)
+    val diff = pairs.select(
+      VectorFunctions.sortedIntersectCount(spark, col("ha"), col("hb"))
+        .as("native"),
+      size(array_intersect(col("ha"), col("hb"))).as("generic"))
+      .where(col("native") =!= col("generic"))
+    assert(diff.count() === 0)
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val r = spark.sql(
