@@ -100,6 +100,29 @@ object Aggs {
         .select(col("user_id") +: pivotTypes.map(v => col(v).as(s"n_$v")): _*)
         .orderBy("user_id")),
 
+    // Statistical moments per group (stddev in both engines is the
+    // numerically-stable online form; rounding absorbs low-bit drift).
+    "agg_stats" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("cr"),
+          round(avg(col("o_totalprice")), 4).as("mean"),
+          round(min(col("o_totalprice")), 2).as("mn"),
+          round(max(col("o_totalprice")), 2).as("mx"))
+        .orderBy("o_orderpriority")),
+
+    // Exact percentiles with linear interpolation (Spark `percentile` ≙
+    // DuckDB `quantile_cont`).
+    "agg_percentile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy("o_orderpriority")),
+
     // Custom typed Aggregator registered as a UDAF (Flink AggregateFunction).
     "agg_udaf_typed" -> ((s, d) => {
       val wavg = udaf(WeightedAvg)
@@ -161,6 +184,20 @@ object Aggs {
         | count(*) FILTER (event_type='signup') AS n_signup,
         | count(*) FILTER (event_type='error') AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT o_orderpriority,
+        | round(stddev_samp(o_totalprice), 2) AS sd,
+        | round(corr(o_totalprice, o_custkey), 4) AS cr,
+        | round(avg(o_totalprice), 4) AS mean,
+        | round(min(o_totalprice), 2) AS mn,
+        | round(max(o_totalprice), 2) AS mx
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_udaf_typed" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price

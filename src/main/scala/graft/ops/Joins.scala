@@ -44,6 +44,14 @@ object Joins {
         .select(col("c_custkey"), col("o_orderkey"))
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
 
+    // Full outer: keep both unmatched customers and orphan orders.
+    "join_full_outer" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)),
+
     // EXISTS-style filter: customers having at least one order.
     "join_semi" -> ((s, d) =>
       t(s, d, "customer").join(t(s, d, "orders"),
@@ -115,6 +123,10 @@ object Joins {
       """SELECT c_custkey, o_orderkey
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

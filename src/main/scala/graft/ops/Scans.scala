@@ -68,6 +68,31 @@ object Scans {
       s.read.parquet(out).orderBy("event_type")
     }),
 
+    // CSV sink/source round-trip with an explicit read schema (the genre's
+    // file-exchange path; schema-on-read, no inference in the pipeline).
+    "sink_csv_roundtrip" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv_$tag"
+      t(s, d, "nation").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(out)
+        .orderBy("n_nationkey")
+    }),
+
+    // JSON-lines sink/source round-trip with an explicit read schema.
+    "sink_json_roundtrip" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json_$tag"
+      t(s, d, "supplier").write.mode("overwrite").json(out)
+      s.read.schema(
+          "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // Upsert sink semantics (genre: HBase/Redis/ClickHouse keyed upsert via
     // foreachBatch). Emulates three arriving micro-batches folded through an
     // idempotent keyed merge; converges to the latest image per key.
@@ -125,6 +150,12 @@ object Scans {
         | CAST(json_extract_string(props,'$.k') AS BIGINT) AS prop_k,
         | epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "sink_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "sink_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "sink_foreach_upsert" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         | round(value,2) AS value

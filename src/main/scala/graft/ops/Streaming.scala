@@ -41,6 +41,21 @@ object Streaming {
         .select(ep(col("w_start")).as("w_start_us"), col("n"), col("total"))
         .orderBy("w_start_us")),
 
+    // Windowed Top-N (the genre's per-window ranking ADS op): top-2 event
+    // types by count within each hourly tumbling window.
+    "stream_topn_windowed" -> ((s, d) => {
+      val w = Window.partitionBy("w_start_us")
+        .orderBy(col("n").desc, col("event_type"))
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(ep(col("w_start")).as("w_start_us"), col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .orderBy("w_start_us", "rk")
+    }),
+
     // Session windows per user, 30-min gap (EventTimeSessionWindows):
     // lag + cumulative-sum session ids — exact and oracle-able.
     "stream_window_session" -> ((s, d) => {
@@ -136,6 +151,14 @@ object Streaming {
         |      FROM events, (SELECT unnest([0,1,2,3]) AS k) k
         |      WHERE CAST(floor(epoch(ts)/900)*900 AS BIGINT) - 900*k.k + 3600 > epoch(ts))
         |GROUP BY slide_start ORDER BY w_start_us""".stripMargin,
+    "stream_topn_windowed" ->
+      """SELECT w_start_us, event_type, n, rk FROM (
+        | SELECT w_start_us, event_type, n, row_number() OVER (
+        |   PARTITION BY w_start_us ORDER BY n DESC, event_type) AS rk
+        | FROM (SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+        |         event_type, count(*) AS n
+        |       FROM events GROUP BY 1, 2))
+        |WHERE rk <= 2 ORDER BY w_start_us, rk""".stripMargin,
     "stream_window_session" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

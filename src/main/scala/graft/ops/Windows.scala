@@ -47,6 +47,18 @@ object Windows {
           "quartile")
     }),
 
+    // Distribution functions: percent_rank / cume_dist ladder (unique
+    // ordering via the orderkey tiebreaker => identical in both engines).
+    "win_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // Session stitching: seconds since the user's previous event.
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -103,6 +115,14 @@ object Windows {
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
         |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber, quartile""".stripMargin,
+    "win_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "win_lag_lead" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
