@@ -99,6 +99,24 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Skew-mitigation pattern: salt the fact side deterministically and
+    // replicate the (small) dim across salts so one hot key spreads over
+    // N reducers. Result is identical to the plain join (the oracle);
+    // at 100 TB this is the manual fallback when AQE skew-split isn't
+    // enough. Salt = pmod(event_id, N) keeps it deterministic.
+    "join_skew_salted" -> ((s, d) => {
+      val salts = 8
+      val fact = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      val dim = t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+        .crossJoin(s.range(0, salts).select(col("id").cast("int").as("salt")))
+      fact.join(dim, Seq("user_id", "salt"))
+        .select(col("event_id"), col("user_id"), col("user_events"))
+        .orderBy("event_id")
+    }),
+
     // Non-equi theta join: parts cheaper than a tenth of a supplier's
     // balance (broadcast nested-loop on the small side), aggregated.
     "join_theta" -> ((s, d) =>
@@ -151,6 +169,12 @@ object Joins {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_view_id
         |      FROM events)
         |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT e.event_id, e.user_id, d.user_events
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_events FROM events
+        |      GROUP BY user_id) d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "join_theta" ->
       """SELECT s_suppkey, count(*) AS n_cheaper
         |FROM supplier JOIN part ON p_retailprice < s_acctbal / 10

@@ -196,6 +196,31 @@ object LlmExtra {
         .orderBy("doc_id")
     }),
 
+    // Quality scoring: stopword ratio, punctuation density, token-length
+    // band, declared-length consistency → one [0,1] score per doc (the
+    // filter stage of a training-data pipeline).
+    "llm_quality_score" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val stopList = Seq("the", "of", "and", "is", "a", "to", "in")
+      val nStop = size(filter(tk, x => stopList.map(x === _).reduce(_ || _)))
+      val stopRatio = nStop.cast("double") / size(tk)
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val punctRatio = punct.cast("double") / length(col("text"))
+      val meanLen = (length(col("text")) - size(tk) + 1).cast("double") / size(tk)
+      val score =
+        least(stopRatio * 5, lit(1.0)) * 0.4 +
+          when(meanLen.between(3.0, 12.0), 0.3).otherwise(0.0) +
+          greatest(lit(1.0) - punctRatio * 10, lit(0.0)) * 0.3
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(meanLen, 4).as("mean_tok_len"),
+          (col("n_chars") === length(col("text"))).as("len_ok"),
+          round(score, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // (letter runs / digit runs / single other chars) + chars-per-token.
     "llm_token_count" -> ((s, d) =>
@@ -296,6 +321,24 @@ object LlmExtra {
         |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
         |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS hit
         |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      """WITH q AS (SELECT doc_id, n_chars, text,
+        |  len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','of','and','is','a','to','in'], x)))::DOUBLE
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |    / length(text) AS punct_ratio,
+        |  (length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+        |    / len(string_split(text,' ')) AS mean_tok_len
+        | FROM documents)
+        |SELECT doc_id, round(stop_ratio, 4) AS stop_ratio,
+        | round(punct_ratio, 4) AS punct_ratio,
+        | round(mean_tok_len, 4) AS mean_tok_len,
+        | n_chars = length(text) AS len_ok,
+        | round(least(stop_ratio * 5, 1.0) * 0.4 +
+        |   (CASE WHEN mean_tok_len BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END) +
+        |   greatest(1.0 - punct_ratio * 10, 0.0) * 0.3, 4) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         | len(string_split(text,' ')) AS n_ws,

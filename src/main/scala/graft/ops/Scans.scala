@@ -68,6 +68,21 @@ object Scans {
       s.read.parquet(out).orderBy("event_type")
     }),
 
+    // Hive-style partitioned write + partition-pruned read: the lakehouse
+    // layout for 100 TB tables. The read-back filter prunes to one
+    // partition directory (PartitionFilters in the plan, PlanSpec-checked).
+    "sink_partitioned" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_$tag"
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // CSV sink/source round-trip with an explicit read schema (the genre's
     // file-exchange path; schema-on-read, no inference in the pipeline).
     "sink_csv_roundtrip" -> ((s, d) => {
@@ -150,6 +165,9 @@ object Scans {
         | CAST(json_extract_string(props,'$.k') AS BIGINT) AS prop_k,
         | epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "sink_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

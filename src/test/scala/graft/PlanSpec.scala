@@ -59,6 +59,18 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sink_partitioned read-back prunes to the filtered partition") {
+    val p = plan(q("sink_partitioned"))
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("event_type"), p.take(1200))
+  }
+
+  test("join_skew_salted joins on (user_id, salt) — no shuffle-key hotspot") {
+    val p = plan(q("join_skew_salted"))
+    assert(p.contains("salt"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
