@@ -26,16 +26,22 @@ object StreamSmoke {
     val q3 = Streams.sessionAgg(events)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("complete").start()
+    val q4 = Streams.visitCounterTtl(
+        Streams.typed(events).withWatermark("ts", "0 seconds"),
+        ttlMs = 60L * 1000)
+      .writeStream.format("memory").queryName("ttl_visits")
+      .outputMode("append").start()
 
     Thread.sleep(secs * 1000L)
-    Seq(q1, q2, q3).foreach(_.processAllAvailable())
+    Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
     println(s"TUMBLING_ROWS=${spark.table("tumbling").count()}")
     println(s"VISIT_ROWS=${spark.table("visits").count()}")
     val newVisits = spark.table("visits")
       .where(org.apache.spark.sql.functions.col("visit_kind") === "new").count()
     println(s"VISIT_NEW=$newVisits")
     println(s"SESSION_ROWS=${spark.table("sessions").count()}")
-    Seq(q1, q2, q3).foreach(_.stop())
+    println(s"TTL_VISIT_ROWS=${spark.table("ttl_visits").count()}")
+    Seq(q1, q2, q3, q4).foreach(_.stop())
     spark.stop()
   }
 }

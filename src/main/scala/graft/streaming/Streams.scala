@@ -119,6 +119,35 @@ object Streams {
       }
   }
 
+  /** TTL variant of the visit counter (Flink ValueState + StateTtlConfig
+    * analog): per-user state expires once the event-time watermark passes
+    * last-seen + ttl, so state size is bounded by ACTIVE keys — the form
+    * a 100 TB deployment runs. A user returning after expiry counts as
+    * "new" again. Requires a watermark on the input. */
+  def visitCounterTtl(events: Dataset[Ev], ttlMs: Long): Dataset[Visit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Visit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[Long]) =>
+          if (!evs.hasNext && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            var lastMs = 0L
+            val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+              n += 1
+              lastMs = math.max(lastMs, e.ts_us / 1000L)
+              Visit(e.event_id, uid, if (n == 1) "new" else "returning", n)
+            }
+            state.update(n)
+            state.setTimeoutTimestamp(lastMs + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** CEP NFA (flink-cep analog of `stream_cep_pattern`): per-user
     * view→click→purchase funnel, strictly increasing event times,
     * emitted once on completion. State: a 3-field struct per user. */

@@ -116,6 +116,53 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(global.count() === distinctPairs)
   }
 
+  test("visitCounterTtl: state expires and a returning user counts as new") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    def ev(id: Long, uid: Long, tUs: Long) =
+      Ev(id, uid, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val input = MemoryStream[Ev]
+    val counted = Streams.visitCounterTtl(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      ttlMs = 60L * 60 * 1000) // 1 hour TTL
+    val query = counted.writeStream.format("memory").queryName("ttl_visits")
+      .outputMode("append").start()
+    val base = 1704067200L * us // 2024-01-01, clear of the epoch-0 watermark
+    // batch 1: user 1 -> "new"
+    input.addData(ev(1, 1L, base)); query.processAllAvailable()
+    // batch 2: user 2 far in the future -> advances watermark past TTL
+    input.addData(ev(2, 2L, base + 10L * 3600 * us)); query.processAllAvailable()
+    // batch 3: user 1 returns after expiry -> "new" again
+    input.addData(ev(3, 1L, base + 11L * 3600 * us)); query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("ttl_visits")
+      .orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("visit_kind")))
+    assert(rows.toSeq === Seq((1L, "new"), (2L, "new"), (3L, "new")))
+  }
+
+  test("visitCounterTtl without expiry matches the untimed counter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // TTL far larger than the 30-day fixture span: nothing expires
+    val counted = Streams.visitCounterTtl(
+      input.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      ttlMs = 365L * 24 * 3600 * 1000)
+    val query = counted.writeStream.format("memory").queryName("ttl_full")
+      .outputMode("append").start()
+    allEvents.grouped((allEvents.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+    val streamed = spark.table("ttl_full")
+    val batch = q("stream_stateful_counter")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch.withColumnRenamed("visit_no", "b_no"),
+        Seq("event_id", "user_id"))
+      .where(col("visit_no") =!= col("b_no")).count() === 0)
+  }
+
   test("foreachBatch upsert sink converges to batch latest-image") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
