@@ -194,6 +194,78 @@ case class SimhashBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 8-permutation MinHash signature from a shingle-hash array in one
+  * native pass — map-side, no shingle explode + shuffle (the explode
+  * formulation ships |corpus|×|shingles| rows through a groupBy at
+  * 100 TB). Each permutation is a splitmix64 finalizer over the shingle
+  * hash xor a fixed odd seed; min per permutation. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  // input MUST be array<long> (shingle hashes); output: 8 longs
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val sig = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < 8) {
+        var z = h ^ MinHashSignature.seeds(k)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < sig(k)) sig(k) = z
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val z = ctx.freshName("z")
+      val sig = ctx.freshName("sig")
+      val seeds = ctx.freshName("seeds")
+      s"""
+         |long[] $sig = new long[8];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |long[] $seeds = graft.functions.MinHashSignature.javaSeeds();
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < 8; $k++) {
+         |    long $z = $h ^ $seeds[$k];
+         |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $sig[$k]) $sig[$k] = $z;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+object MinHashSignature {
+  val seeds: Array[Long] = Array(
+    0x9e3779b97f4a7c15L, 0xc2b2ae3d27d4eb4fL, 0x165667b19e3779f9L,
+    0xd6e8feb86659fd93L, 0xa5a5a5a5a5a5a5a5L, 0x27d4eb2f165667c5L,
+    0x85ebca6b27d4eb4fL, 0x2545f4914f6cdd1dL)
+  // codegen helper (generated Java can't read the Scala val directly)
+  def javaSeeds(): Array[Long] = seeds
+}
+
 /** |A ∩ B| for two SORTED ascending array<long> (e.g. hashed shingle
   * sets) via a merge scan: O(n+m) primitive comparisons, no per-pair
   * hash-set allocation like array_intersect. The workhorse of blocked
@@ -259,7 +331,8 @@ object VectorFunctions {
     "graft_l2norm" -> (es => L2Norm(es.head)),
     "graft_simhash_bits" -> (es => SimhashBits(es.head)),
     "graft_sorted_intersect_count" ->
-      (es => SortedIntersectCount(es.head, es(1))))
+      (es => SortedIntersectCount(es.head, es(1))),
+    "graft_minhash8" -> (es => MinHashSignature(es.head)))
 
   def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
     e.injectFunction((FunctionIdentifier(n),
@@ -286,5 +359,8 @@ object VectorFunctions {
   }
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_sorted_intersect_count", a, b)
+  }
+  def minhash8(spark: SparkSession, hashes: Column): Column = {
+    register(spark); call_function("graft_minhash8", hashes)
   }
 }

@@ -23,21 +23,12 @@ object Llm {
 
   private def toDouble(a: Column): Column = a.cast("array<double>")
 
-  private val nBands = 4
-  private val rowsPerBand = 2 // 8 minhashes = 4 bands × 2 rows
-
-  /** Per-doc MinHash signature columns mh0..mh7 over 3-word shingles. */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val shingles = transform(
-      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
-    val sigCols = (0 until nBands * rowsPerBand).map(k =>
-      min(xxhash64(concat(lit(s"seed$k#"), col("shingle")))).as(s"mh$k"))
-    docs
-      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+  /** Distinct 3-word shingles hashed to longs (input to graft_minhash8). */
+  private def shingleHashes(c: Column): Column = {
+    val tk = split(c, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3))))))
   }
 
   val queries: Map[String, Q] = Map(
@@ -70,11 +61,19 @@ object Llm {
     // on hash seeds); property-tested instead. Emits candidate pairs
     // (a < b) that share at least one of 4 bands of 2 minhashes.
     "llm_dedup_minhash" -> ((s, d) => {
-      val sigs = minhashSignatures(t(s, d, "documents"))
-      val bands = sigs.select(col("doc_id"), posexplode(array(
-        (0 until nBands).map(b => xxhash64(
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)): _*
-      ))).toDF("doc_id", "band", "band_hash")
+      // Signatures are computed MAP-SIDE by the native graft_minhash8
+      // expression — no shingle explode + groupBy shuffle (the thing
+      // that ships |corpus|×|shingles| rows at 100 TB). The only
+      // shuffles left are the band-key self-join and the final distinct.
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions
+            .minhash8(s, shingleHashes(col("text"))).as("sig"))
+      val bands = sigs.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(3)), b =>
+          xxhash64(element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)))))
+        .toDF("doc_id", "band", "band_hash")
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&

@@ -95,6 +95,14 @@ object Scans {
         .orderBy("n_nationkey")
     }),
 
+    // ORC sink/source round-trip (the other columnar lakehouse format).
+    "sink_orc_roundtrip" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc_$tag"
+      t(s, d, "region").write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("r_regionkey")
+    }),
+
     // JSON-lines sink/source round-trip with an explicit read schema.
     "sink_json_roundtrip" -> ((s, d) => {
       val tag = new java.io.File(d).getName
@@ -174,6 +182,8 @@ object Scans {
     "sink_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
     "sink_foreach_upsert" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         | round(value,2) AS value
