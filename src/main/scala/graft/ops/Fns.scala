@@ -140,19 +140,19 @@ object Fns {
         | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         | regexp_replace(c_name, '[0-9]', '', 'g') AS letters,
         | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-        | length(c_name) AS len,
+        | CAST(length(c_name) AS INT) AS len,
         | string_split(c_name, '#')[1] AS first_part
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
-        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        | day(o_orderdate) AS dom,
+        | CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        | CAST(day(o_orderdate) AS INT) AS dom,
         | epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
         | epoch_us(CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)) AS plus30_us,
-        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_99,
         | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-        | quarter(o_orderdate) AS qtr,
-        | dayofweek(o_orderdate) + 1 AS dow
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -171,10 +171,10 @@ object Fns {
         | flr, cl, rt, lg, pm, sg""".stripMargin,
     "fn_array" ->
       """SELECT doc_id,
-        | len(string_split(text,' ')) AS n_toks,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_toks,
         | list_contains(string_split(text,' '), 'data') AS has_data,
         | array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3], ',') AS first3_sorted,
-        | len(list_filter(string_split(text,' '), x -> length(x) > 5)) AS n_long,
+        | CAST(len(list_filter(string_split(text,' '), x -> length(x) > 5)) AS INT) AS n_long,
         | array_to_string(list_transform(string_split(text,' ')[1:3], x -> upper(x)), ',') AS up3
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_map" ->
@@ -205,7 +205,7 @@ object Fns {
         |FROM events ORDER BY event_id""".stripMargin,
     "udtf_generator" ->
       """SELECT doc_id,
-        | generate_subscripts(string_split(text,' '), 1) - 1 AS pos,
+        | CAST(generate_subscripts(string_split(text,' '), 1) - 1 AS INT) AS pos,
         | unnest(string_split(text,' ')) AS word
         |FROM documents ORDER BY doc_id, pos""".stripMargin
   )

@@ -133,19 +133,19 @@ object Llm {
   val oracleSql: Map[String, String] = Map(
     "llm_text_stats" ->
       """SELECT doc_id, lang,
-        | length(text) AS n_chars_actual,
-        | len(string_split(text, ' ')) AS n_toks,
+        | CAST(length(text) AS INT) AS n_chars_actual,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
         | round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |   / len(string_split(text, ' ')), 4) AS avg_tok_len,
-        | length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+        | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INT) AS n_vowels,
         | n_chars = length(text) AS len_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-        | length(trim(text)) AS text_len
+        | CAST(length(trim(text)) AS INT) AS text_len
         |FROM documents GROUP BY trim(text) ORDER BY keep_id""".stripMargin,
     "llm_embed_norm" ->
-      """SELECT vec_id, len(embedding) AS dim,
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |   CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
         | round(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -159,8 +159,8 @@ object Llm {
         |    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos
         | FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
         |ranked AS (
-        | SELECT *, row_number() OVER (PARTITION BY q_id
-        |   ORDER BY cos DESC, vec_id) AS rk FROM pairs)
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |   ORDER BY cos DESC, vec_id) AS INT) AS rk FROM pairs)
         |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
     "llm_multimodal_cols" ->

@@ -280,8 +280,8 @@ object LlmExtra {
         |p AS (SELECT a.label, a.vec_id doc_a, b.vec_id doc_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) cos
         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY label
-        |        ORDER BY cos DESC, doc_a, doc_b) rk FROM p)
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |        ORDER BY cos DESC, doc_a, doc_b) AS INT) rk FROM p)
         |SELECT label, doc_a, doc_b, cos, rk FROM r WHERE rk <= 3
         |ORDER BY label, rk""".stripMargin,
     "llm_knn_ivf" ->
@@ -296,20 +296,20 @@ object LlmExtra {
         |p AS (SELECT q.q_id, a.vec_id,
         |   round(list_cosine_similarity(q.qv, a.v), 4) cos
         |  FROM q JOIN asn a ON q.bucket = a.bucket AND q.q_id <> a.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |        ORDER BY cos DESC, vec_id) rk FROM p)
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, vec_id) AS INT) rk FROM p)
         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 3
         |ORDER BY q_id, rk""".stripMargin,
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang, text,
-        | len(list_filter(string_split(text,' '),
-        |   x -> list_contains(['the','of','and','is'], x))) s_en,
-        | len(list_filter(string_split(text,' '),
-        |   x -> list_contains(['el','la','de','es'], x))) s_es,
-        | len(list_filter(string_split(text,' '),
-        |   x -> list_contains(['le','la','et','est'], x))) s_fr,
-        | len(list_filter(string_split(text,' '),
-        |   x -> list_contains(['der','und','das','ist'], x))) s_de
+        | CAST(len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['the','of','and','is'], x))) AS INT) s_en,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['el','la','de','es'], x))) AS INT) s_es,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['le','la','et','est'], x))) AS INT) s_fr,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   x -> list_contains(['der','und','das','ist'], x))) AS INT) s_de
         | FROM documents)
         |SELECT doc_id, s_en, s_es, s_fr, s_de,
         | CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
@@ -341,17 +341,17 @@ object LlmExtra {
         |FROM q ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
-        | len(string_split(text,' ')) AS n_ws,
-        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe,
         | round(length(text)::DOUBLE /
         |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
         |   AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_multimodal_binary" ->
       """SELECT doc_id, 'text' AS modality,
-        | octet_length(encode(text)) AS byte_len,
-        | octet_length(encode(text)) % 256 AS f0,
-        | octet_length(encode(text)) // 256 AS f1,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST(octet_length(encode(text)) % 256 AS INT) AS f0,
+        | CAST(octet_length(encode(text)) // 256 AS INT) AS f1,
         | CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text,1,1)) END AS f2
         |FROM documents ORDER BY doc_id""".stripMargin
   )

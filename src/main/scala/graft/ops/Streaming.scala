@@ -153,8 +153,8 @@ object Streaming {
         |GROUP BY slide_start ORDER BY w_start_us""".stripMargin,
     "stream_topn_windowed" ->
       """SELECT w_start_us, event_type, n, rk FROM (
-        | SELECT w_start_us, event_type, n, row_number() OVER (
-        |   PARTITION BY w_start_us ORDER BY n DESC, event_type) AS rk
+        | SELECT w_start_us, event_type, n, CAST(row_number() OVER (
+        |   PARTITION BY w_start_us ORDER BY n DESC, event_type) AS INT) AS rk
         | FROM (SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
         |         event_type, count(*) AS n
         |       FROM events GROUP BY 1, 2))
@@ -167,9 +167,9 @@ object Streaming {
         | FROM events),
         |s AS (
         | SELECT user_id, event_id, ts,
-        |  sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         | FROM g)
         |SELECT user_id, sess_id, epoch_us(min(ts)) AS sess_start_us,
         | epoch_us(max(ts)) AS sess_end_us, count(*) AS n_events
@@ -185,8 +185,8 @@ object Streaming {
       """SELECT event_id, user_id,
         | CASE WHEN visit_no = 1 THEN 'new' ELSE 'returning' END AS visit_kind,
         | visit_no
-        |FROM (SELECT event_id, user_id, row_number() OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id) AS visit_no
+        |FROM (SELECT event_id, user_id, CAST(row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS visit_no
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "stream_cep_pattern" ->

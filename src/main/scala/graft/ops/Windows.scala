@@ -104,13 +104,14 @@ object Windows {
   val oracleSql: Map[String, String] = Map(
     "win_rank_topn" ->
       """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice,2) AS o_totalprice
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
-        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "win_rank_dense" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
-        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-        | ntile(4) OVER w AS quartile
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
