@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *    on (band, band_hash) — never an all-pairs O(n²) comparison;
   *  - knn broadcasts the (small) query set so the corpus streams through
   *    map-side only — one pass, no shuffle of the 100 TB side;
-  *  - all vector math is higher-order functions (`zip_with`/`aggregate`),
-  *    codegen-friendly, no per-row JVM UDFs.
+  *  - vector math and minhash signatures run in native codegen
+  *    expressions (graft.functions) — single fused loops, no per-row
+  *    JVM UDFs or interpreted lambda dispatch.
   */
 object Llm {
   import Tables._

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * the streaming form would emit; the real `readStream` wrappers sharing
   * these column expressions live in `graft.streaming`.
   *
-  * Scale notes: windows always partition by a key; sessionization is the
-  * lag+cumsum formulation (one shuffle by user, O(n log n) per partition);
-  * the CEP funnel is three keyed min-aggregations, not a per-user
-  * collect_list of unbounded history.
+  * Scale notes: every op partitions by a key except
+  * `stream_watermark_late`, whose batch audit form is inherently a
+  * global arrival-order scan (a real stream gets this from the engine
+  * watermark for free — see `graft.streaming`); sessionization is the
+  * lag+cumsum formulation (one shuffle by user, O(n log n) per
+  * partition); the CEP funnel is three keyed min-aggregations, not a
+  * per-user collect_list of unbounded history.
   */
 object Streaming {
   import Tables._
