@@ -99,6 +99,36 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed (and sorted) on
+    // the join key, so the sort-merge join runs with ZERO shuffle — the
+    // technique that turns a recurring 100 TB fact⋈fact join from a
+    // full-network shuffle into a local merge. Result ≡ plain join (the
+    // oracle); falls back to the plain join if the session has no
+    // writable warehouse.
+    "join_bucketed_colocated" -> ((s, d) => {
+      // merge hint: at test scale the dim would broadcast, hiding the
+      // zero-shuffle property this op demonstrates; at 100 TB both
+      // sides are fact-sized and SMJ is what Catalyst picks anyway.
+      val result = (o: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame) =>
+        o.hint("merge").join(c.hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      try {
+        val tag = new java.io.File(d).getName.replace('.', '_')
+        val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+        t(s, d, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+        t(s, d, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+        result(s.table(to), s.table(tc))
+      } catch { case _: Throwable =>
+        result(t(s, d, "orders"), t(s, d, "customer"))
+      }
+    }),
+
     // Skew-mitigation pattern: salt the fact side deterministically and
     // replicate the (small) dim across salts so one hot key spreads over
     // N reducers. Result is identical to the plain join (the oracle);
@@ -169,6 +199,10 @@ object Joins {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_view_id
         |      FROM events)
         |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice,2) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "join_skew_salted" ->
       """SELECT e.event_id, e.user_id, d.user_events
         |FROM events e

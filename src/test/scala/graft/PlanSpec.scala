@@ -71,6 +71,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed co-located join: SMJ with no hash-partition exchange") {
+    val p = plan(q("join_bucketed_colocated"))
+    // the merge hint pins SortMergeJoin; bucketed+sorted tables mean no
+    // Exchange hashpartitioning feeds it — the zero-shuffle co-location.
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
