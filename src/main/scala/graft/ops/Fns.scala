@@ -102,6 +102,25 @@ object Fns {
           to_json(struct(col("user_id"))).as("uj"))
         .orderBy("event_id")),
 
+    // Dirty-data JSON cleaning (the genre's DWD side-output case): every
+    // 10th payload is truncated mid-object (trailing-garbage corruption
+    // is NOT used — Spark's Jackson parser tolerates it); malformed rows
+    // parse to NULL and are flagged instead of killing the job.
+    "fn_json_malformed" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(10)) === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+        // PERMISSIVE from_json yields a struct of NULL fields (not a null
+        // struct) on malformed input, so the corrupt flag keys off the
+        // always-present `k` field.
+        .select(col("event_id"),
+          from_json(col("raw"), lit("k LONG")).getField("k").as("k_parsed"),
+          from_json(col("raw"), lit("k LONG")).getField("k").isNull
+            .as("is_corrupt"))
+        .orderBy("event_id")),
+
     "fn_conditional" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -191,6 +210,17 @@ object Fns {
         | json_extract_string(props, '$.k') AS k_tup,
         | CAST(to_json(struct_pack(user_id := user_id)) AS VARCHAR) AS uj
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json_malformed" ->
+      """WITH r AS (SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0
+        |       THEN substring(props, 1, length(props) - 1)
+        |       ELSE props END AS raw
+        | FROM events)
+        |SELECT event_id,
+        | CASE WHEN json_valid(raw)
+        |      THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k_parsed,
+        | NOT json_valid(raw) AS is_corrupt
+        |FROM r ORDER BY event_id""".stripMargin,
     "fn_conditional" ->
       """SELECT event_id,
         | CASE WHEN value < 1.0 THEN 'low' WHEN value < 5.0 THEN 'mid'
