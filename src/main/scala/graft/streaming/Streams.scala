@@ -83,6 +83,15 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Sliding 1h/15m event-time windows (SlidingEventTimeWindows analog
+    * of `stream_window_sliding`). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Tables.dsum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("n"), col("total"))
+
   /** Native session windows, 30-min gap (EventTimeSessionWindows analog
     * of `stream_window_session`). */
   def sessionAgg(events: DataFrame): DataFrame =

@@ -116,6 +116,52 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(global.count() === distinctPairs)
   }
 
+  test("sliding windows stream (complete mode) == batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Streams.slidingCounts(input.toDS().toDF()).drop("total")
+    val query = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    input.addData(allEvents)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("sliding")
+      .select(unix_micros(col("w_start").cast("timestamp")).as("w_start_us"),
+        col("n"))
+    val batch = q("stream_window_sliding").drop("total")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch.withColumnRenamed("n", "b_n"), "w_start_us")
+      .where(col("n") =!= col("b_n")).count() === 0)
+  }
+
+  test("watermark drops events later than the bound (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1704067200L * us // 2024-01-01 00:00 UTC
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val input = MemoryStream[Ev]
+    val query = Streams.tumblingCounts(input.toDS().toDF())
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    // 3 on-time events in hour H
+    input.addData(ev(1, base), ev(2, base + 60 * us), ev(3, base + 120 * us))
+    query.processAllAvailable()
+    // far-future event pushes the watermark past H, finalizing the window
+    input.addData(ev(4, base + 5L * 3600 * us)); query.processAllAvailable()
+    // a late straggler in hour H — behind the watermark, must be dropped
+    input.addData(ev(5, base + 300 * us)); query.processAllAvailable()
+    // advance again so nothing is stuck
+    input.addData(ev(6, base + 8L * 3600 * us)); query.processAllAvailable()
+    query.stop()
+    val hourH = spark.table("late_drop")
+      .where(unix_micros(col("w_start").cast("timestamp")) === base)
+    assert(hourH.count() === 1)
+    assert(hourH.first().getAs[Long]("n") === 3) // the straggler is absent
+  }
+
   test("visitCounterTtl: state expires and a returning user counts as new") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
