@@ -67,6 +67,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {key}: columns differ spark={list(got.columns)} oracle={list(want.columns)}")
             n_fail += 1
             continue
+        # dtype drift (int32 vs int64 etc.) breaks strict schema compares
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in want.columns
+                  if str(got[c].dtype) != str(want[c].dtype)
+                  and {str(got[c].dtype), str(want[c].dtype)} - {"object"}
+                  and not (str(got[c].dtype).startswith("float") and
+                           str(want[c].dtype).startswith("float"))]
+        if dt_bad:
+            print(f"WARN {key}: dtype drift {dt_bad}")
         if len(want) != len(got):
             print(f"FAIL {key}: rows spark={len(got)} oracle={len(want)}")
             n_fail += 1
