@@ -84,9 +84,20 @@ object LlmExtra {
           shingleHashes3(col("text")).as("sh"))
       val inter = graft.functions.VectorFunctions
         .sortedIntersectCount(s, col("a_sh"), col("b_sh"))
-      docs.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("a_sh"))
-        .join(docs.select(col("source"), col("doc_id").as("doc_b"),
-          col("sh").as("b_sh")), "source")
+      // The block key (source) alone gives as many join tasks as there
+      // are blocks — too coarse for a big executor pool. Salt the pair
+      // space: the b-side gets salt = doc_id mod N, the (tiny) a-side is
+      // replicated across all N salts, so the SAME pairs emerge spread
+      // over blocks×N reducers. Pure parallelism; result unchanged.
+      val salts = 8
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"),
+          col("sh").as("a_sh"))
+        .crossJoin(broadcast(
+          s.range(0, salts).select(col("id").cast("int").as("psalt"))))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"),
+        col("sh").as("b_sh"),
+        pmod(col("doc_id"), lit(salts)).cast("int").as("psalt"))
+      a.join(b, Seq("source", "psalt"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(inter.cast("double") /
