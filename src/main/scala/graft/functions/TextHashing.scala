@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text hashing kernels. The HOF pipeline
+  * (`transform(split(text,' '), t -> xxhash64(...))` + distinct + sort)
+  * allocates a string per token/shingle and dispatches an interpreted
+  * lambda per element — twice per self-join side. These run directly on
+  * the UTF8String bytes: token boundaries are byte offsets, a word
+  * 3-gram is the byte range from token i's start to token i+2's end
+  * (single-space separated text), and each range is XXH64-hashed with
+  * Spark's seed so results are BIT-IDENTICAL to
+  * `xxhash64(concat_ws(" ", slice(tokens, i, 3)))`. */
+object TextHashing {
+  private val SEED = 42L // org.apache.spark.sql.functions.xxhash64 seed
+
+  private def tokenBounds(s: UTF8String): (Array[Int], Array[Int]) = {
+    val n = s.numBytes()
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var tokenStart = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == ' '.toByte) {
+        starts += tokenStart; ends += i; tokenStart = i + 1
+      }
+      i += 1
+    }
+    (starts.toArray, ends.toArray)
+  }
+
+  private def hashRange(s: UTF8String, from: Int, until: Int): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + from,
+      until - from, SEED)
+
+  /** Sorted distinct XXH64 hashes of all word 3-grams (falls back to the
+    * whole text when it has < 3 tokens — same as slice semantics). */
+  def shingleHashes3Sorted(s: UTF8String): GenericArrayData = {
+    val (starts, ends) = tokenBounds(s)
+    val nTok = starts.length
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (nTok < 3) {
+      set.add(hashRange(s, 0, s.numBytes()))
+    } else {
+      var i = 0
+      while (i + 2 < nTok) {
+        set.add(hashRange(s, starts(i), ends(i + 2)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** XXH64 hash per whitespace token (order preserved, duplicates kept)
+    * — bit-identical to `transform(split(text,' '), t -> xxhash64(t))`. */
+  def tokenHashes(s: UTF8String): GenericArrayData = {
+    val (starts, ends) = tokenBounds(s)
+    val out = new Array[Long](starts.length)
+    var i = 0
+    while (i < starts.length) {
+      out(i) = hashRange(s, starts(i), ends(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingle_hashes3(text)`: sorted distinct 3-gram hashes. */
+case class ShingleHashes3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes3"
+  override def nullSafeEval(a: Any): Any =
+    TextHashing.shingleHashes3Sorted(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashing.shingleHashes3Sorted($a);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes3 =
+    copy(child = c)
+}
+
+/** `graft_token_hashes(text)`: per-token XXH64 hashes. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+  override def nullSafeEval(a: Any): Any =
+    TextHashing.tokenHashes(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashing.tokenHashes($a);")
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
+    copy(child = c)
+}

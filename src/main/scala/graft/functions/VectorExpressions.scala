@@ -332,7 +332,9 @@ object VectorFunctions {
     "graft_simhash_bits" -> (es => SimhashBits(es.head)),
     "graft_sorted_intersect_count" ->
       (es => SortedIntersectCount(es.head, es(1))),
-    "graft_minhash8" -> (es => MinHashSignature(es.head)))
+    "graft_minhash8" -> (es => MinHashSignature(es.head)),
+    "graft_shingle_hashes3" -> (es => ShingleHashes3(es.head)),
+    "graft_token_hashes" -> (es => TokenHashes(es.head)))
 
   def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
     e.injectFunction((FunctionIdentifier(n),
@@ -362,5 +364,11 @@ object VectorFunctions {
   }
   def minhash8(spark: SparkSession, hashes: Column): Column = {
     register(spark); call_function("graft_minhash8", hashes)
+  }
+  def shingleHashes3(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("graft_shingle_hashes3", text)
+  }
+  def tokenHashes(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("graft_token_hashes", text)
   }
 }

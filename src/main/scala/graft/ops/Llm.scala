@@ -24,13 +24,7 @@ object Llm {
 
   private def toDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Distinct 3-word shingles hashed to longs (input to graft_minhash8). */
-  private def shingleHashes(c: Column): Column = {
-    val tk = split(c, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3))))))
-  }
+  // shingle hashing is the native graft_shingle_hashes3 one-pass kernel
 
   val queries: Map[String, Q] = Map(
     // Text analysis: token counts, avg token length, vowel density,
@@ -68,8 +62,9 @@ object Llm {
       // shuffles left are the band-key self-join and the final distinct.
       val sigs = t(s, d, "documents")
         .select(col("doc_id"),
-          graft.functions.VectorFunctions
-            .minhash8(s, shingleHashes(col("text"))).as("sig"))
+          graft.functions.VectorFunctions.minhash8(s,
+            graft.functions.VectorFunctions.shingleHashes3(s, col("text")))
+            .as("sig"))
       val bands = sigs.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(3)), b =>
           xxhash64(element_at(col("sig"), b * 2 + 1),

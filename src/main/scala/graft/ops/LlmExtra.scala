@@ -34,23 +34,16 @@ object LlmExtra {
       i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
   }
 
-  /** Same shingle set, hashed to 64-bit longs and SORTED: set sizes and
-    * intersections are identical (collisions are ~|sh|²/2⁶⁵ ≈ never) but
-    * |A∩B| becomes a native O(n+m) merge over primitive longs
-    * (graft_sorted_intersect_count) — the dominant cost of blocked
-    * pairwise Jaccard. */
-  private def shingleHashes3(c: Column): Column = {
-    val tk = toks(c)
-    sort_array(array_distinct(transform(
-      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3)))))))
-  }
+  // Shingle sets live as SORTED 64-bit hash arrays (graft_shingle_hashes3,
+  // one native pass over the text bytes): set sizes and intersections are
+  // identical to string shingles (collisions ~|sh|²/2⁶⁵ ≈ never) and
+  // |A∩B| is a native O(n+m) merge (graft_sorted_intersect_count) — the
+  // dominant cost of blocked pairwise Jaccard.
 
   // ---- simhash ------------------------------------------------------
 
-  /** Token hashes once per doc (not once per bit). */
-  private val tokenHashes: Column =
-    expr("transform(split(text, ' '), t -> xxhash64(t))")
+  // token hashes come from the native graft_token_hashes (one pass over
+  // the text bytes, no per-token string allocation)
 
   // 64 bit-votes per doc via the native graft_simhash_bits expression
   // (one fused codegen loop; see graft.functions.SimhashBits).
@@ -81,7 +74,8 @@ object LlmExtra {
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
-          shingleHashes3(col("text")).as("sh"))
+          graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
+            .as("sh"))
       val inter = graft.functions.VectorFunctions
         .sortedIntersectCount(s, col("a_sh"), col("b_sh"))
       // The block key (source) alone gives as many join tasks as there
@@ -111,7 +105,9 @@ object LlmExtra {
     // Oracle-exempt (hash-function specific); property-tested.
     "llm_dedup_simhash" -> ((s, d) => {
       val sigs = t(s, d, "documents")
-        .select(col("doc_id"), tokenHashes.as("hs"))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.tokenHashes(s, col("text"))
+            .as("hs"))
         .select(col("doc_id"),
           graft.functions.VectorFunctions.simhashBits(s, col("hs"))
             .as("bits"))

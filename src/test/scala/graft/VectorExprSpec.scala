@@ -63,6 +63,29 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("graft_shingle_hashes3 == HOF sort/distinct/xxhash formulation") {
+    val tk = split(col("text"), " ")
+    val hof = sort_array(array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3)))))))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs.select(
+      VectorFunctions.shingleHashes3(spark, col("text")).as("native"),
+      hof.as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("graft_token_hashes == transform(split, xxhash64)") {
+    val hof = transform(split(col("text"), " "), t => xxhash64(t))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs.select(
+      VectorFunctions.tokenHashes(spark, col("text")).as("native"),
+      hof.as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val r = spark.sql(
