@@ -26,14 +26,6 @@ object LlmExtra {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-gram shingles of a text column. */
-  private def shingles3(c: Column): Column = {
-    val tk = toks(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
-      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
-  }
-
   // Shingle sets live as SORTED 64-bit hash arrays (graft_shingle_hashes3,
   // one native pass over the text bytes): set sizes and intersections are
   // identical to string shingles (collisions ~|sh|²/2⁶⁵ ≈ never) and
