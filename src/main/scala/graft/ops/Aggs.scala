@@ -100,6 +100,15 @@ object Aggs {
         .select(col("user_id") +: pivotTypes.map(v => col(v).as(s"n_$v")): _*)
         .orderBy("user_id")),
 
+    // Conditional/boolean aggregates (the DWS quality-gate shapes).
+    "agg_bool_countif" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count_if(col("value") > 2.5).as("n_high"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 9.5).as("any_big"))
+        .orderBy("event_type")),
+
     // Statistical moments per group (stddev in both engines is the
     // numerically-stable online form; rounding absorbs low-bit drift).
     "agg_stats" -> ((s, d) =>
@@ -184,6 +193,11 @@ object Aggs {
         | count(*) FILTER (event_type='signup') AS n_signup,
         | count(*) FILTER (event_type='error') AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_bool_countif" ->
+      """SELECT event_type, CAST(count_if(value > 2.5) AS BIGINT) AS n_high,
+        | bool_and(value >= 0) AS all_nonneg,
+        | bool_or(value > 9.5) AS any_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT o_orderpriority,
         | round(stddev_samp(o_totalprice), 2) AS sd,

@@ -33,6 +33,28 @@ object Fns {
           element_at(split(col("c_name"), "#"), 1).as("first_part"))
         .orderBy("c_custkey")),
 
+    // Second string family: positional/constructive functions.
+    "fn_string2" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 4)").as("r4"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(col("c_mktsegment"), 2).as("rep2"),
+          translate(col("c_name"), "#0", "-O").as("tr"),
+          instr(col("c_name"), "#").as("pos_hash"),
+          ascii(col("c_mktsegment")).as("first_code"),
+          chr(lit(65) + pmod(col("c_custkey"), lit(26))).as("bucket_chr"))
+        .orderBy("c_custkey")),
+
+    // Content hashing/fingerprint functions (dedup keys, cache keys).
+    "fn_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy("doc_id")),
+
     "fn_date" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"),
@@ -162,6 +184,20 @@ object Fns {
         | CAST(length(c_name) AS INT) AS len,
         | string_split(c_name, '#')[1] AS first_part
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_string2" ->
+      """SELECT c_custkey,
+        | left(c_name, 8) AS l8,
+        | right(c_name, 4) AS r4,
+        | reverse(c_mktsegment) AS rev,
+        | repeat(c_mktsegment, 2) AS rep2,
+        | translate(c_name, '#0', '-O') AS tr,
+        | CAST(instr(c_name, '#') AS INT) AS pos_hash,
+        | CAST(ascii(c_mktsegment) AS INT) AS first_code,
+        | chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         | CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
