@@ -102,6 +102,27 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join (KeyedStream.intervalJoin analog of
+    * `join_interval`): clicks within 15 minutes after a view by the same
+    * user. Watermarks on BOTH sides plus the time-range condition let
+    * the engine expire join state — without them a stream-stream join
+    * buffers forever. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 15 minutes"))
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+  }
+
   /** Watermarked streaming dedup (ValueState seen-flag analog of
     * `dedup_exact`): state is dropped once the watermark passes. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

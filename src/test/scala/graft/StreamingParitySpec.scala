@@ -162,6 +162,30 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(hourH.first().getAs[Long]("n") === 3) // the straggler is absent
   }
 
+  test("stream-stream interval join == batch join_interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val joined = Streams.intervalJoin(input.toDS().toDF())
+    val query = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    allEvents.grouped((allEvents.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // watermark flush so every in-range pair is emitted
+    val maxUs = allEvents.map(_.ts_us).max
+    val flushUs = maxUs + 30L * 24 * 3600 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("ivjoin")
+      .where(col("view_id") =!= -1L) // drop any sentinel self-artifacts
+    val batch = q("join_interval")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("view_id", "click_id", "user_id"))
+      .count() === batch.count())
+  }
+
   test("visitCounterTtl: state expires and a returning user counts as new") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
