@@ -32,7 +32,15 @@ object Bench {
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt's "[info] " prefix, which breaks naive JSON
+    // parsing — also land the line in a file as the first-class record.
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -132,6 +132,20 @@ object Aggs {
           round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
         .orderBy("o_orderpriority")),
 
+    // Sketch-mergeable percentiles (KLL-style approx_percentile): the
+    // 100 TB companion to agg_percentile — exact `percentile` buffers
+    // every group value; the sketch is bounded-memory and mergeable
+    // across partitions. Oracle-exempt (approx ≠ DuckDB exact);
+    // tolerance-tested vs exact in AggWindowSpec.
+    "agg_approx_percentile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
+        .orderBy("o_orderpriority")),
+
     // Custom typed Aggregator registered as a UDAF (Flink AggregateFunction).
     "agg_udaf_typed" -> ((s, d) => {
       val wavg = udaf(WeightedAvg)

@@ -119,12 +119,22 @@ object Joins {
       try {
         val tag = new java.io.File(d).getName.replace('.', '_')
         val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+        // Hygiene: drop bucketed tables from OTHER sf tags so repeated
+        // runs against different fixtures don't grow the warehouse.
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => n.startsWith("graft_bkt_") && !n.endsWith(tag))
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
         t(s, d, "orders").write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
         t(s, d, "customer").write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
         result(s.table(to), s.table(tc))
-      } catch { case _: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: OOM/interrupts must propagate, not silently
+        // degrade to the unbucketed plan.
+        System.err.println(
+          s"[graft] bucketed-join setup failed, plain-join fallback: $e")
         result(t(s, d, "orders"), t(s, d, "customer"))
       }
     }),

@@ -103,15 +103,13 @@ object LlmExtra {
         .select(col("doc_id"),
           simhashBands(graft.functions.VectorFunctions
             .simhashBits(s, col("hs"))).as("bands"))
-      // Materialize the (tiny) signature table once — the band self-join
-      // would otherwise execute the whole signature pipeline twice. At
-      // 100 TB this is the persistent signature store the dedup job
-      // reads, not a temp file.
-      val tag = new java.io.File(d).getName
-      val sigPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_simhash_sigs_$tag"
-      computed.write.mode("overwrite").parquet(sigPath)
-      val sigs = s.read.parquet(sigPath)
+      // Cache the (tiny) signature table so the band self-join doesn't
+      // execute the whole signature pipeline twice. persist() is LAZY —
+      // constructing this DataFrame does no I/O (the round-2 eager
+      // write+re-read violated the unexecuted-builder contract). At
+      // 100 TB the signatures live in a persistent store the dedup job
+      // reads; within one job, cache is the right mechanism.
+      val sigs = computed.persist()
       val bands = sigs
         .select(col("doc_id"), col("bands"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
@@ -366,7 +364,9 @@ object LlmExtra {
         | CAST(octet_length(encode(text)) AS INT) AS byte_len,
         | CAST(octet_length(encode(text)) % 256 AS INT) AS f0,
         | CAST(octet_length(encode(text)) // 256 AS INT) AS f1,
-        | CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text,1,1)) END AS f2
+        | CASE WHEN length(text) = 0 THEN 0
+        |      ELSE CAST(concat('0x', substr(hex(encode(text)),1,2)) AS INT)
+        | END AS f2
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -172,7 +172,13 @@ object Streams {
               Visit(e.event_id, uid, if (n == 1) "new" else "returning", n)
             }
             state.update(n)
-            state.setTimeoutTimestamp(lastMs + ttlMs)
+            // Clamp: with EventTimeTimeout, a timeout timestamp at or
+            // before the current watermark throws and kills the query —
+            // exactly when a key's newest event is older than
+            // watermark - ttl (late/out-of-order data a TTL operator
+            // must tolerate). Such state is expirable on the next batch.
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -39,6 +39,21 @@ class AggWindowSpec extends AnyFunSuite {
     assert(off === 0)
   }
 
+  test("agg_approx_percentile tracks exact percentiles within 3%") {
+    // approx_percentile returns an actual element; exact `percentile`
+    // interpolates — adjacent order statistics differ by ~1% in the
+    // small fixture groups, so 3% bounds sketch error + discreteness.
+    val exact = q("agg_percentile")
+    val approx = q("agg_approx_percentile")
+      .withColumnRenamed("p25", "a25").withColumnRenamed("p50", "a50")
+      .withColumnRenamed("p75", "a75")
+    val off = exact.join(approx, "o_orderpriority")
+      .where(abs(col("a25") - col("p25")) > abs(col("p25")) * 0.03 ||
+        abs(col("a50") - col("p50")) > abs(col("p50")) * 0.03 ||
+        abs(col("a75") - col("p75")) > abs(col("p75")) * 0.03)
+    assert(off.count() === 0)
+  }
+
   test("agg_udaf_typed weighted avg lies within [min, max] price") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val mm = li.agg(min("l_extendedprice"), max("l_extendedprice")).first()

@@ -212,6 +212,34 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, "new"), (2L, "new"), (3L, "new")))
   }
 
+  test("visitCounterTtl survives a key whose events are older than wm - ttl") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    def ev(id: Long, uid: Long, tUs: Long) =
+      Ev(id, uid, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val input = MemoryStream[Ev]
+    val counted = Streams.visitCounterTtl(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+      ttlMs = 60L * 60 * 1000) // 1 hour TTL
+    val query = counted.writeStream.format("memory").queryName("ttl_late")
+      .outputMode("append").start()
+    val base = 1704067200L * us
+    // batch 1 pushes the watermark to base + 10h
+    input.addData(ev(1, 1L, base + 10L * 3600 * us)); query.processAllAvailable()
+    // batch 2: user 2's NEWEST event is base + 1h — far behind
+    // watermark - ttl. Unclamped setTimeoutTimestamp(last + ttl) would
+    // throw (timestamp <= watermark) and kill the query.
+    input.addData(ev(2, 2L, base + 1L * 3600 * us)); query.processAllAvailable()
+    // batch 3: proves the query is still alive and processing
+    input.addData(ev(3, 3L, base + 12L * 3600 * us)); query.processAllAvailable()
+    assert(query.exception.isEmpty)
+    query.stop()
+    val ids = spark.table("ttl_late").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(3L))
+  }
+
   test("visitCounterTtl without expiry matches the untimed counter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

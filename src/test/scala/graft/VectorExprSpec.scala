@@ -76,6 +76,28 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("shingle/token hashes match HOF on consecutive-space / edge strings") {
+    // Consecutive spaces make split() produce empty tokens; the native
+    // kernel's raw byte range [tok_i.start, tok_{i+2}.end) still equals
+    // concat_ws(" ", slice(...)) because adjacent token boundaries are
+    // always separated by exactly one space byte.
+    import spark.implicits._
+    val edge = Seq("a  b c", "  leading", "trailing  ", "a b", "", " ",
+      "one", "double  space  everywhere", "a   b").toDF("text")
+    val tk = split(col("text"), " ")
+    val shHof = sort_array(array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(3)))))))
+    val tokHof = transform(split(col("text"), " "), t => xxhash64(t))
+    val diff = edge.select(
+      VectorFunctions.shingleHashes3(spark, col("text")).as("ns"),
+      shHof.as("hs"),
+      VectorFunctions.tokenHashes(spark, col("text")).as("nt"),
+      tokHof.as("ht"))
+      .where(col("ns") =!= col("hs") || col("nt") =!= col("ht"))
+    assert(diff.count() === 0)
+  }
+
   test("graft_token_hashes == transform(split, xxhash64)") {
     val hof = transform(split(col("text"), " "), t => xxhash64(t))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
