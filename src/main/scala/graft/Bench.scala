@@ -14,12 +14,21 @@ object Bench {
     // Untimed warmup: JIT, codegen compilation, and parquet reader init
     // land here instead of inside the first timed query.
     try {
-      Seq("scan_projected", "agg_distinct_count").foreach(k =>
-        SparkEntry.queries.get(k).foreach(f => f(spark, sfDir).count()))
+      sys.env.get("SPARK_GRAFT_WARMUP")
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq("scan_projected", "agg_distinct_count"))
+        .foreach(k =>
+          SparkEntry.queries.get(k).foreach(f => f(spark, sfDir).count()))
     } catch { case _: Throwable => () }
+    // Optional comma-separated subset for local iteration (the driver
+    // never sets this, so round benches always cover the full inventory).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     // A failed query reports -1.0 (never a fake timing) and lands in
     // "errors" so a broken plan can't masquerade as a fast one.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>

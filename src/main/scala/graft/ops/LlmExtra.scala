@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * binary multimodal column plumbing.
   *
   * Scale notes:
-  *  - every dedup variant generates candidates through a BLOCKING key
-  *    (LSH band, SimHash band, source, IVF bucket) joined equi-style —
-  *    all-pairs comparison never appears in any plan;
+  *  - every dedup variant generates candidates through an EQUI join on a
+  *    content-derived key (shingle hash inverted index, SimHash band,
+  *    LSH band, IVF bucket) — all-pairs comparison never appears in any
+  *    plan, and no low-cardinality blocking key creates O(B²) pair
+  *    blowups;
   *  - the multimodal decode is a typed mapPartitions pipeline (the Spark
   *    batch-shape for per-record media decoding); the actual image/audio
   *    decode is a clearly-marked deterministic STUB — the schema,
@@ -26,11 +28,11 @@ object LlmExtra {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  // Shingle sets live as SORTED 64-bit hash arrays (graft_shingle_hashes3,
-  // one native pass over the text bytes): set sizes and intersections are
-  // identical to string shingles (collisions ~|sh|²/2⁶⁵ ≈ never) and
-  // |A∩B| is a native O(n+m) merge (graft_sorted_intersect_count) — the
-  // dominant cost of blocked pairwise Jaccard.
+  // Shingle sets live as SORTED DISTINCT 64-bit hash arrays
+  // (graft_shingle_hashes3, one native pass over the text bytes): set
+  // sizes and intersections are identical to string shingles (collisions
+  // ~|sh|²/2⁶⁵ ≈ never). Distinctness within a doc is what lets the
+  // inverted-index join count co-occurrences as |A∩B|.
 
   // ---- simhash ------------------------------------------------------
 
@@ -60,34 +62,36 @@ object LlmExtra {
       markers.map(m => x === m).reduce(_ || _)))
 
   val queries: Map[String, Q] = Map(
-    // Near-dup detection by exact n-gram Jaccard over blocked candidate
-    // pairs (block = source; at 100 TB the block key is a MinHash band —
-    // compose with llm_dedup_minhash's candidates).
+    // Near-dup detection by exact n-gram Jaccard, computed via an
+    // INVERTED-INDEX join (the exact set-similarity-join shape): explode
+    // each doc's shingle-hash set, equi-self-join on the hash, and
+    // |A∩B| = the per-pair co-occurrence count. The pair space is driven
+    // by SHARED CONTENT (Σ_h df(h)² rows, df≈1 for natural-text
+    // shingles), not by all-pairs within a block — the round-2 version's
+    // O(B²)-within-`source` blocking is gone; `source` equality is just
+    // part of the (high-cardinality) join key. Pairs sharing zero
+    // shingles have jac = 0 < threshold, so the result is IDENTICAL to
+    // the all-pairs formulation the oracle computes. At 100 TB, add a
+    // df-cap on boilerplate shingles (drop hashes with df > k, a
+    // documented recall trade) or take candidates from the MinHash bands.
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val idx = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
             .as("sh"))
-      val inter = graft.functions.VectorFunctions
-        .sortedIntersectCount(s, col("a_sh"), col("b_sh"))
-      // The block key (source) alone gives as many join tasks as there
-      // are blocks — too coarse for a big executor pool. Salt the pair
-      // space: the b-side gets salt = doc_id mod N, the (tiny) a-side is
-      // replicated across all N salts, so the SAME pairs emerge spread
-      // over blocks×N reducers. Pure parallelism; result unchanged.
-      val salts = 8
-      val a = docs.select(col("source"), col("doc_id").as("doc_a"),
-          col("sh").as("a_sh"))
-        .crossJoin(broadcast(
-          s.range(0, salts).select(col("id").cast("int").as("psalt"))))
-      val b = docs.select(col("source"), col("doc_id").as("doc_b"),
-        col("sh").as("b_sh"),
-        pmod(col("doc_id"), lit(salts)).cast("int").as("psalt"))
-      a.join(b, Seq("source", "psalt"))
+        .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
+          explode(col("sh")).as("h"))
+      val a = idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_a"), col("n").as("na"))
+      val b = idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_b"), col("n").as("nb"))
+      a.join(b, Seq("h", "source"))
         .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
         .select(col("doc_a"), col("doc_b"),
-          round(inter.cast("double") /
-            (size(col("a_sh")) + size(col("b_sh")) - inter), 4).as("jac"))
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4).as("jac"))
         .where(col("jac") >= 0.1)
         .orderBy("doc_a", "doc_b")
     }),

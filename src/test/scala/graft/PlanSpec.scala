@@ -59,6 +59,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ngram jaccard: inverted-index equi join, no cross join / BNLJ") {
+    val p = plan(q("llm_dedup_ngram_jaccard"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // candidates come from the exploded shingle-hash index, not a block
+    // cross product: the join is an equi SMJ/SHJ on (h, source)
+    assert(p.contains("Generate") && p.contains("explode("), p.take(2000))
+  }
+
   test("sink_partitioned read-back prunes to the filtered partition") {
     val p = plan(q("sink_partitioned"))
     assert(p.contains("PartitionFilters:") &&
