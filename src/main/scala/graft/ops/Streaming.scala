@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * the streaming form would emit; the real `readStream` wrappers sharing
   * these column expressions live in `graft.streaming`.
   *
-  * Scale notes: every op partitions by a key except
-  * `stream_watermark_late`, whose batch audit form is inherently a
-  * global arrival-order scan (a real stream gets this from the engine
-  * watermark for free — see `graft.streaming`); sessionization is the
+  * Scale notes: every op partitions by a key; `stream_watermark_late`'s
+  * arrival-order prefix scan is two-level (parallel per-chunk maxima,
+  * one-task prefix only over the n/4096-row chunk table, broadcast
+  * back) — no unpartitioned window ever sees base-table cardinality
+  * (a real stream gets the watermark from the engine for free — see
+  * `graft.streaming`); sessionization is the
   * lag+cumsum formulation (one shuffle by user, O(n log n) per
   * partition); the CEP funnel is three keyed min-aggregations, not a
   * per-user collect_list of unbounded history.
@@ -80,14 +82,32 @@ object Streaming {
     // Watermark late-data policy: with arrival order = event_id, a row is
     // dropped when the watermark (running max event time - 10 min over
     // prior arrivals) has already passed its timestamp.
+    //
+    // The running max is a TWO-LEVEL prefix scan, not a global
+    // unpartitioned window (which would funnel every row through one
+    // task): level 1 computes per-chunk maxima in parallel (chunk =
+    // event_id div N); level 2 prefix-maxes the REDUCED chunk table —
+    // its one-task window touches only n/N rows (~10^6 at 100 TB with
+    // N=2^20, vs 10^12 events) — and broadcasts back; rows then
+    // classify in parallel inside chunk-partitioned windows.
     "stream_watermark_late" -> ((s, d) => {
-      val arrival = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, d, "events")
-        .withColumn("wm_us",
-          max(ep(col("ts"))).over(arrival) - 10L * 60 * 1000000)
+      val chunk = 4096
+      val ev = t(s, d, "events")
         .select(col("event_id"), ep(col("ts")).as("ts_us"),
-          when(col("wm_us").isNotNull && ep(col("ts")) < col("wm_us"), 1)
+          expr(s"event_id div $chunk").as("ck"))
+      val wCk = Window.partitionBy(lit(0)).orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = ev.groupBy("ck").agg(max(col("ts_us")).as("cmax"))
+        .withColumn("prev_max", max(col("cmax")).over(wCk))
+        .select(col("ck"), col("prev_max"))
+      val wIntra = Window.partitionBy("ck").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.join(broadcast(prefix), "ck")
+        .withColumn("wm_us",
+          greatest(max(col("ts_us")).over(wIntra), col("prev_max"))
+            - 10L * 60 * 1000000)
+        .select(col("event_id"), col("ts_us"),
+          when(col("wm_us").isNotNull && col("ts_us") < col("wm_us"), 1)
             .otherwise(0).as("is_late"))
         .orderBy("event_id")
     }),

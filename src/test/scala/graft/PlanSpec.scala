@@ -59,6 +59,22 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("no unpartitioned Window.orderBy anywhere in src/main") {
+    // A Window.orderBy with no partitionBy funnels the whole input
+    // through ONE task — the textbook scale-killer. Every window in the
+    // engine must start from Window.partitionBy (a constant key is only
+    // acceptable on a provably reduced table, e.g. per-chunk maxima).
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+        .contains("Window.orderBy("))
+      .map(_.toString).toList
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
   test("ngram jaccard: inverted-index equi join, no cross join / BNLJ") {
     val p = plan(q("llm_dedup_ngram_jaccard"))
     assert(!p.contains("CartesianProduct") &&
