@@ -49,6 +49,50 @@ object LlmExtra {
       aggregate(slice(bits, g * 16 + 1, lit(16)), lit(0L),
         (acc, x) => acc * 2 + x))
 
+  // ---- IVF bucket assignment (shared by knn_ivf and dedup_embcos) ---
+
+  private def cosc(s: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(s, a, b)
+
+  /** Nearest-centroid assignment as a map-side-combinable hash agg (no
+    * per-key window sort): max over (rounded cos, -c_id) structs picks
+    * the highest-similarity centroid, ties to the lowest c_id. */
+  private def nearestBucket(s: org.apache.spark.sql.SparkSession,
+      vs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vs.join(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(round(cosc(s, col("v"), col("cv")), 6).as("c"),
+          (-col("c_id")).as("nc")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("m.nc")).as("bucket"))
+
+  /** IVF bucket per vector: one k-means iteration from deterministic
+    * seeds (vec_id < 8) — assign to seeds, recompute each centroid as
+    * the element-wise bucket mean, re-assign. Means accumulate in
+    * DECIMAL(20,8) of the 8-dp-rounded components, so the sum is exact,
+    * order-independent across partitions, and bit-identical to the
+    * DuckDB oracle. At 100 TB: same two scans + one tiny broadcast per
+    * k-means round; k grows with corpus size (k ≈ √n buckets). */
+  private[graft] def ivfAssign(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val a0 = nearestBucket(s, e, seeds)
+    val cents = a0
+      .select(col("bucket"), posexplode(col("v")))
+      .groupBy("bucket", "pos")
+      .agg((sum(round(col("col"), 8).cast("decimal(20,8)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("bucket")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("bucket").as("c_id"),
+        transform(col("pm"), x => x.getField("m")).as("cv"))
+    nearestBucket(s, e, cents)
+  }
+
   // ---- language-ID marker sets (deterministic scoring ladder) -------
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -137,45 +181,38 @@ object LlmExtra {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding-cosine near-dup: candidates blocked by label (the coarse
-    // quantization cell; at scale the block is an IVF/LSH bucket), top-3
-    // most-similar pairs per block.
+    // Embedding-cosine near-dup: candidate pairs blocked by the IVF
+    // bucket (the trained coarse-quantization cell from ivfAssign — the
+    // same structure llm_knn_ivf searches), top-3 most-similar pairs per
+    // bucket. Pair count is n²/k per bucket with k buckets; k scales
+    // with corpus size, so no fixed low-cardinality attribute (round 2
+    // blocked on `label`) caps the parallelism or blows up the pairs.
     "llm_dedup_embcos" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-        .select(col("label"), col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-      val cos = round(
-        graft.functions.VectorFunctions.cosine(s, col("a_v"), col("b_v")), 4)
-      val w = Window.partitionBy("label")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val assigned = ivfAssign(s, e)
+      val cos = round(cosc(s, col("a_v"), col("b_v")), 4)
+      val w = Window.partitionBy("bucket")
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
-      e.select(col("label"), col("vec_id").as("doc_a"), col("v").as("a_v"))
-        .join(e.select(col("label"), col("vec_id").as("doc_b"),
-          col("v").as("b_v")), "label")
+      assigned.select(col("bucket"), col("vec_id").as("doc_a"),
+          col("v").as("a_v"))
+        .join(assigned.select(col("bucket"), col("vec_id").as("doc_b"),
+          col("v").as("b_v")), "bucket")
         .where(col("doc_a") < col("doc_b"))
-        .select(col("label"), col("doc_a"), col("doc_b"), cos.as("cos"))
+        .select(col("bucket"), col("doc_a"), col("doc_b"), cos.as("cos"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
-        .orderBy("label", "rk")
+        .orderBy("bucket", "rk")
     }),
 
-    // IVF-style ANN (the similarity-search scale path): assign vectors to
-    // the nearest of 8 deterministic centroids, then answer each query by
-    // scanning ONLY its bucket — the corpus-side work drops by ~K×.
+    // IVF-style ANN (the similarity-search scale path): one k-means-lite
+    // round trains 8 centroids from deterministic seeds, vectors land in
+    // their nearest bucket, and each query scans ONLY its bucket — the
+    // corpus-side work drops by ~K×.
     "llm_knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = broadcast(e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
-      def cosc(a: Column, b: Column): Column =
-        graft.functions.VectorFunctions.cosine(s, a, b)
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = e.join(cents)
-        .select(col("vec_id"), col("v"), col("c_id"),
-          round(cosc(col("v"), col("cv")), 6).as("c_cos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .where(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      val assigned = ivfAssign(s, e)
       val q = assigned.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val wTop = Window.partitionBy("q_id")
@@ -183,7 +220,7 @@ object LlmExtra {
       q.join(assigned, "bucket")
         .where(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosc(col("qv"), col("v")), 4).as("cos"))
+          round(cosc(s, col("qv"), col("v")), 4).as("cos"))
         .withColumn("rk", row_number().over(wTop))
         .where(col("rk") <= 3)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
@@ -277,6 +314,31 @@ object LlmExtra {
         .orderBy("doc_id"))
   )
 
+  /** Shared oracle CTE chain mirroring ivfAssign: seeds → assign →
+    * decimal-exact bucket means → re-assign. Ends with `asn(vec_id, v,
+    * bucket)`; note generate_subscripts is 1-based vs posexplode's
+    * 0-based pos — irrelevant, pos is only a group/order key. */
+  private val ivfAssignSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |seeds AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id < 8),
+      |a0 AS (SELECT vec_id, v, c_id bucket FROM (
+      |  SELECT e.vec_id, e.v, s.c_id,
+      |   row_number() OVER (PARTITION BY e.vec_id
+      |     ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.c_id) arn
+      |  FROM e, seeds s) WHERE arn = 1),
+      |cm AS (SELECT bucket, pos,
+      |   CAST(sum(CAST(round(val, 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*) m
+      |  FROM (SELECT bucket, generate_subscripts(v, 1) pos, unnest(v) val
+      |        FROM a0)
+      |  GROUP BY bucket, pos),
+      |cent AS (SELECT bucket c_id, list(m ORDER BY pos) cv FROM cm
+      |         GROUP BY bucket),
+      |asn AS (SELECT vec_id, v, c_id bucket FROM (
+      |  SELECT e.vec_id, e.v, c.c_id,
+      |   row_number() OVER (PARTITION BY e.vec_id
+      |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.c_id) arn
+      |  FROM e, cent c) WHERE arn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, source,
@@ -291,23 +353,18 @@ object LlmExtra {
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_embcos" ->
-      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) v
-        |           FROM embeddings),
-        |p AS (SELECT a.label, a.vec_id doc_a, b.vec_id doc_b,
+      (ivfAssignSql +
+        """,
+        |p AS (SELECT a.bucket, a.vec_id doc_a, b.vec_id doc_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) cos
-        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        | FROM asn a JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
         |        ORDER BY cos DESC, doc_a, doc_b) AS INT) rk FROM p)
-        |SELECT label, doc_a, doc_b, cos, rk FROM r WHERE rk <= 3
-        |ORDER BY label, rk""".stripMargin,
+        |SELECT bucket, doc_a, doc_b, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY bucket, rk""".stripMargin),
     "llm_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |c AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id < 8),
-        |asn AS (SELECT vec_id, v, c_id bucket FROM (
-        |  SELECT e.vec_id, e.v, c.c_id,
-        |   row_number() OVER (PARTITION BY e.vec_id
-        |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.c_id) arn
-        |  FROM e, c) WHERE arn = 1),
+      (ivfAssignSql +
+        """,
         |q AS (SELECT vec_id q_id, v qv, bucket FROM asn WHERE vec_id < 5),
         |p AS (SELECT q.q_id, a.vec_id,
         |   round(list_cosine_similarity(q.qv, a.v), 4) cos
@@ -315,7 +372,7 @@ object LlmExtra {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |        ORDER BY cos DESC, vec_id) AS INT) rk FROM p)
         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 3
-        |ORDER BY q_id, rk""".stripMargin,
+        |ORDER BY q_id, rk""".stripMargin),
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang, text,
         | CAST(len(list_filter(string_split(text,' '),

@@ -31,13 +31,27 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(missed.count() === 0)
   }
 
-  test("embcos near-dup: 3 pairs per label block, cos descending") {
+  test("embcos near-dup: 3 pairs per IVF bucket, cos descending") {
     val df = q("llm_dedup_embcos")
-    assert(df.groupBy("label").count().where(col("count") > 3).count() === 0)
+    assert(df.groupBy("bucket").count().where(col("count") > 3).count() === 0)
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("label").orderBy("rk")
+    val w = Window.partitionBy("bucket").orderBy("rk")
     assert(df.withColumn("prev", lag(col("cos"), 1).over(w))
       .where(col("prev").isNotNull && col("cos") > col("prev")).count() === 0)
+  }
+
+  test("IVF buckets: every vector assigned once; no bucket dominates") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sizes = graft.ops.LlmExtra.ivfAssign(spark, e)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count")).toMap
+    val total = e.count()
+    assert(sizes.values.sum === total, "assignment must be a partition")
+    assert(sizes.size >= 2, "bucket structure collapsed to one cell")
+    // k-means-lite balance: no trained bucket swallows >60% of vectors
+    assert(sizes.values.max <= total * 6 / 10,
+      s"skewed buckets: $sizes")
   }
 
   test("IVF: neighbors come from the query's own bucket and rank correctly") {
