@@ -99,6 +99,37 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Two-table temporal join (FOR SYSTEM_TIME AS OF): each click event
+    // joined to the user's dimension version valid at-or-before it. The
+    // dim is a versioned table (one row per (user, valid_from), built
+    // here from purchase events); the join is the UNION + running
+    // last(ignoreNulls) single window pass — versions and facts
+    // interleave per user in time order, so each fact picks up the
+    // newest earlier version without a range self-join. Dim rows sort
+    // BEFORE facts at equal ts (is_dim desc) for inclusive >= semantics,
+    // matching DuckDB's native ASOF JOIN oracle.
+    "join_asof_dim" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("tier"))
+        .select(col("user_id"), col("ts"), lit(1).as("is_dim"),
+          col("tier"), lit(null).cast("long").as("click_id"))
+      val fact = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_dim"),
+          lit(null).cast("double").as("tier"), col("event_id").as("click_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_dim").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(fact)
+        .withColumn("asof_tier",
+          last(col("tier"), ignoreNulls = true).over(w))
+        .where(col("is_dim") === 0)
+        .select(col("click_id"), col("user_id"), ep(col("ts")).as("ts_us"),
+          coalesce(col("asof_tier"), lit(-1.0)).as("tier"))
+        .orderBy("click_id")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed (and sorted) on
     // the join key, so the sort-merge join runs with ZERO shuffle — the
     // technique that turns a recurring 100 TB fact⋈fact join from a
@@ -209,6 +240,18 @@ object Joins {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_view_id
         |      FROM events)
         |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "join_asof_dim" ->
+      """WITH dim AS (SELECT user_id, ts AS valid_from,
+        |        round(max(value), 2) AS tier
+        |      FROM events WHERE event_type = 'purchase'
+        |      GROUP BY user_id, ts),
+        |f AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |      WHERE event_type = 'click')
+        |SELECT f.click_id, f.user_id, epoch_us(f.ts) AS ts_us,
+        | coalesce(d.tier, -1.0) AS tier
+        |FROM f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+        |ORDER BY click_id""".stripMargin,
     "join_bucketed_colocated" ->
       """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice,2) AS o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
