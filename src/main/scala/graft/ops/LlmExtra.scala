@@ -190,7 +190,9 @@ object LlmExtra {
     "llm_dedup_embcos" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val assigned = ivfAssign(s, e)
+      // lazy cache: the bucket self-join would otherwise run the whole
+      // k-means assignment chain once per join side
+      val assigned = ivfAssign(s, e).persist()
       val cos = round(cosc(s, col("a_v"), col("b_v")), 4)
       val w = Window.partitionBy("bucket")
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
@@ -212,7 +214,8 @@ object LlmExtra {
     "llm_knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val assigned = ivfAssign(s, e)
+      // lazy cache: query side and corpus side both read the assignment
+      val assigned = ivfAssign(s, e).persist()
       val q = assigned.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val wTop = Window.partitionBy("q_id")
