@@ -146,6 +146,21 @@ object Aggs {
           expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
         .orderBy("o_orderpriority")),
 
+    // Mergeable-sketch rollup (the incremental-UV pattern a 100 TB
+    // warehouse runs): per-day HLL sketches built once, then UNIONED per
+    // event type — re-aggregation reads tiny sketch blobs, never the raw
+    // events again. Datasketches HLL union is lossless at equal lgK, so
+    // the merged estimate is bit-identical to a direct single-pass
+    // sketch (property-tested); oracle-exempt (approx vs DuckDB exact).
+    "agg_sketch_merge" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv_sketch"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")),
+
     // Custom typed Aggregator registered as a UDAF (Flink AggregateFunction).
     "agg_udaf_typed" -> ((s, d) => {
       val wavg = udaf(WeightedAvg)

@@ -305,6 +305,27 @@ object LlmExtra {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling over binary media payloads (the video-frame /
+    // audio-window extraction shape): up to 4 deterministic 64-byte
+    // frame offsets per record, one output row per frame, feature =
+    // the frame's lead byte (decode STUB — a real codec plugs into the
+    // same explode-then-decode plan). Row explosion happens BEFORE the
+    // per-frame work so decoding distributes across the cluster even
+    // when single records are huge.
+    "llm_multimodal_frames" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          octet_length(col("text")).as("byte_len"))
+        .where(col("byte_len") > 0)
+        .select(col("doc_id"), col("payload"), col("byte_len"),
+          explode(sequence(lit(0),
+            least(floor((col("byte_len") - 1) / 64), lit(3)).cast("int"),
+            lit(1))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"), col("byte_len"),
+          expr("CAST(conv(hex(substring(payload, frame_idx*64+1, 1))," +
+            " 16, 10) AS INT)").as("f_byte"))
+        .orderBy("doc_id", "frame_idx")),
+
     // Binary multimodal plumbing: utf-8 payload bytes + typed metadata
     // through the mapPartitions decode pipeline (decode itself is the
     // deterministic STUB in Multimodal.decodeStub).
@@ -423,6 +444,18 @@ object LlmExtra {
         |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
         |   AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) hx,
+        |        octet_length(encode(text)) byte_len
+        |      FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (SELECT doc_id, hx, byte_len,
+        |        unnest(generate_series(0, least((byte_len-1)//64, 3)))
+        |          AS frame_idx
+        |       FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(byte_len AS INT) AS byte_len,
+        | CAST(concat('0x', substr(hx, frame_idx*128+1, 2)) AS INT) AS f_byte
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "llm_multimodal_binary" ->
       """SELECT doc_id, 'text' AS modality,
         | CAST(octet_length(encode(text)) AS INT) AS byte_len,

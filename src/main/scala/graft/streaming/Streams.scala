@@ -43,20 +43,31 @@ object Streams {
       .as[Ev]
   }
 
-  /** ODS Kafka-JSON ingest (KafkaSource + JsonDeserializationSchema
-    * analog). Requires a live broker, so it is wiring-only in this
-    * offline env; the JSON expressions are the ones `source_kafka_shape`
-    * verifies in batch. */
-  def kafkaIngest(spark: SparkSession, bootstrap: String,
-      topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load()
+  /** Decode a batch of Kafka-shaped records (binary key/value + topic/
+    * partition/offset metadata) into typed event rows. This is the
+    * entire deserialization logic of `kafkaIngest`, factored out so it
+    * is executable — and tested (KafkaShapeSpec round-trips fixture
+    * events through to_json bytes) — without a live broker. Works
+    * identically on batch and streaming inputs. */
+  def decodeKafkaEvents(records: DataFrame): DataFrame =
+    records
       .select(from_json(col("value").cast("string"),
         lit("event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, " +
-          "value DOUBLE, props STRING")).as("e"))
-      .select(col("e.*"))
+          "value DOUBLE, props STRING")).as("e"),
+        col("topic"), col("partition"), col("offset"))
+      .select(col("e.*"), col("topic"), col("partition"), col("offset"))
+
+  /** ODS Kafka-JSON ingest (KafkaSource + JsonDeserializationSchema
+    * analog). The source line requires a live broker (none in this
+    * offline env — and no kafka connector jar); every expression after
+    * `.load()` is the tested `decodeKafkaEvents`. */
+  def kafkaIngest(spark: SparkSession, bootstrap: String,
+      topic: String): DataFrame =
+    decodeKafkaEvents(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load())
 
   /** Synthetic demo source (DataGeneratorSource analog): deterministic
     * event shapes derived from the rate stream. */

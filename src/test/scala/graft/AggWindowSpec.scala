@@ -54,6 +54,21 @@ class AggWindowSpec extends AnyFunSuite {
     assert(off.count() === 0)
   }
 
+  test("sketch merge: daily HLL union == direct sketch, within 10% of exact") {
+    val merged = q("agg_sketch_merge")
+    // datasketches HLL union at equal lgK is lossless: merging per-day
+    // sketches must give EXACTLY the direct single-pass estimate
+    val direct = ops.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("uv_direct"))
+    assert(merged.join(direct, "event_type")
+      .where(col("uv_sketch") =!= col("uv_direct")).count() === 0)
+    val exact = q("agg_distinct_count")
+    assert(merged.join(exact, "event_type")
+      .where(abs(col("uv_sketch") - col("uv")) > col("uv") * 0.1)
+      .count() === 0)
+  }
+
   test("agg_udaf_typed weighted avg lies within [min, max] price") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val mm = li.agg(min("l_extendedprice"), max("l_extendedprice")).first()
