@@ -161,6 +161,22 @@ object Aggs {
           count(lit(1)).as("n_days"))
         .orderBy("event_type")),
 
+    // EXACT distinct-count via mergeable bitmaps (the genre's
+    // RoaringBitmap UV pattern): per-bucket bitmaps of bit positions,
+    // OR-merged, popcounted. Unlike HLL this is exact — so it oracles
+    // against plain count(DISTINCT) — while staying shuffle-light: the
+    // shuffle carries one bitmap per (group, bucket), not one row per
+    // distinct member.
+    "agg_bitmap_uv" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          bitmap_bucket_number(col("user_id")).as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id")))
+          .as("bm"))
+        .groupBy("event_type")
+        .agg(sum(bitmap_count(col("bm"))).as("uv_bitmap"))
+        .orderBy("event_type")),
+
     // Custom typed Aggregator registered as a UDAF (Flink AggregateFunction).
     "agg_udaf_typed" -> ((s, d) => {
       val wavg = udaf(WeightedAvg)
@@ -241,6 +257,9 @@ object Aggs {
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.75), 4) AS p75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_bitmap_uv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uv_bitmap
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_udaf_typed" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
