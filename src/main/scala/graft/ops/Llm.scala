@@ -80,6 +80,46 @@ object Llm {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The LSH-candidates → exact-score composition (the 100 TB near-dup
+    // pipeline): candidate pairs from the banded MinHash join, then ONLY
+    // those pairs scored with the native O(n+m) sorted-set intersect —
+    // exact Jaccard on a candidate set that grows with true duplication,
+    // not with corpus size. Oracle-exempt (candidates depend on hash
+    // seeds); property-tested: scores agree with the exact
+    // inverted-index op on every overlapping pair.
+    "llm_dedup_minhash_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
+            .as("sh"))
+      val bands = docs
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.minhash8(s, col("sh")).as("sig"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(3)), b =>
+            xxhash64(element_at(col("sig"), b * 2 + 1),
+              element_at(col("sig"), b * 2 + 2)))))
+        .toDF("doc_id", "band", "band_hash")
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = graft.functions.VectorFunctions
+        .sortedIntersectCount(s, col("a_sh"), col("b_sh"))
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("a_sh")),
+          "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("b_sh")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(inter.cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - inter), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Vector column family: L2 norm, first normalized component, dim —
     // via the native codegen'd graft_l2norm expression.
     "llm_embed_norm" -> ((s, d) => {

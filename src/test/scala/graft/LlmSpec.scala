@@ -42,6 +42,22 @@ class LlmSpec extends AnyFunSuite {
     assert(missed.count() === 0)
   }
 
+  test("minhash_score: pairs = candidates; scores agree with exact op") {
+    val scored = q("llm_dedup_minhash_score")
+    val cands = q("llm_dedup_minhash")
+    // same pair set as the candidate op (scoring drops nothing)
+    assert(scored.count() === cands.count())
+    assert(scored.join(cands, Seq("doc_a", "doc_b")).count() === cands.count())
+    // on pairs both ops emit, the exact inverted-index op computed the
+    // same Jaccard (same-source pairs above threshold overlap)
+    val exact = q("llm_dedup_ngram_jaccard")
+      .withColumnRenamed("jac", "jac_exact")
+    assert(scored.join(exact, Seq("doc_a", "doc_b"))
+      .where(col("jac") =!= col("jac_exact")).count() === 0)
+    // scores are valid Jaccards
+    assert(scored.where(col("jac") < 0 || col("jac") > 1).count() === 0)
+  }
+
   test("minhash candidate pairs are plausibly similar (>= 1/3 token overlap)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
