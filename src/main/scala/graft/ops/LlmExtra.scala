@@ -294,14 +294,16 @@ object LlmExtra {
     // (winnowing-lite) + distinct-window count. Oracle-exempt (xxhash64);
     // property: identical text ⇒ identical fingerprint.
     "llm_fingerprint" -> ((s, d) => {
+      // two-step select: `fps` is referenced twice below, so Catalyst's
+      // CollapseProject keeps the single materialization instead of
+      // inlining (and re-running) the window-hash transform per use
       t(s, d, "documents")
+        .select(col("doc_id"), transform(
+          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => xxhash64(col("text").substr(i, lit(8)))).as("fps"))
         .select(col("doc_id"),
-          array_min(transform(
-            sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-            i => xxhash64(col("text").substr(i, lit(8))))).as("fp_min"),
-          size(array_distinct(transform(
-            sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-            i => xxhash64(col("text").substr(i, lit(8)))))).as("fp_distinct"))
+          array_min(col("fps")).as("fp_min"),
+          size(array_distinct(col("fps"))).as("fp_distinct"))
         .orderBy("doc_id")
     }),
 

@@ -84,6 +84,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("explode("), p.take(2000))
   }
 
+  test("join_asof_dim is one window pass — no range self-join") {
+    val p = plan(q("join_asof_dim"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(2000))
+  }
+
+  test("bitmap UV aggregates partially (bitmaps merge map-side)") {
+    val p = plan(q("agg_bitmap_uv"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("sink_partitioned read-back prunes to the filtered partition") {
     val p = plan(q("sink_partitioned"))
     assert(p.contains("PartitionFilters:") &&
