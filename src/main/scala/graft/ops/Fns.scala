@@ -47,6 +47,18 @@ object Fns {
           chr(lit(65) + pmod(col("c_custkey"), lit(26))).as("bucket_chr"))
         .orderBy("c_custkey")),
 
+    // Bitwise family (flag fields, shard masks, bit-packed encodings).
+    "fn_bitwise" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+          col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
+          col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+          shiftleft(col("event_id"), 3).as("b_shl"),
+          shiftright(col("event_id"), 2).as("b_shr"),
+          bit_count(col("event_id")).cast("int").as("b_cnt"))
+        .orderBy("event_id")),
+
     // Content hashing/fingerprint functions (dedup keys, cache keys).
     "fn_hash" -> ((s, d) =>
       t(s, d, "documents")
@@ -195,6 +207,15 @@ object Fns {
         | CAST(ascii(c_mktsegment) AS INT) AS first_code,
         | chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_chr
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        | event_id & 255 AS b_and,
+        | event_id | 4096 AS b_or,
+        | xor(event_id, user_id) AS b_xor,
+        | event_id << 3 AS b_shl,
+        | event_id >> 2 AS b_shr,
+        | CAST(bit_count(event_id) AS INT) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -59,6 +59,22 @@ object Windows {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Event-time RANGE frame (Flink OVER RANGE INTERVAL analog): per
+    // event, the user's trailing-1h event count and value sum — a
+    // time-interval frame, not a row-count frame, so ties and gaps in
+    // event time are handled by the frame bound itself. Decimal-summed
+    // money keeps the window sum order-independent.
+    "win_time_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(ep(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), ep(col("ts")).as("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("v_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Session stitching: seconds since the user's previous event.
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -124,6 +140,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "win_time_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS n_1h,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+        |   AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "win_lag_lead" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
