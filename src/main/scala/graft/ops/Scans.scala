@@ -152,6 +152,23 @@ object Scans {
         .select(col("user_id"), col("op"), col("event_id"),
           ep(col("ts")).as("ts_us"))
         .orderBy("user_id")
+    }),
+
+    // SCD-2 dimension build: every change event becomes a version row
+    // with [valid_from, valid_to) bounds via lead() per key — the DWD
+    // dim-layer shape join_asof_dim then queries. NULL valid_to marks
+    // the current version. One shuffle by key, one window pass.
+    "cdc_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          ep(col("ts")).as("valid_from_us"),
+          round(col("value"), 2).as("tier"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "valid_from_us", "event_id")
     })
   )
 
@@ -198,6 +215,15 @@ object Scans {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
-        |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        | round(value, 2) AS tier,
+        | lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        | lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin
   )
 }
