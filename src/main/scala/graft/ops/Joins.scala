@@ -59,9 +59,13 @@ object Joins {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
-    // NOT EXISTS: customers without orders (churn set).
+    // NOT EXISTS: customers with no high-value order (>400k). The
+    // threshold keeps the result non-empty at every fixture scale, so
+    // the anti-join semantics are verified against real rows (every
+    // customer has SOME order, which made the plain churn set empty).
     "join_anti" -> ((s, d) =>
-      t(s, d, "customer").join(t(s, d, "orders"),
+      t(s, d, "customer").join(
+          t(s, d, "orders").where(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
@@ -222,7 +226,8 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "join_interval" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id,

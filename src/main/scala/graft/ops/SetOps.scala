@@ -43,13 +43,15 @@ object SetOps {
     }),
 
     // Churn set: viewers who never purchased.
-    "set_except" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      ev.where(col("event_type") === "view").select("user_id")
-        .except(
-          ev.where(col("event_type") === "purchase").select("user_id"))
-        .orderBy("user_id")
-    })
+    // EXCEPT with a non-empty result at every scale: all customers
+    // minus those holding a high-value order (the 50-user events
+    // fixture gives every user every event type, which made an
+    // event-type-based EXCEPT vacuously empty).
+    "set_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -67,9 +69,9 @@ object SetOps {
         |SELECT user_id FROM events WHERE event_type='purchase'
         |ORDER BY user_id""".stripMargin,
     "set_except" ->
-      """SELECT user_id FROM events WHERE event_type='view'
+      """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type='purchase'
-        |ORDER BY user_id""".stripMargin
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin
   )
 }

@@ -114,11 +114,20 @@ class AggWindowSpec extends AnyFunSuite {
     assert(higher < 100)
   }
 
-  test("set ops algebra: |A∪B| = |A|+|B|, except ∩ intersect = ∅") {
+  test("set ops algebra: |A∪B| = |A|+|B|; except removes exactly B") {
     val ev = ops.Tables.events(spark, sf)
     val nView = ev.where(col("event_type") === "view").count()
     val nSignup = ev.where(col("event_type") === "signup").count()
     assert(q("set_union_all").count() === nView + nSignup)
-    assert(q("set_except").join(q("set_intersect"), "user_id").count() === 0)
+    val exc = q("set_except")
+    assert(exc.count() > 0, "except must be verified on a non-empty set")
+    val big = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    assert(exc.join(big, "custkey").count() === 0)
+    assert(exc.count() + big.count() ===
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    // join_anti computes the same set via NOT EXISTS
+    assert(q("join_anti").count() === exc.count())
   }
 }
