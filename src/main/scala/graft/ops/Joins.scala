@@ -87,6 +87,25 @@ object Joins {
         .orderBy("view_id", "click_id")
     }),
 
+    // Window join (Flink window join): views ⋈ clicks landing in the
+    // SAME hourly tumbling window for the same user. The join key is
+    // (user, window_start) — a plain equi shuffle join whose streaming
+    // form holds exactly one window of state per side, vs the interval
+    // join's sliding range buffer.
+    "join_windowed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def side(kind: String, as: String) =
+        ev.where(col("event_type") === kind)
+          .select(col("user_id"),
+            window(col("ts"), "1 hour").getField("start").as("w"),
+            col("event_id").as(as))
+      side("view", "view_id").join(side("click", "click_id"),
+          Seq("user_id", "w"))
+        .select(col("user_id"), ep(col("w")).as("w_start_us"),
+          col("view_id"), col("click_id"))
+        .orderBy("user_id", "w_start_us", "view_id", "click_id")
+    }),
+
     // Temporal/as-of join (FOR SYSTEM_TIME AS OF): each purchase joined to
     // the user's latest view at-or-before it. Single window pass —
     // last(ignoreNulls) over (user, ts) — instead of a range self-join.
@@ -245,6 +264,14 @@ object Joins {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS asof_view_id
         |      FROM events)
         |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "join_windowed" ->
+      """WITH v AS (SELECT user_id, date_trunc('hour', ts) w, event_id view_id
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, date_trunc('hour', ts) w, event_id click_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, epoch_us(v.w) AS w_start_us, view_id, click_id
+        |FROM v JOIN c ON v.user_id = c.user_id AND v.w = c.w
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "join_asof_dim" ->
       """WITH dim AS (SELECT user_id, ts AS valid_from,
         |        round(max(value), 2) AS tier
