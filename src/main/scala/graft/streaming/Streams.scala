@@ -134,6 +134,26 @@ object Streams {
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
   }
 
+  /** Stream-stream window join (Flink window join analog of
+    * `join_windowed`): both sides bucketed into the same tumbling
+    * window, joined on (key, window). Watermarks let the engine drop a
+    * window's state as soon as it closes — one window of state per
+    * side, the tightest join-state bound there is. */
+  def windowJoin(events: DataFrame): DataFrame = {
+    def side(kind: String, as: String) =
+      events.where(col("event_type") === kind)
+        .select(col("user_id"), col("ts"), col("event_id").as(as))
+        .withColumn("w", window(col("ts"), "1 hour").getField("start"))
+        .withWatermark("w", "10 minutes")
+        .withColumnRenamed("w", s"${as}_w")
+    side("view", "view_id").as("v")
+      .join(side("click", "click_id").as("c"),
+        col("v.user_id") === col("c.user_id") &&
+          col("view_id_w") === col("click_id_w"))
+      .select(col("v.user_id").as("user_id"), col("view_id_w").as("w"),
+        col("view_id"), col("click_id"))
+  }
+
   /** Watermarked streaming dedup (ValueState seen-flag analog of
     * `dedup_exact`): state is dropped once the watermark passes. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

@@ -186,6 +186,32 @@ class StreamingParitySpec extends AnyFunSuite {
       .count() === batch.count())
   }
 
+  test("stream-stream window join == batch join_windowed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val joined = Streams.windowJoin(input.toDS().toDF())
+    val query = joined.writeStream.format("memory").queryName("wjoin")
+      .outputMode("append").start()
+    allEvents.grouped((allEvents.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // watermark flush so the last window closes and emits
+    val maxUs = allEvents.map(_.ts_us).max
+    val flushUs = maxUs + 30L * 24 * 3600 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("wjoin").where(col("view_id") =!= -1L)
+      .select(col("user_id"), ops.Tables.ep(col("w")).as("w_start_us"),
+        col("view_id"), col("click_id"))
+    val batch = q("join_windowed")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch,
+      Seq("user_id", "w_start_us", "view_id", "click_id")).count() ===
+      batch.count())
+  }
+
   test("visitCounterTtl: state expires and a returning user counts as new") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
