@@ -88,10 +88,17 @@ object Llm {
     // seeds); property-tested: scores agree with the exact
     // inverted-index op on every overlapping pair.
     "llm_dedup_minhash_score" -> ((s, d) => {
+      // Lazy-persist the shingle table: it feeds the band pipeline AND
+      // both sides of the candidate re-join — without the cache the
+      // native shingle kernel runs 3× per doc and the full hash arrays
+      // rebuild through every branch (18.8 s in the round-3 bench; the
+      // same fix simhash carries). persist() is lazy, so constructing
+      // this DataFrame still does no I/O.
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
           graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
             .as("sh"))
+        .persist()
       val bands = docs
         .select(col("doc_id"),
           graft.functions.VectorFunctions.minhash8(s, col("sh")).as("sig"))

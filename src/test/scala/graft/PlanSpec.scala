@@ -113,9 +113,38 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed co-located join: SMJ with no hash-partition exchange") {
     val p = plan(q("join_bucketed_colocated"))
     // the merge hint pins SortMergeJoin; bucketed+sorted tables mean no
-    // Exchange hashpartitioning feeds it — the zero-shuffle co-location.
+    // Exchange feeds it — the zero-shuffle co-location.
     assert(p.contains("SortMergeJoin"), p.take(2000))
-    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    // Formatted explain prints nodes as "(n) Exchange" with the
+    // hashpartitioning arguments on a separate detail line, so the old
+    // `"Exchange hashpartitioning"` substring could NEVER match — it
+    // passed even against the fallback plain-join plan (round-3
+    // verdict). Count Exchange NODES instead: the co-located plan's
+    // only exchange is the final single-partition sort for orderBy, so
+    // any hashpartitioning exchange (the fallback's shuffle) must fail.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges Exchange nodes:\n${p.take(3000)}")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    // and the table scans must actually be the bucketed tables
+    assert(p.contains("graft_bkt_orders"), p.take(2000))
+  }
+
+  test("…and that assertion is falsifiable: the plain merge join shuffles") {
+    // The same query shape over UNbucketed parquet must trip the
+    // zero-shuffle assertions above — proving they discriminate between
+    // the co-located plan and the fallback (the round-3 vacuous-test
+    // failure mode: an assertion that passes against both proves
+    // nothing).
+    import graft.ops.Tables.t
+    import org.apache.spark.sql.functions.col
+    val p = plan(
+      t(spark, sf, "orders").hint("merge")
+        .join(t(spark, sf, "customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+        .orderBy("o_orderkey"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
