@@ -307,6 +307,80 @@ object LlmExtra {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-CLUSTER resolution: every dedup op above emits pairs; a
+    // training-data pipeline needs pairs → connected components →
+    // canonical-doc election (keep the min doc_id per component) before
+    // it can actually drop rows. Edges are the inverted-index Jaccard
+    // pairs at a loose 0.02 threshold (richer graph: the fixture has
+    // 2- and 3-node chains); components come from bounded-iteration
+    // min-label propagation — each round is one equi join flowing the
+    // smallest known label one hop, so 6 rounds cover diameter ≤ 6
+    // (fixture diameter is 2). At 100 TB the same loop runs
+    // log-diameter rounds with a checkpoint per round (or the
+    // large-star/small-star variant for O(log n) worst cases); labels
+    // table is (doc_id, label) — tiny next to the corpus.
+    "llm_dedup_clusters" -> ((s, d) => {
+      val idx = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
+            .as("sh"))
+        .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
+          explode(col("sh")).as("h"))
+      val a = idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_a"), col("n").as("na"))
+      val b = idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_b"), col("n").as("nb"))
+      // The edge list is TINY next to the corpus (near-dups are the
+      // exception), and the propagation loop references it every round —
+      // persist so the shingle/index pipeline above runs once, not 6×.
+      val pairs = a.join(b, Seq("h", "source"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .where(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4) >= 0.02)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // Propagate over GRAPH NODES ONLY (docs that appear in some pair):
+      // every other doc is a singleton by construction and rejoins at the
+      // end — the iteration never shuffles corpus-sized tables.
+      var lab = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      for (_ <- 1 to 6) {
+        val nbrMin = edges
+          .join(lab.select(col("doc_id").as("src"), col("label").as("nl")),
+            "src")
+          .groupBy(col("dst")).agg(min(col("nl")).as("nbr_min"))
+          .withColumnRenamed("dst", "doc_id")
+        // TRUNCATE LINEAGE each round (lazy local checkpoint): every
+        // round reads the previous labels twice, so without truncation
+        // the logical plan doubles per iteration and the ANALYZER —
+        // not execution — dominates (measured: rounds 5/6 take 4 s/12 s
+        // with persist()-only, 0.1 s checkpointed; 61 s → 9 s for the
+        // whole op at sf0.1). The iterative-algorithm rule GraphX/
+        // GraphFrames apply; a multi-node deployment uses reliable
+        // checkpoint() to HDFS instead of executor-local blocks.
+        lab = lab.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"))
+          .localCheckpoint(false)
+      }
+      val full = t(s, d, "documents").select(col("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val sz = full.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      full
+        .join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canon"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over binary media payloads (the video-frame /
     // audio-window extraction shape): up to 4 deterministic 64-byte
     // frame offsets per record, one output row per frame, feature =
@@ -378,6 +452,30 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        | FROM documents),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        | WHERE jac >= 0.02),
+        |e AS (SELECT doc_a a, doc_b b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+        |       GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+        | l.doc_id = l.cluster_id AS is_canon
+        |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
     "llm_dedup_embcos" ->
       (ivfAssignSql +
         """,

@@ -147,6 +147,46 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // CEP funnel with within(72h) + timeout side output (flink-cep's
+    // `within(Time)` + timed-out-partial-match handler — the
+    // abandoned-funnel half of why the genre uses CEP). Every user who
+    // STARTED the pattern emits exactly one row: 'complete' if the
+    // purchase landed within 72h of the first view, else 'timeout' with
+    // the stage reached (1 = view only, 2 = view+click). Same three
+    // keyed min-aggregations as stream_cep_pattern, bounded by the
+    // deadline; the timed-out rows are the left-join remainder. The
+    // incremental form is `graft.streaming.Streams.cepFunnelWithin`
+    // (event-time timer = the deadline, fired by the watermark).
+    "stream_cep_timeout" -> ((s, d) => {
+      val withinUs = 72L * 3600 * 1000000 // within(72 hours)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), ep(col("ts")).as("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("view_us"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts_us") > col("view_us") &&
+          col("ts_us") <= col("view_us") + withinUs)
+        .groupBy("user_id", "view_us").agg(min(col("ts_us")).as("click_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts_us") > col("click_us") &&
+          col("ts_us") <= col("view_us") + withinUs)
+        .groupBy("user_id", "view_us", "click_us")
+        .agg(min(col("ts_us")).as("purchase_us"))
+      v.join(c, Seq("user_id", "view_us"), "left")
+        .join(p, Seq("user_id", "view_us", "click_us"), "left")
+        .select(col("user_id"),
+          when(col("purchase_us").isNotNull, "complete").otherwise("timeout")
+            .as("status"),
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2).otherwise(1).as("stage"),
+          col("view_us"),
+          coalesce(col("click_us"), lit(-1L)).as("click_us"),
+          coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"))
+        .orderBy("user_id")
+    }),
+
     // Upsert materialization: latest image per key (upsert-kafka analog).
     "stream_upsert_latest" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -226,6 +266,33 @@ object Streaming {
         |      GROUP BY e.user_id, c.view_us, c.click_us)
         |SELECT user_id, view_us, click_us, purchase_us FROM p
         |ORDER BY user_id""".stripMargin,
+    "stream_cep_timeout" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS view_us FROM e
+        |      WHERE event_type='view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.view_us, min(e.ts_us) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type='click' AND e.ts_us > v.view_us
+        |        AND e.ts_us <= v.view_us + 259200000000
+        |      GROUP BY e.user_id, v.view_us),
+        |p AS (SELECT e.user_id, c.view_us, c.click_us,
+        |        min(e.ts_us) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type='purchase' AND e.ts_us > c.click_us
+        |        AND e.ts_us <= c.view_us + 259200000000
+        |      GROUP BY e.user_id, c.view_us, c.click_us)
+        |SELECT v.user_id,
+        | CASE WHEN p.purchase_us IS NOT NULL THEN 'complete'
+        |      ELSE 'timeout' END AS status,
+        | CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |      WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+        | v.view_us, coalesce(c.click_us, -1) AS click_us,
+        | coalesce(p.purchase_us, -1) AS purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.view_us = c.view_us
+        |LEFT JOIN p ON c.user_id = p.user_id AND c.view_us = p.view_us
+        |  AND c.click_us = p.click_us
+        |ORDER BY 1""".stripMargin,
     "stream_upsert_latest" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         | round(value, 2) AS value

@@ -20,6 +20,9 @@ case class FunnelHit(user_id: Long, view_us: Long, click_us: Long,
 
 case class FunnelState(stage: Int, viewUs: Long, clickUs: Long)
 
+case class FunnelOut(user_id: Long, status: String, stage: Int,
+    view_us: Long, click_us: Long, purchase_us: Long)
+
 /** SURVEY.md §2.8 — the real Structured Streaming wrappers. Each shares
   * its column expressions with the batch form in `graft.ops.Streaming`
   * (same logical op, incrementalized), the Spark analog of the genre's
@@ -240,6 +243,107 @@ object Streams {
           state.update(st)
           hits.iterator
       }
+  }
+
+  /** CEP funnel with `within()` + timeout side output (flink-cep's
+    * `Pattern.within(Time)` + TimedOutPartialMatchHandler analog of
+    * `stream_cep_timeout`): the view→click→purchase NFA is bounded by a
+    * deadline of first-view + `withinMs`. Completion emits a 'complete'
+    * row; an event-time TIMER at the deadline (fired by the watermark —
+    * requires `withWatermark` on the input) emits the timed-out partial
+    * match as a 'timeout' row with the stage reached, then drops the
+    * key's state. Both outputs ride one Append stream, discriminated by
+    * `status` — the union-tagged form of Flink's main + side output.
+    * State per key: one 3-field struct + one timer. */
+  def cepFunnelWithin(events: Dataset[Ev], withinMs: Long):
+      Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val withinUs = withinMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          if (!evs.hasNext && state.hasTimedOut) {
+            val st = state.get
+            // tombstone, not remove(): the batch form matches each user's
+            // FIRST view only, so a later view must not restart the NFA
+            // and emit a second row for the key. The tombstone is one
+            // tiny struct per key that ever started the pattern; a
+            // deployment that prefers Flink-CEP's restart-after-timeout
+            // semantics would remove() here instead.
+            state.update(FunnelState(-1, 0L, 0L))
+            if (st.stage == 1 || st.stage == 2)
+              Iterator.single(FunnelOut(uid, "timeout", st.stage, st.viewUs,
+                if (st.stage == 2) st.clickUs else -1L, -1L))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+            val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              st = (st.stage, e.event_type) match {
+                case (0, "view") => FunnelState(1, e.ts_us, 0L)
+                case (1, "click") if e.ts_us > st.viewUs &&
+                    e.ts_us <= st.viewUs + withinUs =>
+                  FunnelState(2, st.viewUs, e.ts_us)
+                case (2, "purchase") if e.ts_us > st.clickUs &&
+                    e.ts_us <= st.viewUs + withinUs =>
+                  hits += FunnelOut(uid, "complete", 3, st.viewUs, st.clickUs,
+                    e.ts_us)
+                  FunnelState(3, st.viewUs, st.clickUs)
+                case _ => st
+              }
+            }
+            state.update(st)
+            if (st.stage == 1 || st.stage == 2)
+              // the within() timer: fire at the pattern deadline (clamped
+              // past the current watermark — see visitCounterTtl). Stage 3
+              // keeps its state silently so a later view can't restart the
+              // funnel (matching the batch form's first-view-only match; a
+              // long-running deployment would arm a cleanup-only timer).
+              state.setTimeoutTimestamp(
+                math.max((st.viewUs + withinUs) / 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+            hits.iterator
+          }
+      }
+  }
+
+  /** Late-data side output (Flink's `allowedLateness` +
+    * `sideOutputLateData` analog of the `stream_watermark_late` batch
+    * classifier): rows behind the event-time watermark are ROUTED to
+    * their own sink instead of silently dropped — the stream a real
+    * pipeline audits or backfills from. Structured Streaming's built-in
+    * watermark drops late rows inside stateful operators before any
+    * user code sees them, so the split happens in foreachBatch against
+    * an explicitly-tracked watermark: max event time seen in PRIOR
+    * micro-batches minus `latenessMs` (exactly the engine's definition;
+    * the max is one map-side-combined agg per batch — no extra
+    * shuffle). On-time rows append to `onTimePath`, late rows to
+    * `latePath`, each with the watermark they were judged against. */
+  def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
+      latePath: String, checkpoint: String): StreamingQuery = {
+    val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = wmUs.get()
+        val tagged = batch
+          .withColumn("b_ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("wm_us", lit(if (cur == Long.MinValue) null else cur)
+            .cast("long"))
+        tagged.where(col("wm_us").isNull || col("b_ts_us") >= col("wm_us"))
+          .drop("b_ts_us")
+          .write.mode("append").parquet(onTimePath)
+        tagged.where(col("wm_us").isNotNull && col("b_ts_us") < col("wm_us"))
+          .drop("b_ts_us")
+          .write.mode("append").parquet(latePath)
+        val mx = tagged.agg(max(col("b_ts_us"))).first()
+        if (!mx.isNullAt(0))
+          wmUs.getAndUpdate(w => math.max(w, mx.getLong(0) - latenessMs * 1000L))
+        ()
+      }
+      .start()
   }
 
   /** Upsert sink (JdbcSink/HBase-upsert analog of `sink_foreach_upsert`):

@@ -147,6 +147,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
+  test("llm_dedup_clusters: edges + 6 propagation rounds are equi joins only") {
+    val p = plan(q("llm_dedup_clusters"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.

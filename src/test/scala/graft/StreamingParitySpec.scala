@@ -287,6 +287,115 @@ class StreamingParitySpec extends AnyFunSuite {
       .where(col("visit_no") =!= col("b_no")).count() === 0)
   }
 
+  test("cepFunnelWithin stream == stream_cep_timeout batch (complete + timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val funneled = Streams.cepFunnelWithin(
+      input.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      withinMs = 72L * 3600 * 1000) // within(72 hours), matching the batch op
+    val query = funneled.writeStream.format("memory").queryName("cep_within")
+      .outputMode("append").start()
+    // EVENT-TIME-ordered feed: the timer proof (no deadline passes the
+    // watermark before a qualifying event arrives) needs arrival ≈ ts
+    // order, which is also what the batch form converges to.
+    val ordered = allEvents.sortBy(e => (e.ts_us, e.event_id))
+    ordered.grouped((ordered.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // flush sentinel: pushes the watermark past every pending deadline so
+    // all timed-out partial matches emit
+    val flushUs = allEvents.map(_.ts_us).max + 30L * 24 * 3600 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("cep_within").where(col("user_id") >= 0)
+    val batch = q("stream_cep_timeout")
+    assert(streamed.count() === batch.count())
+    val diff = streamed.join(batch,
+      Seq("user_id", "status", "stage", "view_us", "click_us", "purchase_us"),
+      "full_outer")
+      .where(col("user_id").isNull)
+    assert(diff.count() === 0)
+    // both sides of the side-output union are present
+    assert(streamed.where(col("status") === "complete").count() > 0)
+    assert(streamed.where(col("status") === "timeout").count() > 0)
+  }
+
+  test("routeLate: late rows land in the side sink, on-time rows aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1704067200L * us // 2024-01-01 00:00 UTC (on the hour)
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val input = MemoryStream[Ev]
+    val query = Streams.routeLate(input.toDS().toDF(),
+      latenessMs = 10L * 60 * 1000, s"$dir/ontime", s"$dir/late", s"$dir/ckpt")
+    // batch 1: two on-time rows in hour H
+    input.addData(ev(1, base), ev(2, base + 60 * us))
+    query.processAllAvailable()
+    // batch 2: jump +5h — advances the tracked watermark far past hour H
+    input.addData(ev(3, base + 5L * 3600 * us)); query.processAllAvailable()
+    // batch 3: a straggler in hour H (behind watermark -> LATE) + on-time
+    input.addData(ev(4, base + 120 * us), ev(5, base + 6L * 3600 * us))
+    query.processAllAvailable()
+    query.stop()
+    val late = spark.read.parquet(s"$dir/late")
+    assert(late.select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(4L))
+    // the late row carries the watermark it was judged against
+    assert(late.first().getAs[Long]("wm_us") ===
+      base + 5L * 3600 * us - 10L * 60 * us)
+    val onTime = spark.read.parquet(s"$dir/ontime")
+    assert(onTime.select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 5L))
+    // on-time sink aggregates to the converged hourly counts (what the
+    // batch tumbling form computes over the same on-time subset)
+    val agg = onTime
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w").cast("timestamp")), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(agg === Set((base, 2L), (base + 5L * 3600 * us, 1L),
+      (base + 6L * 3600 * us, 1L)))
+  }
+
+  test("checkpoint recovery: visit numbering continues across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Ev]
+    val counted = Streams.visitCounter(input.toDS())
+    def start() = counted.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    // run 1: first half of the stream, then a clean stop
+    val q1 = start()
+    val half = (allEvents.size + 1) / 2
+    input.addData(allEvents.take(half)); q1.processAllAvailable(); q1.stop()
+    // run 2: restart FROM THE CHECKPOINT with more data queued — keyed
+    // state (per-user counters) must reload, not reset
+    input.addData(allEvents.drop(half))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    val batch = q("stream_stateful_counter")
+    // exactly-once across the restart: no dropped rows, no replays
+    assert(got.count() === batch.count())
+    assert(got.select("event_id").distinct().count() === batch.count())
+    // numbering continued from recovered state (a reset would renumber
+    // the second half from 1)
+    val diff = got.join(batch.withColumnRenamed("visit_no", "b_no")
+        .withColumnRenamed("visit_kind", "b_kind"),
+      Seq("event_id", "user_id"))
+      .where(col("visit_no") =!= col("b_no") ||
+        col("visit_kind") =!= col("b_kind"))
+    assert(diff.count() === 0)
+  }
+
   test("foreachBatch upsert sink converges to batch latest-image") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
