@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ADS-layer warehouse metrics (the reference genre's end products —
+  * "Flink实时数仓", /root/reference/README.md:2 — is a DWS/ADS metric
+  * pipeline: retention, GMV boards, activity rollups).
+  *
+  * Scale notes: both metrics aggregate the fact table down to per-day
+  * cardinality FIRST (one keyed shuffle over (user, day) or (day)); the
+  * only constant-key window runs over the REDUCED per-day table (≤365
+  * rows/year at any corpus size), the same provably-reduced exception
+  * `stream_watermark_late` uses — base-table rows never funnel through
+  * one task.
+  */
+object Ads {
+  import Tables._
+
+  val queries: Map[String, Q] = Map(
+    // Next-day retention per day: of the users active on day D, the
+    // fraction also active on D+1 (the genre's DAU-retention board).
+    // distinct (user, day) first — one shuffle — then a self-equi-join
+    // shifted by one day; both sides are the reduced activity table.
+    "ads_retention_daily" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val base = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      // a user active on day X counts as retained for day X-1
+      val ret = act.join(
+          act.select(col("user_id"), date_sub(col("day"), 1).as("day")),
+          Seq("user_id", "day"))
+        .groupBy("day").agg(count(lit(1)).as("retained"))
+      base.join(ret, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          round(coalesce(col("retained"), lit(0L)).cast("double") /
+            col("dau"), 4).as("retention"))
+        .orderBy("day")
+    }),
+
+    // Daily GMV + running cumulative GMV (the genre's revenue board).
+    // Money accumulates in exact DECIMAL(18,2) both per-day and through
+    // the cumulative window, so partition order can't change a cent;
+    // the cumulative window's constant key runs over the per-day table
+    // (reduced: one row per day).
+    "ads_gmv_cumulative" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).as("gmv_d"),
+          count(lit(1)).as("n_purchases"))
+      val w = Window.partitionBy(lit(0)).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("gmv_d").cast("double").as("gmv"),
+          sum(col("gmv_d")).over(w).cast("double").as("cum_gmv"),
+          col("n_purchases"))
+        .orderBy("day")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ads_retention_daily" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |             FROM events),
+        |base AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+        |ret AS (SELECT a.day, count(*) AS retained
+        |        FROM act a JOIN act b
+        |          ON a.user_id = b.user_id AND b.day = a.day + 1
+        |        GROUP BY a.day)
+        |SELECT strftime(base.day, '%Y-%m-%d') AS day, base.dau,
+        | coalesce(ret.retained, 0) AS retained,
+        | round(coalesce(ret.retained, 0)::DOUBLE / base.dau, 4) AS retention
+        |FROM base LEFT JOIN ret ON base.day = ret.day
+        |ORDER BY 1""".stripMargin,
+    "ads_gmv_cumulative" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS gmv_d,
+        |  count(*) AS n_purchases
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | CAST(gmv_d AS DOUBLE) AS gmv,
+        | CAST(sum(gmv_d) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS cum_gmv,
+        | n_purchases
+        |FROM daily ORDER BY 1""".stripMargin
+  )
+}

@@ -195,6 +195,22 @@ object Aggs {
         .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
           .as("types"),
           count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // Modal value per group (each user's most frequent event type) with
+    // a deterministic tie-break (smallest type string): min_by over the
+    // (-count, value) struct — lexicographic struct order gives max
+    // count then min string — a pure two-level hash agg with NO
+    // per-group sort or window: both levels combine map-side.
+    "agg_mode" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(min_by(struct(col("event_type"), col("n")),
+          struct((-col("n")).as("nn"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.n").as("n"))
         .orderBy("user_id"))
   )
 
@@ -268,6 +284,14 @@ object Aggs {
       """SELECT user_id,
         | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
         | count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_mode" ->
+      """WITH cnt AS (SELECT user_id, event_type, count(*) AS n
+        |             FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, n, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+        |      FROM cnt)
+        |SELECT user_id, event_type AS mode_type, n FROM r
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -381,6 +381,25 @@ object LlmExtra {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split (the sampling stage every
+    // training-data pipeline ends with): a multiplicative-hash bucket
+    // over doc_id → 80/10/10 split. Content-stable (same doc → same
+    // split on every run and every cluster size — no RNG, no
+    // partition-dependent sampling), pure map-side, and exactly
+    // reproducible in any engine with 64-bit integer arithmetic.
+    // Constants keep doc_id*1000003+12345 far below 2^63 (no overflow
+    // under ANSI mode); at 100 TB swap doc_id for a content hash so
+    // re-ingested corpora keep stable splits.
+    "llm_sample_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          pmod(col("doc_id") * 1000003L + 12345L, lit(97)).as("bucket"))
+        .select(col("doc_id"), col("n_chars"), col("bucket"),
+          when(col("bucket") < 78, "train")
+            .when(col("bucket") < 88, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
     // Frame sampling over binary media payloads (the video-frame /
     // audio-window extraction shape): up to 4 deterministic 64-byte
     // frame offsets per record, one output row per frame, feature =
@@ -452,6 +471,13 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_sample_split" ->
+      """SELECT doc_id, n_chars,
+        | (doc_id * 1000003 + 12345) % 97 AS bucket,
+        | CASE WHEN (doc_id * 1000003 + 12345) % 97 < 78 THEN 'train'
+        |      WHEN (doc_id * 1000003 + 12345) % 97 < 88 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id, source,
         |  list_distinct(list_transform(

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADS-layer metrics + the round-4 sampling/mode additions. */
+class AdsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ads_retention_daily: rates in [0,1], retained bounded by dau") {
+    val r = q("ads_retention_daily")
+    assert(r.count() > 0)
+    assert(r.where(col("retention") < 0 || col("retention") > 1)
+      .count() === 0)
+    assert(r.where(col("retained") > col("dau")).count() === 0)
+  }
+
+  test("ads_gmv_cumulative: running total ends at the global GMV sum") {
+    val r = q("ads_gmv_cumulative").collect()
+    assert(r.nonEmpty)
+    val totalDaily = r.map(_.getAs[Double]("gmv")).sum
+    val lastCum = r.last.getAs[Double]("cum_gmv")
+    assert(math.abs(totalDaily - lastCum) < 0.01, s"$totalDaily vs $lastCum")
+    // monotone non-decreasing (gmv per day is non-negative)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("cum_gmv") >= a.getAs[Double]("cum_gmv") - 1e-9)
+    }
+  }
+
+  test("agg_mode: modal count equals the true per-user max frequency") {
+    val mode = q("agg_mode")
+    val truth = graft.ops.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("tn"))
+      .groupBy("user_id").agg(max(col("tn")).as("max_n"))
+    val diff = mode.join(truth, "user_id")
+      .where(col("n") =!= col("max_n"))
+    assert(diff.count() === 0)
+  }
+
+  test("llm_sample_split: deterministic, exhaustive, ~80/10/10") {
+    val s1 = q("llm_sample_split")
+    val total = s1.count()
+    assert(total === graft.ops.Tables.t(spark, sf, "documents").count())
+    val frac = s1.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) * 1.0 / total).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac("val") < 0.2, frac)
+    assert(frac.getOrElse("test", 0.0) > 0.02 && frac("test") < 0.2, frac)
+    // determinism: a second evaluation assigns identical splits
+    val s2 = q("llm_sample_split").withColumnRenamed("split", "split2")
+      .select("doc_id", "split2")
+    assert(s1.join(s2, "doc_id").where(col("split") =!= col("split2"))
+      .count() === 0)
+  }
+}
