@@ -200,8 +200,10 @@ object Aggs {
     // Modal value per group (each user's most frequent event type) with
     // a deterministic tie-break (smallest type string): min_by over the
     // (-count, value) struct — lexicographic struct order gives max
-    // count then min string — a pure two-level hash agg with NO
-    // per-group sort or window: both levels combine map-side.
+    // count then min string. Two aggregate levels, no window or join:
+    // the count is a HashAggregate, the min_by a SortAggregate (struct
+    // buffers aren't hash-aggregable) — both run partial+final, so
+    // everything combines map-side before the (user_id) shuffle.
     "agg_mode" -> ((s, d) =>
       t(s, d, "events")
         .groupBy("user_id", "event_type")

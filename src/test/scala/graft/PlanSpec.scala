@@ -153,6 +153,31 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("agg_mode: two-level partial aggregation, no Window, no join") {
+    val p = plan(q("agg_mode"))
+    // count level = HashAggregate pair; min_by level = SortAggregate
+    // pair (struct buffers aren't hash-aggregable) — 4 aggregate nodes
+    // means both levels combine map-side before their shuffle
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 4,
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("llm_sample_split: map-side only — no exchange except output order") {
+    val p = plan(q("llm_sample_split"))
+    // one rangepartitioning exchange for the final orderBy; the split
+    // itself must add no shuffle (pure projection over the scan)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("ads_retention_daily: day-shifted self join is equi, not cartesian") {
+    val p = plan(q("ads_retention_daily"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
