@@ -70,15 +70,24 @@ object LlmExtra {
       .select(col("vec_id"), col("v"), (-col("m.nc")).as("bucket"))
 
   /** IVF bucket per vector: one k-means iteration from deterministic
-    * seeds (vec_id < 8) — assign to seeds, recompute each centroid as
-    * the element-wise bucket mean, re-assign. Means accumulate in
-    * DECIMAL(20,8) of the 8-dp-rounded components, so the sum is exact,
-    * order-independent across partitions, and bit-identical to the
-    * DuckDB oracle. At 100 TB: same two scans + one tiny broadcast per
-    * k-means round; k grows with corpus size (k ≈ √n buckets). */
+    * seeds (the k lowest vec_ids) — assign to seeds, recompute each
+    * centroid as the element-wise bucket mean, re-assign. Means
+    * accumulate in DECIMAL(20,8) of the 8-dp-rounded components, so the
+    * sum is exact, order-independent across partitions, and
+    * bit-identical to the DuckDB oracle. At 100 TB: same two scans +
+    * one tiny broadcast per k-means round.
+    *
+    * k GROWS WITH THE CORPUS: k = max(8, ⌊√(n/8)⌋), computed from a
+    * 1-row count aggregate broadcast into the seed filter (no driver
+    * action, no collect) — so bucket population n/k and candidate-pair
+    * work n²/k both scale sub-linearly instead of exploding with a
+    * fixed k. The oracle computes the identical expression in SQL. */
   private[graft] def ivfAssign(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val seeds = e.where(col("vec_id") < 8)
+    val kDf = e.agg(greatest(lit(8L),
+      floor(sqrt(count(lit(1)).cast("double") / 8))).as("k"))
+    val seeds = e.crossJoin(broadcast(kDf))
+      .where(col("vec_id") < col("k"))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val a0 = nearestBucket(s, e, seeds)
     val cents = a0
@@ -433,13 +442,16 @@ object LlmExtra {
         .orderBy("doc_id"))
   )
 
-  /** Shared oracle CTE chain mirroring ivfAssign: seeds → assign →
-    * decimal-exact bucket means → re-assign. Ends with `asn(vec_id, v,
-    * bucket)`; note generate_subscripts is 1-based vs posexplode's
-    * 0-based pos — irrelevant, pos is only a group/order key. */
+  /** Shared oracle CTE chain mirroring ivfAssign: corpus-scaled k →
+    * seeds → assign → decimal-exact bucket means → re-assign. Ends with
+    * `asn(vec_id, v, bucket)`; note generate_subscripts is 1-based vs
+    * posexplode's 0-based pos — irrelevant, pos is only a group/order
+    * key. */
   private val ivfAssignSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      |seeds AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id < 8),
+      |seeds AS (SELECT vec_id c_id, v cv FROM e
+      |          WHERE vec_id < (SELECT greatest(8, floor(sqrt(count(*) / 8.0)))
+      |                          FROM e)),
       |a0 AS (SELECT vec_id, v, c_id bucket FROM (
       |  SELECT e.vec_id, e.v, s.c_id,
       |   row_number() OVER (PARTITION BY e.vec_id
