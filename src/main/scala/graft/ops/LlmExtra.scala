@@ -320,14 +320,17 @@ object LlmExtra {
     // training-data pipeline needs pairs → connected components →
     // canonical-doc election (keep the min doc_id per component) before
     // it can actually drop rows. Edges are the inverted-index Jaccard
-    // pairs at a loose 0.02 threshold (richer graph: the fixture has
-    // 2- and 3-node chains); components come from bounded-iteration
-    // min-label propagation — each round is one equi join flowing the
-    // smallest known label one hop, so 6 rounds cover diameter ≤ 6
-    // (fixture diameter is 2). At 100 TB the same loop runs
-    // log-diameter rounds with a checkpoint per round (or the
-    // large-star/small-star variant for O(log n) worst cases); labels
-    // table is (doc_id, label) — tiny next to the corpus.
+    // pairs at a loose 0.02 threshold. Components come from SUPERVERTEX
+    // CONTRACTION (Boruvka-style min-hooking): each round every vertex
+    // hooks to min(self, min neighbor), original docs relabel through
+    // the hook table, and the edge list REWRITES to supervertex
+    // endpoints (self-loops dropped, dedup'd) — each component at least
+    // halves per round, so 8 rounds cover clusters up to 2^8 docs and
+    // the edge set shrinks geometrically (sf0.1: 1520→493→119→24→5→0;
+    // plain one-hop min-propagation was measured NOT to converge there
+    // — depth-12 chains — which the small-sf oracle can't see). Labels
+    // and edges are tiny next to the corpus; at 100 TB rounds =
+    // log2(largest dup cluster) with a reliable checkpoint per round.
     "llm_dedup_clusters" -> ((s, d) => {
       val idx = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -350,33 +353,47 @@ object LlmExtra {
           (col("na") + col("nb") - col("inter")), 4) >= 0.02)
         .select(col("doc_a"), col("doc_b"))
         .persist()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // Iterate over GRAPH NODES/EDGES ONLY (docs that appear in some
+      // pair): every other doc is a singleton by construction and
+      // rejoins at the end — the loop never shuffles corpus-sized
+      // tables. Every per-round table lazily localCheckpoints: each is
+      // read more than once downstream, so without lineage TRUNCATION
+      // the logical plan doubles per iteration and the ANALYZER — not
+      // execution — dominates (measured 61 s vs 9 s at sf0.1 for the
+      // persist()-only variant). The iterative-algorithm rule GraphX/
+      // GraphFrames apply; a multi-node deployment uses reliable
+      // checkpoint() to HDFS instead of executor-local blocks.
+      var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // Propagate over GRAPH NODES ONLY (docs that appear in some pair):
-      // every other doc is a singleton by construction and rejoins at the
-      // end — the iteration never shuffles corpus-sized tables.
+        .localCheckpoint(false)
       var lab = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
-      for (_ <- 1 to 6) {
-        val nbrMin = edges
-          .join(lab.select(col("doc_id").as("src"), col("label").as("nl")),
-            "src")
-          .groupBy(col("dst")).agg(min(col("nl")).as("nbr_min"))
-          .withColumnRenamed("dst", "doc_id")
-        // TRUNCATE LINEAGE each round (lazy local checkpoint): every
-        // round reads the previous labels twice, so without truncation
-        // the logical plan doubles per iteration and the ANALYZER —
-        // not execution — dominates (measured: rounds 5/6 take 4 s/12 s
-        // with persist()-only, 0.1 s checkpointed; 61 s → 9 s for the
-        // whole op at sf0.1). The iterative-algorithm rule GraphX/
-        // GraphFrames apply; a multi-node deployment uses reliable
-        // checkpoint() to HDFS instead of executor-local blocks.
-        lab = lab.join(nbrMin, Seq("doc_id"), "left")
+      for (_ <- 1 to 8) {
+        // hook: every current vertex -> min(self, min neighbor).
+        // sup and edges are each read 2-3× per round → checkpointed;
+        // lab is read exactly once per round (no recompute doubling),
+        // so it checkpoints only once, after the loop.
+        val sup = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+          .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
+          .localCheckpoint(false)
+        // original docs follow their supervertex through the hook
+        lab = lab.join(sup.select(col("v").as("label"),
+              col("s").as("new_label")), Seq("label"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
-              .as("label"))
+            coalesce(col("new_label"), col("label")).as("label"))
+        // contract: rewrite endpoints to supervertices, drop self-loops.
+        // No dedup of parallel edges: row count stays bounded by the
+        // original edge list (contraction only merges rows), every
+        // intra-component edge eventually becomes a self-loop and
+        // vanishes, and skipping distinct() saves one shuffle per round.
+        edges = edges
+          .join(sup.select(col("v").as("src"), col("s").as("sa")), "src")
+          .join(sup.select(col("v").as("dst"), col("s").as("sb")), "dst")
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .where(col("src") =!= col("dst"))
           .localCheckpoint(false)
       }
+      lab = lab.localCheckpoint(false)
       val full = t(s, d, "documents").select(col("doc_id"))
         .join(lab, Seq("doc_id"), "left")
         .select(col("doc_id"),

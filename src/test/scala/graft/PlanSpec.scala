@@ -147,7 +147,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
-  test("llm_dedup_clusters: edges + 6 propagation rounds are equi joins only") {
+  test("llm_dedup_clusters: edges + contraction rounds are equi joins only") {
     val p = plan(q("llm_dedup_clusters"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
