@@ -72,6 +72,22 @@ object Streams {
         .option("subscribe", topic)
         .load())
 
+  /** File-based ODS ingest (FileSource/FileSystem connector analog —
+    * and the runnable stand-in for the env-blocked Kafka front door):
+    * tails a directory of JSON-lines event files as an unbounded
+    * stream. New files land atomically (the genre's
+    * Flume/spooling-directory pattern); schema is declared, not
+    * inferred, so a malformed line nulls out instead of failing the
+    * query. At 100 TB this is the replayable lakehouse ingest path —
+    * `maxFilesPerTrigger` bounds each micro-batch. */
+  def fileStreamIngest(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Synthetic demo source (DataGeneratorSource analog): deterministic
     * event shapes derived from the rate stream. */
   def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame =
