@@ -335,7 +335,12 @@ object Streams {
     * micro-batches minus `latenessMs` (exactly the engine's definition;
     * the max is one map-side-combined agg per batch — no extra
     * shuffle). On-time rows append to `onTimePath`, late rows to
-    * `latePath`, each with the watermark they were judged against. */
+    * `latePath`, each with the watermark they were judged against.
+    * Restart caveat: the tracked watermark lives in driver memory, so
+    * a restart re-judges the first batch against no watermark (rows
+    * pass as on-time once) — a production deployment persists it
+    * alongside the checkpoint (e.g. re-derive from max ts over
+    * `onTimePath` at start). */
   def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
       latePath: String, checkpoint: String): StreamingQuery = {
     val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
