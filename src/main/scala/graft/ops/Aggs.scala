@@ -213,7 +213,22 @@ object Aggs {
           struct((-col("n")).as("nn"), col("event_type"))).as("m"))
         .select(col("user_id"), col("m.event_type").as("mode_type"),
           col("m.n").as("n"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Fixed-width histogram per group (the distribution-profiling agg a
+    // quality dashboard runs): 50k-wide price buckets per order
+    // priority with explicit bounds. Bucketing is integer arithmetic
+    // (no float bin edges), one hash-agg shuffle on the compound key.
+    "agg_hist" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("bucket"),
+          (col("bucket") * 50000).as("lo"),
+          ((col("bucket") + 1) * 50000).as("hi"), col("n"))
+        .orderBy("o_orderpriority", "bucket"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -287,6 +302,14 @@ object Aggs {
         | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
         | count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_hist" ->
+      """SELECT o_orderpriority, bucket, bucket * 50000 AS lo,
+        | (bucket + 1) * 50000 AS hi, count(*) AS n
+        |FROM (SELECT o_orderpriority,
+        |        CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+        |      FROM orders)
+        |GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
     "agg_mode" ->
       """WITH cnt AS (SELECT user_id, event_type, count(*) AS n
         |             FROM events GROUP BY user_id, event_type),

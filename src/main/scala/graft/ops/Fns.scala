@@ -181,10 +181,36 @@ object Fns {
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos"), col("col").as("word"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // Dedicated regex family: boolean match, match count, all-matches
+    // extraction, regex split arity, anchored replace — the content-
+    // filtering toolkit a text pipeline leans on (all codegen'd).
+    "fn_regex" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          col("text").rlike("data|spark").as("has_kw"),
+          size(expr("regexp_extract_all(text, 'data|spark', 0)"))
+            .as("n_kw"),
+          array_join(slice(expr("regexp_extract_all(text, '\\\\b[a-z]{6,}\\\\b', 0)"),
+            1, 5), ",").as("long_words"),
+          size(split(col("text"), "\\s+")).as("n_split"),
+          regexp_replace(col("text"), "^the\\s+", "").substr(1, 20)
+            .as("de_articled"))
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT doc_id,
+        | regexp_matches(text, 'data|spark') AS has_kw,
+        | CAST(len(regexp_extract_all(text, 'data|spark')) AS INT) AS n_kw,
+        | coalesce(array_to_string(
+        |     regexp_extract_all(text, '\b[a-z]{6,}\b')[1:5], ','), '')
+        |   AS long_words,
+        | CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_split,
+        | substring(regexp_replace(text, '^the\s+', ''), 1, 20) AS de_articled
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
         | trim('  ' || c_name || '  ') AS trimmed,
