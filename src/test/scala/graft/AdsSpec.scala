@@ -37,6 +37,26 @@ class AdsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("llm_dedup_clusters: empty similarity graph → all singletons") {
+    // No fixture exercises the zero-pairs path (empty edge set → empty
+    // label table → left-join coalesce); three mutually-dissimilar docs
+    // must each form their own cluster.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nodup").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s1", 0, 36),
+      (2L, "one two three four five six", "en", "s1", 0, 27),
+      (3L, "red green blue yellow purple orange", "en", "s1", 0, 35))
+      .toDF("doc_id", "text", "lang", "source", "label", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("llm_dedup_clusters")(spark, dir)
+      .collect().map(row => (row.getAs[Long]("doc_id"),
+        row.getAs[Long]("cluster_id"), row.getAs[Long]("cluster_size"),
+        row.getAs[Boolean]("is_canon")))
+    assert(r.toSeq === Seq((1L, 1L, 1L, true), (2L, 2L, 1L, true),
+      (3L, 3L, 1L, true)))
+  }
+
   test("llm_sample_split: deterministic, exhaustive, ~80/10/10") {
     val s1 = q("llm_sample_split")
     val total = s1.count()
