@@ -178,6 +178,18 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("agg_hist: partial aggregation on the compound bucket key") {
+    val p = plan(q("agg_hist"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+  }
+
+  test("fn_regex: map-side only — no exchange except output order") {
+    val p = plan(q("fn_regex"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
