@@ -55,18 +55,24 @@ object LlmExtra {
       a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine(s, a, b)
 
-  /** Nearest-centroid assignment as a map-side-combinable hash agg (no
-    * per-key window sort): max over (rounded cos, -c_id) structs picks
-    * the highest-similarity centroid, ties to the lowest c_id. */
+  /** Nearest-centroid assignment as a PURE MAP-SIDE argmax: the k
+    * centroids broadcast as ONE array-of-structs row, and each vector
+    * picks its bucket via an array_max over per-centroid (rounded cos,
+    * -c_id) structs — ties to the lowest c_id, exactly the previous
+    * semantics. The round-4 join+groupBy formulation exploded n×k rows
+    * each carrying the full embedding and SHUFFLED them through a
+    * per-vector hash agg — twice per k-means pass; this shape never
+    * shuffles at all (the argmax runs where the vector already lives),
+    * which is also the only assignment plan that holds at 100 TB. */
   private def nearestBucket(s: org.apache.spark.sql.SparkSession,
       vs: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    vs.join(broadcast(cents))
+    vs.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))))
       .select(col("vec_id"), col("v"),
-        struct(round(cosc(s, col("v"), col("cv")), 6).as("c"),
-          (-col("c_id")).as("nc")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+        array_max(transform(col("cs"), c =>
+          struct(round(cosc(s, col("v"), c.getField("cv")), 6).as("c"),
+            (-c.getField("c_id")).as("nc")))).as("m"))
       .select(col("vec_id"), col("v"), (-col("m.nc")).as("bucket"))
 
   /** IVF bucket per vector: one k-means iteration from deterministic
@@ -100,6 +106,78 @@ object LlmExtra {
       .select(col("bucket").as("c_id"),
         transform(col("pm"), x => x.getField("m")).as("cv"))
     nearestBucket(s, e, cents)
+  }
+
+  // ---- connected components (shared by llm_dedup_clusters) ----------
+
+  /** Connected components over an undirected pair list (doc_a < doc_b):
+    * one (doc_id, label) row per vertex appearing in a pair, label = the
+    * component's minimum doc_id. Boruvka-style contraction — hook every
+    * vertex to min(self, min neighbor), POINTER-JUMP the hook forest to
+    * its roots (s := s(s) until no pointer moves; hooks never increase,
+    * so the forest is acyclic and each jump halves the remaining depth),
+    * relabel the originals, rewrite edges to root endpoints, and LOOP
+    * UNTIL THE EDGE SET IS EMPTY. Plain min-hooking contracts a path
+    * component by only ~1 vertex per round, so any fixed round count
+    * silently mislabels components whose diameter exceeds it (the
+    * classic LSH transitive-chain shape at loose thresholds); the jump
+    * step restores the O(log n) outer bound and the emptiness check +
+    * require() makes non-convergence loud instead of wrong. Labels and
+    * edges are tiny next to the corpus — the loop never shuffles
+    * corpus-sized tables. Every per-round table lazily localCheckpoints:
+    * each is read more than once downstream, so without lineage
+    * truncation the analyzer — not execution — dominates (measured 61 s
+    * vs 9 s at sf0.1 for the persist()-only variant); a multi-node
+    * deployment uses reliable checkpoint() to HDFS instead. */
+  private[graft] def connectedComponents(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
+    var lab = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var remaining = edges.count()
+    var round = 0
+    // 40 rounds ≫ log2 of any physical component count; hitting the cap
+    // means a bug, and the require below turns it into a loud failure.
+    while (remaining > 0 && round < 40) {
+      round += 1
+      // hook: every current vertex -> min(self, min neighbor). Both edge
+      // directions are present, so every hook target is itself hooked.
+      var sup = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
+        .localCheckpoint(false)
+      var moved = 1L
+      while (moved > 0) {
+        val hopped = sup
+          .join(sup.select(col("v").as("s"), col("s").as("s2")), Seq("s"))
+          .localCheckpoint(false)
+        moved = hopped.where(col("s2") =!= col("s")).count()
+        if (moved > 0)
+          sup = hopped.select(col("v"), col("s2").as("s"))
+            .localCheckpoint(false)
+      }
+      // original docs follow their vertex to the root it compressed to;
+      // lab is read once per round, so it checkpoints only on return
+      lab = lab.join(sup.select(col("v").as("label"),
+            col("s").as("new_label")), Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      // contract: rewrite endpoints to roots, drop self-loops. No dedup
+      // of parallel edges: contraction only merges rows, every
+      // intra-component edge eventually becomes a self-loop and
+      // vanishes, and skipping distinct() saves one shuffle per round.
+      edges = edges
+        .join(sup.select(col("v").as("src"), col("s").as("sa")), "src")
+        .join(sup.select(col("v").as("dst"), col("s").as("sb")), "dst")
+        .select(col("sa").as("src"), col("sb").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint(false)
+      remaining = edges.count()
+    }
+    require(remaining == 0,
+      s"connectedComponents: $remaining edges left after $round rounds")
+    lab.localCheckpoint(false)
   }
 
   // ---- language-ID marker sets (deterministic scoring ladder) -------
@@ -320,17 +398,9 @@ object LlmExtra {
     // training-data pipeline needs pairs → connected components →
     // canonical-doc election (keep the min doc_id per component) before
     // it can actually drop rows. Edges are the inverted-index Jaccard
-    // pairs at a loose 0.02 threshold. Components come from SUPERVERTEX
-    // CONTRACTION (Boruvka-style min-hooking): each round every vertex
-    // hooks to min(self, min neighbor), original docs relabel through
-    // the hook table, and the edge list REWRITES to supervertex
-    // endpoints (self-loops dropped, dedup'd) — each component at least
-    // halves per round, so 8 rounds cover clusters up to 2^8 docs and
-    // the edge set shrinks geometrically (sf0.1: 1520→493→119→24→5→0;
-    // plain one-hop min-propagation was measured NOT to converge there
-    // — depth-12 chains — which the small-sf oracle can't see). Labels
-    // and edges are tiny next to the corpus; at 100 TB rounds =
-    // log2(largest dup cluster) with a reliable checkpoint per round.
+    // pairs at a loose 0.02 threshold; components come from
+    // connectedComponents below (hook + pointer-jump contraction, looped
+    // until the edge set is EMPTY — never a fixed round count).
     "llm_dedup_clusters" -> ((s, d) => {
       val idx = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -353,47 +423,11 @@ object LlmExtra {
           (col("na") + col("nb") - col("inter")), 4) >= 0.02)
         .select(col("doc_a"), col("doc_b"))
         .persist()
-      // Iterate over GRAPH NODES/EDGES ONLY (docs that appear in some
-      // pair): every other doc is a singleton by construction and
-      // rejoins at the end — the loop never shuffles corpus-sized
-      // tables. Every per-round table lazily localCheckpoints: each is
-      // read more than once downstream, so without lineage TRUNCATION
-      // the logical plan doubles per iteration and the ANALYZER — not
-      // execution — dominates (measured 61 s vs 9 s at sf0.1 for the
-      // persist()-only variant). The iterative-algorithm rule GraphX/
-      // GraphFrames apply; a multi-node deployment uses reliable
-      // checkpoint() to HDFS instead of executor-local blocks.
-      var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(false)
-      var lab = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-      for (_ <- 1 to 8) {
-        // hook: every current vertex -> min(self, min neighbor).
-        // sup and edges are each read 2-3× per round → checkpointed;
-        // lab is read exactly once per round (no recompute doubling),
-        // so it checkpoints only once, after the loop.
-        val sup = edges.groupBy("src").agg(min(col("dst")).as("mn"))
-          .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
-          .localCheckpoint(false)
-        // original docs follow their supervertex through the hook
-        lab = lab.join(sup.select(col("v").as("label"),
-              col("s").as("new_label")), Seq("label"), "left")
-          .select(col("doc_id"),
-            coalesce(col("new_label"), col("label")).as("label"))
-        // contract: rewrite endpoints to supervertices, drop self-loops.
-        // No dedup of parallel edges: row count stays bounded by the
-        // original edge list (contraction only merges rows), every
-        // intra-component edge eventually becomes a self-loop and
-        // vanishes, and skipping distinct() saves one shuffle per round.
-        edges = edges
-          .join(sup.select(col("v").as("src"), col("s").as("sa")), "src")
-          .join(sup.select(col("v").as("dst"), col("s").as("sb")), "dst")
-          .select(col("sa").as("src"), col("sb").as("dst"))
-          .where(col("src") =!= col("dst"))
-          .localCheckpoint(false)
-      }
-      lab = lab.localCheckpoint(false)
+      val lab = connectedComponents(pairs)
+      // the CC loop's first action has materialized the edge list, so the
+      // shingle/index pipeline behind `pairs` is no longer needed — drop
+      // its blocks instead of leaking them into the block manager
+      pairs.unpersist(blocking = false)
       val full = t(s, d, "documents").select(col("doc_id"))
         .join(lab, Seq("doc_id"), "left")
         .select(col("doc_id"),

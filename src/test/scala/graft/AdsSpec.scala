@@ -21,8 +21,9 @@ class AdsSpec extends AnyFunSuite {
     val totalDaily = r.map(_.getAs[Double]("gmv")).sum
     val lastCum = r.last.getAs[Double]("cum_gmv")
     assert(math.abs(totalDaily - lastCum) < 0.01, s"$totalDaily vs $lastCum")
-    // monotone non-decreasing (gmv per day is non-negative)
-    r.sliding(2).foreach { case Array(a, b) =>
+    // monotone non-decreasing (gmv per day is non-negative); sliding(2)
+    // yields a size-1 window on a 1-row result, so filter to real pairs
+    r.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
       assert(b.getAs[Double]("cum_gmv") >= a.getAs[Double]("cum_gmv") - 1e-9)
     }
   }

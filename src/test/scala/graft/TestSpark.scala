@@ -18,5 +18,11 @@ object TestSpark {
 
   val sf = "/root/testdata/sf0.001"
 
-  def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+  def q(name: String): DataFrame = {
+    // ops persist() lazily and never see their final action, so repeated
+    // q() calls would otherwise accumulate cached blocks across a suite
+    // run — the same between-queries hygiene Bench and Verify apply
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf)
+  }
 }
