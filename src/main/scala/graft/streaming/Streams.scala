@@ -334,34 +334,44 @@ object Streams {
     * an explicitly-tracked watermark: max event time seen in PRIOR
     * micro-batches minus `latenessMs` (exactly the engine's definition;
     * the max is one map-side-combined agg per batch — no extra
-    * shuffle). On-time rows append to `onTimePath`, late rows to
+    * shuffle). On-time rows land under `onTimePath`, late rows under
     * `latePath`, each with the watermark they were judged against.
-    * Restart caveat: the tracked watermark lives in driver memory, so
-    * a restart re-judges the first batch against no watermark (rows
-    * pass as on-time once) — a production deployment persists it
-    * alongside the checkpoint (e.g. re-derive from max ts over
-    * `onTimePath` at start). */
+    * Writes are IDEMPOTENT under micro-batch replay: every batch owns a
+    * `batch_id=N` partition directory and OVERWRITES it, so the one
+    * uncommitted batch Structured Streaming re-runs after a restart
+    * replaces its own output instead of appending duplicates (readers
+    * use `spark.read.parquet(path)` and discover batch_id as a partition
+    * column). Restart caveat: the tracked watermark lives in driver
+    * memory, so a restart re-judges the replayed batch against no
+    * watermark (its rows pass as on-time once) — a production deployment
+    * persists it alongside the checkpoint (e.g. re-derive from max ts
+    * over `onTimePath` at start). */
   def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
       latePath: String, checkpoint: String): StreamingQuery = {
     val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = wmUs.get()
+        // one evaluation feeds both sinks and the watermark aggregate
         val tagged = batch
           .withColumn("b_ts_us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("wm_us", lit(if (cur == Long.MinValue) null else cur)
             .cast("long"))
-        tagged.where(col("wm_us").isNull || col("b_ts_us") >= col("wm_us"))
-          .drop("b_ts_us")
-          .write.mode("append").parquet(onTimePath)
-        tagged.where(col("wm_us").isNotNull && col("b_ts_us") < col("wm_us"))
-          .drop("b_ts_us")
-          .write.mode("append").parquet(latePath)
-        val mx = tagged.agg(max(col("b_ts_us"))).first()
-        if (!mx.isNullAt(0))
-          wmUs.getAndUpdate(w => math.max(w, mx.getLong(0) - latenessMs * 1000L))
+          .persist()
+        try {
+          tagged.where(col("wm_us").isNull || col("b_ts_us") >= col("wm_us"))
+            .drop("b_ts_us")
+            .write.mode("overwrite").parquet(s"$onTimePath/batch_id=$batchId")
+          tagged.where(col("wm_us").isNotNull && col("b_ts_us") < col("wm_us"))
+            .drop("b_ts_us")
+            .write.mode("overwrite").parquet(s"$latePath/batch_id=$batchId")
+          val mx = tagged.agg(max(col("b_ts_us"))).first()
+          if (!mx.isNullAt(0))
+            wmUs.getAndUpdate(w =>
+              math.max(w, mx.getLong(0) - latenessMs * 1000L))
+        } finally tagged.unpersist(blocking = false)
         ()
       }
       .start()
