@@ -60,6 +60,38 @@ object Ads {
           sum(col("gmv_d")).over(w).cast("double").as("cum_gmv"),
           col("n_purchases"))
         .orderBy("day")
+    }),
+
+    // Conversion-funnel board (ClickHouse windowFunnel / Flink CEP
+    // aggregate analog): per user, the first view, the first click after
+    // that view, and the first purchase after that click — all within
+    // 72 h of the view — then how many users reach each step. Three
+    // keyed min-aggregations plus equi-joins on user_id (never a
+    // per-user event-history collect), and the step counts are 1-row
+    // aggregates unpivoted via stack() — nothing here funnels base-table
+    // rows through one task at any corpus size.
+    "ads_funnel_steps" -> ((s, d) => {
+      val winUs = 72L * 3600 * 1000000
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), ep(col("ts")).as("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts_us") > col("v_us") &&
+          col("ts_us") <= col("v_us") + winUs)
+        // v_us is single-valued per user after the equi-join; min() just
+        // carries it through the aggregate
+        .groupBy("user_id").agg(min(col("ts_us")).as("c_us"),
+          min(col("v_us")).as("v_us"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts_us") > col("c_us") &&
+          col("ts_us") <= col("v_us") + winUs)
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
+      v.agg(count(lit(1)).as("s1"))
+        .crossJoin(c.agg(count(lit(1)).as("s2")))
+        .crossJoin(p.agg(count(lit(1)).as("s3")))
+        .selectExpr("stack(3, 1, s1, 2, s2, 3, s3) as (step, users)")
+        .orderBy("step")
     })
   )
 
@@ -88,6 +120,25 @@ object Ads {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS cum_gmv,
         | n_purchases
-        |FROM daily ORDER BY 1""".stripMargin
+        |FROM daily ORDER BY 1""".stripMargin,
+    "ads_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) ts_us
+        |            FROM events),
+        |v AS (SELECT user_id, min(ts_us) v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) c_us, min(v.v_us) v_us
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.v_us
+        |        AND e.ts_us <= v.v_us + 259200000000
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) p_us
+        |      FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us
+        |        AND e.ts_us <= c.v_us + 259200000000
+        |      GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, (SELECT count(*) FROM v) AS users
+        |UNION ALL SELECT 2, (SELECT count(*) FROM c)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM p)
+        |ORDER BY step""".stripMargin
   )
 }

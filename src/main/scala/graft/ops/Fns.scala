@@ -197,7 +197,25 @@ object Fns {
           size(split(col("text"), "\\s+")).as("n_split"),
           regexp_replace(col("text"), "^the\\s+", "").substr(1, 20)
             .as("de_articled"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // URL parsing (the genre's page-log enrichment: every realtime
+    // warehouse splits page URLs into host/path/params at ODS→DWD).
+    // Builds a URL from event fields, then parses it back with the
+    // codegen'd parse_url; the oracle uses equivalent regexes (DuckDB
+    // has no parse_url).
+    "fn_url" -> ((s, d) =>
+      t(s, d, "events")
+        .where(col("event_id") < 500)
+        .select(col("event_id"),
+          concat(lit("https://shop.example.com/"), col("event_type"),
+            lit("?uid="), col("user_id").cast("string"),
+            lit("&eid="), col("event_id").cast("string")).as("url"))
+        .select(col("event_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("uid")).as("q_uid"))
+        .orderBy("event_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -320,6 +338,17 @@ object Fns {
       """SELECT doc_id,
         | CAST(generate_subscripts(string_split(text,' '), 1) - 1 AS INT) AS pos,
         | unnest(string_split(text,' ')) AS word
-        |FROM documents ORDER BY doc_id, pos""".stripMargin
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+    "fn_url" ->
+      """WITH u AS (SELECT event_id,
+        |  concat('https://shop.example.com/', event_type,
+        |    '?uid=', CAST(user_id AS VARCHAR),
+        |    '&eid=', CAST(event_id AS VARCHAR)) AS url
+        | FROM events WHERE event_id < 500)
+        |SELECT event_id, url,
+        | regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        | regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        | regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS q_uid
+        |FROM u ORDER BY event_id""".stripMargin
   )
 }

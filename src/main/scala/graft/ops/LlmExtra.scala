@@ -180,6 +180,46 @@ object LlmExtra {
     lab.localCheckpoint(false)
   }
 
+  /** doc_id → (cluster_id, cluster_size) over the whole corpus: Jaccard
+    * pairs at 0.02 feed connectedComponents; docs in no pair rejoin as
+    * singletons via the left join (the loop never shuffles corpus-sized
+    * tables — only the tiny edge/label graph iterates). */
+  private def clusterTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val idx = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
+          .as("sh"))
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
+        explode(col("sh")).as("h"))
+    val pairs0 = idx.select(col("h"), col("source"),
+      col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_b"), col("n").as("nb")), Seq("h", "source"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .where(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4) >= 0.02)
+      .select(col("doc_a"), col("doc_b"))
+    // The edge list is TINY next to the corpus (near-dups are the
+    // exception) and the CC loop references it repeatedly — persist so
+    // the shingle/index pipeline above runs once.
+    val pairs = pairs0.persist()
+    val lab = connectedComponents(pairs)
+    // the CC loop's first action has materialized the edge list, so the
+    // shingle/index pipeline behind `pairs` is no longer needed — drop
+    // its blocks instead of leaking them into the block manager
+    pairs.unpersist(blocking = false)
+    val full = t(s, d, "documents").select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sz = full.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sz, "cluster_id")
+  }
+
   // ---- language-ID marker sets (deterministic scoring ladder) -------
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -399,47 +439,24 @@ object LlmExtra {
     // canonical-doc election (keep the min doc_id per component) before
     // it can actually drop rows. Edges are the inverted-index Jaccard
     // pairs at a loose 0.02 threshold; components come from
-    // connectedComponents below (hook + pointer-jump contraction, looped
+    // connectedComponents above (hook + pointer-jump contraction, looped
     // until the edge set is EMPTY — never a fixed round count).
-    "llm_dedup_clusters" -> ((s, d) => {
-      val idx = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
-            .as("sh"))
-        .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
-          explode(col("sh")).as("h"))
-      val a = idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_a"), col("n").as("na"))
-      val b = idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_b"), col("n").as("nb"))
-      // The edge list is TINY next to the corpus (near-dups are the
-      // exception), and the propagation loop references it every round —
-      // persist so the shingle/index pipeline above runs once, not 6×.
-      val pairs = a.join(b, Seq("h", "source"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
-        .where(round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4) >= 0.02)
-        .select(col("doc_a"), col("doc_b"))
-        .persist()
-      val lab = connectedComponents(pairs)
-      // the CC loop's first action has materialized the edge list, so the
-      // shingle/index pipeline behind `pairs` is no longer needed — drop
-      // its blocks instead of leaking them into the block manager
-      pairs.unpersist(blocking = false)
-      val full = t(s, d, "documents").select(col("doc_id"))
-        .join(lab, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      val sz = full.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"))
-      full
-        .join(sz, "cluster_id")
+    "llm_dedup_clusters" -> ((s, d) =>
+      clusterTable(s, d)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canon"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // The PRUNE stage the cluster table exists for: keep only each
+    // cluster's canonical doc (min doc_id) and record how many
+    // near-duplicates it absorbs — the row-dropping step that turns
+    // dedup analysis into a smaller training corpus.
+    "llm_dedup_prune" -> ((s, d) =>
+      clusterTable(s, d)
+        .where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("cluster_size"),
+          (col("cluster_size") - 1).as("dup_dropped"))
+        .orderBy("doc_id")),
 
     // Deterministic train/val/test split (the sampling stage every
     // training-data pipeline ends with): a multiplicative-hash bucket
@@ -521,6 +538,32 @@ object LlmExtra {
       |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.c_id) arn
       |  FROM e, cent c) WHERE arn = 1)""".stripMargin
 
+  /** Shared oracle CTE chain for the cluster table: shingle sets →
+    * Jaccard pairs at 0.02 → transitive closure via recursive CTE →
+    * min-label + size. Ends with `lab(doc_id, cluster_id)` and
+    * `sz(cluster_id, cluster_size)`. */
+  private val clusterSqlCore: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+      | FROM documents),
+      |pairs AS (SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      | WHERE jac >= 0.02),
+      |e AS (SELECT doc_a a, doc_b b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+      |       GROUP BY cluster_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, source,
@@ -542,29 +585,18 @@ object LlmExtra {
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, source,
-        |  list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
-        | FROM documents),
-        |pairs AS (SELECT doc_a, doc_b FROM (
-        |  SELECT a.doc_id doc_a, b.doc_id doc_b,
-        |   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
-        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-        | WHERE jac >= 0.02),
-        |e AS (SELECT doc_a a, doc_b b FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
-        |       GROUP BY cluster_id)
+      (clusterSqlCore +
+        """
         |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
         | l.doc_id = l.cluster_id AS is_canon
-        |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+        |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin),
+    "llm_dedup_prune" ->
+      (clusterSqlCore +
+        """
+        |SELECT l.doc_id, sz.cluster_size,
+        | sz.cluster_size - 1 AS dup_dropped
+        |FROM lab l JOIN sz USING (cluster_id)
+        |WHERE l.doc_id = l.cluster_id ORDER BY l.doc_id""".stripMargin),
     "llm_dedup_embcos" ->
       (ivfAssignSql +
         """,

@@ -187,6 +187,24 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Keyed first-arrival dedup (the genre's exactly-once ingest guard:
+    // Flink's keyed ValueState<Boolean> / state-TTL dedup). Keeps the
+    // first event per (user_id, event_type) in arrival (event_id) order;
+    // one keyed shuffle + sort, never a global one. The incremental form
+    // is `graft.streaming.Streams.dedupKeys`
+    // (dropDuplicatesWithinWatermark — watermark-bounded dedup state),
+    // parity-tested in StreamingParitySpec.
+    "stream_dedup_keys" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          ep(col("ts")).as("ts_us"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Upsert materialization: latest image per key (upsert-kafka analog).
     "stream_upsert_latest" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -298,6 +316,11 @@ object Streaming {
         | round(value, 2) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "stream_dedup_keys" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -105,6 +105,26 @@ object Windows {
         .orderBy("o_orderpriority", "o_date_us", "o_orderkey")
     }),
 
+    // Gap-based sessionization as an ASSIGNMENT (stream_window_session
+    // aggregates sessions; this labels every event with its user-session
+    // ordinal — the DWD enrichment that runs before session rollups).
+    // New session when >30 min since the user's previous event; the
+    // ordinal is a running sum of new-session flags. Both windows
+    // partition by user, ordering is epoch-µs + event_id in BOTH engines
+    // (the raw ns timestamp would order sub-µs ties differently).
+    "win_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(ep(col("ts")),
+        col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = ep(col("ts")) - lag(ep(col("ts")), 1).over(w)
+      t(s, d, "events")
+        .withColumn("new_sess",
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), ep(col("ts")).as("ts_us"),
+          sum(col("new_sess")).over(run).as("session_n"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Latest/earliest status image per user via frame-to-end first/last.
     "win_first_last" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -166,6 +186,21 @@ object Windows {
         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_range
         |FROM orders
         |ORDER BY o_orderpriority, o_date_us, o_orderkey""".stripMargin,
+    "win_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    IS DISTINCT FROM NULL
+        |   AND epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        | FROM events)
+        |SELECT user_id, event_id, ts_us,
+        | CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_n
+        |FROM g ORDER BY user_id, ts_us, event_id""".stripMargin,
     "win_first_last" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         | first_value(event_type) OVER w AS first_type,

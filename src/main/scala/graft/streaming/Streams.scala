@@ -324,6 +324,23 @@ object Streams {
       }
   }
 
+  /** Keyed streaming dedup (Flink keyed ValueState<Boolean> + state-TTL
+    * pattern; the `stream_dedup_keys` batch form keeps the same
+    * first-arrival row): emits only the FIRST event per
+    * (user_id, event_type) and drops later duplicates.
+    * `horizon` is the dedup window `dropDuplicatesWithinWatermark`
+    * holds key state for past the watermark — production uses hours so
+    * state is reclaimed (a duplicate arriving later than the horizon is
+    * re-emitted, the documented trade of bounded state); tests use a
+    * horizon wider than the replayed stream so the converged result
+    * equals the batch global dedup. */
+  def dedupKeys(events: Dataset[Ev], horizon: String): DataFrame =
+    events.toDF()
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+
   /** Late-data side output (Flink's `allowedLateness` +
     * `sideOutputLateData` analog of the `stream_watermark_late` batch
     * classifier): rows behind the event-time watermark are ROUTED to

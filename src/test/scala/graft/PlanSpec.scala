@@ -190,6 +190,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("ads_funnel_steps: user-level joins are equi; partial aggregation") {
+    val p = plan(q("ads_funnel_steps"))
+    // the only non-equi joins are the 1-row step-count combiners at the
+    // very top; the per-user funnel joins must be broadcast/hash equi
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("win_sessionize: both windows share one user partitioning") {
+    val p = plan(q("win_sessionize"))
+    // lag window and running-sum window use the same (user_id) ordering,
+    // so Catalyst plans ONE hash exchange + the final orderBy range
+    // exchange — a second hashpartitioning would mean a wasted shuffle
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2500))
+  }
+
+  test("stream_dedup_keys: one keyed shuffle, no join") {
+    val p = plan(q("stream_dedup_keys"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("fn_url: map-side only — no exchange except output order") {
+    val p = plan(q("fn_url"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("llm_dedup_prune: equi joins only, like the cluster table") {
+    val p = plan(q("llm_dedup_prune"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.

@@ -322,6 +322,18 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed.where(col("status") === "timeout").count() > 0)
   }
 
+  test("dedupKeys stream == stream_dedup_keys batch") {
+    // horizon wider than the 30-day fixture span -> no key state expires
+    // mid-replay, so the converged stream equals the global batch dedup
+    val streamed = runStream("dedup")(in =>
+      Streams.dedupKeys(in.toDS(), "90 days"))
+    val batch = q("stream_dedup_keys")
+      .select("user_id", "event_type", "event_id", "ts_us")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("routeLate: late rows land in the side sink, on-time rows aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
