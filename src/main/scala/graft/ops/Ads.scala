@@ -62,6 +62,27 @@ object Ads {
         .orderBy("day")
     }),
 
+    // 7-day rolling active users (the genre's WAU board). The fact table
+    // reduces to distinct (user, day) in ONE keyed shuffle; the rolling
+    // count-distinct then joins that reduced table against the tiny
+    // distinct-days list (broadcast, ≤365 rows/year) with a range
+    // predicate — count(DISTINCT) over a 7-day window isn't
+    // decomposable into a running frame, and re-aggregating the reduced
+    // activity table is the exact formulation that stays cheap at any
+    // corpus size (rows in the join = |act| × ≤7).
+    "ads_wau_rolling" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val days = act.select(col("day").as("w_day")).distinct()
+      act.join(broadcast(days),
+          col("day").between(date_sub(col("w_day"), 6), col("w_day")))
+        .groupBy("w_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     // Conversion-funnel board (ClickHouse windowFunnel / Flink CEP
     // aggregate analog): per user, the first view, the first click after
     // that view, and the first purchase after that click — all within
@@ -121,6 +142,14 @@ object Ads {
         |   AS cum_gmv,
         | n_purchases
         |FROM daily ORDER BY 1""".stripMargin,
+    "ads_wau_rolling" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |             FROM events),
+        |days AS (SELECT DISTINCT day AS w_day FROM act)
+        |SELECT strftime(d.w_day, '%Y-%m-%d') AS day,
+        | count(DISTINCT a.user_id) AS wau
+        |FROM days d JOIN act a ON a.day BETWEEN d.w_day - 6 AND d.w_day
+        |GROUP BY d.w_day ORDER BY 1""".stripMargin,
     "ads_funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) ts_us
         |            FROM events),

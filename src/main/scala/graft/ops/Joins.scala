@@ -194,9 +194,15 @@ object Joins {
             new org.apache.hadoop.fs.Path(warehouse, "graft_bkt_*")))
           .getOrElse(Array.empty)
           .foreach(st => fs.delete(st.getPath, true))
-        t(s, d, "orders").write.mode("overwrite")
+        // bucket only the columns the join reads: the one-time bucketed
+        // layout is a storage decision amortized across queries at
+        // 100 TB, but here the setup runs inside the measured query, so
+        // writing the 6 unused orders columns would only inflate it
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
-        t(s, d, "customer").write.mode("overwrite")
+        t(s, d, "customer").select("c_custkey", "c_name")
+          .write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
         result(s.table(to), s.table(tc))
       } catch { case scala.util.control.NonFatal(e) =>

@@ -147,16 +147,26 @@ object LlmExtra {
       var sup = edges.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
         .localCheckpoint(false)
-      var moved = 1L
-      while (moved > 0) {
-        val hopped = sup
+      // pointer jumping, 3 fixed applications of s := s(s): compresses
+      // hook chains 8× per outer round with NO extra Spark action (the
+      // lazy checkpoints all materialize inside the edges.count below —
+      // a counted jump-until-fixed inner loop cost one job per jump and
+      // dominated the wall clock). Full compression isn't required for
+      // correctness: edges and labels rewrite through the SAME mapping,
+      // and s(v) ≤ v keeps each component's minimum a fixed point —
+      // partial jumping only sets the contraction rate, and the outer
+      // emptiness check still decides convergence.
+      // the three jump joins compose WITHOUT intermediate checkpoints:
+      // each jump reads the hook checkpoint twice, so the uncheckpointed
+      // plan has 2³ cheap checkpoint-scan leaves — bounded (it is the
+      // per-ROUND lineage doubling that must be truncated, and the
+      // single checkpoint below does that)
+      for (_ <- 1 to 3) {
+        sup = sup
           .join(sup.select(col("v").as("s"), col("s").as("s2")), Seq("s"))
-          .localCheckpoint(false)
-        moved = hopped.where(col("s2") =!= col("s")).count()
-        if (moved > 0)
-          sup = hopped.select(col("v"), col("s2").as("s"))
-            .localCheckpoint(false)
+          .select(col("v"), col("s2").as("s"))
       }
+      sup = sup.localCheckpoint(false)
       // original docs follow their vertex to the root it compressed to;
       // lab is read once per round, so it checkpoints only on return
       lab = lab.join(sup.select(col("v").as("label"),
@@ -458,6 +468,24 @@ object LlmExtra {
           (col("cluster_size") - 1).as("dup_dropped"))
         .orderBy("doc_id")),
 
+    // Corpus bigram vocabulary (the n-gram LM / tokenizer-training
+    // pre-step): explode word bigrams, count globally, keep the top 100.
+    // One hash-agg shuffle on the high-cardinality bigram key with
+    // map-side partial counts, then TakeOrderedAndProject — no global
+    // sort; the plan that holds when the vocabulary is billions of keys.
+    "llm_ngram_counts" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .where(size(words) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+    }),
+
     // Deterministic train/val/test split (the sampling stage every
     // training-data pipeline ends with): a multiplicative-hash bucket
     // over doc_id → 80/10/10 split. Content-stable (same doc → same
@@ -577,6 +605,14 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_ngram_counts" ->
+      """WITH w AS (SELECT string_split(text, ' ') ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |      FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) i
+        |            FROM w))
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
     "llm_sample_split" ->
       """SELECT doc_id, n_chars,
         | (doc_id * 1000003 + 12345) % 97 AS bucket,

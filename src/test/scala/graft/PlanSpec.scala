@@ -226,6 +226,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("llm_ngram_counts: partial counts + TakeOrderedAndProject top-k") {
+    val p = plan(q("llm_ngram_counts"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("ads_wau_rolling: range join broadcasts the tiny day list") {
+    val p = plan(q("ads_wau_rolling"))
+    // the range predicate forces a nested-loop join; the build side must
+    // be the broadcast ≤365-row day list, never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
