@@ -90,6 +90,20 @@ object Aggs {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Full CUBE (all 2^k grouping sets — rollup above covers the
+    // hierarchy prefix sets): per (flag, status) plus both one-
+    // dimension subtotals plus the grand total, disambiguated by
+    // grouping_id. Same partial-aggregation plan as any hash agg —
+    // Spark expands the sets map-side.
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Wide table: event counts pivoted by type per user (Table PIVOT).
     "agg_pivot" -> ((s, d) =>
       t(s, d, "events")
@@ -263,6 +277,13 @@ object Aggs {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type='view') AS n_view,

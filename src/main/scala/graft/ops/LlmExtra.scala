@@ -468,6 +468,31 @@ object LlmExtra {
           (col("cluster_size") - 1).as("dup_dropped"))
         .orderBy("doc_id")),
 
+    // PII scrubbing (the redaction stage every training-data pipeline
+    // runs before release): email + phone patterns are counted and
+    // replaced map-side. The fixture text is synthetic lowercase words,
+    // so a deterministic PII suffix (doc-derived address + number) is
+    // appended first — the redaction is then actually exercised and the
+    // scrubbed text is verifiable byte-for-byte against the oracle.
+    "llm_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+      val phoneRe = "\\\\b[0-9]{3}-[0-9]{4}\\\\b"
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+            .as("raw"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(raw, '$emailRe', 0)"))
+            .as("n_email"),
+          size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)"))
+            .as("n_phone"),
+          expr(s"regexp_replace(regexp_replace(raw, '$emailRe', '[EMAIL]'), " +
+            s"'$phoneRe', '[PHONE]')").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus bigram vocabulary (the n-gram LM / tokenizer-training
     // pre-step): explode word bigrams, count globally, keep the top 100.
     // One hash-agg shuffle on the high-cardinality bigram key with
@@ -605,6 +630,21 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        | CAST(len(regexp_extract_all(raw,
+        |   '\b[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phone,
+        | regexp_replace(regexp_replace(raw,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "llm_ngram_counts" ->
       """WITH w AS (SELECT string_split(text, ' ') ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -240,6 +240,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
+  test("agg_cube: one expand + partial aggregation, no join") {
+    val p = plan(q("agg_cube"))
+    assert(p.contains("Expand"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("llm_pii_scrub: map-side only — no exchange except output order") {
+    val p = plan(q("llm_pii_scrub"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
