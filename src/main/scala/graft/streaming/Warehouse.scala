@@ -25,14 +25,31 @@ object Warehouse {
   def clean(ods: DataFrame): DataFrame =
     ods.where(col("event_type") =!= "error" && col("value").isNotNull)
 
-  /** DWS: hourly per-type activity (count + exact-decimal revenue). */
-  def hourlyActivity(dwd: DataFrame): DataFrame =
-    dwd.withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+  /** DWD: exactly-once ingest guard — a replayed event_id (at-least-once
+    * source redelivery) is dropped within the watermark horizon, and
+    * rows already behind the watermark are dropped as late, so a replay
+    * can never inflate downstream aggregates. State is reclaimed past
+    * the horizon (the bounded-state trade every keyed-dedup deployment
+    * makes). WarehouseSpec replays a full chunk mid-stream and asserts
+    * the ADS output still equals the batch reference. */
+  def dedupIngest(dwd: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    dwd.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** DWS: hourly per-type activity (count + exact-decimal revenue).
+    * The watermark-free body is separate because a chained stateful
+    * pipeline (dedup → window agg) must define the watermark exactly
+    * once, upstream — Spark rejects a redefinition between stateful
+    * operators. */
+  private[streaming] def hourlyAgg(dwd: DataFrame): DataFrame =
+    dwd.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.ops.Tables.dsum(col("value")).as("revenue"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("revenue"))
+
+  def hourlyActivity(dwd: DataFrame): DataFrame =
+    hourlyAgg(dwd.withWatermark("ts", "10 minutes"))
 
   /** ADS: rank within each finalized window and upsert the top-N image
     * into a serving parquet table (foreachBatch = the JDBC/HBase-sink
@@ -74,5 +91,6 @@ object Warehouse {
   /** Whole pipeline, source to serving table. */
   def run(ods: DataFrame, topN: Int, statePath: String,
       checkpoint: String): StreamingQuery =
-    serveTopN(hourlyActivity(clean(ods)), topN, statePath, checkpoint)
+    serveTopN(hourlyAgg(dedupIngest(clean(ods))), topN, statePath,
+      checkpoint)
 }

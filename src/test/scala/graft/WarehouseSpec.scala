@@ -22,8 +22,17 @@ class WarehouseSpec extends AnyFunSuite {
     val input = MemoryStream[Ev]
     val query = Warehouse.run(input.toDS().toDF(), topN = 2,
       s"$dir/ads", s"$dir/ckpt")
-    events.grouped((events.size + 3) / 4)
-      .foreach { c => input.addData(c); query.processAllAvailable() }
+    val chunks = events.grouped((events.size + 3) / 4).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      input.addData(c); query.processAllAvailable()
+      if (i == 1) {
+        // at-least-once redelivery: replay the whole chunk — the DWD
+        // dedup guard (dropDuplicatesWithinWatermark on event_id +
+        // late-drop behind the watermark) must keep the ADS output
+        // identical to the batch reference that saw each event once
+        input.addData(c); query.processAllAvailable()
+      }
+    }
     // flush sentinel: advances the watermark so every REAL window
     // finalizes; its own (far-future) window never emits in append mode
     val maxUs = events.map(_.ts_us).max
