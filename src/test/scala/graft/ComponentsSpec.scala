@@ -35,4 +35,34 @@ class ComponentsSpec extends AnyFunSuite {
   test("empty pair list yields an empty labeling") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("random graphs match a union-find reference") {
+    // deterministic seed: the point is arbitrary shape coverage (stars,
+    // chains, cycles, bridges), not run-to-run variation
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val pairs = Seq.tabulate(n) { _ =>
+        val a = rnd.nextInt(200).toLong
+        val b = rnd.nextInt(200).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // local union-find with path compression as the oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // re-root so every vertex maps to its component MINIMUM (find
+      // roots are min-hooked above, so the root IS the minimum)
+      val expected = verts.map(v => v -> find(v)).toMap
+      assert(cc(pairs) === expected, s"trial $trial")
+    }
+  }
 }
