@@ -22,6 +22,9 @@ object Smoke {
       val n = try fn(spark, sfDir).count().toString
       catch { case ex: Throwable => s"ERROR ${ex.getMessage.take(80)}" }
       println(s"$name: $n")
+      // same between-queries hygiene as Bench/Verify: ops persist()
+      // lazily and never see their final action
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -63,20 +63,21 @@ object Ads {
     }),
 
     // 7-day rolling active users (the genre's WAU board). The fact table
-    // reduces to distinct (user, day) in ONE keyed shuffle; the rolling
-    // count-distinct then joins that reduced table against the tiny
-    // distinct-days list (broadcast, ≤365 rows/year) with a range
-    // predicate — count(DISTINCT) over a 7-day window isn't
-    // decomposable into a running frame, and re-aggregating the reduced
-    // activity table is the exact formulation that stays cheap at any
-    // corpus size (rows in the join = |act| × ≤7).
+    // reduces to distinct (user, day) in ONE keyed shuffle;
+    // count(DISTINCT) over a sliding window isn't decomposable into a
+    // running frame, so each activity day EXPLODES map-side into the ≤7
+    // windows it contributes to, keeps only observed window days via a
+    // broadcast EQUI semi-join (a range-predicate nested loop against
+    // the day list would evaluate |act|×|days| pairs — this shape is
+    // |act|×7 rows and never nested-loops), and re-aggregates.
     "ads_wau_rolling" -> ((s, d) => {
       val act = t(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val days = act.select(col("day").as("w_day")).distinct()
-      act.join(broadcast(days),
-          col("day").between(date_sub(col("w_day"), 6), col("w_day")))
+      act.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+        .join(broadcast(days), Seq("w_day"), "left_semi")
         .groupBy("w_day")
         .agg(countDistinct(col("user_id")).as("wau"))
         .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("wau"))

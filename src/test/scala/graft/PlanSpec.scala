@@ -232,12 +232,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("ads_wau_rolling: range join broadcasts the tiny day list") {
+  test("ads_wau_rolling: explode + broadcast equi semi join, no BNLJ") {
     val p = plan(q("ads_wau_rolling"))
-    // the range predicate forces a nested-loop join; the build side must
-    // be the broadcast ≤365-row day list, never a shuffled cartesian
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("Broadcast"), p.take(2000))
+    // each activity day explodes into its ≤7 windows map-side; the
+    // observed-days filter must be an equi semi join on the broadcast
+    // day list — a range-predicate nested loop would be |act|×|days|
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
   }
 
   test("agg_cube: one expand + partial aggregation, no join") {
