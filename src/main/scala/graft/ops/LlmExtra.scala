@@ -468,6 +468,50 @@ object LlmExtra {
           (col("cluster_size") - 1).as("dup_dropped"))
         .orderBy("doc_id")),
 
+    // RAG-style context chunking: each doc splits into overlapping
+    // 32-token windows with stride 24 (8-token overlap) — the retrieval
+    // pre-step that feeds embedding models. Pure map-side explode
+    // (chunk count derives from the doc's own length); chunk text via
+    // slice + join so no per-token rows ever materialize.
+    "llm_chunk_overlap" -> ((s, d) => {
+      val winSz = 32
+      val stride = 24
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), words.as("ws"), size(words).as("n"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0),
+            greatest(ceil((col("n") - winSz).cast("double") / stride)
+              .cast("int"), lit(0)), lit(1))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("start_tok"),
+          concat_ws(" ", slice(col("ws"), col("chunk_idx") * stride + 1,
+            lit(winSz))).as("chunk"),
+          least(col("n") - col("chunk_idx") * stride, lit(winSz))
+            .as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Sequence packing (the batching stage before training: concat docs
+    // into fixed token-budget bins): next-fit by start offset — a doc
+    // lands in the bin its cumulative start position falls in. Packing
+    // is PER SOURCE SHARD (the window partitions on source), which is
+    // both the production layout and what keeps the running sum off any
+    // single task at corpus scale. Deterministic: doc_id order.
+    "llm_pack_sequences" -> ((s, d) => {
+      val budget = 2048
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("doc_id"), col("source"), col("toks"),
+          floor((col("cum") - col("toks")).cast("double") / budget)
+            .cast("long").as("bin"))
+        .orderBy("source", "doc_id")
+    }),
+
     // PII scrubbing (the redaction stage every training-data pipeline
     // runs before release): email + phone patterns are counted and
     // replaced map-side. The fixture text is synthetic lowercase words,
@@ -630,6 +674,30 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws,
+        |  len(string_split(text,' ')) n FROM documents),
+        |c AS (SELECT doc_id, ws, n,
+        |  unnest(generate_series(0,
+        |    greatest(CAST(ceil((n - 32)::DOUBLE / 24) AS INT), 0)))
+        |    AS chunk_idx
+        | FROM w)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        | CAST(chunk_idx*24 + 1 AS INT) AS start_tok,
+        | array_to_string(ws[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+        |   AS chunk,
+        | CAST(least(n - chunk_idx*24, 32) AS INT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_pack_sequences" ->
+      """SELECT doc_id, source, toks,
+        | CAST(floor((cum - toks)::DOUBLE / 2048) AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS INT) AS toks,
+        |  sum(len(string_split(text,' '))) OVER (PARTITION BY source
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM documents)
+        |ORDER BY source, doc_id""".stripMargin,
     "llm_pii_scrub" ->
       """WITH r AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||

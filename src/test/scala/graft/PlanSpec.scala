@@ -256,6 +256,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("llm_chunk_overlap: map-side explode, no shuffle except order") {
+    val p = plan(q("llm_chunk_overlap"))
+    assert(p.contains("Generate"), p.take(2000))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("llm_pack_sequences: one keyed window shuffle, no join") {
+    val p = plan(q("llm_pack_sequences"))
+    assert(p.contains("Window"), p.take(2000))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
