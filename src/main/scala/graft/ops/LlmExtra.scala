@@ -468,6 +468,33 @@ object LlmExtra {
           (col("cluster_size") - 1).as("dup_dropped"))
         .orderBy("doc_id")),
 
+    // TF-IDF top terms per doc (the keyword-extraction / relevance
+    // stage): token explode → (doc, term) counts → term document
+    // frequency → smoothed idf. The corpus size joins in as a 1-row
+    // broadcast aggregate (no driver action); ranking uses the EXACT
+    // integer keys (tf desc, df asc, term) so cross-engine order never
+    // depends on float rounding — the rounded score is carried as a
+    // value column only. All joins are equi on term/doc.
+    "llm_tfidf" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df"), col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // RAG-style context chunking: each doc splits into overlapping
     // 32-token windows with stride 24 (8-token overlap) — the retrieval
     // pre-step that feeds embedding models. Pure map-side explode
@@ -674,6 +701,19 @@ object LlmExtra {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        | SELECT t.doc_id, t.term, t.tf, d.df,
+        |  round(t.tf * ln((n.nd + 1.0) / (d.df + 1.0)), 4) AS score,
+        |  CAST(row_number() OVER (PARTITION BY t.doc_id
+        |    ORDER BY t.tf DESC, d.df, t.term) AS INT) AS rk
+        | FROM tf t JOIN df d USING (term), n)
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "llm_chunk_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') ws,
         |  len(string_split(text,' ')) n FROM documents),

@@ -256,6 +256,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("llm_tfidf: equi joins only; corpus count broadcasts") {
+    val p = plan(q("llm_tfidf"))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
   test("llm_chunk_overlap: map-side explode, no shuffle except order") {
     val p = plan(q("llm_chunk_overlap"))
     assert(p.contains("Generate"), p.take(2000))
