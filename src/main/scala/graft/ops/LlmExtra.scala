@@ -113,11 +113,11 @@ object LlmExtra {
   /** Connected components over an undirected pair list (doc_a < doc_b):
     * one (doc_id, label) row per vertex appearing in a pair, label = the
     * component's minimum doc_id. Boruvka-style contraction — hook every
-    * vertex to min(self, min neighbor), POINTER-JUMP the hook forest to
-    * its roots (s := s(s) until no pointer moves; hooks never increase,
-    * so the forest is acyclic and each jump halves the remaining depth),
-    * relabel the originals, rewrite edges to root endpoints, and LOOP
-    * UNTIL THE EDGE SET IS EMPTY. Plain min-hooking contracts a path
+    * vertex to min(self, min neighbor), POINTER-JUMP the hook forest
+    * three times (s := s(s); hooks never increase, so the forest is
+    * acyclic and each jump halves the remaining depth), relabel the
+    * originals, rewrite edges to the jumped endpoints, and LOOP UNTIL
+    * THE EDGE SET IS EMPTY. Plain min-hooking contracts a path
     * component by only ~1 vertex per round, so any fixed round count
     * silently mislabels components whose diameter exceeds it (the
     * classic LSH transitive-chain shape at loose thresholds); the jump
@@ -148,19 +148,17 @@ object LlmExtra {
         .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
         .localCheckpoint(false)
       // pointer jumping, 3 fixed applications of s := s(s): compresses
-      // hook chains 8× per outer round with NO extra Spark action (the
-      // lazy checkpoints all materialize inside the edges.count below —
-      // a counted jump-until-fixed inner loop cost one job per jump and
+      // hook chains 8× per outer round with NO extra Spark action (a
+      // counted jump-until-fixed inner loop cost one job per jump and
       // dominated the wall clock). Full compression isn't required for
-      // correctness: edges and labels rewrite through the SAME mapping,
-      // and s(v) ≤ v keeps each component's minimum a fixed point —
-      // partial jumping only sets the contraction rate, and the outer
-      // emptiness check still decides convergence.
-      // the three jump joins compose WITHOUT intermediate checkpoints:
-      // each jump reads the hook checkpoint twice, so the uncheckpointed
-      // plan has 2³ cheap checkpoint-scan leaves — bounded (it is the
-      // per-ROUND lineage doubling that must be truncated, and the
-      // single checkpoint below does that)
+      // correctness — edges and labels rewrite through the SAME mapping
+      // and s(v) ≤ v keeps each component's minimum a fixed point, so
+      // partial jumping only sets the contraction rate; the outer
+      // emptiness check still decides convergence. The jump joins
+      // compose WITHOUT intermediate checkpoints: each reads the hook
+      // checkpoint twice, so the composed plan has 2³ cheap
+      // checkpoint-scan leaves — bounded (it is per-ROUND lineage
+      // doubling that must be truncated, and the checkpoint below does)
       for (_ <- 1 to 3) {
         sup = sup
           .join(sup.select(col("v").as("s"), col("s").as("s2")), Seq("s"))
