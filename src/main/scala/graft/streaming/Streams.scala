@@ -324,6 +324,17 @@ object Streams {
       }
   }
 
+  /** Stream-static dim enrichment (Flink lookup join / the Redis-dim
+    * pattern; batch form = `join_broadcast_dim`): each micro-batch
+    * broadcast-joins the static dim relation, so the stream never
+    * shuffles and a dim refresh between batches is picked up on the
+    * next one — the genre's slowly-refreshing lookup-cache semantics.
+    * Left join: events with no dim row keep flowing with nulls (the
+    * lookup-miss path), they are not dropped. */
+  def enrichDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Keyed streaming dedup (Flink keyed ValueState<Boolean> + state-TTL
     * pattern; the `stream_dedup_keys` batch form keeps the same
     * first-arrival row): emits only the FIRST event per

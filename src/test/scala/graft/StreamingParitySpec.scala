@@ -322,6 +322,27 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed.where(col("status") === "timeout").count() > 0)
   }
 
+  test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
+    import spark.implicits._
+    // restrict the dim so the lookup-miss path actually occurs (every
+    // fixture user otherwise has a customer row)
+    val dim = ops.Tables.t(spark, sf, "customer")
+      .where(col("c_custkey") < 8)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val streamed = runStream("enriched")(in =>
+      Streams.enrichDim(in.toDS().toDF(), dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .as[(Long, Long, String)])
+    val batch = Streams.enrichDim(
+        ops.Tables.events(spark, sf), dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("segment"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    // the miss path exists and is preserved (left join, not inner)
+    assert(streamed.where(col("segment").isNull).count() > 0)
+  }
+
   test("dedupKeys stream == stream_dedup_keys batch") {
     // horizon wider than the 30-day fixture span -> no key state expires
     // mid-replay, so the converged stream equals the global batch dedup
