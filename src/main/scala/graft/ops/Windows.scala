@@ -125,6 +125,21 @@ object Windows {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // Share-of-total per group (the ADS "% of segment revenue" metric):
+    // each order's fraction of its priority class's total. The
+    // denominator accumulates in exact decimal over the partition so
+    // the share is partition-order independent; one keyed window, no
+    // self-join against a grouped total.
+    "win_share_of_total" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+      val tot = sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("o_totalprice") / tot, 6).as("share"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // Latest/earliest status image per user via frame-to-end first/last.
     "win_first_last" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -201,6 +216,12 @@ object Windows {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS session_n
         |FROM g ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "win_share_of_total" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | round(o_totalprice, 2) AS price,
+        | round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6) AS share
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "win_first_last" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         | first_value(event_type) OVER w AS first_type,
