@@ -174,10 +174,10 @@ object Streams {
   }
 
   /** Watermarked streaming dedup (ValueState seen-flag analog of
-    * `dedup_exact`): state is dropped once the watermark passes. */
+    * `dedup_exact`): `dedupKeys` at the production-typical 10-minute
+    * horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    dedupKeys(events, "10 minutes")
 
   /** Keyed state machine (KeyedProcessFunction + ValueState analog of
     * `stream_stateful_counter`): per-user visit counter, first visit
@@ -344,13 +344,10 @@ object Streams {
     * state is reclaimed (a duplicate arriving later than the horizon is
     * re-emitted, the documented trade of bounded state); tests use a
     * horizon wider than the replayed stream so the converged result
-    * equals the batch global dedup. */
-  def dedupKeys(events: Dataset[Ev], horizon: String): DataFrame =
-    events.toDF()
-      .withWatermark("ts", horizon)
+    * equals the batch global dedup. Emits the full first-arrival row. */
+  def dedupKeys(events: DataFrame, horizon: String): DataFrame =
+    events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        col("ts_us"))
 
   /** Late-data side output (Flink's `allowedLateness` +
     * `sideOutputLateData` analog of the `stream_watermark_late` batch

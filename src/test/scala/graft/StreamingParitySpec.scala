@@ -346,8 +346,13 @@ class StreamingParitySpec extends AnyFunSuite {
   test("dedupKeys stream == stream_dedup_keys batch") {
     // horizon wider than the 30-day fixture span -> no key state expires
     // mid-replay, so the converged stream equals the global batch dedup
-    val streamed = runStream("dedup")(in =>
-      Streams.dedupKeys(in.toDS(), "90 days"))
+    val streamed = runStream("dedup_keys")(in => {
+      import spark.implicits._
+      Streams.dedupKeys(in.toDS().toDF(), "90 days")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"))
+        .as[(Long, String, Long, Long)]
+    })
     val batch = q("stream_dedup_keys")
       .select("user_id", "event_type", "event_id", "ts_us")
     assert(streamed.count() === batch.count())
