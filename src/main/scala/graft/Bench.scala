@@ -37,8 +37,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop per-query persist() blocks so cached signature/assignment
       // tables don't accumulate in the block manager across the
-      // 93-query session (each query pays its own cache build above,
-      // inside its timing — no cross-query subsidy).
+      // full-inventory session (each query pays its own cache build
+      // above, inside its timing — no cross-query subsidy). One designed
+      // exception: the shared cluster table (llm_dedup_clusters/prune)
+      // is an RDD-level checkpoint that survives clearCache — whichever
+      // of the two runs first pays the build, exactly like production
+      // reading a materialized cluster table.
       spark.catalog.clearCache()
       (name, if (ok) dt else -1.0)
     }

@@ -96,15 +96,19 @@ object Ads {
       val winUs = 72L * 3600 * 1000000
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_type"), ep(col("ts")).as("ts_us"))
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
-      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      // each stage feeds both the next stage's join and its own 1-row
+      // count — cache them (OpCache-tracked, lazy) so the events table
+      // is scanned once per stage instead of ~6x for three counts
+      val v = OpCache.track(ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("v_us")))
+      val c = OpCache.track(ev.where(col("event_type") === "click")
+        .join(v, "user_id")
         .where(col("ts_us") > col("v_us") &&
           col("ts_us") <= col("v_us") + winUs)
         // v_us is single-valued per user after the equi-join; min() just
         // carries it through the aggregate
         .groupBy("user_id").agg(min(col("ts_us")).as("c_us"),
-          min(col("v_us")).as("v_us"))
+          min(col("v_us")).as("v_us")))
       val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
         .where(col("ts_us") > col("c_us") &&
           col("ts_us") <= col("v_us") + winUs)

@@ -34,6 +34,61 @@ object LlmExtra {
   // ~|sh|²/2⁶⁵ ≈ never). Distinctness within a doc is what lets the
   // inverted-index join count co-occurrences as |A∩B|.
 
+  /** Hot-shingle document-frequency cap: shingles appearing in more than
+    * this many docs (per source) are dropped from the inverted index
+    * BEFORE any candidate join. A real web corpus has boilerplate
+    * shingles (headers, licenses, nav text) with df in the millions —
+    * each contributes df² candidate rows, so one hot key turns the
+    * Σ_h df(h)² pair space into an O(n²) blowup AND a single hot shuffle
+    * partition. Capping is a recall trade with an exact, oracle-checkable
+    * definition: Jaccard is computed over the CAPPED shingle sets on both
+    * engines (set sizes shrink with the index), and docs made of pure
+    * boilerplate simply stop pairing — the documented behavior a
+    * production dedup wants, since boilerplate-only similarity is not
+    * duplication. 64 never fires on natural fixture text (max fixture df
+    * = 6 at sf0.1) but bounds any key's contribution at 100 TB. */
+  private[graft] val ShingleDfCap = 64L
+
+  /** Jaccard thresholds: `JacNearDup` = the near-dup report cut,
+    * `JacCluster` = the loose transitive-clustering cut. */
+  private[graft] val JacNearDup = 0.1
+  private[graft] val JacCluster = 0.02
+
+  /** The df-capped exploded shingle inverted index: one (doc_id, source,
+    * h) row per kept shingle occurrence. The df filter is a left-semi
+    * equi join against the (source, h) counts — both sides shuffle on
+    * the same key the candidate self-join uses next, so the partitioning
+    * is reused, not paid twice. */
+  private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ex = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.VectorFunctions.shingleHashes3(s, col("text")))
+          .as("h"))
+    ex.join(
+      ex.groupBy("source", "h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= ShingleDfCap)
+        .select("source", "h"),
+      Seq("source", "h"), "left_semi")
+  }
+
+  /** Capped shingle-set size per doc (the Jaccard denominator side
+    * inputs). Doc-count-sized — joins back onto the (tiny) pair table. */
+  private def cappedSetSizes(
+      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** (doc_a, doc_b, inter) → (doc_a, doc_b, jac): join the capped set
+    * sizes onto the pair table and compute rounded Jaccard. */
+  private def jacOf(inter: org.apache.spark.sql.DataFrame,
+      n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jac"))
+
   // ---- simhash ------------------------------------------------------
 
   // token hashes come from the native graft_token_hashes (one pass over
@@ -59,7 +114,14 @@ object LlmExtra {
     * centroids broadcast as ONE array-of-structs row, and each vector
     * picks its bucket via an array_max over per-centroid (rounded cos,
     * -c_id) structs — ties to the lowest c_id, exactly the previous
-    * semantics. The round-4 join+groupBy formulation exploded n×k rows
+    * semantics.
+    *
+    * Precondition: `cents` is NON-EMPTY whenever `vs` is — array_max
+    * over an empty centroid list would emit a NULL bucket per vector (a
+    * phantom group downstream), where the old join formulation emitted
+    * zero rows. ivfAssign guarantees it: seeds = the k lowest vec_ids of
+    * the same table `vs` scans (both engines' documented dense-0-based
+    * vec_id convention), so seeds are empty only when `vs` is. The round-4 join+groupBy formulation exploded n×k rows
     * each carrying the full embedding and SHUFFLED them through a
     * per-vector hash agg — twice per k-means pass; this shape never
     * shuffles at all (the argmax runs where the vector already lives),
@@ -128,7 +190,14 @@ object LlmExtra {
     * each is read more than once downstream, so without lineage
     * truncation the analyzer — not execution — dominates (measured 61 s
     * vs 9 s at sf0.1 for the persist()-only variant); a multi-node
-    * deployment uses reliable checkpoint() to HDFS instead. */
+    * deployment uses reliable checkpoint() to HDFS instead.
+    *
+    * Contract: the returned labels retain NO lineage to `pairs` — the
+    * final checkpoint is EAGER, so callers may unpersist the edge list
+    * the moment this returns (clusterTable does). Without the eager
+    * materialization a later refactor of the loop's count()/require()
+    * could silently leave the result recomputing the whole upstream
+    * pipeline after the caller's unpersist. */
   private[graft] def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -185,40 +254,62 @@ object LlmExtra {
     }
     require(remaining == 0,
       s"connectedComponents: $remaining edges left after $round rounds")
-    lab.localCheckpoint(false)
+    // eager: one extra tiny job (labels are vertex-count rows) buys the
+    // no-lineage-to-input contract documented above
+    lab.localCheckpoint(true)
   }
 
-  /** doc_id → (cluster_id, cluster_size) over the whole corpus: Jaccard
-    * pairs at 0.02 feed connectedComponents; docs in no pair rejoin as
-    * singletons via the left join (the loop never shuffles corpus-sized
-    * tables — only the tiny edge/label graph iterates). */
+  /** The cluster table is built ONCE per (session, dir) and shared:
+    * `llm_dedup_clusters` and `llm_dedup_prune` are independent contract
+    * keys over the same table, and rebuilding the shingle→pairs→CC
+    * pipeline for each doubled the dedup tail of every full run. The
+    * cached value is an EAGER localCheckpoint — one row per doc, RDD-
+    * level blocks that survive `spark.catalog.clearCache()` between
+    * queries (it only drops CacheManager entries) — so the second op
+    * reads materialized blocks instead of re-running k shuffles. A
+    * multi-node deployment writes the cluster table to the lakehouse and
+    * reads it back; in-session the checkpoint is the same idea. */
+  private val sharedClusters = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private def clusterTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sharedClusters.getOrElseUpdate((s, d),
+      buildClusterTable(s, d).localCheckpoint(true))
+
+  /** doc_id → (cluster_id, cluster_size) over the whole corpus: capped-
+    * index Jaccard pairs at `JacCluster` feed connectedComponents; docs
+    * in no pair rejoin as singletons via the left join (the loop never
+    * shuffles corpus-sized tables — only the tiny edge/label graph
+    * iterates). */
+  private def buildClusterTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val idx = t(s, d, "documents")
-      .select(col("doc_id"), col("source"),
-        graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
-          .as("sh"))
-      .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
-        explode(col("sh")).as("h"))
-    val pairs0 = idx.select(col("h"), col("source"),
-      col("doc_id").as("doc_a"), col("n").as("na"))
-      .join(idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_b"), col("n").as("nb")), Seq("h", "source"))
+    // idx feeds the self-join's two sides AND the set-size count; n is
+    // read by two joins — persist both for the CC loop's lifetime (this
+    // op runs its own actions, so persist→action→unpersist applies)
+    val idx = cappedShingleIndex(s, d).persist()
+    val n = cappedSetSizes(idx).persist()
+    val inter = idx.select(col("h"), col("source"), col("doc_id").as("doc_a"))
+      .join(idx.select(col("h"), col("source"), col("doc_id").as("doc_b")),
+        Seq("h", "source"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-      .where(round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4) >= 0.02)
+    val pairs0 = jacOf(inter, n)
+      .where(col("jac") >= JacCluster)
       .select(col("doc_a"), col("doc_b"))
     // The edge list is TINY next to the corpus (near-dups are the
     // exception) and the CC loop references it repeatedly — persist so
     // the shingle/index pipeline above runs once.
     val pairs = pairs0.persist()
     val lab = connectedComponents(pairs)
-    // the CC loop's first action has materialized the edge list, so the
-    // shingle/index pipeline behind `pairs` is no longer needed — drop
-    // its blocks instead of leaking them into the block manager
+    // the CC loop's first action has materialized the edge list (and
+    // connectedComponents returns with no lineage to it — its contract),
+    // so the whole index pipeline can release its blocks here
     pairs.unpersist(blocking = false)
+    idx.unpersist(blocking = false)
+    n.unpersist(blocking = false)
     val full = t(s, d, "documents").select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -241,38 +332,79 @@ object LlmExtra {
       markers.map(m => x === m).reduce(_ || _)))
 
   val queries: Map[String, Q] = Map(
-    // Near-dup detection by exact n-gram Jaccard, computed via an
-    // INVERTED-INDEX join (the exact set-similarity-join shape): explode
-    // each doc's shingle-hash set, equi-self-join on the hash, and
+    // Near-dup detection by exact n-gram Jaccard, computed via the
+    // DF-CAPPED INVERTED-INDEX join (the exact set-similarity-join
+    // shape): explode each doc's shingle-hash set, drop boilerplate
+    // shingles hotter than ShingleDfCap, equi-self-join on the hash, and
     // |A∩B| = the per-pair co-occurrence count. The pair space is driven
-    // by SHARED CONTENT (Σ_h df(h)² rows, df≈1 for natural-text
-    // shingles), not by all-pairs within a block — the round-2 version's
-    // O(B²)-within-`source` blocking is gone; `source` equality is just
-    // part of the (high-cardinality) join key. Pairs sharing zero
-    // shingles have jac = 0 < threshold, so the result is IDENTICAL to
-    // the all-pairs formulation the oracle computes. At 100 TB, add a
-    // df-cap on boilerplate shingles (drop hashes with df > k, a
-    // documented recall trade) or take candidates from the MinHash bands.
+    // by SHARED CONTENT (Σ_h min(df(h), cap)² rows, df≈1 for
+    // natural-text shingles), not by all-pairs within a block; `source`
+    // equality is just part of the (high-cardinality) join key. Pairs
+    // sharing zero kept shingles have jac = 0 < threshold, so the result
+    // is IDENTICAL to the all-pairs formulation over the capped sets the
+    // oracle computes (and to the uncapped one whenever no shingle
+    // exceeds the cap — true of the natural-text fixtures).
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
-      val idx = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
-            .as("sh"))
-        .select(col("doc_id"), col("source"), size(col("sh")).as("n"),
-          explode(col("sh")).as("h"))
-      val a = idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_a"), col("n").as("na"))
-      val b = idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_b"), col("n").as("nb"))
-      a.join(b, Seq("h", "source"))
+      // the index feeds both self-join sides and the set-size count; the
+      // sizes feed two pair joins — cache both (OpCache-tracked)
+      val idx = OpCache.track(cappedShingleIndex(s, d))
+      val n = OpCache.track(cappedSetSizes(idx))
+      val inter = idx.select(col("h"), col("source"),
+        col("doc_id").as("doc_a"))
+        .join(idx.select(col("h"), col("source"), col("doc_id").as("doc_b")),
+          Seq("h", "source"))
         .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-        .select(col("doc_a"), col("doc_b"),
+      jacOf(inter, n)
+        .where(col("jac") >= JacNearDup)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // INCREMENTAL cross-corpus dedup — the production dedup shape: each
+    // NEW shard is deduped against the already-RETAINED corpus
+    // (asymmetric: new docs are candidates, retained docs are the canon
+    // and never re-cluster or flip status). The "new shard" here is the
+    // newest tenth of doc ids (arrival order — the cut joins in as a
+    // 1-row broadcast aggregate, no driver action); a deployment passes
+    // its own shard predicate. Candidates come from the same df-capped
+    // shingle inverted index, equi-joined new⋈retained on (h, source) —
+    // at 100 TB the retained index is the persisted artifact each
+    // arriving shard joins against, and only the (small) new shard's
+    // shingles shuffle. Each new doc keeps or drops with its best
+    // retained match (highest Jaccard, ties to the lowest doc_id).
+    "llm_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cut = docs.agg(floor(max(col("doc_id")) * 0.9).as("cut"))
+      val idx = OpCache.track(cappedShingleIndex(s, d))
+      val n = OpCache.track(cappedSetSizes(idx))
+      val withCut = idx.crossJoin(broadcast(cut))
+      val newIdx = withCut.where(col("doc_id") > col("cut")).drop("cut")
+      val retIdx = withCut.where(col("doc_id") <= col("cut")).drop("cut")
+      val inter = newIdx.select(col("h"), col("source"), col("doc_id"))
+        .join(retIdx.select(col("h"), col("source"),
+          col("doc_id").as("match_id")), Seq("h", "source"))
+        .groupBy("doc_id", "match_id")
+        .agg(count(lit(1)).as("inter"))
+      val cand = inter
+        .join(n.select(col("doc_id"), col("n").as("na")), "doc_id")
+        .join(n.select(col("doc_id").as("match_id"), col("n").as("nb")),
+          "match_id")
+        .select(col("doc_id"), col("match_id"),
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 4).as("jac"))
-        .where(col("jac") >= 0.1)
-        .orderBy("doc_a", "doc_b")
+        .where(col("jac") >= JacCluster)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("jac").desc, col("match_id"))
+      val best = cand.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).drop("rk")
+      docs.select(col("doc_id")).crossJoin(broadcast(cut))
+        .where(col("doc_id") > col("cut")).drop("cut")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNull, "keep").otherwise("drop").as("action"),
+          col("match_id"), col("jac"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit bands for candidate
@@ -291,8 +423,9 @@ object LlmExtra {
       // constructing this DataFrame does no I/O (the round-2 eager
       // write+re-read violated the unexecuted-builder contract). At
       // 100 TB the signatures live in a persistent store the dedup job
-      // reads; within one job, cache is the right mechanism.
-      val sigs = computed.persist()
+      // reads; within one job, cache is the right mechanism. Tracked in
+      // OpCache so library callers can release without clearCache.
+      val sigs = OpCache.track(computed)
       val bands = sigs
         .select(col("doc_id"), col("bands"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
@@ -325,9 +458,9 @@ object LlmExtra {
     "llm_dedup_embcos" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // lazy cache: the bucket self-join would otherwise run the whole
-      // k-means assignment chain once per join side
-      val assigned = ivfAssign(s, e).persist()
+      // lazy cache (OpCache-tracked): the bucket self-join would
+      // otherwise run the whole k-means assignment chain per join side
+      val assigned = OpCache.track(ivfAssign(s, e))
       val cos = round(cosc(s, col("a_v"), col("b_v")), 4)
       val w = Window.partitionBy("bucket")
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
@@ -349,8 +482,9 @@ object LlmExtra {
     "llm_knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // lazy cache: query side and corpus side both read the assignment
-      val assigned = ivfAssign(s, e).persist()
+      // lazy cache (OpCache-tracked): query and corpus sides both read
+      // the assignment
+      val assigned = OpCache.track(ivfAssign(s, e))
       val q = assigned.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val wTop = Window.partitionBy("q_id")
@@ -660,22 +794,40 @@ object LlmExtra {
       |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.c_id) arn
       |  FROM e, cent c) WHERE arn = 1)""".stripMargin
 
-  /** Shared oracle CTE chain for the cluster table: shingle sets →
-    * Jaccard pairs at 0.02 → transitive closure via recursive CTE →
-    * min-label + size. Ends with `lab(doc_id, cluster_id)` and
-    * `sz(cluster_id, cluster_size)`. */
-  private val clusterSqlCore: String =
-    """WITH RECURSIVE d AS (SELECT doc_id, source,
+  /** Shared oracle CTE fragment mirroring `cappedShingleIndex` +
+    * `cappedSetSizes`: shingle sets → exploded index → df-cap → kept
+    * rows `ec(doc_id, source, h)` + capped sizes `nn(doc_id, n)`. The
+    * cap constant interpolates from ShingleDfCap so both engines always
+    * agree on the capped-set definition. */
+  private val cappedIdxSql: String =
+    s"""d0 AS (SELECT doc_id, source,
       |  list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
       |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
       | FROM documents),
+      |e0 AS (SELECT doc_id, source, unnest(sh) h FROM d0),
+      |keep AS (SELECT source, h FROM e0 GROUP BY 1, 2
+      |         HAVING count(*) <= $ShingleDfCap),
+      |ec AS (SELECT e0.doc_id, e0.source, e0.h
+      |       FROM e0 JOIN keep USING (source, h)),
+      |nn AS (SELECT doc_id, count(*) n FROM ec GROUP BY 1)""".stripMargin
+
+  /** Shared oracle CTE chain for the cluster table: capped index →
+    * Jaccard pairs at `JacCluster` → transitive closure via recursive
+    * CTE → min-label + size. Ends with `lab(doc_id, cluster_id)` and
+    * `sz(cluster_id, cluster_size)`. */
+  private val clusterSqlCore: String =
+    s"""WITH RECURSIVE $cappedIdxSql,
+      |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+      |  FROM ec a JOIN ec b
+      |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
       |pairs AS (SELECT doc_a, doc_b FROM (
-      |  SELECT a.doc_id doc_a, b.doc_id doc_b,
-      |   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
-      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-      | WHERE jac >= 0.02),
+      |  SELECT i.doc_a, i.doc_b,
+      |   round(i.inter::DOUBLE / (na.n + nb.n - i.inter), 4) jac
+      |  FROM inter i JOIN nn na ON na.doc_id = i.doc_a
+      |       JOIN nn nb ON nb.doc_id = i.doc_b)
+      | WHERE jac >= $JacCluster),
       |e AS (SELECT doc_a a, doc_b b FROM pairs
       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (
@@ -688,17 +840,38 @@ object LlmExtra {
 
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, source,
-        |  list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
-        | FROM documents)
+      s"""WITH $cappedIdxSql,
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+        |  FROM ec a JOIN ec b
+        |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jac FROM (
-        | SELECT a.doc_id doc_a, b.doc_id doc_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jac
-        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |WHERE jac >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+        | SELECT i.doc_a, i.doc_b,
+        |  round(i.inter::DOUBLE / (na.n + nb.n - i.inter), 4) jac
+        | FROM inter i JOIN nn na ON na.doc_id = i.doc_a
+        |      JOIN nn nb ON nb.doc_id = i.doc_b)
+        |WHERE jac >= $JacNearDup ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_incremental" ->
+      s"""WITH $cappedIdxSql,
+        |cut AS (SELECT floor(max(doc_id) * 0.9) c FROM documents),
+        |inter AS (SELECT a.doc_id, b.doc_id match_id, count(*) inter
+        |  FROM ec a JOIN ec b ON a.source = b.source AND a.h = b.h, cut
+        |  WHERE a.doc_id > cut.c AND b.doc_id <= cut.c
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT doc_id, match_id, jac FROM (
+        |  SELECT i.doc_id, i.match_id,
+        |   round(i.inter::DOUBLE / (na.n + nb.n - i.inter), 4) jac
+        |  FROM inter i JOIN nn na ON na.doc_id = i.doc_id
+        |       JOIN nn nb ON nb.doc_id = i.match_id)
+        | WHERE jac >= $JacCluster),
+        |best AS (SELECT doc_id, match_id, jac FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY jac DESC, match_id) rk FROM cand) WHERE rk = 1)
+        |SELECT nd.doc_id,
+        | CASE WHEN b.match_id IS NULL THEN 'keep' ELSE 'drop' END AS action,
+        | b.match_id, b.jac
+        |FROM (SELECT doc_id FROM documents, cut WHERE doc_id > cut.c) nd
+        |LEFT JOIN best b USING (doc_id) ORDER BY nd.doc_id""".stripMargin,
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |            FROM documents),

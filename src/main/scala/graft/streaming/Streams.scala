@@ -366,18 +366,35 @@ object Streams {
     * uncommitted batch Structured Streaming re-runs after a restart
     * replaces its own output instead of appending duplicates (readers
     * use `spark.read.parquet(path)` and discover batch_id as a partition
-    * column). Restart caveat: the tracked watermark lives in driver
-    * memory, so a restart re-judges the replayed batch against no
-    * watermark (its rows pass as on-time once) — a production deployment
-    * persists it alongside the checkpoint (e.g. re-derive from max ts
-    * over `onTimePath` at start). */
+    * column). The tracked watermark SURVIVES RESTARTS: the first batch a
+    * fresh query instance processes re-derives it from max event time
+    * over the sinks' own prior output (both paths, restricted to
+    * `batch_id <` the current batch so the replayed batch's pre-crash
+    * write can't judge itself) — so a late-by-watermark straggler is
+    * still routed late after a stop/start, not waved through as on-time. */
   def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
       latePath: String, checkpoint: String): StreamingQuery = {
     val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val restoreTried = new java.util.concurrent.atomic.AtomicBoolean(false)
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (restoreTried.compareAndSet(false, true)) {
+          // one scan of the (already-reduced) output at query start; the
+          // max is the same aggregate each live batch maintains, so the
+          // restored watermark equals the pre-crash one exactly
+          // each sink root is its own partitioned table — scan separately
+          // (one combined read trips partition discovery across roots)
+          Seq(onTimePath, latePath).filter(containsParquet).foreach { p =>
+            val mx = batch.sparkSession.read.parquet(p)
+              .where(col("batch_id") < batchId)
+              .agg(max(unix_micros(col("ts").cast("timestamp")))).first()
+            if (!mx.isNullAt(0))
+              wmUs.getAndUpdate(w =>
+                math.max(w, mx.getLong(0) - latenessMs * 1000L))
+          }
+        }
         val cur = wmUs.get()
         // one evaluation feeds both sinks and the watermark aggregate
         val tagged = batch
@@ -400,6 +417,17 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** True iff `dir` already holds any parquet output (guards the restore
+    * scan: `spark.read.parquet` on an empty/missing directory throws).
+    * Local-FS walk — the deployment analog globs via hadoop FileSystem. */
+  private def containsParquet(dir: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).exists(_.exists(walk))
+    val root = new java.io.File(dir)
+    root.exists() && walk(root)
   }
 
   /** Upsert sink (JdbcSink/HBase-upsert analog of `sink_foreach_upsert`):

@@ -16,6 +16,58 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(df.where(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("df-cap: boilerplate shingles drop out of candidate generation, " +
+      "true near-dups survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfcap").toString
+    val boiler = "alpha beta gamma delta" // 2 trigram shingles
+    val unique = (w: String) => s"$w-one $w-two $w-three $w-four $w-five"
+    val cap = graft.ops.LlmExtra.ShingleDfCap.toInt
+    val docs =
+      // cap+2 filler docs all carrying the boilerplate -> its shingles'
+      // df exceeds the cap and every boilerplate shingle is dropped
+      (0 until cap + 2).map(i => (i.toLong, "s", s"$boiler ${unique(s"u$i")}")) ++
+      // a TRUE near-dup pair: long identical unique text (jac = 1.0)
+      Seq((1000L, "s", unique("same") + " " + unique("copy")),
+        (1001L, "s", unique("same") + " " + unique("copy"))) ++
+      // a BOILERPLATE-ONLY pair: identical text made of pure boilerplate
+      // (uncapped jac would be 1.0) — the documented recall trade drops it
+      Seq((2000L, "s", boiler), (2001L, "s", boiler))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val pairs = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ops.OpCache.release(spark)
+    assert(pairs.contains((1000L, 1001L)), "true near-dup pair must survive")
+    assert(!pairs.contains((2000L, 2001L)),
+      "boilerplate-only pair must be capped away")
+    // no filler doc pairs with any other via boilerplate alone
+    assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L },
+      s"boilerplate created candidate pairs: $pairs")
+  }
+
+  test("incremental dedup: only new-shard docs judged, matches point at " +
+      "the retained corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cutoff = math.floor(
+      docs.agg(max(col("doc_id"))).first().getLong(0) * 0.9).toLong
+    val out = q("llm_dedup_incremental")
+    val nNew = docs.where(col("doc_id") > cutoff).count()
+    // every new doc judged exactly once; retained docs never appear (and
+    // so can never flip status)
+    assert(out.count() === nNew)
+    assert(out.where(col("doc_id") <= cutoff).count() === 0)
+    // drops carry a retained match at or above the cluster threshold;
+    // keeps carry no match
+    assert(out.where(col("action") === "drop" &&
+      (col("match_id").isNull || col("match_id") > cutoff ||
+        col("jac") < graft.ops.LlmExtra.JacCluster)).count() === 0)
+    assert(out.where(col("action") === "keep" &&
+      col("match_id").isNotNull).count() === 0)
+  }
+
   test("simhash: near-identical docs collide; hamming within [0,64]") {
     val df = q("llm_dedup_simhash")
     assert(df.where(col("hamming") < 0 || col("hamming") > 64).count() === 0)

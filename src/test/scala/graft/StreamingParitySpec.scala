@@ -345,14 +345,31 @@ class StreamingParitySpec extends AnyFunSuite {
 
   test("dedupKeys stream == stream_dedup_keys batch") {
     // horizon wider than the 30-day fixture span -> no key state expires
-    // mid-replay, so the converged stream equals the global batch dedup
-    val streamed = runStream("dedup_keys")(in => {
-      import spark.implicits._
-      Streams.dedupKeys(in.toDS().toDF(), "90 days")
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          col("ts_us"))
-        .as[(Long, String, Long, Long)]
-    })
+    // mid-replay, so the converged stream equals the global batch dedup.
+    // dedupKeys keeps the first-ARRIVED row per key, and WITHIN one
+    // micro-batch the survivor after the keyed shuffle is not guaranteed
+    // to be the lowest event_id — so the feed makes first-arrival
+    // provably the min-event_id row: batch 1 carries exactly each key's
+    // min-event_id event (keys all distinct -> no intra-batch tie), and
+    // every later duplicate arrives in batch 2 against existing state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val firstPerKey = allEvents.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.minBy(_.event_id)).toSeq
+    val firstIds = firstPerKey.map(_.event_id).toSet
+    val rest = allEvents.filterNot(e => firstIds.contains(e.event_id))
+    val input = MemoryStream[Ev]
+    val ds = Streams.dedupKeys(input.toDS().toDF(), "90 days")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+      .as[(Long, String, Long, Long)]
+    val query = ds.writeStream.format("memory").queryName("dedup_keys")
+      .outputMode("append").start()
+    Seq(firstPerKey, rest).foreach { c =>
+      input.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.table("dedup_keys")
     val batch = q("stream_dedup_keys")
       .select("user_id", "event_type", "event_id", "ts_us")
     assert(streamed.count() === batch.count())
@@ -398,6 +415,44 @@ class StreamingParitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(agg === Set((base, 2L), (base + 5L * 3600 * us, 1L),
       (base + 6L * 3600 * us, 1L)))
+  }
+
+  test("routeLate: restored watermark routes a straggler late AFTER a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1704067200L * us // 2024-01-01 00:00 UTC
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_rs").toString
+    def start(input: MemoryStream[Ev]) =
+      Streams.routeLate(input.toDS().toDF(), latenessMs = 10L * 60 * 1000,
+        s"$dir/ontime", s"$dir/late", s"$dir/ckpt")
+    val input = MemoryStream[Ev]
+    // run 1: hour-H rows, then a +5h jump that advances the watermark
+    val q1 = start(input)
+    input.addData(ev(1, base), ev(2, base + 60 * us))
+    q1.processAllAvailable()
+    input.addData(ev(3, base + 5L * 3600 * us))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: a FRESH query instance (driver-restart analog — its
+    // in-memory AtomicLong starts empty) fed an hour-H straggler. The
+    // pre-fix behavior waved it through as on-time; the restored
+    // watermark must route it late.
+    val q2 = start(input)
+    input.addData(ev(4, base + 120 * us))
+    q2.processAllAvailable()
+    q2.stop()
+    val late = spark.read.parquet(s"$dir/late")
+    assert(late.select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(4L))
+    // judged against exactly the pre-crash watermark, not a fresh one
+    assert(late.first().getAs[Long]("wm_us") ===
+      base + 5L * 3600 * us - 10L * 60 * us)
+    val onTime = spark.read.parquet(s"$dir/ontime")
+    assert(onTime.select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
   }
 
   test("checkpoint recovery: visit numbering continues across a restart") {
