@@ -38,11 +38,14 @@ object Bench {
       // Drop per-query persist() blocks so cached signature/assignment
       // tables don't accumulate in the block manager across the
       // full-inventory session (each query pays its own cache build
-      // above, inside its timing — no cross-query subsidy). One designed
+      // above, inside its timing — no cross-query subsidy). release()
+      // also frees the driver-side OpCache handle list, which
+      // clearCache alone leaves growing for the session. One designed
       // exception: the shared cluster table (llm_dedup_clusters/prune)
-      // is an RDD-level checkpoint that survives clearCache — whichever
-      // of the two runs first pays the build, exactly like production
-      // reading a materialized cluster table.
+      // is a temp-parquet materialization that survives both calls —
+      // whichever of the two runs first pays the build, exactly like
+      // production reading a materialized cluster table.
+      graft.ops.OpCache.release(spark)
       spark.catalog.clearCache()
       (name, if (ok) dt else -1.0)
     }

@@ -23,7 +23,9 @@ object Smoke {
       catch { case ex: Throwable => s"ERROR ${ex.getMessage.take(80)}" }
       println(s"$name: $n")
       // same between-queries hygiene as Bench/Verify: ops persist()
-      // lazily and never see their final action
+      // lazily and never see their final action; release drops the
+      // OpCache-tracked handles so driver-side refs don't pile up either
+      graft.ops.OpCache.release(spark)
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -28,7 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query persist() blocks must not pile up across the run
+      // per-query persist() blocks must not pile up across the run —
+      // and neither must the driver-side OpCache handle list
+      graft.ops.OpCache.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -259,24 +259,61 @@ object LlmExtra {
     lab.localCheckpoint(true)
   }
 
-  /** The cluster table is built ONCE per (session, dir) and shared:
-    * `llm_dedup_clusters` and `llm_dedup_prune` are independent contract
-    * keys over the same table, and rebuilding the shingle→pairs→CC
-    * pipeline for each doubled the dedup tail of every full run. The
-    * cached value is an EAGER localCheckpoint — one row per doc, RDD-
-    * level blocks that survive `spark.catalog.clearCache()` between
-    * queries (it only drops CacheManager entries) — so the second op
-    * reads materialized blocks instead of re-running k shuffles. A
-    * multi-node deployment writes the cluster table to the lakehouse and
-    * reads it back; in-session the checkpoint is the same idea. */
-  private val sharedClusters = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  /** The cluster table is built ONCE per (JVM, input snapshot) and
+    * shared: `llm_dedup_clusters` and `llm_dedup_prune` are independent
+    * contract keys over the same table, and rebuilding the
+    * shingle→pairs→CC pipeline for each doubled the dedup tail of every
+    * full run. The cache is a MATERIALIZED PARQUET TABLE under the JVM's
+    * temp dir — the lakehouse write a multi-node deployment does, scaled
+    * to local mode — which fixes three problems the round-6
+    * localCheckpoint cache had: (a) the path is keyed on a snapshot of
+    * the input files (mtime+size), so rewriting the documents table
+    * can never serve stale clusters; (b) the artifact is on reliable
+    * storage, so a lost executor block cannot brick the cached frame
+    * (re-reading the file always works); (c) the build runs under a
+    * lock and is idempotent (mode=overwrite to a deterministic path),
+    * so a racing second builder orphans nothing. Nothing driver-side
+    * retains SparkSession or DataFrame references, and a shutdown hook
+    * removes the whole cache dir. The per-JVM nonce scopes reuse to one
+    * process: a fresh bench JVM pays the full build exactly like the
+    * old in-session checkpoint did. */
+  private lazy val clusterCacheDir: java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_clusters_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
+
+  /** Fingerprint of the documents table under `d`: every file's path,
+    * mtime, and size. Any rewrite of the input changes the key. */
+  private def docsSnapshot(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    val parts = walk(new java.io.File(s"$d/documents.parquet"))
+      .map(f => s"${f.getPath}:${f.lastModified}:${f.length}")
+    val h = scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))
+    java.lang.Integer.toHexString(h)
+  }
 
   private def clusterTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    sharedClusters.getOrElseUpdate((s, d),
-      buildClusterTable(s, d).localCheckpoint(true))
+      d: String): org.apache.spark.sql.DataFrame = {
+    val out = new java.io.File(clusterCacheDir, docsSnapshot(d))
+    clusterCacheDir.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        buildClusterTable(s, d).write.mode("overwrite")
+          .parquet(out.getAbsolutePath)
+    }
+    s.read.parquet(out.getAbsolutePath)
+  }
 
   /** doc_id → (cluster_id, cluster_size) over the whole corpus: capped-
     * index Jaccard pairs at `JacCluster` feed connectedComponents; docs
@@ -701,18 +738,24 @@ object LlmExtra {
     // One hash-agg shuffle on the high-cardinality bigram key with
     // map-side partial counts, then TakeOrderedAndProject — no global
     // sort; the plan that holds when the vocabulary is billions of keys.
-    "llm_ngram_counts" -> ((s, d) => {
-      val words = split(col("text"), " ")
+    "llm_ngram_counts" -> ((s, d) =>
+      // `words` is projected ONCE before the transform: referencing
+      // split(text) inside the lambda would lean on codegen subexpression
+      // elimination to avoid re-tokenizing per element — O(L²) per doc
+      // whenever CSE doesn't fire (interpreted fallback, codegen cache
+      // pressure). The explicit projection makes the O(L) cost a plan
+      // property, not an optimizer courtesy.
       t(s, d, "documents")
-        .where(size(words) >= 2)
+        .select(split(col("text"), " ").as("words"))
+        .where(size(col("words")) >= 2)
         .select(explode(transform(
-          sequence(lit(1), size(words) - 1),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          sequence(lit(1), size(col("words")) - 1),
+          i => concat_ws(" ", element_at(col("words"), i),
+            element_at(col("words"), i + 1))))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
-        .limit(100)
-    }),
+        .limit(100)),
 
     // Deterministic train/val/test split (the sampling stage every
     // training-data pipeline ends with): a multiplicative-hash bucket
@@ -763,6 +806,22 @@ object LlmExtra {
         .toDF()
         .select(col("doc_id"), col("modality"), col("byte_len"),
           col("f0"), col("f1"), col("f2"))
+        .orderBy("doc_id")),
+
+    // REAL multimodal decode — no stub anywhere on this path: each doc
+    // gets a genuine PNG (dimensions + fill color are deterministic
+    // doc_id arithmetic), encoded and decoded back with the JDK's
+    // javax.imageio codec behind the same per-partition seam the stub
+    // paths use. The oracle recomputes the expected features from the
+    // arithmetic alone, so a decode returning anything but the true
+    // pixels hash-mismatches. Pure map-side at any scale: encode and
+    // decode both run where the row lives, zero shuffles.
+    "llm_multimodal_image" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.toPngMedia(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("px_r"), col("px_g"), col("px_b"))
         .orderBy("doc_id"))
   )
 
@@ -1040,6 +1099,17 @@ object LlmExtra {
         | CASE WHEN length(text) = 0 THEN 0
         |      ELSE CAST(concat('0x', substr(hex(encode(text)),1,2)) AS INT)
         | END AS f2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fixture arithmetic from Multimodal.pngBytes — the engine side
+    // must reproduce it by actually DECODING the PNGs it encoded
+    "llm_multimodal_image" ->
+      """SELECT doc_id,
+        | CAST(1 + doc_id % 4 AS INT) AS width,
+        | CAST(1 + doc_id % 3 AS INT) AS height,
+        | CAST((doc_id * 7) % 256 AS INT) AS px_r,
+        | CAST((doc_id * 13) % 256 AS INT) AS px_g,
+        | CAST((doc_id * 31) % 256 AS INT) AS px_b
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

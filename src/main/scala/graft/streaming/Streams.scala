@@ -371,16 +371,27 @@ object Streams {
     * over the sinks' own prior output (both paths, restricted to
     * `batch_id <` the current batch so the replayed batch's pre-crash
     * write can't judge itself) — so a late-by-watermark straggler is
-    * still routed late after a stop/start, not waved through as on-time. */
+    * still routed late after a stop/start, not waved through as on-time.
+    * The restore trusts only sinks THIS checkpoint owns: each sink root
+    * carries a checkpoint-identity marker, and a mismatch (or foreign
+    * un-markered output under a fresh checkpoint) fails the query at
+    * start instead of deriving a watermark from another run's data. */
   def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
       latePath: String, checkpoint: String): StreamingQuery = {
     val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val restoreTried = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ckId = new java.io.File(checkpoint).getCanonicalPath
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (restoreTried.compareAndSet(false, true)) {
+          // the sinks must belong to THIS checkpoint before any of their
+          // rows are trusted: a wiped checkpoint restarts batch_id at 0,
+          // so foreign sink output (batch_id >= batchId) would both
+          // escape the replay filter below and seed the watermark from
+          // another run's data — claimSink fails loudly instead
+          Seq(onTimePath, latePath).foreach(p => claimSink(p, ckId))
           // one scan of the (already-reduced) output at query start; the
           // max is the same aggregate each live batch maintains, so the
           // restored watermark equals the pre-crash one exactly
@@ -417,6 +428,32 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** Sink↔checkpoint identity: each sink root carries a marker naming
+    * the checkpoint that owns it. A marker that names a DIFFERENT
+    * checkpoint, or pre-existing un-markered parquet under a sink a
+    * fresh checkpoint is about to claim, means sink dirs and checkpoint
+    * were not wiped together — the restore would judge rows against a
+    * watermark derived from another run's data, so fail loudly instead
+    * of starting. Marker writes are idempotent (same id rewrites). */
+  private def claimSink(dir: String, ckId: String): Unit = {
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, "_graft_checkpoint_id")
+    if (marker.isFile) {
+      val owner = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      require(owner == ckId,
+        s"routeLate sink $dir belongs to checkpoint $owner, not $ckId — " +
+          "wipe sink dirs and checkpoint together")
+    } else {
+      require(!containsParquet(dir),
+        s"routeLate sink $dir has un-markered parquet from another run — " +
+          "wipe sink dirs and checkpoint together")
+      root.mkdirs()
+      java.nio.file.Files.write(marker.toPath, ckId.getBytes("UTF-8"))
+      ()
+    }
   }
 
   /** True iff `dir` already holds any parquet output (guards the restore

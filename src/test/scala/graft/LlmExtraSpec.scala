@@ -68,6 +68,41 @@ class LlmExtraSpec extends AnyFunSuite {
       col("match_id").isNotNull).count() === 0)
   }
 
+  test("multimodal image: JDK PNG codec round-trips the fixture exactly") {
+    val out = q("llm_multimodal_image").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 1 + (id % 4).toInt, s"width of doc $id")
+      assert(r.getInt(2) === 1 + (id % 3).toInt, s"height of doc $id")
+      assert(r.getInt(3) === ((id * 7) % 256).toInt, s"px_r of doc $id")
+      assert(r.getInt(4) === ((id * 13) % 256).toInt, s"px_g of doc $id")
+      assert(r.getInt(5) === ((id * 31) % 256).toInt, s"px_b of doc $id")
+    }
+    // the payloads are REAL PNGs, not fabricated features: magic bytes
+    val png = graft.ops.Multimodal.pngBytes(5L)
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47))
+  }
+
+  test("cluster cache: rewriting the documents table is NOT served from " +
+      "the stale shared cluster table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccache").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, "s",
+        s"doc number$i body word$i alpha$i beta$i gamma$i delta$i"))
+        .toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(4)
+    assert(SparkEntry.queries("llm_dedup_clusters")(spark, dir).count() === 4)
+    // same dir, rewritten contents: the cache key is a snapshot of the
+    // input files, so the rebuilt corpus must produce a fresh table
+    write(6)
+    assert(SparkEntry.queries("llm_dedup_clusters")(spark, dir).count() === 6,
+      "rewritten documents table was served from a stale cluster cache")
+    ops.OpCache.release(spark)
+  }
+
   test("simhash: near-identical docs collide; hamming within [0,64]") {
     val df = q("llm_dedup_simhash")
     assert(df.where(col("hamming") < 0 || col("hamming") > 64).count() === 0)

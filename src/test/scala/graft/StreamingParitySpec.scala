@@ -455,6 +455,36 @@ class StreamingParitySpec extends AnyFunSuite {
       Set(1L, 2L, 3L))
   }
 
+  test("routeLate: a fresh checkpoint refuses sinks owned by another run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1704067200L * us
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_fk").toString
+    def start(input: MemoryStream[Ev], ckpt: String) =
+      Streams.routeLate(input.toDS().toDF(), latenessMs = 10L * 60 * 1000,
+        s"$dir/ontime", s"$dir/late", ckpt)
+    val in1 = MemoryStream[Ev]
+    val q1 = start(in1, s"$dir/ckpt1")
+    in1.addData(ev(1, base)); q1.processAllAvailable(); q1.stop()
+    // a NEW checkpoint over the same sinks: its batch ids restart at 0,
+    // so run 1's output would leak through the `batch_id < batchId`
+    // replay filter and seed the watermark from foreign data — the
+    // sink identity marker must fail the query at the first batch
+    val in2 = MemoryStream[Ev]
+    val q2 = start(in2, s"$dir/ckpt2")
+    in2.addData(ev(2, base))
+    val e = intercept[Throwable] { q2.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("belongs to checkpoint")),
+      s"expected the sink-identity failure, got: ${chain(e).mkString(" | ")}")
+    q2.stop()
+  }
+
   test("checkpoint recovery: visit numbering continues across a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

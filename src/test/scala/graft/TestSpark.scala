@@ -22,6 +22,7 @@ object TestSpark {
     // ops persist() lazily and never see their final action, so repeated
     // q() calls would otherwise accumulate cached blocks across a suite
     // run — the same between-queries hygiene Bench and Verify apply
+    graft.ops.OpCache.release(spark)
     spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf)
   }
