@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    plan, and no low-cardinality blocking key creates O(B²) pair
   *    blowups;
   *  - the multimodal decode is a typed mapPartitions pipeline (the Spark
-  *    batch-shape for per-record media decoding); the actual image/audio
-  *    decode is a clearly-marked deterministic STUB — the schema,
-  *    batching, and partition behavior are the real, tested parts.
+  *    batch-shape for per-record media decoding); image (PNG via
+  *    `javax.imageio`) and audio (WAV via `javax.sound.sampled`) decode
+  *    are REAL JDK codecs behind that seam — only video decode remains
+  *    a clearly-marked deterministic stub (no codec ships in the JDK).
   */
 object LlmExtra {
   import Tables._
@@ -267,8 +268,8 @@ object LlmExtra {
     * temp dir — the lakehouse write a multi-node deployment does, scaled
     * to local mode — which fixes three problems the round-6
     * localCheckpoint cache had: (a) the path is keyed on a snapshot of
-    * the input files (mtime+size), so rewriting the documents table
-    * can never serve stale clusters; (b) the artifact is on reliable
+    * the input files (SHA-256 over part contents), so rewriting the
+    * documents table can never serve stale clusters; (b) the artifact is on reliable
     * storage, so a lost executor block cannot brick the cached frame
     * (re-reading the file always works); (c) the build runs under a
     * lock and is idempotent (mode=overwrite to a deterministic path),
@@ -290,24 +291,40 @@ object LlmExtra {
     dir
   }
 
-  /** Fingerprint of the documents table under `d`: every file's path,
-    * mtime, and size. Any rewrite of the input changes the key. */
-  private def docsSnapshot(d: String): String = {
+  /** Fingerprint of the documents table under `d`: SHA-256 over every
+    * part file's path and CONTENT bytes. Content-keyed, so a rewrite
+    * that lands within the same mtime tick with identical sizes still
+    * changes the key, and the 256-bit digest cannot collide in practice
+    * (the round-7 key was a 32-bit MurmurHash of path:mtime:size — both
+    * weaknesses closed here). Local documents tables are MBs, so
+    * hashing full bytes is cheap; a multi-node deployment would hash
+    * only the parquet footers (which change on any rewrite) instead. */
+  private[graft] def docsSnapshot(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(walk)
       else Seq(f)
-    val parts = walk(new java.io.File(s"$d/documents.parquet"))
-      .map(f => s"${f.getPath}:${f.lastModified}:${f.length}")
-    val h = scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))
-    java.lang.Integer.toHexString(h)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    walk(new java.io.File(s"$d/documents.parquet")).foreach { f =>
+      md.update(f.getPath.getBytes("UTF-8"))
+      md.update(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(32)
   }
+
+  /** One monitor per snapshot key: concurrent sessions building cluster
+    * tables for DIFFERENT input dirs proceed in parallel; only racing
+    * builders of the SAME snapshot serialize (and the loser finds the
+    * winner's _SUCCESS and skips the build). */
+  private val clusterBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def clusterTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val out = new java.io.File(clusterCacheDir, docsSnapshot(d))
-    clusterCacheDir.synchronized {
+    val key = docsSnapshot(d)
+    val out = new java.io.File(clusterCacheDir, key)
+    clusterBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       if (!new java.io.File(out, "_SUCCESS").isFile)
         buildClusterTable(s, d).write.mode("overwrite")
           .parquet(out.getAbsolutePath)

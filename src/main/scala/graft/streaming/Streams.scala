@@ -372,26 +372,30 @@ object Streams {
     * `batch_id <` the current batch so the replayed batch's pre-crash
     * write can't judge itself) — so a late-by-watermark straggler is
     * still routed late after a stop/start, not waved through as on-time.
-    * The restore trusts only sinks THIS checkpoint owns: each sink root
-    * carries a checkpoint-identity marker, and a mismatch (or foreign
-    * un-markered output under a fresh checkpoint) fails the query at
-    * start instead of deriving a watermark from another run's data. */
+    * The restore trusts only sinks THIS checkpoint INCARNATION owns:
+    * each sink root carries an incarnation marker (a nonce minted inside
+    * the checkpoint dir on first claim — NOT the checkpoint path, which
+    * survives a wipe-and-reuse), and a mismatch (or foreign un-markered
+    * output under a fresh checkpoint) fails at `routeLate` call time,
+    * BEFORE the query starts, instead of deriving a watermark from
+    * another run's data. Wiping the checkpoint dir destroys the nonce,
+    * so a new incarnation at the same path can never adopt the old
+    * incarnation's sink rows. */
   def routeLate(events: DataFrame, latenessMs: Long, onTimePath: String,
       latePath: String, checkpoint: String): StreamingQuery = {
     val wmUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val restoreTried = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val ckId = new java.io.File(checkpoint).getCanonicalPath
+    // Sink↔incarnation identity is established synchronously, before
+    // start(): a query that never receives a batch still refuses
+    // mismatched sinks, and the failure surfaces in the caller's stack
+    // rather than as an async stream-termination error.
+    val ckId = incarnationNonce(checkpoint)
+    Seq(onTimePath, latePath).foreach(p => claimSink(p, ckId))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (restoreTried.compareAndSet(false, true)) {
-          // the sinks must belong to THIS checkpoint before any of their
-          // rows are trusted: a wiped checkpoint restarts batch_id at 0,
-          // so foreign sink output (batch_id >= batchId) would both
-          // escape the replay filter below and seed the watermark from
-          // another run's data — claimSink fails loudly instead
-          Seq(onTimePath, latePath).foreach(p => claimSink(p, ckId))
           // one scan of the (already-reduced) output at query start; the
           // max is the same aggregate each live batch maintains, so the
           // restored watermark equals the pre-crash one exactly
@@ -430,13 +434,36 @@ object Streams {
       .start()
   }
 
-  /** Sink↔checkpoint identity: each sink root carries a marker naming
-    * the checkpoint that owns it. A marker that names a DIFFERENT
-    * checkpoint, or pre-existing un-markered parquet under a sink a
-    * fresh checkpoint is about to claim, means sink dirs and checkpoint
-    * were not wiped together — the restore would judge rows against a
-    * watermark derived from another run's data, so fail loudly instead
-    * of starting. Marker writes are idempotent (same id rewrites). */
+  /** Per-incarnation nonce for a checkpoint dir: minted (UUID) and
+    * persisted inside the checkpoint on first claim, read back on every
+    * later one. Keying sink ownership on this nonce — not the
+    * checkpoint PATH — closes the wipe-and-reuse hole: rm -rf of the
+    * checkpoint destroys the nonce too, so the next incarnation at the
+    * same path mints a fresh identity and `claimSink` refuses the old
+    * incarnation's markered sinks instead of adopting their rows (whose
+    * batch_id numbering restarted at 0 and would slip the
+    * `batch_id < current` replay filter). */
+  private def incarnationNonce(checkpoint: String): String = {
+    val dir = new java.io.File(checkpoint)
+    dir.mkdirs()
+    val f = new java.io.File(dir, "_graft_incarnation")
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.write(f.toPath, id.getBytes("UTF-8"))
+      id
+    }
+  }
+
+  /** Sink↔incarnation identity: each sink root carries a marker naming
+    * the checkpoint incarnation (nonce) that owns it. A marker naming a
+    * DIFFERENT incarnation, or pre-existing un-markered parquet under a
+    * sink a fresh incarnation is about to claim, means sink dirs and
+    * checkpoint were not wiped together — the restore would judge rows
+    * against a watermark derived from another run's data, so fail
+    * loudly instead of starting. Marker writes are idempotent (same id
+    * rewrites). */
   private def claimSink(dir: String, ckId: String): Unit = {
     val root = new java.io.File(dir)
     val marker = new java.io.File(root, "_graft_checkpoint_id")

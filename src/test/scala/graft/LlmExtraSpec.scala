@@ -103,6 +103,29 @@ class LlmExtraSpec extends AnyFunSuite {
     ops.OpCache.release(spark)
   }
 
+  test("cluster cache key is content-derived: a same-size same-mtime " +
+      "rewrite changes the snapshot") {
+    // the round-7 fingerprint was path:mtime:size — a rewrite landing in
+    // the same mtime tick with identical sizes served stale clusters.
+    // The key must now change when only CONTENT changes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap")
+    val docs = dir.resolve("documents.parquet")
+    java.nio.file.Files.createDirectories(docs)
+    val part = docs.resolve("part-00000")
+    val t0 = 1700000000000L
+    java.nio.file.Files.write(part, "content-version-A".getBytes("UTF-8"))
+    part.toFile.setLastModified(t0)
+    val k1 = ops.LlmExtra.docsSnapshot(dir.toString)
+    // same path, same byte LENGTH, same forced mtime — only bytes differ
+    java.nio.file.Files.write(part, "content-version-B".getBytes("UTF-8"))
+    part.toFile.setLastModified(t0)
+    val k2 = ops.LlmExtra.docsSnapshot(dir.toString)
+    assert(k1 !== k2,
+      "same-size same-mtime rewrite produced the same cache key")
+    // and the key is stable when nothing changes
+    assert(ops.LlmExtra.docsSnapshot(dir.toString) === k2)
+  }
+
   test("simhash: near-identical docs collide; hamming within [0,64]") {
     val df = q("llm_dedup_simhash")
     assert(df.where(col("hamming") < 0 || col("hamming") > 64).count() === 0)

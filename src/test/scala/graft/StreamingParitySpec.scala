@@ -472,17 +472,43 @@ class StreamingParitySpec extends AnyFunSuite {
     // a NEW checkpoint over the same sinks: its batch ids restart at 0,
     // so run 1's output would leak through the `batch_id < batchId`
     // replay filter and seed the watermark from foreign data — the
-    // sink identity marker must fail the query at the first batch
+    // sink identity marker must fail SYNCHRONOUSLY, before the query
+    // even starts (a query that never receives a batch still refuses)
     val in2 = MemoryStream[Ev]
-    val q2 = start(in2, s"$dir/ckpt2")
-    in2.addData(ev(2, base))
-    val e = intercept[Throwable] { q2.processAllAvailable() }
-    def chain(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ chain(x.getCause))
-    assert(chain(e).exists(_.contains("belongs to checkpoint")),
-      s"expected the sink-identity failure, got: ${chain(e).mkString(" | ")}")
-    q2.stop()
+    val e = intercept[IllegalArgumentException] { start(in2, s"$dir/ckpt2") }
+    assert(e.getMessage.contains("belongs to checkpoint"),
+      s"expected the sink-identity failure, got: ${e.getMessage}")
+  }
+
+  test("routeLate: a wiped-and-reused checkpoint PATH refuses the old sinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1704067200L * us
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_wp").toString
+    def start(input: MemoryStream[Ev]) =
+      Streams.routeLate(input.toDS().toDF(), latenessMs = 10L * 60 * 1000,
+        s"$dir/ontime", s"$dir/late", s"$dir/ckpt")
+    val in1 = MemoryStream[Ev]
+    val q1 = start(in1)
+    in1.addData(ev(1, base)); q1.processAllAvailable(); q1.stop()
+    // wipe the checkpoint dir but NOT the sinks, then restart at the
+    // SAME path: batch ids restart at 0, so the old incarnation's rows
+    // would slip the replay filter. A path-keyed marker (the round-7
+    // scheme) passes this check wrongly; the per-incarnation nonce —
+    // destroyed with the checkpoint — must mint a fresh identity and
+    // refuse the old incarnation's markered sinks.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+    val in2 = MemoryStream[Ev]
+    val e = intercept[IllegalArgumentException] { start(in2) }
+    assert(e.getMessage.contains("belongs to checkpoint"),
+      s"expected the sink-identity failure, got: ${e.getMessage}")
   }
 
   test("checkpoint recovery: visit numbering continues across a restart") {
