@@ -839,6 +839,22 @@ object LlmExtra {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("px_r"), col("px_g"), col("px_b"))
+        .orderBy("doc_id")),
+
+    // REAL audio decode — the WAV mirror of llm_multimodal_image: each
+    // doc gets a genuine RIFF/WAVE file (rate, frame count, and 16-bit
+    // PCM samples are deterministic doc_id arithmetic), encoded and
+    // parsed back with the JDK's javax.sound.sampled codec behind the
+    // same per-partition seam. The oracle recomputes the expected
+    // features from the arithmetic alone, so a decode returning
+    // anything but the true samples hash-mismatches. Pure map-side at
+    // any scale: zero shuffles.
+    "llm_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudio(
+        Multimodal.toWavMedia(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+          col("s_first"), col("s_last"))
         .orderBy("doc_id"))
   )
 
@@ -1127,6 +1143,17 @@ object LlmExtra {
         | CAST((doc_id * 7) % 256 AS INT) AS px_r,
         | CAST((doc_id * 13) % 256 AS INT) AS px_g,
         | CAST((doc_id * 31) % 256 AS INT) AS px_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fixture arithmetic from Multimodal.wavBytes — the engine side
+    // must reproduce it by actually DECODING the WAVs it encoded
+    "llm_multimodal_audio" ->
+      """SELECT doc_id,
+        | CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        | CAST(4 + doc_id % 5 AS INT) AS n_frames,
+        | CAST((doc_id * 31) % 65536 - 32768 AS INT) AS s_first,
+        | CAST((doc_id * 31 + (3 + doc_id % 5) * 17) % 65536 - 32768
+        |   AS INT) AS s_last
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

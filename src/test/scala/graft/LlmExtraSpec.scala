@@ -208,4 +208,29 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(feats.rdd.getNumPartitions === media.rdd.getNumPartitions)
     assert(feats.where(col("byte_len") =!= col("f0") + col("f1") * 256).count() === 0)
   }
+
+  test("audio: wavBytes is a real RIFF/WAVE file and decodeAudio round-trips") {
+    // codec-level check, no Spark: the bytes start with a RIFF header and
+    // the JDK codec reads back exactly the arithmetic the oracle replays
+    for (id <- Seq(0L, 1L, 7L, 123L, 4096L)) {
+      val bytes = Multimodal.wavBytes(id)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate.toInt === 8000 + (id % 3).toInt * 4000)
+      assert(ais.getFrameLength.toInt === 4 + (id % 5).toInt)
+    }
+    // pipeline-level: decoded features equal the fixture arithmetic
+    val df = q("llm_multimodal_audio")
+    val bad = df.where(
+      col("sample_rate") =!= lit(8000) + (col("doc_id") % 3) * 4000 ||
+      col("n_frames") =!= lit(4) + col("doc_id") % 5 ||
+      col("s_first") =!= (col("doc_id") * 31) % 65536 - 32768 ||
+      col("s_last") =!=
+        (col("doc_id") * 31 + (col("n_frames") - 1) * 17) % 65536 - 32768)
+    assert(bad.count() === 0)
+    assert(df.count() ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
 }

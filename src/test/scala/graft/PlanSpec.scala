@@ -206,6 +206,22 @@ class PlanSpec extends AnyFunSuite {
     // exchange — a second hashpartitioning would mean a wasted shuffle
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2500))
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2500))
+    // and no window runs unpartitioned: a global window funnels the
+    // whole events table through one task (Exchange SinglePartition) —
+    // the scale-killer this op is shaped to avoid
+    assert(!p.contains("SinglePartition"), p.take(2500))
+  }
+
+  test("win_share_of_total: one keyed shuffle, no self-join on the total") {
+    val p = plan(q("win_share_of_total"))
+    // the denominator is a partition-frame window over the SAME
+    // (o_orderpriority) shuffle the rows already need — a groupBy-total
+    // self-join (the naive shape) would add a second hashpartitioning
+    // and a Join; a global window would add SinglePartition
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
   }
 
   test("stream_dedup_keys: one keyed shuffle, no join") {
