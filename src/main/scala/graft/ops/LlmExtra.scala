@@ -60,9 +60,10 @@ object LlmExtra {
     * equi join against the (source, h) counts — both sides shuffle on
     * the same key the candidate self-join uses next, so the partitioning
     * is reused, not paid twice. */
-  private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val ex = t(s, d, "documents")
+  private[graft] def cappedShingleIndexOf(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ex = docs
       .select(col("doc_id"), col("source"),
         explode(graft.functions.VectorFunctions.shingleHashes3(s, col("text")))
           .as("h"))
@@ -73,11 +74,51 @@ object LlmExtra {
       Seq("source", "h"), "left_semi")
   }
 
+  private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cappedShingleIndexOf(s, t(s, d, "documents"))
+
   /** Capped shingle-set size per doc (the Jaccard denominator side
     * inputs). Doc-count-sized — joins back onto the (tiny) pair table. */
-  private def cappedSetSizes(
+  private[graft] def cappedSetSizes(
       idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** Core of incremental dedup, shared by the batch op
+    * (`llm_dedup_incremental`) and the streaming wrapper
+    * (`Streams.incrementalDedupStream`): score each NEW-shard doc
+    * against the RETAINED corpus via the capped-index equi join and
+    * keep/drop it with its best retained match (highest Jaccard, ties
+    * to the lowest doc_id). Asymmetric by construction — retained docs
+    * are the canon and never flip. */
+  private[graft] def shardVsRetained(
+      newIdx: org.apache.spark.sql.DataFrame,
+      newN: org.apache.spark.sql.DataFrame,
+      retIdx: org.apache.spark.sql.DataFrame,
+      retN: org.apache.spark.sql.DataFrame,
+      newIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val inter = newIdx.select(col("h"), col("source"), col("doc_id"))
+      .join(retIdx.select(col("h"), col("source"),
+        col("doc_id").as("match_id")), Seq("h", "source"))
+      .groupBy("doc_id", "match_id")
+      .agg(count(lit(1)).as("inter"))
+    val cand = inter
+      .join(newN.select(col("doc_id"), col("n").as("na")), "doc_id")
+      .join(retN.select(col("doc_id").as("match_id"), col("n").as("nb")),
+        "match_id")
+      .select(col("doc_id"), col("match_id"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jac"))
+      .where(col("jac") >= JacCluster)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jac").desc, col("match_id"))
+    val best = cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+    newIds.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNull, "keep").otherwise("drop").as("action"),
+        col("match_id"), col("jac"))
+  }
 
   /** (doc_a, doc_b, inter) → (doc_a, doc_b, jac): join the capped set
     * sizes onto the pair table and compute rounded Jaccard. */
@@ -435,29 +476,9 @@ object LlmExtra {
       val withCut = idx.crossJoin(broadcast(cut))
       val newIdx = withCut.where(col("doc_id") > col("cut")).drop("cut")
       val retIdx = withCut.where(col("doc_id") <= col("cut")).drop("cut")
-      val inter = newIdx.select(col("h"), col("source"), col("doc_id"))
-        .join(retIdx.select(col("h"), col("source"),
-          col("doc_id").as("match_id")), Seq("h", "source"))
-        .groupBy("doc_id", "match_id")
-        .agg(count(lit(1)).as("inter"))
-      val cand = inter
-        .join(n.select(col("doc_id"), col("n").as("na")), "doc_id")
-        .join(n.select(col("doc_id").as("match_id"), col("n").as("nb")),
-          "match_id")
-        .select(col("doc_id"), col("match_id"),
-          round(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")), 4).as("jac"))
-        .where(col("jac") >= JacCluster)
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("jac").desc, col("match_id"))
-      val best = cand.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1).drop("rk")
-      docs.select(col("doc_id")).crossJoin(broadcast(cut))
+      val newIds = docs.select(col("doc_id")).crossJoin(broadcast(cut))
         .where(col("doc_id") > col("cut")).drop("cut")
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("match_id").isNull, "keep").otherwise("drop").as("action"),
-          col("match_id"), col("jac"))
+      shardVsRetained(newIdx, n, retIdx, n, newIds)
         .orderBy("doc_id")
     }),
 

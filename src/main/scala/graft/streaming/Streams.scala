@@ -494,6 +494,66 @@ object Streams {
     root.exists() && walk(root)
   }
 
+  /** Streaming incremental dedup — the production topology of
+    * `llm_dedup_incremental` (graft.ops.LlmExtra): every micro-batch is
+    * a "new shard" of documents deduped against the RETAINED corpus,
+    * whose df-capped shingle inverted index + set sizes are PERSISTED
+    * PARQUET ARTIFACTS built once before the stream starts (the
+    * lakehouse table each arriving shard equi-joins against at 100 TB —
+    * only the small shard's shingles ever shuffle; the retained side is
+    * read, never rebuilt). Per batch: the shard's own capped index is
+    * computed map-side, `LlmExtra.shardVsRetained` (the same expressions
+    * the batch op plans) scores each doc against its best retained
+    * match, and the keep/drop verdicts land under
+    * `outPath/batch_id=N` — overwritten per batch, so Structured
+    * Streaming's one-batch replay after a crash is idempotent.
+    * Semantics note vs the batch op: the df cap is evaluated on the
+    * retained corpus and on each shard separately (the artifact is
+    * frozen at stream start), whereas the batch op caps over the unioned
+    * corpus — identical verdicts whenever no shingle's df crosses the
+    * cap across the union, the asserted fixture property
+    * (StreamingParitySpec). */
+  def incrementalDedupStream(newDocs: DataFrame, retainedDocsDir: String,
+      artifactDir: String, outPath: String, checkpoint: String)
+      : StreamingQuery = {
+    val s = newDocs.sparkSession
+    // build-or-reuse the retained artifacts synchronously, before the
+    // stream starts (the "persisted retained index" the design names)
+    val idxPath = s"$artifactDir/retained_index.parquet"
+    val nPath = s"$artifactDir/retained_sizes.parquet"
+    if (!new java.io.File(s"$idxPath/_SUCCESS").isFile) {
+      val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
+      val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
+        .persist()
+      idx.write.mode("overwrite").parquet(idxPath)
+      graft.ops.LlmExtra.cappedSetSizes(idx)
+        .write.mode("overwrite").parquet(nPath)
+      idx.unpersist(blocking = false)
+      ()
+    }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sb = batch.sparkSession
+        val retIdx = sb.read.parquet(idxPath)
+        val retN = sb.read.parquet(nPath)
+        // the shard is micro-batch-sized: its index is computed in place
+        // (map-side explode + a shard-local df cap) and never persisted
+        val shardIdx = graft.ops.LlmExtra
+          .cappedShingleIndexOf(sb, batch).persist()
+        try {
+          val shardN = graft.ops.LlmExtra.cappedSetSizes(shardIdx)
+          graft.ops.LlmExtra.shardVsRetained(
+              shardIdx, shardN, retIdx, retN,
+              batch.select(col("doc_id")))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        } finally shardIdx.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
   /** Upsert sink (JdbcSink/HBase-upsert analog of `sink_foreach_upsert`):
     * foreachBatch folds each micro-batch into a keyed latest-image
     * parquet table. Idempotent per key; atomic via write-then-swap. */

@@ -511,6 +511,45 @@ class StreamingParitySpec extends AnyFunSuite {
       s"expected the sink-identity failure, got: ${e.getMessage}")
   }
 
+  test("incremental dedup stream: streamed verdicts equal the batch op's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the same retained/new cut the batch op derives internally
+    val cut = docs.agg(floor(max(col("doc_id")) * 0.9)).first().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incd").toString
+    docs.where(col("doc_id") <= cut)
+      .write.mode("overwrite").parquet(s"$dir/retained/documents.parquet")
+    // parity precondition the wrapper documents: no shingle's df crosses
+    // the cap over the UNION corpus, so retained-only + shard-local
+    // capping (stream) equals union capping (batch)
+    val unionIdx = ops.LlmExtra.cappedShingleIndexOf(spark,
+      docs.select("doc_id", "source", "text"))
+    assert(unionIdx.groupBy("source", "h").count()
+      .where(col("count") > ops.LlmExtra.ShingleDfCap).count() === 0)
+    // stream the new shard in two micro-batches (arrival order)
+    val newDocs = docs.where(col("doc_id") > cut)
+      .select(col("doc_id").as[Long], col("source").as[String],
+        col("text").as[String]).collect().sortBy(_._1).toSeq
+    assert(newDocs.nonEmpty)
+    val input = MemoryStream[(Long, String, String)]
+    val query = Streams.incrementalDedupStream(
+      input.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/retained", s"$dir/artifacts", s"$dir/out", s"$dir/ckpt")
+    newDocs.grouped(math.max((newDocs.size + 1) / 2, 1)).foreach { c =>
+      input.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "action", "match_id", "jac")
+    val batch = q("llm_dedup_incremental")
+      .select("doc_id", "action", "match_id", "jac")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    ops.OpCache.release(spark)
+  }
+
   test("checkpoint recovery: visit numbering continues across a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
