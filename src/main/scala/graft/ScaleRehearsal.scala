@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup family (round-5 verdict item 8): runs
+  * `llm_dedup_{ngram_jaccard,clusters,embcos,incremental}` on
+  * SYNTHESIZED corpora at several multiples of the sf0.1 shape and
+  * records wall-time, result rows, CC convergence rounds, candidate-
+  * pair counts, and per-key index df — the empirical check behind the
+  * "linear at 100 TB" plan-shape argument. Results land as one JSON
+  * line per multiplier on stdout and in /tmp/graft_scale_rehearsal.json.
+  *
+  * Scaling model: the corpus grows by ADDING SOURCES at fixed per-source
+  * density (sf0.1 shape: 250 docs/source, 10-100 words from a 31-word
+  * vocab), the way a web corpus grows by adding domains/shards. Dedup
+  * candidate joins key on (source, shingle-hash), so per-key df stays
+  * STATIONARY and the pair space must grow linearly if the design is
+  * right — a super-linear wall-time or pair-count curve here falsifies
+  * the scale story. (Growing a fixed 31-word vocab corpus by stacking
+  * docs instead would inflate every shingle's df with corpus size — a
+  * density no real text has; that regime is what the ShingleDfCap
+  * bounds, tested separately in LlmExtraSpec.) Dup structure is
+  * injected at fixture-like rates: ~2% near-dups (1-2 words mutated)
+  * and ~0.2% exact dups, each referencing an earlier doc in the SAME
+  * source lane so pairs stay joinable.
+  *
+  * Usage: runMain graft.ScaleRehearsal [mult ...]   (default: 1 10)
+  */
+object ScaleRehearsal {
+
+  // splitmix64 — deterministic per-(id, salt) stream, no shared RNG state
+  private def mix(id: Long, salt: Long): Long = {
+    var z = id * 0x9e3779b97f4a7c15L + salt * 0xbf58476d1ce4e5b9L +
+      0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def pick(id: Long, salt: Long, n: Int): Int =
+    ((mix(id, salt) >>> 1) % n).toInt
+
+  private val vocab = Array("spark", "batch", "part", "line", "column",
+    "order", "small", "sort", "fast", "value", "scan", "query", "agg",
+    "table", "hash", "key", "group", "join", "filter", "stream",
+    "customer", "big", "data", "dup", "a", "vector", "slow", "window",
+    "state", "shuffle", "merge")
+  private val langs = Array("en", "zh", "es", "fr", "de")
+
+  private def rawText(id: Long): String = {
+    val n = 10 + pick(id, 7, 91)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(pick(id, 100 + i, vocab.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Stored text: mostly rawText(id); ~2% near-dups (base doc from the
+    * same source lane, 1-2 words mutated), ~0.2% exact dups. */
+  private def textFor(id: Long, nSources: Int): String = {
+    val r = pick(id, 13, 500)
+    if (id < nSources || r >= 11) rawText(id)
+    else {
+      // an earlier doc in the same source lane (source = id % nSources)
+      val back = 1 + pick(id, 17, math.max(1, (id / nSources).toInt))
+      val base = id - back.toLong * nSources
+      if (r == 10) rawText(base) // exact dup (1/500)
+      else { // near dup (10/500): mutate 1-2 words
+        val w = rawText(base).split(' ')
+        val m = 1 + pick(id, 19, 2)
+        var j = 0
+        while (j < m) {
+          w(pick(id, 23 + j, w.length)) =
+            vocab(pick(id, 29 + j, vocab.length))
+          j += 1
+        }
+        w.mkString(" ")
+      }
+    }
+  }
+
+  private def synthesize(s: SparkSession, dir: String, mult: Int): Unit = {
+    import s.implicits._
+    if (new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) return
+    val nSources = 20 * mult
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    s.range(nDocs).map { id =>
+      val text = textFor(id, nSources)
+      (id, text, langs(pick(id, 31, langs.length)), s"src${id % nSources}",
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: 10 label clusters, dim 64 — center + noise, normalized
+    val dim = 64
+    s.range(nVecs).map { id =>
+      val label = pick(id, 41, 10)
+      val v = Array.tabulate(dim) { k =>
+        val c = (mix(label.toLong, 997L + k) % 1000L) / 500.0f - 1.0f
+        val nz = (mix(id, 1700L + k) % 1000L) / 500.0f - 1.0f
+        c + 0.35f * nz
+      }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / norm), label)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = Seq("llm_dedup_ngram_jaccard", "llm_dedup_clusters",
+      "llm_dedup_embcos", "llm_dedup_incremental")
+    // warmup: codegen + parquet reader init outside the timed region
+    try SparkEntry.queries("llm_text_stats")(spark, "/root/testdata/sf0.1")
+      .count()
+    catch { case _: Throwable => () }
+    val lines = mults.map { mult =>
+      val dir = s"$root/x$mult"
+      synthesize(spark, dir, mult)
+      val timings = ops.map { name =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cc = if (name == "llm_dedup_clusters")
+          graft.ops.LlmExtra.lastCcRounds else -1
+        graft.ops.OpCache.release(spark)
+        spark.catalog.clearCache()
+        (name, dt, n, cc)
+      }
+      // index shape stats: per-(source,h) df on the CAPPED index (what
+      // the joins see) and the implied candidate-pair row count Σ C(df,2)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = graft.ops.LlmExtra.cappedShingleIndexOf(spark, docs)
+      val dfStats = idx.groupBy("source", "h").agg(count(lit(1)).as("df"))
+        .agg(max(col("df")).as("max_df"),
+          sum(col("df") * (col("df") - 1) / 2).as("cand_pairs"))
+        .first()
+      val secs = timings.map(t => s""""${t._1}":${"%.2f".format(t._2)}""")
+        .mkString("{", ",", "}")
+      val rows = timings.map(t => s""""${t._1}":${t._3}""")
+        .mkString("{", ",", "}")
+      val ccRounds = timings.collectFirst {
+        case (_, _, _, cc) if cc >= 0 => cc }.getOrElse(-1)
+      val line = s"""{"rehearsal":{"mult":$mult,"docs":${docs.count()},""" +
+        s""""secs":$secs,"rows":$rows,"cc_rounds":$ccRounds,""" +
+        s""""max_df":${dfStats.getLong(0)},""" +
+        s""""cand_pairs":${dfStats.getDouble(1).toLong}}}"""
+      println(line)
+      line
+    }
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_scale_rehearsal.json")
+      try lines.foreach(w.println) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    spark.stop()
+  }
+}

@@ -240,6 +240,11 @@ object LlmExtra {
     * materialization a later refactor of the loop's count()/require()
     * could silently leave the result recomputing the whole upstream
     * pipeline after the caller's unpersist. */
+  /** Diagnostic only (read by the scale-rehearsal harness after a
+    * clusters run): how many contraction rounds the LAST
+    * connectedComponents call took to drain its edge set. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   private[graft] def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -296,6 +301,7 @@ object LlmExtra {
     }
     require(remaining == 0,
       s"connectedComponents: $remaining edges left after $round rounds")
+    lastCcRounds = round
     // eager: one extra tiny job (labels are vertex-count rows) buys the
     // no-lineage-to-input contract documented above
     lab.localCheckpoint(true)

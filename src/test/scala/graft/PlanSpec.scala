@@ -212,6 +212,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(2500))
   }
 
+  test("multimodal codecs: encode+decode are map-side — no shuffle, no join") {
+    // both real-codec paths (PNG, WAV) must run where the row lives:
+    // the only Exchange allowed is the final presentation orderBy
+    for (key <- Seq("llm_multimodal_image", "llm_multimodal_audio")) {
+      val p = plan(q(key))
+      assert(!p.contains("hashpartitioning"), s"$key: ${p.take(2000)}")
+      assert(!p.contains("Join"), s"$key: ${p.take(2000)}")
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+        s"$key: ${p.take(2000)}")
+    }
+  }
+
   test("win_share_of_total: one keyed shuffle, no self-join on the total") {
     val p = plan(q("win_share_of_total"))
     // the denominator is a partition-frame window over the SAME
