@@ -882,7 +882,90 @@ object LlmExtra {
         .toDF()
         .select(col("doc_id"), col("sample_rate"), col("n_frames"),
           col("s_first"), col("s_last"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- corpus-curation trio (round 8): the standard passes a
+    // training-data pipeline runs between dedup and packing ------------
+
+    // Benchmark DECONTAMINATION — flag training docs sharing any 3-gram
+    // shingle with a held-out benchmark/eval set, so eval answers leaked
+    // into the crawl are dropped before training. The benchmark here is
+    // the deterministic doc_id % 17 == 0 slice; a deployment passes its
+    // own eval corpus. Scale shape: a benchmark set is FIXED-SIZE (eval
+    // suites don't grow with the corpus), so its distinct shingle set
+    // builds once and BROADCASTS; the 100 TB train side probes it
+    // map-side (explode + broadcast hash join) and the only shuffle is
+    // the per-doc hit count over the (tiny) matching rows. Contamination
+    // is cross-source by design — an eval answer leaked via a different
+    // crawl domain still contaminates.
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
+      val bench = docs.where(col("doc_id") % 17 === 0)
+        .select(explode(sh).as("h")).distinct()
+      val train = docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), sh.as("shs"))
+      val hits = train.select(col("doc_id"), explode(col("shs")).as("h"))
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      train
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_shingles"), 4).as("overlap_frac"),
+          (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document REPETITION filter (the Gopher-style quality rule):
+    // a crawl doc whose words/2-grams are mostly repeats of themselves
+    // is boilerplate or spam — score the duplicate-word and
+    // duplicate-bigram fractions and keep docs under both cuts. Pure
+    // map-side array math (split → slice/transform → distinct) with no
+    // shuffle except the output ordering; at 100 TB this pass fuses
+    // into whatever scan precedes it.
+    "llm_repetition_filter" -> ((s, d) => {
+      val tk = toks(col("text"))
+      // bigram j (1-based) = tk[j] ++ tk[j+1]; the slice drops the last
+      // word so the index lambda can always reach its right neighbor
+      val bg = transform(slice(tk, lit(1), size(tk) - 1),
+        (x, i) => concat_ws(" ", x, element_at(tk, i + 2)))
+      val dupW = round(lit(1.0) -
+        size(array_distinct(tk)).cast("double") / size(tk), 4)
+      val dupB = when(size(bg) > 0, round(lit(1.0) -
+        size(array_distinct(bg)).cast("double") / size(bg), 4))
+        .otherwise(lit(0.0))
+      t(s, d, "documents")
+        .select(col("doc_id"), size(tk).cast("long").as("n_words"),
+          dupW.as("dup_word_frac"), dupB.as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.3 && col("dup_bigram_frac") <= 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // DOMAIN-MIX balancing (the data-mixing step): deterministically
+    // downsample over-represented sources to the smallest source's
+    // volume so no crawl domain dominates the training mix. Per-source
+    // rates come from one tiny count aggregate (|domains| rows, joined
+    // back as a broadcast); the keep decision is the same LCG coin as
+    // llm_sample_split — reproducible, driver-free, and map-side on the
+    // data path, so at 100 TB the only shuffle is the domain-count
+    // aggregate itself.
+    "llm_domain_balance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val target = cnt.agg(min(col("n_src")).as("target"))
+      val rates = cnt.crossJoin(broadcast(target))
+        .select(col("source"), col("n_src"),
+          floor(lit(10000.0) * col("target") / col("n_src")).as("cut"))
+      docs.join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"), col("n_src"),
+          (pmod(col("doc_id") * 1000003L + 12345L, lit(10000L)) < col("cut"))
+            .as("keep"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared oracle CTE chain mirroring ivfAssign: corpus-scaled k →
@@ -1181,6 +1264,49 @@ object LlmExtra {
         | CAST((doc_id * 31) % 65536 - 32768 AS INT) AS s_first,
         | CAST((doc_id * 31 + (3 + doc_id % 5) * 17) % 65536 - 32768
         |   AS INT) AS s_last
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // string shingles here vs 64-bit shingle hashes on the engine side —
+    // identical membership/counts, same argument as ngram_jaccard
+    "llm_decontaminate" ->
+      """WITH d0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(sh) h FROM d0 WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, sh FROM d0 WHERE doc_id % 17 <> 0),
+        |hits AS (SELECT doc_id, count(*) hits
+        |  FROM (SELECT doc_id, unnest(sh) h FROM tr) e JOIN bench USING (h)
+        |  GROUP BY 1)
+        |SELECT tr.doc_id, len(tr.sh) AS n_shingles,
+        | coalesce(h.hits, 0) AS hits,
+        | round(coalesce(h.hits, 0)::DOUBLE / len(tr.sh), 4) AS overlap_frac,
+        | coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM tr LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        |b AS (SELECT doc_id, ws, list_transform(
+        |   generate_series(1, greatest(len(ws)-1, 0)),
+        |   i -> array_to_string(ws[i:i+1], ' ')) bg FROM w)
+        |SELECT doc_id, len(ws) AS n_words,
+        | round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
+        |   AS dup_word_frac,
+        | CASE WHEN len(bg) > 0 THEN
+        |   round(1 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
+        | ELSE 0.0 END AS dup_bigram_frac,
+        | round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 4) <= 0.3
+        |  AND (CASE WHEN len(bg) > 0 THEN
+        |    round(1 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
+        |   ELSE 0.0 END) <= 0.2 AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "llm_domain_balance" ->
+      """WITH cnt AS (SELECT source, count(*) n_src FROM documents
+        |             GROUP BY 1),
+        |tgt AS (SELECT min(n_src) t FROM cnt),
+        |r AS (SELECT source, n_src, floor(10000.0 * tgt.t / n_src) cut
+        |      FROM cnt, tgt)
+        |SELECT d.doc_id, d.source, r.n_src,
+        | (d.doc_id * 1000003 + 12345) % 10000 < r.cut AS keep
+        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin
   )
 }

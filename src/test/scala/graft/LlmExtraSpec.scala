@@ -233,4 +233,63 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(df.count() ===
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("decontaminate: a train doc copying benchmark text is flagged " +
+      "(even cross-source); benchmark docs never appear in the output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    Seq(
+      (17L, "web", benchText), // benchmark slice: 17 % 17 == 0
+      (18L, "books", benchText), // leaked copy via a DIFFERENT source
+      (19L, "web", "completely different words appear in this training doc")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val rows = SparkEntry.queries("llm_decontaminate")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(18L, 19L)) // 17 excluded
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getBoolean(4), r.getDouble(3)))).toMap
+    assert(byId(18L) === ((true, 1.0))) // every shingle shared
+    assert(byId(19L)._1 === false)
+  }
+
+  test("repetition filter: spam doc fails both cuts; natural and " +
+      "single-word docs keep") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "s", "spam spam spam spam spam spam spam spam"),
+      (2L, "s", "eight perfectly distinct words compose this natural sentence"),
+      (3L, "s", "one")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val out = SparkEntry.queries("llm_repetition_filter")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((0.875, 0.8571, false))) // 1-1/8, 1-1/7
+    assert(out(2L) === ((0.0, 0.0, true)))
+    assert(out(3L) === ((0.0, 0.0, true))) // zero bigrams -> guarded 0.0
+  }
+
+  test("domain balance: the smallest source keeps everything; an " +
+      "over-represented source is cut by the deterministic coin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bal").toString
+    val docs = (0L until 4L).map(i => (i, "small", s"w$i")) ++
+      (100L until 140L).map(i => (i, "big", s"w$i"))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val rows = SparkEntry.queries("llm_domain_balance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    assert(rows.filter(_._2 == "small").forall(_._3)) // cut = 10000: all keep
+    // target 4 over 40 docs -> cut 1000; independently replay the coin
+    val expBig = (100L until 140L)
+      .count(i => (i * 1000003L + 12345L) % 10000L < 1000L)
+    assert(rows.count(r => r._2 == "big" && r._3) === expBig)
+    assert(expBig < 40) // the cut actually bites on this fixture
+  }
 }

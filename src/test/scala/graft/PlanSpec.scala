@@ -305,6 +305,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("llm_decontaminate: benchmark shingle set broadcasts; no doc×doc " +
+      "join anywhere") {
+    val p = plan(q("llm_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("llm_repetition_filter: map-side only — no exchange except " +
+      "output order") {
+    val p = plan(q("llm_repetition_filter"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("llm_domain_balance: per-source rates join back as a broadcast") {
+    val p = plan(q("llm_domain_balance"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
