@@ -149,6 +149,38 @@ object Windows {
           first(col("event_type")).over(w).as("first_type"),
           last(col("event_type")).over(w).as("last_type"))
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Time-series RESAMPLE + GAP-FILL (the SAMPLE BY / LOCF shape every
+    // TSDB ships): hourly purchase revenue on a complete hour spine
+    // (sequence-explode between min and max), missing hours carried
+    // forward from the last observed value. The one unpartitioned
+    // window here runs over the SPINE, whose cardinality is calendar
+    // hours — bounded by wall-clock time, not data volume — so it never
+    // funnels data-scale rows through one task; the 100 TB work is all
+    // in the hour-keyed partial aggregation below it.
+    "win_gapfill" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("revenue"))
+      val spine = hourly
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(explode(
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy(lit(0)).orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("hour"), "left")
+        .select(col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("revenue"),
+          last(col("revenue"), ignoreNulls = true).over(w)
+            .as("revenue_filled"),
+          col("revenue").isNull.as("is_gap"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+          col("n_events"), col("revenue"), col("revenue_filled"),
+          col("is_gap"))
+        .orderBy("hour")
     })
   )
 
@@ -229,6 +261,23 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "win_gapfill" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) hr, count(*) n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      revenue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(hr) lo, max(hr) hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |            hr FROM b),
+        |g AS (SELECT s.hr, coalesce(h.n_events, 0) n_events, h.revenue,
+        |    last_value(h.revenue IGNORE NULLS) OVER (ORDER BY s.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      revenue_filled,
+        |    h.revenue IS NULL is_gap
+        |  FROM spine s LEFT JOIN h ON s.hr = h.hr)
+        |SELECT strftime(hr, '%Y-%m-%d %H:00') AS "hour", n_events,
+        |  revenue, revenue_filled, is_gap
+        |FROM g ORDER BY 1""".stripMargin
   )
 }

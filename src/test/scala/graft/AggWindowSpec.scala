@@ -130,4 +130,33 @@ class AggWindowSpec extends AnyFunSuite {
     // join_anti computes the same set via NOT EXISTS
     assert(q("join_anti").count() === exc.count())
   }
+
+  test("win_gapfill: spine is contiguous hours; gaps carry the last " +
+      "observed revenue forward") {
+    val df = q("win_gapfill").cache()
+    try {
+      val rows = df.collect()
+      // contiguous spine: row count == hours between first and last
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:00")
+      def h(s: String) = java.time.LocalDateTime.parse(s, fmt)
+      val span = java.time.Duration
+        .between(h(rows.head.getString(0)), h(rows.last.getString(0)))
+        .toHours + 1
+      assert(rows.length.toLong === span)
+      // gap rows: zero events, null revenue, filled == previous filled
+      var lastFilled = Double.NaN
+      rows.foreach { r =>
+        val isGap = r.getBoolean(4)
+        assert(isGap === r.isNullAt(2))
+        if (isGap) {
+          assert(r.getLong(1) === 0L)
+          assert(r.getDouble(3) === lastFilled) // LOCF
+        } else assert(r.getDouble(3) === r.getDouble(2))
+        lastFilled = r.getDouble(3)
+      }
+      // the fixture actually exercises the fill path
+      assert(rows.count(_.getBoolean(4)) > 0, "no gaps in fixture")
+    } finally df.unpersist()
+  }
 }
