@@ -432,6 +432,60 @@ object LlmExtra {
     size(filter(toks(c), x =>
       markers.map(m => x === m).reduce(_ || _)))
 
+  // ---- curation seam (shared by the batch ops and the streaming
+  // curation gate, Streams.curationGateStream) -----------------------
+
+  /** Distinct 3-gram shingle hashes of a benchmark/eval corpus — the
+    * (fixed-size, broadcastable) probe set for contamination checks. */
+  private[graft] def benchShingles(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(graft.functions.VectorFunctions
+      .shingleHashes3(docs.sparkSession, col("text"))).as("h")).distinct()
+
+  /** Score (doc_id, text) rows against a benchmark shingle set `bench`
+    * (one `h` column): per-doc shared-shingle hits, overlap fraction,
+    * contaminated flag. Map-side explode + broadcast probe; the only
+    * shuffle is the per-doc count over matching rows. */
+  private[graft] def contaminationScored(
+      train: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = graft.functions.VectorFunctions
+      .shingleHashes3(train.sparkSession, col("text"))
+    val t2 = train.select(col("doc_id"), sh.as("shs"))
+    val hits = t2.select(col("doc_id"), explode(col("shs")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    t2.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("overlap_frac"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Per-doc repetition metrics over (doc_id, text) rows: duplicate-word
+    * and duplicate-bigram fractions plus the keep verdict. Pure map-side
+    * array math. */
+  private[graft] def repetitionScored(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tk = toks(col("text"))
+    // bigram j (1-based) = tk[j] ++ tk[j+1]; the slice drops the last
+    // word so the index lambda can always reach its right neighbor
+    val bg = transform(slice(tk, lit(1), size(tk) - 1),
+      (x, i) => concat_ws(" ", x, element_at(tk, i + 2)))
+    val dupW = round(lit(1.0) -
+      size(array_distinct(tk)).cast("double") / size(tk), 4)
+    val dupB = when(size(bg) > 0, round(lit(1.0) -
+      size(array_distinct(bg)).cast("double") / size(bg), 4))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id"), size(tk).cast("long").as("n_words"),
+        dupW.as("dup_word_frac"), dupB.as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.3 && col("dup_bigram_frac") <= 0.2)
+  }
+
   val queries: Map[String, Q] = Map(
     // Near-dup detection by exact n-gram Jaccard, computed via the
     // DF-CAPPED INVERTED-INDEX join (the exact set-similarity-join
@@ -900,22 +954,8 @@ object LlmExtra {
     // crawl domain still contaminates.
     "llm_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = graft.functions.VectorFunctions.shingleHashes3(s, col("text"))
-      val bench = docs.where(col("doc_id") % 17 === 0)
-        .select(explode(sh).as("h")).distinct()
-      val train = docs.where(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id"), sh.as("shs"))
-      val hits = train.select(col("doc_id"), explode(col("shs")).as("h"))
-        .join(broadcast(bench), "h")
-        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-      train
-        .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)).cast("double") /
-            col("n_shingles"), 4).as("overlap_frac"),
-          (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+      contaminationScored(docs.where(col("doc_id") % 17 =!= 0),
+        benchShingles(docs.where(col("doc_id") % 17 === 0)))
         .orderBy("doc_id")
     }),
 
@@ -926,24 +966,8 @@ object LlmExtra {
     // map-side array math (split → slice/transform → distinct) with no
     // shuffle except the output ordering; at 100 TB this pass fuses
     // into whatever scan precedes it.
-    "llm_repetition_filter" -> ((s, d) => {
-      val tk = toks(col("text"))
-      // bigram j (1-based) = tk[j] ++ tk[j+1]; the slice drops the last
-      // word so the index lambda can always reach its right neighbor
-      val bg = transform(slice(tk, lit(1), size(tk) - 1),
-        (x, i) => concat_ws(" ", x, element_at(tk, i + 2)))
-      val dupW = round(lit(1.0) -
-        size(array_distinct(tk)).cast("double") / size(tk), 4)
-      val dupB = when(size(bg) > 0, round(lit(1.0) -
-        size(array_distinct(bg)).cast("double") / size(bg), 4))
-        .otherwise(lit(0.0))
-      t(s, d, "documents")
-        .select(col("doc_id"), size(tk).cast("long").as("n_words"),
-          dupW.as("dup_word_frac"), dupB.as("dup_bigram_frac"))
-        .withColumn("keep",
-          col("dup_word_frac") <= 0.3 && col("dup_bigram_frac") <= 0.2)
-        .orderBy("doc_id")
-    }),
+    "llm_repetition_filter" -> ((s, d) =>
+      repetitionScored(t(s, d, "documents")).orderBy("doc_id")),
 
     // DOMAIN-MIX balancing (the data-mixing step): deterministically
     // downsample over-represented sources to the smallest source's

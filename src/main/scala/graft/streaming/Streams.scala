@@ -554,6 +554,49 @@ object Streams {
       .start()
   }
 
+  /** Streaming CURATION GATE — the production topology of the round-8
+    * curation filters: each micro-batch of arriving documents is scored
+    * for intra-doc repetition (`LlmExtra.repetitionScored`) and for
+    * contamination against a FIXED benchmark corpus
+    * (`LlmExtra.contaminationScored`) whose distinct shingle set is a
+    * PERSISTED PARQUET ARTIFACT built once before the stream starts —
+    * eval suites don't grow with the corpus, so at 100 TB the artifact
+    * stays broadcast-sized for every batch join and only the arriving
+    * shard's shingles are ever computed (map-side, per batch). Verdicts
+    * (admit = repetition-keep AND NOT contaminated) land under
+    * `outPath/batch_id=N`, overwritten per batch so Structured
+    * Streaming's one-batch crash replay is idempotent. Per-doc scores
+    * depend only on the doc and the frozen benchmark, so streamed
+    * verdicts equal the batch ops' regardless of batching
+    * (StreamingParitySpec). */
+  def curationGateStream(newDocs: DataFrame, benchDocsDir: String,
+      artifactDir: String, outPath: String, checkpoint: String)
+      : StreamingQuery = {
+    val s = newDocs.sparkSession
+    val benchPath = s"$artifactDir/bench_shingles.parquet"
+    if (!new java.io.File(s"$benchPath/_SUCCESS").isFile) {
+      graft.ops.LlmExtra.benchShingles(
+          graft.ops.Tables.t(s, benchDocsDir, "documents"))
+        .write.mode("overwrite").parquet(benchPath)
+      ()
+    }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sb = batch.sparkSession
+        val bench = sb.read.parquet(benchPath)
+        graft.ops.LlmExtra.repetitionScored(batch)
+          .join(graft.ops.LlmExtra.contaminationScored(batch, bench),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("keep"), col("contaminated"),
+            (col("keep") && !col("contaminated")).as("admit"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Upsert sink (JdbcSink/HBase-upsert analog of `sink_foreach_upsert`):
     * foreachBatch folds each micro-batch into a keyed latest-image
     * parquet table. Idempotent per key; atomic via write-then-swap. */

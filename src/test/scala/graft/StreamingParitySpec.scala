@@ -550,6 +550,43 @@ class StreamingParitySpec extends AnyFunSuite {
     ops.OpCache.release(spark)
   }
 
+  test("curation gate stream: streamed admit verdicts equal the batch ops'") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    // the same benchmark slice the batch op derives internally
+    docs.where(col("doc_id") % 17 === 0)
+      .write.mode("overwrite").parquet(s"$dir/bench/documents.parquet")
+    val newDocs = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id").as[Long], col("source").as[String],
+        col("text").as[String]).collect().sortBy(_._1).toSeq
+    assert(newDocs.nonEmpty)
+    val input = MemoryStream[(Long, String, String)]
+    val query = Streams.curationGateStream(
+      input.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/bench", s"$dir/artifacts", s"$dir/out", s"$dir/ckpt")
+    newDocs.grouped(math.max((newDocs.size + 1) / 2, 1)).foreach { c =>
+      input.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "keep", "contaminated", "admit")
+    val expected = q("llm_repetition_filter").select("doc_id", "keep")
+      .join(q("llm_decontaminate").select("doc_id", "contaminated"),
+        Seq("doc_id")) // inner join drops the benchmark slice itself
+      .select(col("doc_id"), col("keep"), col("contaminated"),
+        (col("keep") && !col("contaminated")).as("admit"))
+    assert(streamed.count() === expected.count())
+    assert(streamed.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(streamed).count() === 0)
+    // the gate must actually gate on this fixture: both failure modes
+    // and the admit path all occur
+    assert(streamed.where(col("admit")).count() > 0)
+    assert(streamed.where(col("contaminated")).count() > 0)
+    ops.OpCache.release(spark)
+  }
+
   test("checkpoint recovery: visit numbering continues across a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
