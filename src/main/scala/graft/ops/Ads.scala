@@ -118,6 +118,34 @@ object Ads {
         .crossJoin(p.agg(count(lit(1)).as("s3")))
         .selectExpr("stack(3, 1, s1, 2, s2, 3, s3) as (step, users)")
         .orderBy("step")
+    }),
+
+    // Weekly COHORT RETENTION MATRIX (the growth team's heatmap): users
+    // grouped by first-activity week, each later week's actives as a
+    // fraction of the cohort. The fact table reduces to distinct
+    // (user, week) in one keyed shuffle; the cohort label is a per-user
+    // min joined back on user_id (co-partitioned with the distinct's
+    // shuffle at scale); the matrix itself is |weeks|² rows — tiny at
+    // any corpus size. date_trunc('week') is Monday-start on both
+    // engines.
+    "ads_cohort_matrix" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(cohort, "user_id")
+        .groupBy("cohort_wk", "wk").agg(count(lit(1)).as("active_users"))
+        .join(sizes, "cohort_wk")
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("week_offset"),
+          col("active_users"), col("cohort_size"),
+          round(col("active_users").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -173,6 +201,21 @@ object Ads {
         |SELECT CAST(1 AS INT) AS step, (SELECT count(*) FROM v) AS users
         |UNION ALL SELECT 2, (SELECT count(*) FROM c)
         |UNION ALL SELECT 3, (SELECT count(*) FROM p)
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+    "ads_cohort_matrix" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               date_trunc('week', ts)::DATE wk FROM events),
+        |coh AS (SELECT user_id, min(wk) cohort_wk FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, count(*) cohort_size FROM coh
+        |          GROUP BY 1),
+        |m AS (SELECT c.cohort_wk, a.wk, count(*) active_users
+        |      FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(m.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        | CAST(date_diff('day', m.cohort_wk, m.wk) / 7 AS INT)
+        |   AS week_offset,
+        | m.active_users, s.cohort_size,
+        | round(m.active_users::DOUBLE / s.cohort_size, 4) AS retention
+        |FROM m JOIN sizes s USING (cohort_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -73,4 +73,24 @@ class AdsSpec extends AnyFunSuite {
     assert(s1.join(s2, "doc_id").where(col("split") =!= col("split2"))
       .count() === 0)
   }
+
+  test("ads_cohort_matrix: offset-0 retention is 1.0 and actives never " +
+      "exceed the cohort") {
+    val m = q("ads_cohort_matrix").cache()
+    try {
+      assert(m.count() > 0)
+      // every user is active in their own cohort week by construction
+      assert(m.where(col("week_offset") === 0 &&
+        (col("active_users") =!= col("cohort_size") ||
+          col("retention") =!= 1.0)).count() === 0)
+      assert(m.where(col("week_offset") < 0 ||
+        col("active_users") > col("cohort_size") ||
+        col("retention") <= 0 || col("retention") > 1).count() === 0)
+      // cohort sizes partition the user base exactly once
+      val users = m.where(col("week_offset") === 0)
+        .agg(sum(col("cohort_size"))).first().getLong(0)
+      assert(users === graft.ops.Tables.events(spark, sf)
+        .select("user_id").distinct().count())
+    } finally m.unpersist()
+  }
 }
