@@ -123,8 +123,11 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // decontaminate rides along: its benchmark slice (doc_id % 17) grows
+    // WITH the corpus here — harsher than production's fixed eval set —
+    // so a linear curve on this shape upper-bounds the real deployment.
     val ops = Seq("llm_dedup_ngram_jaccard", "llm_dedup_clusters",
-      "llm_dedup_embcos", "llm_dedup_incremental")
+      "llm_dedup_embcos", "llm_dedup_incremental", "llm_decontaminate")
     // warmup: codegen + parquet reader init outside the timed region
     try SparkEntry.queries("llm_text_stats")(spark, "/root/testdata/sf0.1")
       .count()
