@@ -46,6 +46,26 @@ object Streaming {
         .select(ep(col("w_start")).as("w_start_us"), col("n"), col("total"))
         .orderBy("w_start_us")),
 
+    // Flink's CUMULATE window TVF (progressive early results): within
+    // each 1-hour span, the cumulative count/sum at every 15-min mark.
+    // An event at t contributes to every mark AFTER t in its span — a
+    // map-side explode into ≤4 (span, mark) keys and ONE keyed shuffle
+    // (the WAU-rolling shape); output stays |hours|×4 rows at any event
+    // volume. Streaming form: Streams.cumulateCounts (same expressions,
+    // parity-tested).
+    "stream_window_cumulate" -> ((s, d) =>
+      t(s, d, "events")
+        .select(ep(col("ts")).as("ts_us"), col("value"))
+        .select((col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
+          .as("w_start_us"), col("ts_us"), col("value"))
+        .select(col("w_start_us"), col("ts_us"), col("value"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .where(col("w_start_us") + col("k") * 900000000L > col("ts_us"))
+        .groupBy(col("w_start_us"),
+          (col("w_start_us") + col("k") * 900000000L).as("w_end_us"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("w_start_us", "w_end_us")),
+
     // Windowed Top-N (the genre's per-window ranking ADS op): top-2 event
     // types by count within each hourly tumbling window.
     "stream_topn_windowed" -> ((s, d) => {
@@ -232,6 +252,15 @@ object Streaming {
         |      FROM events, (SELECT unnest([0,1,2,3]) AS k) k
         |      WHERE CAST(floor(epoch(ts)/900)*900 AS BIGINT) - 900*k.k + 3600 > epoch(ts))
         |GROUP BY slide_start ORDER BY w_start_us""".stripMargin,
+    "stream_window_cumulate" ->
+      """SELECT w_start_us, w_start_us + 900000000::BIGINT * k.k AS w_end_us,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us,
+        |        epoch_us(ts) AS ts_us, value FROM events) e,
+        |     (SELECT unnest([1,2,3,4]) AS k) k
+        |WHERE e.w_start_us + 900000000::BIGINT * k.k > e.ts_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_topn_windowed" ->
       """SELECT w_start_us, event_type, n, rk FROM (
         | SELECT w_start_us, event_type, n, CAST(row_number() OVER (

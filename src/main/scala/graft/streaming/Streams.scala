@@ -113,6 +113,26 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Flink CUMULATE-TVF analog (`stream_window_cumulate`): cumulative
+    * per-hour aggregates emitted at each 15-min mark. The explode into
+    * ≤4 mark keys happens map-side on the stream; aggregation state is
+    * one row per (hour, mark) — bounded by wall-clock, not by event
+    * volume. Complete/update mode (the group keys are derived longs,
+    * so the progressive re-emission IS the cumulate semantics). */
+  def cumulateCounts(events: DataFrame): DataFrame =
+    events
+      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"))
+      .select((col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
+        .as("w_start_us"), col("ts_us"), col("value"))
+      .select(col("w_start_us"), col("ts_us"), col("value"),
+        explode(sequence(lit(1), lit(4))).as("k"))
+      .where(col("w_start_us") + col("k") * 900000000L > col("ts_us"))
+      .groupBy(col("w_start_us"),
+        (col("w_start_us") + col("k") * 900000000L).as("w_end_us"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Tables.dsum(col("value")).as("total"))
+
   /** Sliding 1h/15m event-time windows (SlidingEventTimeWindows analog
     * of `stream_window_sliding`). */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -78,6 +78,33 @@ class StreamingParitySpec extends AnyFunSuite {
       .where(col("n") =!= col("b_n")).count() === 0)
   }
 
+  test("cumulate windows stream (complete mode) == batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Streams.cumulateCounts(
+      input.toDS().toDF()).drop("total") // counts compare exactly
+    val query = agg.writeStream.format("memory").queryName("cumulate")
+      .outputMode("complete").start()
+    input.addData(allEvents)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("cumulate")
+    val batch = q("stream_window_cumulate").drop("total")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch.withColumnRenamed("n", "b_n"),
+        Seq("w_start_us", "w_end_us"))
+      .where(col("n") =!= col("b_n")).count() === 0)
+    // cumulate semantics: within an hour, counts never decrease with
+    // the mark
+    val later = streamed.select(col("w_start_us").as("ws"),
+      col("w_end_us").as("we"), col("n").as("later_n"))
+    val nonMono = streamed.join(later,
+      col("w_start_us") === col("ws") && col("w_end_us") < col("we") &&
+        col("n") > col("later_n")).count()
+    assert(nonMono === 0)
+  }
+
   test("session windows stream (complete) == batch session count per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
