@@ -659,6 +659,32 @@ object LlmExtra {
     // Quality scoring: stopword ratio, punctuation density, token-length
     // band, declared-length consistency → one [0,1] score per doc (the
     // filter stage of a training-data pipeline).
+    // Unigram log-probability quality proxy (the CCNet-style LM
+    // perplexity filter, with the corpus's own unigram model standing in
+    // for the external LM): score = mean ln p(tok) over the doc; spammy
+    // rare-token soup scores far below natural prose. Per-token logs are
+    // ROUNDED TO 8 DECIMALS then accumulated in exact DECIMAL so the sum
+    // is order-independent (a raw double sum would be shuffle-order
+    // dependent). Plan shape at 100 TB: unigram counts = one token
+    // shuffle; the token→vocab equi join is the standard LM-scoring
+    // shape (vocab ≪ corpus; AQE broadcasts when it fits); corpus total
+    // joins in as a 1-row broadcast.
+    "llm_perplexity_proxy" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val uni = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("total"))
+      tk.join(uni, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("total")), 8)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 8)).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     "llm_quality_score" -> ((s, d) => {
       val tk = toks(col("text"))
       val stopList = Seq("the", "of", "and", "is", "a", "to", "in")
@@ -1323,6 +1349,16 @@ object LlmExtra {
         |    round(1 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
         |   ELSE 0.0 END) <= 0.2 AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+    "llm_perplexity_proxy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+        |            FROM documents),
+        |uni AS (SELECT tok, count(*) cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(cnt) total FROM uni)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(CAST(round(ln(cnt::DOUBLE / total), 8)
+        |     AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM tk JOIN uni USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_domain_balance" ->
       """WITH cnt AS (SELECT source, count(*) n_src FROM documents
         |             GROUP BY 1),

@@ -274,6 +274,24 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(out(3L) === ((0.0, 0.0, true))) // zero bigrams -> guarded 0.0
   }
 
+  test("perplexity proxy: rare-token soup scores below common prose; " +
+      "all scores are negative log-probs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppx").toString
+    val common = "the data the data the data the data"
+    Seq(
+      (1L, "s", common), (2L, "s", common), (3L, "s", common),
+      (4L, "s", "zq glorp wexuvian snarfling quibblenox") // singletons
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val out = SparkEntry.queries("llm_perplexity_proxy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(_ < 0.0)) // ln p < 0 always
+    assert(out(4L) < out(1L)) // rare-token doc is less probable
+    assert(out(1L) === out(2L)) // identical docs score identically
+  }
+
   test("domain balance: the smallest source keeps everything; an " +
       "over-represented source is cut by the deterministic coin") {
     import spark.implicits._
