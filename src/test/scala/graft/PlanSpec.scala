@@ -327,6 +327,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("win_gapfill: the data-scale work is a partial hour-keyed agg; " +
+      "the LOCF window sees only the spine") {
+    val p = plan(q("win_gapfill"))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // partial + final aggregation on the events scan
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // the spine explode feeds the join, not the base table
+    assert(p.contains("Generate") && p.contains("explode("), p.take(2000))
+  }
+
+  test("ads_cohort_matrix: distinct + cohort-label joins are all equi") {
+    val p = plan(q("ads_cohort_matrix"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("stream_window_cumulate: map-side explode + one keyed agg, " +
+      "no join") {
+    val p = plan(q("stream_window_cumulate"))
+    assert(p.contains("Generate") && p.contains("explode("), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("llm_perplexity_proxy: token-vocab join is equi; corpus total " +
+      "broadcasts as one row") {
+    val p = plan(q("llm_perplexity_proxy"))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
