@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** Extended LLM-training-data pipeline operators beyond SURVEY §2.9's
   * core five: the dedup family (SimHash, n-gram Jaccard, embedding-
   * cosine), similarity-search scale path (IVF), text analysis
-  * (language-ID, BPE-ish token counting, rolling-hash fingerprint), and
-  * binary multimodal column plumbing.
+  * (language-ID, BPE-ish token counting, rolling-hash fingerprint,
+  * unigram-perplexity quality), the corpus-curation passes
+  * (benchmark decontamination, repetition filtering, domain-mix
+  * balancing — also wired into the streaming gate,
+  * Streams.curationGateStream), and binary multimodal column plumbing.
   *
   * Scale notes:
   *  - every dedup variant generates candidates through an EQUI join on a
