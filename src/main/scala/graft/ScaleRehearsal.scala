@@ -85,7 +85,10 @@ object ScaleRehearsal {
 
   private def synthesize(s: SparkSession, dir: String, mult: Int): Unit = {
     import s.implicits._
-    if (new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) return
+    // both tables must have committed — a run killed between the two
+    // writes must not leave a dir that forever skips the embeddings
+    if (new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile &&
+      new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) return
     val nSources = 20 * mult
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
@@ -136,6 +139,10 @@ object ScaleRehearsal {
       val dir = s"$root/x$mult"
       synthesize(spark, dir, mult)
       val timings = ops.map { name =>
+        // reset so a cluster run served from the persisted cluster cache
+        // (which never executes CC) records -1, not a previous
+        // multiplier's round count
+        graft.ops.LlmExtra.lastCcRounds = -1
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -153,7 +160,8 @@ object ScaleRehearsal {
         .agg(max(col("df")).as("max_df"),
           sum(col("df") * (col("df") - 1) / 2).as("cand_pairs"))
         .first()
-      val secs = timings.map(t => s""""${t._1}":${"%.2f".format(t._2)}""")
+      val secs = timings.map(t => s""""${t._1}":${"%.2f"
+        .formatLocal(java.util.Locale.ROOT, t._2)}""")
         .mkString("{", ",", "}")
       val rows = timings.map(t => s""""${t._1}":${t._3}""")
         .mkString("{", ",", "}")

@@ -455,7 +455,9 @@ object LlmExtra {
       : org.apache.spark.sql.DataFrame = {
     val sh = graft.functions.VectorFunctions
       .shingleHashes3(train.sparkSession, col("text"))
-    val t2 = train.select(col("doc_id"), sh.as("shs"))
+    // the shingle arrays feed both the probe explode and the set-size
+    // projection — hash once (OpCache-tracked; callers release)
+    val t2 = OpCache.track(train.select(col("doc_id"), sh.as("shs")))
     val hits = t2.select(col("doc_id"), explode(col("shs")).as("h"))
       .join(broadcast(bench), "h")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
@@ -666,21 +668,26 @@ object LlmExtra {
     // perplexity filter, with the corpus's own unigram model standing in
     // for the external LM): score = mean ln p(tok) over the doc; spammy
     // rare-token soup scores far below natural prose. Per-token logs are
-    // ROUNDED TO 8 DECIMALS then accumulated in exact DECIMAL so the sum
+    // ROUNDED TO 6 DECIMALS then accumulated in exact DECIMAL so the sum
     // is order-independent (a raw double sum would be shuffle-order
-    // dependent). Plan shape at 100 TB: unigram counts = one token
+    // dependent); 6 decimals keeps the cross-engine libm-ulp boundary
+    // probability at ~1e-10 per distinct count value (ulp/grid) while
+    // losing nothing a quality cut can see. Plan shape: unigram counts
+    // = one token
     // shuffle; the token→vocab equi join is the standard LM-scoring
     // shape (vocab ≪ corpus; AQE broadcasts when it fits); corpus total
     // joins in as a 1-row broadcast.
     "llm_perplexity_proxy" -> ((s, d) => {
-      val tk = t(s, d, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      // the token explode feeds the fact side, the unigram counts, and
+      // (via uni) the corpus total — tokenize once (OpCache-tracked)
+      val tk = OpCache.track(t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok")))
       val uni = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("total"))
       tk.join(uni, "tok").crossJoin(broadcast(tot))
         .select(col("doc_id"),
-          round(log(col("cnt").cast("double") / col("total")), 8)
-            .cast(org.apache.spark.sql.types.DecimalType(28, 8)).as("lp"))
+          round(log(col("cnt").cast("double") / col("total")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("lp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(sum(col("lp")).cast("double") / count(lit(1)), 4)
@@ -1358,8 +1365,8 @@ object LlmExtra {
         |uni AS (SELECT tok, count(*) cnt FROM tk GROUP BY 1),
         |tot AS (SELECT sum(cnt) total FROM uni)
         |SELECT doc_id, count(*) AS n_tokens,
-        | round(CAST(sum(CAST(round(ln(cnt::DOUBLE / total), 8)
-        |     AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS avg_logp
+        | round(CAST(sum(CAST(round(ln(cnt::DOUBLE / total), 6)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logp
         |FROM tk JOIN uni USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_domain_balance" ->

@@ -160,10 +160,12 @@ object Windows {
     // funnels data-scale rows through one task; the 100 TB work is all
     // in the hour-keyed partial aggregation below it.
     "win_gapfill" -> ((s, d) => {
-      val hourly = t(s, d, "events")
+      // the hourly aggregate feeds both the spine bounds and the join —
+      // scan the fact table once (OpCache-tracked; callers release)
+      val hourly = OpCache.track(t(s, d, "events")
         .where(col("event_type") === "purchase")
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("revenue"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("revenue")))
       val spine = hourly
         .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
         .select(explode(

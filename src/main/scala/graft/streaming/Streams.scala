@@ -409,8 +409,9 @@ object Streams {
     // start(): a query that never receives a batch still refuses
     // mismatched sinks, and the failure surfaces in the caller's stack
     // rather than as an async stream-termination error.
-    val ckId = incarnationNonce(checkpoint)
-    Seq(onTimePath, latePath).foreach(p => claimSink(p, ckId))
+    val (ckId, freshIncarnation) = incarnationNonce(checkpoint)
+    Seq(onTimePath, latePath).foreach(p =>
+      claimSink(p, ckId, freshIncarnation))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -463,16 +464,17 @@ object Streams {
     * incarnation's markered sinks instead of adopting their rows (whose
     * batch_id numbering restarted at 0 and would slip the
     * `batch_id < current` replay filter). */
-  private def incarnationNonce(checkpoint: String): String = {
+  private def incarnationNonce(checkpoint: String): (String, Boolean) = {
     val dir = new java.io.File(checkpoint)
     dir.mkdirs()
     val f = new java.io.File(dir, "_graft_incarnation")
     if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      (new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim,
+        false)
     else {
       val id = java.util.UUID.randomUUID().toString
       java.nio.file.Files.write(f.toPath, id.getBytes("UTF-8"))
-      id
+      (id, true)
     }
   }
 
@@ -484,7 +486,8 @@ object Streams {
     * against a watermark derived from another run's data, so fail
     * loudly instead of starting. Marker writes are idempotent (same id
     * rewrites). */
-  private def claimSink(dir: String, ckId: String): Unit = {
+  private def claimSink(dir: String, ckId: String,
+      freshIncarnation: Boolean): Unit = {
     val root = new java.io.File(dir)
     val marker = new java.io.File(root, "_graft_checkpoint_id")
     if (marker.isFile) {
@@ -494,6 +497,14 @@ object Streams {
         s"routeLate sink $dir belongs to checkpoint $owner, not $ckId — " +
           "wipe sink dirs and checkpoint together")
     } else {
+      // An EXISTING incarnation whose sink has lost its marker means the
+      // sink dirs were wiped while the checkpoint survived: the restore
+      // scan would find nothing and silently RESET the watermark the
+      // docstring promises survives restarts. Fail loudly instead.
+      require(freshIncarnation,
+        s"routeLate sink $dir has no incarnation marker but checkpoint " +
+          "is not fresh — the sink was wiped while the checkpoint " +
+          "survived; wipe sink dirs and checkpoint together")
       require(!containsParquet(dir),
         s"routeLate sink $dir has un-markered parquet from another run — " +
           "wipe sink dirs and checkpoint together")
@@ -538,10 +549,16 @@ object Streams {
       : StreamingQuery = {
     val s = newDocs.sparkSession
     // build-or-reuse the retained artifacts synchronously, before the
-    // stream starts (the "persisted retained index" the design names)
-    val idxPath = s"$artifactDir/retained_index.parquet"
-    val nPath = s"$artifactDir/retained_sizes.parquet"
-    if (!new java.io.File(s"$idxPath/_SUCCESS").isFile) {
+    // stream starts (the "persisted retained index" the design names).
+    // The artifact path is keyed on a CONTENT snapshot of the retained
+    // corpus (same scheme as the cluster-table cache): rewriting the
+    // retained documents.parquet under the same dir provably rebuilds
+    // instead of silently serving a stale index.
+    val snap = graft.ops.LlmExtra.docsSnapshot(retainedDocsDir)
+    val idxPath = s"$artifactDir/$snap/retained_index.parquet"
+    val nPath = s"$artifactDir/$snap/retained_sizes.parquet"
+    if (!new java.io.File(s"$idxPath/_SUCCESS").isFile ||
+        !new java.io.File(s"$nPath/_SUCCESS").isFile) {
       val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
       val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
         .persist()
@@ -593,7 +610,11 @@ object Streams {
       artifactDir: String, outPath: String, checkpoint: String)
       : StreamingQuery = {
     val s = newDocs.sparkSession
-    val benchPath = s"$artifactDir/bench_shingles.parquet"
+    // content-snapshot-keyed like the retained-index artifact: a
+    // rewritten benchmark corpus rebuilds instead of serving stale
+    val benchPath = s"$artifactDir/" +
+      s"${graft.ops.LlmExtra.docsSnapshot(benchDocsDir)}/" +
+      "bench_shingles.parquet"
     if (!new java.io.File(s"$benchPath/_SUCCESS").isFile) {
       graft.ops.LlmExtra.benchShingles(
           graft.ops.Tables.t(s, benchDocsDir, "documents"))
@@ -606,12 +627,18 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sb = batch.sparkSession
         val bench = sb.read.parquet(benchPath)
-        graft.ops.LlmExtra.repetitionScored(batch)
-          .join(graft.ops.LlmExtra.contaminationScored(batch, bench),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("keep"), col("contaminated"),
-            (col("keep") && !col("contaminated")).as("admit"))
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        try {
+          graft.ops.LlmExtra.repetitionScored(batch)
+            .join(graft.ops.LlmExtra.contaminationScored(batch, bench),
+              Seq("doc_id"))
+            .select(col("doc_id"), col("keep"), col("contaminated"),
+              (col("keep") && !col("contaminated")).as("admit"))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        } finally {
+          // contaminationScored OpCache-tracks its shingle table; drop
+          // the batch-scoped blocks so they can't pile up across batches
+          graft.ops.OpCache.release(sb)
+        }
         ()
       }
       .start()

@@ -614,6 +614,84 @@ class StreamingParitySpec extends AnyFunSuite {
     ops.OpCache.release(spark)
   }
 
+  test("curation gate: a rewritten benchmark corpus is NOT served from " +
+      "a stale artifact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_curb").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    def writeBench(text: String): Unit =
+      Seq((0L, "s", text)).toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/bench/documents.parquet")
+    def runOnce(tag: String): Map[Long, Boolean] = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streams.curationGateStream(
+        input.toDS().toDF("doc_id", "source", "text"),
+        s"$dir/bench", s"$dir/artifacts", s"$dir/out_$tag",
+        s"$dir/ckpt_$tag")
+      input.addData(Seq((100L, "s", textB)))
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(s"$dir/out_$tag").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap // contaminated
+    }
+    writeBench(textA)
+    assert(runOnce("a")(100L) === false) // textB shares nothing with A
+    writeBench(textB) // rewrite under the SAME dir and artifactDir
+    assert(runOnce("b")(100L) === true) // a stale artifact would say false
+  }
+
+  test("incremental dedup stream: a rewritten retained corpus is NOT " +
+      "served from a stale index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val shard = "every token of this arriving shard document is distinctive"
+    def writeRetained(text: String): Unit =
+      Seq((0L, "s", text)).toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/retained/documents.parquet")
+    def runOnce(tag: String): Map[Long, String] = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streams.incrementalDedupStream(
+        input.toDS().toDF("doc_id", "source", "text"),
+        s"$dir/retained", s"$dir/artifacts", s"$dir/out_$tag",
+        s"$dir/ckpt_$tag")
+      input.addData(Seq((100L, "s", shard)))
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(s"$dir/out_$tag").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap // action
+    }
+    writeRetained("wholly unrelated retained words nothing shared here at all")
+    assert(runOnce("a")(100L) === "keep")
+    writeRetained(shard) // now an exact dup lives in the retained corpus
+    assert(runOnce("b")(100L) === "drop") // stale index would still keep
+  }
+
+  test("routeLate: wiping the SINKS but keeping the checkpoint is " +
+      "refused, not a silent watermark reset") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rlw").toString
+    val base = 1704067200L * 1000000L
+    def ev(id: Long, tUs: Long) =
+      Ev(id, 1L, new java.sql.Timestamp(tUs / 1000L), tUs, "view", 1.0)
+    def start(in: MemoryStream[Ev]) = Streams.routeLate(
+      in.toDS().toDF(), 60000L, s"$dir/on", s"$dir/late", s"$dir/ckpt")
+    val in1 = MemoryStream[Ev]
+    val q1 = start(in1)
+    in1.addData(ev(1, base)); q1.processAllAvailable(); q1.stop()
+    // wipe BOTH sink dirs (markers die with them) but keep the checkpoint
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/on")); rm(new java.io.File(s"$dir/late"))
+    val in2 = MemoryStream[Ev]
+    val e = intercept[IllegalArgumentException] { start(in2) }
+    assert(e.getMessage.contains("wiped while the checkpoint survived"),
+      s"expected the wiped-sink refusal, got: ${e.getMessage}")
+  }
+
   test("checkpoint recovery: visit numbering continues across a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
