@@ -10,6 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class CacheHygieneSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("curation gate stream leaks no persisted blocks across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_curhyg").toString
+    Seq((0L, "s", "benchmark corpus text for the hygiene check"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams.curationGateStream(
+      input.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/bench", s"$dir/artifacts", s"$dir/out", s"$dir/ckpt")
+    for (b <- 1 to 3) {
+      input.addData(Seq((b.toLong, "s", s"arriving shard doc number $b")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"curation gate leaked persisted RDDs: $leaked")
+  }
+
   test("OpCache.release drops every op-persisted intermediate") {
     for (name <- Seq("llm_dedup_simhash", "llm_dedup_embcos", "llm_knn_ivf",
         "ads_funnel_steps")) {
