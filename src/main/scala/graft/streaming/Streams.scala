@@ -605,7 +605,10 @@ object Streams {
     * Streaming's one-batch crash replay is idempotent. Per-doc scores
     * depend only on the doc and the frozen benchmark, so streamed
     * verdicts equal the batch ops' regardless of batching
-    * (StreamingParitySpec). */
+    * (StreamingParitySpec). Note: each batch ends with
+    * `OpCache.release` on the session (the same between-queries
+    * contract Bench/Verify follow), so callers should not hold
+    * OpCache-tracked plans across this stream's batches. */
   def curationGateStream(newDocs: DataFrame, benchDocsDir: String,
       artifactDir: String, outPath: String, checkpoint: String)
       : StreamingQuery = {
