@@ -37,12 +37,24 @@ case class FunnelOut(user_id: Long, status: String, stage: Int,
   */
 object Streams {
 
-  /** Typed view over an events DataFrame (batch or streaming). */
+  /** One monitor per artifact path: racing builders of the same
+    * snapshot-keyed stream artifact serialize; different artifacts
+    * build in parallel (the LlmExtra.clusterBuildLocks pattern). */
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Typed view over an events DataFrame (batch or streaming). The
+    * permissive ingest decoders (`fileStreamIngest`,
+    * `decodeKafkaEvents`) null out malformed records rather than fail
+    * the query; `Ev` uses primitive fields whose encoder would throw on
+    * those nulls, so the typed boundary is where they drop. */
   def typed(events: DataFrame): Dataset[Ev] = {
     import events.sparkSession.implicits._
     events.select(col("event_id"), col("user_id"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        graft.ops.Tables.ep(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
+      .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
       .as[Ev]
   }
 
@@ -121,7 +133,7 @@ object Streams {
     * so the progressive re-emission IS the cumulate semantics). */
   def cumulateCounts(events: DataFrame): DataFrame =
     events
-      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      .select(graft.ops.Tables.ep(col("ts")).as("ts_us"),
         col("value"))
       .select((col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
         .as("w_start_us"), col("ts_us"), col("value"))
@@ -329,7 +341,12 @@ object Streams {
                 case _ => st
               }
             }
-            state.update(st)
+            // Stage 0 means the key never started the pattern: persisting
+            // it would store default state with NO timer armed — a row of
+            // per-key state that never expires on streams where most keys
+            // never see a "view". Keep state only once the NFA has
+            // actually advanced.
+            if (st.stage == 0) state.remove() else state.update(st)
             if (st.stage == 1 || st.stage == 2)
               // the within() timer: fire at the pattern deadline (clamped
               // past the current watermark — see visitCounterTtl). Stage 3
@@ -347,8 +364,13 @@ object Streams {
   /** Stream-static dim enrichment (Flink lookup join / the Redis-dim
     * pattern; batch form = `join_broadcast_dim`): each micro-batch
     * broadcast-joins the static dim relation, so the stream never
-    * shuffles and a dim refresh between batches is picked up on the
-    * next one — the genre's slowly-refreshing lookup-cache semantics.
+    * shuffles. NOTE on refresh semantics: for a file-backed dim the
+    * PLAN re-executes per batch but the file LISTING is frozen when the
+    * caller's `spark.read.parquet(...)` DataFrame is created — an
+    * overwrite of the dim path mid-stream is NOT picked up (and can
+    * throw FileNotFound on vanished part files). A slowly-refreshing
+    * lookup cache needs the dim re-read per batch (foreachBatch +
+    * fresh `spark.read`) or a snapshot-refreshing table format.
     * Left join: events with no dim row keep flowing with nulls (the
     * lookup-miss path), they are not dropped. */
   def enrichDim(events: DataFrame, dim: DataFrame,
@@ -410,8 +432,16 @@ object Streams {
     // mismatched sinks, and the failure surfaces in the caller's stack
     // rather than as an async stream-termination error.
     val (ckId, freshIncarnation) = incarnationNonce(checkpoint)
+    // An unmarked sink is claimable if the incarnation is fresh OR the
+    // checkpoint has never committed a batch (a crash between minting
+    // the nonce and claiming the second sink leaves exactly this state,
+    // and with zero committed batches no sink data could exist to
+    // mis-derive a watermark from). Once batches have committed, an
+    // unmarked sink means the sinks were wiped while the checkpoint
+    // survived — refuse.
+    val mayClaimUnmarked = freshIncarnation || !hasCommittedBatches(checkpoint)
     Seq(onTimePath, latePath).foreach(p =>
-      claimSink(p, ckId, freshIncarnation))
+      claimSink(p, ckId, mayClaimUnmarked))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -425,7 +455,7 @@ object Streams {
           Seq(onTimePath, latePath).filter(containsParquet).foreach { p =>
             val mx = batch.sparkSession.read.parquet(p)
               .where(col("batch_id") < batchId)
-              .agg(max(unix_micros(col("ts").cast("timestamp")))).first()
+              .agg(max(graft.ops.Tables.ep(col("ts")))).first()
             if (!mx.isNullAt(0))
               wmUs.getAndUpdate(w =>
                 math.max(w, mx.getLong(0) - latenessMs * 1000L))
@@ -434,7 +464,7 @@ object Streams {
         val cur = wmUs.get()
         // one evaluation feeds both sinks and the watermark aggregate
         val tagged = batch
-          .withColumn("b_ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("b_ts_us", graft.ops.Tables.ep(col("ts")))
           .withColumn("wm_us", lit(if (cur == Long.MinValue) null else cur)
             .cast("long"))
           .persist()
@@ -487,7 +517,7 @@ object Streams {
     * loudly instead of starting. Marker writes are idempotent (same id
     * rewrites). */
   private def claimSink(dir: String, ckId: String,
-      freshIncarnation: Boolean): Unit = {
+      mayClaimUnmarked: Boolean): Unit = {
     val root = new java.io.File(dir)
     val marker = new java.io.File(root, "_graft_checkpoint_id")
     if (marker.isFile) {
@@ -497,14 +527,15 @@ object Streams {
         s"routeLate sink $dir belongs to checkpoint $owner, not $ckId — " +
           "wipe sink dirs and checkpoint together")
     } else {
-      // An EXISTING incarnation whose sink has lost its marker means the
-      // sink dirs were wiped while the checkpoint survived: the restore
-      // scan would find nothing and silently RESET the watermark the
-      // docstring promises survives restarts. Fail loudly instead.
-      require(freshIncarnation,
+      // An incarnation that has COMMITTED batches but whose sink has no
+      // marker means the sink dirs were wiped while the checkpoint
+      // survived: the restore scan would find nothing and silently
+      // RESET the watermark the docstring promises survives restarts.
+      // Fail loudly instead.
+      require(mayClaimUnmarked,
         s"routeLate sink $dir has no incarnation marker but checkpoint " +
-          "is not fresh — the sink was wiped while the checkpoint " +
-          "survived; wipe sink dirs and checkpoint together")
+          "has committed batches — the sink was wiped while the " +
+          "checkpoint survived; wipe sink dirs and checkpoint together")
       require(!containsParquet(dir),
         s"routeLate sink $dir has un-markered parquet from another run — " +
           "wipe sink dirs and checkpoint together")
@@ -512,6 +543,14 @@ object Streams {
       java.nio.file.Files.write(marker.toPath, ckId.getBytes("UTF-8"))
       ()
     }
+  }
+
+  /** True iff the Structured Streaming checkpoint has committed at
+    * least one batch (the `commits/` dir holds a batch file). */
+  private def hasCommittedBatches(checkpoint: String): Boolean = {
+    val commits = new java.io.File(checkpoint, "commits")
+    commits.isDirectory && Option(commits.listFiles())
+      .exists(_.exists(f => f.isFile && !f.getName.startsWith(".")))
   }
 
   /** True iff `dir` already holds any parquet output (guards the restore
@@ -557,16 +596,20 @@ object Streams {
     val snap = graft.ops.LlmExtra.docsSnapshot(retainedDocsDir)
     val idxPath = s"$artifactDir/$snap/retained_index.parquet"
     val nPath = s"$artifactDir/$snap/retained_sizes.parquet"
-    if (!new java.io.File(s"$idxPath/_SUCCESS").isFile ||
-        !new java.io.File(s"$nPath/_SUCCESS").isFile) {
-      val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
-      val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
-        .persist()
-      idx.write.mode("overwrite").parquet(idxPath)
-      graft.ops.LlmExtra.cappedSetSizes(idx)
-        .write.mode("overwrite").parquet(nPath)
-      idx.unpersist(blocking = false)
-      ()
+    // per-artifact lock (the clusterBuildLocks pattern): racing builders
+    // of the same snapshot serialize and the loser skips the build
+    artifactLocks.computeIfAbsent(idxPath, _ => new Object).synchronized {
+      if (!new java.io.File(s"$idxPath/_SUCCESS").isFile ||
+          !new java.io.File(s"$nPath/_SUCCESS").isFile) {
+        val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
+        val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
+          .persist()
+        idx.write.mode("overwrite").parquet(idxPath)
+        graft.ops.LlmExtra.cappedSetSizes(idx)
+          .write.mode("overwrite").parquet(nPath)
+        idx.unpersist(blocking = false)
+        ()
+      }
     }
     newDocs.writeStream
       .outputMode("append")
@@ -618,11 +661,13 @@ object Streams {
     val benchPath = s"$artifactDir/" +
       s"${graft.ops.LlmExtra.docsSnapshot(benchDocsDir)}/" +
       "bench_shingles.parquet"
-    if (!new java.io.File(s"$benchPath/_SUCCESS").isFile) {
-      graft.ops.LlmExtra.benchShingles(
-          graft.ops.Tables.t(s, benchDocsDir, "documents"))
-        .write.mode("overwrite").parquet(benchPath)
-      ()
+    artifactLocks.computeIfAbsent(benchPath, _ => new Object).synchronized {
+      if (!new java.io.File(s"$benchPath/_SUCCESS").isFile) {
+        graft.ops.LlmExtra.benchShingles(
+            graft.ops.Tables.t(s, benchDocsDir, "documents"))
+          .write.mode("overwrite").parquet(benchPath)
+        ()
+      }
     }
     newDocs.writeStream
       .outputMode("append")
@@ -659,21 +704,37 @@ object Streams {
         val s = batch.sparkSession
         val incoming = batch.select("user_id", "event_id", "event_type",
           "ts", "value")
-        val merged = if (new java.io.File(statePath).exists()) {
+        // Crash-safe swap: the current table lives at `statePath` with
+        // `statePath + ".prev"` as the in-flight fallback. Writes go to
+        // `.next`, then current→prev and next→current — each step a
+        // single directory rename, so at every instant at least one
+        // complete table exists; a replayed batch after a crash merges
+        // against whichever survived (current first, else prev).
+        val prevPath = statePath + ".prev"
+        val existing =
+          if (new java.io.File(statePath).exists()) Some(statePath)
+          else if (new java.io.File(prevPath).exists()) Some(prevPath)
+          else None
+        val merged = existing.map { p =>
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("user_id")
             .orderBy(col("ts").desc, col("event_id").desc)
-          s.read.parquet(statePath).unionByName(incoming)
+          s.read.parquet(p).unionByName(incoming)
             .withColumn("rn", row_number().over(w))
             .where(col("rn") === 1).drop("rn")
-        } else incoming
+        }.getOrElse(incoming)
         val tmp = statePath + ".next"
         merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val prev = new org.apache.hadoop.fs.Path(prevPath)
+        fs.delete(prev, true)
+        if (fs.exists(dst))
+          require(fs.rename(dst, prev), s"rename $dst -> $prev failed")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+          s"rename $tmp -> $dst failed")
+        fs.delete(prev, true)
         ()
       }
       .start()

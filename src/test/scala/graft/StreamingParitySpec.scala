@@ -771,4 +771,56 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.join(want, Seq("user_id", "event_id", "ts_us")).count() ===
       want.count())
   }
+
+  test("cepFunnelWithin keeps no state for keys that never start the " +
+      "pattern") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200L * 1000000L
+    def ev(id: Long, uid: Long, kind: String) = Ev(id, uid,
+      new java.sql.Timestamp((base + id * 1000000L) / 1000L),
+      base + id * 1000000L, kind, 1.0)
+    val input = MemoryStream[Ev]
+    val out = Streams.cepFunnelWithin(
+      input.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      withinMs = 600000L)
+    val q = out.writeStream.format("memory").queryName("cep_state0")
+      .outputMode("append").start()
+    // 50 users who only click (never start the NFA) + 1 who views
+    input.addData((1L to 50L).map(i => ev(i, i, "click")) :+
+      ev(100L, 100L, "view"))
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    q.stop()
+    // only the view user holds state; 50 stage-0 keys were removed
+    assert(stateRows >= 0 && stateRows <= 1,
+      s"expected <=1 state row, got $stateRows")
+  }
+
+  test("upsert sink: state survives a crash between the swap renames") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upcr").toString
+    val statePath = s"$dir/state"
+    def ev(id: Long, uid: Long) = Ev(id, uid,
+      new java.sql.Timestamp(1704067200000L + id * 1000),
+      (1704067200000L + id * 1000) * 1000L, "view", 1.0)
+    def run(ckpt: String, evs: Seq[Ev]): Unit = {
+      val input = MemoryStream[Ev]
+      val q = Streams.upsertLatestToParquet(
+        input.toDS().toDF(), statePath, s"$dir/$ckpt")
+      input.addData(evs); q.processAllAvailable(); q.stop()
+    }
+    run("ck1", Seq(ev(1, 100), ev(2, 200)))
+    // simulate dying between current->prev and next->current: the
+    // current table is gone, only the prev fallback remains
+    assert(new java.io.File(statePath).renameTo(
+      new java.io.File(statePath + ".prev")))
+    run("ck2", Seq(ev(3, 300)))
+    val users = spark.read.parquet(statePath)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    // pre-crash users merged from the fallback, not silently dropped
+    assert(users === Set(100L, 200L, 300L))
+  }
 }
