@@ -110,8 +110,7 @@ object LlmExtra {
       .join(retN.select(col("doc_id").as("match_id"), col("n").as("nb")),
         "match_id")
       .select(col("doc_id"), col("match_id"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jac"))
+        jacExpr(col("inter"), col("na"), col("nb")).as("jac"))
       .where(col("jac") >= JacCluster)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("jac").desc, col("match_id"))
@@ -125,14 +124,32 @@ object LlmExtra {
 
   /** (doc_a, doc_b, inter) → (doc_a, doc_b, jac): join the capped set
     * sizes onto the pair table and compute rounded Jaccard. */
+  /** THE Jaccard formula + precision (4 dp) — the single definition both
+    * the pair report and the incremental/streaming dedup score with, so
+    * batch and streaming verdicts can never desynchronize on it. */
+  private def jacExpr(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast("double") / (na + nb - inter), 4)
+
+  /** Candidate pairs from a capped shingle index: equi self-join on
+    * (h, source), |A∩B| = co-occurrence count. Shared by the near-dup
+    * report and the cluster-table build (one definition, like the
+    * oracle's shared CTE). */
+  private[graft] def candidatePairs(
+      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idx.select(col("h"), col("source"), col("doc_id").as("doc_a"))
+      .join(idx.select(col("h"), col("source"), col("doc_id").as("doc_b")),
+        Seq("h", "source"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+
   private def jacOf(inter: org.apache.spark.sql.DataFrame,
       n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     inter
       .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jac"))
+        jacExpr(col("inter"), col("na"), col("nb")).as("jac"))
 
   // ---- simhash ------------------------------------------------------
 
@@ -217,6 +234,17 @@ object LlmExtra {
 
   // ---- connected components (shared by llm_dedup_clusters) ----------
 
+  /** Diagnostic only (read by the scale-rehearsal harness after a
+    * clusters run): how many contraction rounds the last
+    * connectedComponents call ON THIS THREAD took to drain its edge
+    * set. Thread-local because concurrent cluster builds for different
+    * corpus dirs are allowed (per-snapshot locks) and must not race on
+    * a shared diagnostic. */
+  private val ccRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(-1))
+  private[graft] def lastCcRounds: Int = ccRounds.get()
+  private[graft] def lastCcRounds_=(v: Int): Unit = ccRounds.set(v)
+
   /** Connected components over an undirected pair list (doc_a < doc_b):
     * one (doc_id, label) row per vertex appearing in a pair, label = the
     * component's minimum doc_id. Boruvka-style contraction — hook every
@@ -243,11 +271,6 @@ object LlmExtra {
     * materialization a later refactor of the loop's count()/require()
     * could silently leave the result recomputing the whole upstream
     * pipeline after the caller's unpersist. */
-  /** Diagnostic only (read by the scale-rehearsal harness after a
-    * clusters run): how many contraction rounds the LAST
-    * connectedComponents call took to drain its edge set. */
-  @volatile private[graft] var lastCcRounds: Int = -1
-
   private[graft] def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -394,13 +417,7 @@ object LlmExtra {
     // op runs its own actions, so persist→action→unpersist applies)
     val idx = cappedShingleIndex(s, d).persist()
     val n = cappedSetSizes(idx).persist()
-    val inter = idx.select(col("h"), col("source"), col("doc_id").as("doc_a"))
-      .join(idx.select(col("h"), col("source"), col("doc_id").as("doc_b")),
-        Seq("h", "source"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val pairs0 = jacOf(inter, n)
+    val pairs0 = jacOf(candidatePairs(idx), n)
       .where(col("jac") >= JacCluster)
       .select(col("doc_a"), col("doc_b"))
     // The edge list is TINY next to the corpus (near-dups are the
@@ -418,9 +435,16 @@ object LlmExtra {
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    val sz = full.groupBy("cluster_id")
+    // component sizes from the (tiny) label table: lab holds every
+    // vertex that appears in a pair, so labeled-cluster sizes are its
+    // per-label counts and everything else is a singleton — counting
+    // over `full` instead would re-run the corpus scan + label join a
+    // second time
+    val sz = lab.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    full.join(sz, "cluster_id")
+    full.join(sz, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
   // ---- language-ID marker sets (deterministic scoring ladder) -------
@@ -509,14 +533,7 @@ object LlmExtra {
       // sizes feed two pair joins — cache both (OpCache-tracked)
       val idx = OpCache.track(cappedShingleIndex(s, d))
       val n = OpCache.track(cappedSetSizes(idx))
-      val inter = idx.select(col("h"), col("source"),
-        col("doc_id").as("doc_a"))
-        .join(idx.select(col("h"), col("source"), col("doc_id").as("doc_b")),
-          Seq("h", "source"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      jacOf(inter, n)
+      jacOf(candidatePairs(idx), n)
         .where(col("jac") >= JacNearDup)
         .orderBy("doc_a", "doc_b")
     }),
@@ -701,7 +718,10 @@ object LlmExtra {
       val nStop = size(filter(tk, x => stopList.map(x === _).reduce(_ || _)))
       val stopRatio = nStop.cast("double") / size(tk)
       val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-      val punctRatio = punct.cast("double") / length(col("text"))
+      // guarded: empty text would divide by zero (split('') is [''] so
+      // the token-count divisors are always >= 1 and need no guard)
+      val punctRatio = when(length(col("text")) > 0,
+        punct.cast("double") / length(col("text"))).otherwise(0.0)
       val meanLen = (length(col("text")) - size(tk) + 1).cast("double") / size(tk)
       val score =
         least(stopRatio * 5, lit(1.0)) * 0.4 +
@@ -718,16 +738,20 @@ object LlmExtra {
     }),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
-    // (letter runs / digit runs / single other chars) + chars-per-token.
+    // (letter runs / digit runs / single other chars) + chars-per-token
+    // (0.0 for empty text — guarded so the ratio is well-defined on both
+    // engines rather than an engine-specific inf/NULL).
     "llm_token_count" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
           size(toks(col("text"))).as("n_ws"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
             .as("n_bpe"),
-          round(length(col("text")).cast("double") /
-            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")),
-            4).as("chars_per_tok"))
+          length(col("text")).as("len"))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          when(col("n_bpe") > 0,
+            round(col("len").cast("double") / col("n_bpe"), 4))
+            .otherwise(0.0).as("chars_per_tok"))
         .orderBy("doc_id")),
 
     // Document fingerprint: rolling 8-char window hashes, keep the min
@@ -1261,8 +1285,9 @@ object LlmExtra {
         |  len(list_filter(string_split(text,' '),
         |    x -> list_contains(['the','of','and','is','a','to','in'], x)))::DOUBLE
         |    / len(string_split(text,' ')) AS stop_ratio,
-        |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-        |    / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |    / length(text) ELSE 0.0 END AS punct_ratio,
         |  (length(text) - len(string_split(text,' ')) + 1)::DOUBLE
         |    / len(string_split(text,' ')) AS mean_tok_len
         | FROM documents)
@@ -1278,9 +1303,10 @@ object LlmExtra {
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS INT) AS n_ws,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe,
-        | round(length(text)::DOUBLE /
+        | CASE WHEN len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0
+        |  THEN round(length(text)::DOUBLE /
         |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
-        |   AS chars_per_tok
+        |  ELSE 0.0 END AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_multimodal_frames" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) hx,

@@ -292,6 +292,22 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(out(1L) === out(2L)) // identical docs score identically
   }
 
+  test("token_count and quality_score are well-defined on empty text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq((1L, "s", "", 0L), (2L, "s", "normal words here", 17L))
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val tc = SparkEntry.queries("llm_token_count")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tc(1L) === 0.0) // zero BPE tokens -> guarded ratio, not inf
+    assert(tc(2L) > 0.0)
+    val qs = SparkEntry.queries("llm_quality_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(qs(1L) === 0.0) // punct ratio guarded on length 0
+  }
+
   test("domain balance: the smallest source keeps everything; an " +
       "over-represented source is cut by the deterministic coin") {
     import spark.implicits._
