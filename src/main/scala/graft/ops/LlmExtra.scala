@@ -365,23 +365,50 @@ object LlmExtra {
   }
 
   /** Fingerprint of the documents table under `d`: SHA-256 over every
-    * part file's path and CONTENT bytes. Content-keyed, so a rewrite
-    * that lands within the same mtime tick with identical sizes still
-    * changes the key, and the 256-bit digest cannot collide in practice
-    * (the round-7 key was a 32-bit MurmurHash of path:mtime:size — both
-    * weaknesses closed here). Local documents tables are MBs, so
-    * hashing full bytes is cheap; a multi-node deployment would hash
-    * only the parquet footers (which change on any rewrite) instead. */
+    * part file's path, length, and PARQUET FOOTER bytes (the tail
+    * metadata block: row-group offsets, per-column min/max/null stats,
+    * byte sizes — any data rewrite perturbs it). Content-keyed without
+    * reading content: a rewrite that lands within the same mtime tick
+    * with identical sizes still changes the key (the stats differ), but
+    * the driver reads only O(KB) per part file — at 100 TB this walks
+    * footers, not data, the same scan the parquet reader's planning
+    * phase already does. Non-parquet/tiny files (e.g. `_SUCCESS`,
+    * `.crc`) hash in full — they ARE footer-sized. */
   private[graft] def docsSnapshot(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(walk)
       else Seq(f)
+    def footerBytes(f: java.io.File): Array[Byte] = {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        // parquet tail = footer, 4-byte LE footer length, "PAR1" magic.
+        // A malformed length (not parquet, or corrupt) falls back to
+        // hashing the whole file — correctness never depends on format.
+        val start =
+          if (len < 12) 0L
+          else {
+            raf.seek(len - 8)
+            val b = new Array[Byte](4)
+            raf.readFully(b)
+            val fl = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            if (fl < 0 || fl > len - 8) 0L else len - 8 - fl
+          }
+        raf.seek(start)
+        val out = new Array[Byte]((len - start).toInt)
+        raf.readFully(out)
+        out
+      } finally raf.close()
+    }
     val md = java.security.MessageDigest.getInstance("SHA-256")
     walk(new java.io.File(s"$d/documents.parquet")).foreach { f =>
       md.update(f.getPath.getBytes("UTF-8"))
-      md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      md.update(java.nio.ByteBuffer.allocate(8)
+        .putLong(f.length()).array())
+      md.update(footerBytes(f))
     }
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
@@ -393,6 +420,12 @@ object LlmExtra {
   private val clusterBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** input dir → its current snapshot key, for pruning superseded cache
+    * entries (a rewrite mints a new key; the old one is dead unless
+    * another dir still maps to it). */
+  private val currentClusterKey =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def clusterTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val key = docsSnapshot(d)
@@ -401,6 +434,20 @@ object LlmExtra {
       if (!new java.io.File(out, "_SUCCESS").isFile)
         buildClusterTable(s, d).write.mode("overwrite")
           .parquet(out.getAbsolutePath)
+      // prune the snapshot this rewrite orphaned — the old key is never
+      // read again, so without this the cache dir (and at one lock per
+      // key, the lock map) grows per corpus rewrite, forever. Keys for
+      // DIFFERENT corpora share clusterCacheDir, so a key still current
+      // for some other dir is left alone.
+      val old = currentClusterKey.put(d, key)
+      if (old != null && old != key && !currentClusterKey.containsValue(old)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(clusterCacheDir, old))
+        clusterBuildLocks.remove(old)
+        ()
+      }
     }
     s.read.parquet(out.getAbsolutePath)
   }

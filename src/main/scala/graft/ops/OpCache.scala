@@ -26,4 +26,24 @@ object OpCache {
   def release(s: SparkSession): Unit = synchronized {
     handles.remove(s).foreach(_.foreach(_.unpersist(blocking = false)))
   }
+
+  /** Scoped variant for callers embedded in a larger session (e.g. a
+    * `foreachBatch` body composing ops while the caller holds its own
+    * tracked caches): `scope(s)` snapshots the current handle set, and
+    * `Scope.release()` unpersists only handles tracked AFTER the
+    * snapshot — the caller's pre-existing caches survive. */
+  final class Scope private[OpCache] (s: SparkSession,
+      baseline: List[DataFrame]) {
+    def release(): Unit = OpCache.synchronized {
+      val cur = handles.getOrElse(s, Nil)
+      val (added, kept) = cur.partition(d => !baseline.exists(_ eq d))
+      added.foreach(_.unpersist(blocking = false))
+      if (kept.isEmpty) handles.remove(s) else handles(s) = kept
+      ()
+    }
+  }
+
+  def scope(s: SparkSession): Scope = synchronized {
+    new Scope(s, handles.getOrElse(s, Nil))
+  }
 }

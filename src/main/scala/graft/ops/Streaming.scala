@@ -256,7 +256,9 @@ object Streaming {
       """SELECT w_start_us, w_start_us + 900000000::BIGINT * k.k AS w_end_us,
         | count(*) AS n,
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
-        |FROM (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us,
+        |FROM (SELECT epoch_us(ts)
+        |          - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)
+        |          AS w_start_us,
         |        epoch_us(ts) AS ts_us, value FROM events) e,
         |     (SELECT unnest([1,2,3,4]) AS k) k
         |WHERE e.w_start_us + 900000000::BIGINT * k.k > e.ts_us

@@ -37,11 +37,41 @@ case class FunnelOut(user_id: Long, status: String, stage: Int,
   */
 object Streams {
 
-  /** One monitor per artifact path: racing builders of the same
-    * snapshot-keyed stream artifact serialize; different artifacts
-    * build in parallel (the LlmExtra.clusterBuildLocks pattern). */
+  /** One monitor per artifact ROOT dir (not per snapshot): racing
+    * builders under the same root serialize; different roots build in
+    * parallel. Keying on the root (a config-level constant) bounds the
+    * lock map — snapshot-keyed entries would accumulate one per corpus
+    * rewrite, forever. */
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Build-or-reuse the snapshot-keyed artifacts at `paths` (all under
+    * `artifactDir/snap/`): under the root's lock, skip if every path
+    * already has `_SUCCESS`, else run `build`; then prune SIBLING
+    * snapshot dirs. Only the current snapshot is ever read again —
+    * each corpus rewrite mints a new snapshot key, so without pruning
+    * the root grows one dead dir per rewrite. Contract: a stream
+    * started against an older corpus snapshot does not outlive a
+    * rewrite + new stream start on the same artifact root (its
+    * artifacts are garbage by then — frozen-at-start semantics over a
+    * corpus that no longer exists). */
+  private def buildSnapshotArtifact(artifactDir: String, snap: String,
+      paths: Seq[String])(build: => Unit): Unit =
+    artifactLocks.computeIfAbsent(artifactDir, _ => new Object)
+      .synchronized {
+        if (!paths.forall(p => new java.io.File(s"$p/_SUCCESS").isFile))
+          build
+        Option(new java.io.File(artifactDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName != snap)
+          .foreach(deleteRecursively)
+      }
 
   /** Typed view over an events DataFrame (batch or streaming). The
     * permissive ingest decoders (`fileStreamIngest`,
@@ -596,20 +626,17 @@ object Streams {
     val snap = graft.ops.LlmExtra.docsSnapshot(retainedDocsDir)
     val idxPath = s"$artifactDir/$snap/retained_index.parquet"
     val nPath = s"$artifactDir/$snap/retained_sizes.parquet"
-    // per-artifact lock (the clusterBuildLocks pattern): racing builders
-    // of the same snapshot serialize and the loser skips the build
-    artifactLocks.computeIfAbsent(idxPath, _ => new Object).synchronized {
-      if (!new java.io.File(s"$idxPath/_SUCCESS").isFile ||
-          !new java.io.File(s"$nPath/_SUCCESS").isFile) {
-        val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
-        val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
-          .persist()
-        idx.write.mode("overwrite").parquet(idxPath)
-        graft.ops.LlmExtra.cappedSetSizes(idx)
-          .write.mode("overwrite").parquet(nPath)
-        idx.unpersist(blocking = false)
-        ()
-      }
+    // root-level lock + stale-snapshot pruning: racing builders of the
+    // same root serialize and the loser skips the build
+    buildSnapshotArtifact(artifactDir, snap, Seq(idxPath, nPath)) {
+      val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
+      val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
+        .persist()
+      idx.write.mode("overwrite").parquet(idxPath)
+      graft.ops.LlmExtra.cappedSetSizes(idx)
+        .write.mode("overwrite").parquet(nPath)
+      idx.unpersist(blocking = false)
+      ()
     }
     newDocs.writeStream
       .outputMode("append")
@@ -648,26 +675,22 @@ object Streams {
     * Streaming's one-batch crash replay is idempotent. Per-doc scores
     * depend only on the doc and the frozen benchmark, so streamed
     * verdicts equal the batch ops' regardless of batching
-    * (StreamingParitySpec). Note: each batch ends with
-    * `OpCache.release` on the session (the same between-queries
-    * contract Bench/Verify follow), so callers should not hold
-    * OpCache-tracked plans across this stream's batches. */
+    * (StreamingParitySpec). Each batch releases only the OpCache
+    * handles IT tracked (`OpCache.scope`), so callers composing batch
+    * ops on the same session keep their own tracked caches. */
   def curationGateStream(newDocs: DataFrame, benchDocsDir: String,
       artifactDir: String, outPath: String, checkpoint: String)
       : StreamingQuery = {
     val s = newDocs.sparkSession
     // content-snapshot-keyed like the retained-index artifact: a
     // rewritten benchmark corpus rebuilds instead of serving stale
-    val benchPath = s"$artifactDir/" +
-      s"${graft.ops.LlmExtra.docsSnapshot(benchDocsDir)}/" +
-      "bench_shingles.parquet"
-    artifactLocks.computeIfAbsent(benchPath, _ => new Object).synchronized {
-      if (!new java.io.File(s"$benchPath/_SUCCESS").isFile) {
-        graft.ops.LlmExtra.benchShingles(
-            graft.ops.Tables.t(s, benchDocsDir, "documents"))
-          .write.mode("overwrite").parquet(benchPath)
-        ()
-      }
+    val benchSnap = graft.ops.LlmExtra.docsSnapshot(benchDocsDir)
+    val benchPath = s"$artifactDir/$benchSnap/bench_shingles.parquet"
+    buildSnapshotArtifact(artifactDir, benchSnap, Seq(benchPath)) {
+      graft.ops.LlmExtra.benchShingles(
+          graft.ops.Tables.t(s, benchDocsDir, "documents"))
+        .write.mode("overwrite").parquet(benchPath)
+      ()
     }
     newDocs.writeStream
       .outputMode("append")
@@ -675,6 +698,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sb = batch.sparkSession
         val bench = sb.read.parquet(benchPath)
+        val cacheScope = graft.ops.OpCache.scope(sb)
         try {
           graft.ops.LlmExtra.repetitionScored(batch)
             .join(graft.ops.LlmExtra.contaminationScored(batch, bench),
@@ -684,8 +708,9 @@ object Streams {
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         } finally {
           // contaminationScored OpCache-tracks its shingle table; drop
-          // the batch-scoped blocks so they can't pile up across batches
-          graft.ops.OpCache.release(sb)
+          // only THIS batch's blocks so they can't pile up across
+          // batches, without touching the caller's tracked caches
+          cacheScope.release()
         }
         ()
       }
@@ -707,31 +732,39 @@ object Streams {
         // Crash-safe swap: the current table lives at `statePath` with
         // `statePath + ".prev"` as the in-flight fallback. Writes go to
         // `.next`, then current→prev and next→current — each step a
-        // single directory rename, so at every instant at least one
-        // complete table exists; a replayed batch after a crash merges
-        // against whichever survived (current first, else prev).
+        // single directory rename. Invariant: a COMPLETE table exists at
+        // `statePath` before any destructive step runs, so a crash at any
+        // instant (including a second crash during recovery) leaves the
+        // replayed batch a canonical table to merge against.
         val prevPath = statePath + ".prev"
-        val existing =
-          if (new java.io.File(statePath).exists()) Some(statePath)
-          else if (new java.io.File(prevPath).exists()) Some(prevPath)
-          else None
-        val merged = existing.map { p =>
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id")
-            .orderBy(col("ts").desc, col("event_id").desc)
-          s.read.parquet(p).unionByName(incoming)
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1).drop("rn")
-        }.getOrElse(incoming)
-        val tmp = statePath + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
         val prev = new org.apache.hadoop.fs.Path(prevPath)
-        fs.delete(prev, true)
-        if (fs.exists(dst))
+        // Recovery promotion: if a prior crash landed between current→prev
+        // and next→current, `.prev` is the only complete table. Promote it
+        // back to canonical FIRST — the swap below may then delete `.prev`
+        // safely because the canonical path is already populated. (A stale
+        // `.next` from that crash is simply overwritten by this batch.)
+        if (!fs.exists(dst) && fs.exists(prev))
+          require(fs.rename(prev, dst), s"recovery rename $prev -> $dst failed")
+        val merged =
+          if (fs.exists(dst)) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)
+            s.read.parquet(statePath).unionByName(incoming)
+              .withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1).drop("rn")
+          } else incoming
+        val tmp = statePath + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        // Rotate: `.prev` is only cleared when the canonical table exists
+        // to replace it — never delete the last surviving copy.
+        if (fs.exists(dst)) {
+          fs.delete(prev, true)
           require(fs.rename(dst, prev), s"rename $dst -> $prev failed")
+        }
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
           s"rename $tmp -> $dst failed")
         fs.delete(prev, true)
