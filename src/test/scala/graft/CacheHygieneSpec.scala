@@ -51,4 +51,22 @@ class CacheHygieneSpec extends AnyFunSuite {
     ops.OpCache.release(spark) // nothing tracked: no-op
     ops.OpCache.release(spark)
   }
+
+  test("OpCache.scope releases only handles tracked inside the scope") {
+    import spark.implicits._
+    ops.OpCache.release(spark)
+    val outer = ops.OpCache.track(Seq(1, 2, 3).toDF("a"))
+    outer.count()
+    assert(outer.storageLevel.useMemory, "outer handle should be cached")
+    val sc = ops.OpCache.scope(spark)
+    val inner = ops.OpCache.track(Seq(4, 5).toDF("b"))
+    inner.count()
+    sc.release()
+    // scope drops its own handle but never the caller's pre-existing one
+    assert(!inner.storageLevel.useMemory, "inner handle should be dropped")
+    assert(outer.storageLevel.useMemory,
+      "scoped release must not touch caller caches")
+    ops.OpCache.release(spark)
+    assert(!outer.storageLevel.useMemory)
+  }
 }

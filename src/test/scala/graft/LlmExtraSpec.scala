@@ -126,6 +126,26 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(ops.LlmExtra.docsSnapshot(dir.toString) === k2)
   }
 
+  test("snapshot key reads only footers, yet a real parquet data " +
+      "rewrite still changes it") {
+    import spark.implicits._
+    // footer mode (round-9): the driver hashes O(KB) of tail metadata
+    // per part file instead of full content — the 100 TB-safe scan. The
+    // row-group stats in the footer must still catch a value rewrite.
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapf").toString
+    def write(tag: String): Unit =
+      Seq((1L, "s", s"alpha $tag"), (2L, "s", s"beta $tag"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write("v1")
+    val k1 = ops.LlmExtra.docsSnapshot(dir)
+    assert(ops.LlmExtra.docsSnapshot(dir) === k1, "key must be stable")
+    write("v2")
+    assert(ops.LlmExtra.docsSnapshot(dir) !== k1,
+      "parquet data rewrite did not change the footer-hash key")
+  }
+
   test("simhash: near-identical docs collide; hamming within [0,64]") {
     val df = q("llm_dedup_simhash")
     assert(df.where(col("hamming") < 0 || col("hamming") > 64).count() === 0)

@@ -823,4 +823,41 @@ class StreamingParitySpec extends AnyFunSuite {
     // pre-crash users merged from the fallback, not silently dropped
     assert(users === Set(100L, 200L, 300L))
   }
+
+  test("upsert sink: recovery promotes the fallback before any " +
+      "destructive step (second-crash safety)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upcr2").toString
+    val statePath = s"$dir/state"
+    def ev(id: Long, uid: Long) = Ev(id, uid,
+      new java.sql.Timestamp(1704067200000L + id * 1000),
+      (1704067200000L + id * 1000) * 1000L, "view", 1.0)
+    def run(ckpt: String, evs: Seq[Ev]): Unit = {
+      val input = MemoryStream[Ev]
+      val q = Streams.upsertLatestToParquet(
+        input.toDS().toDF(), statePath, s"$dir/$ckpt")
+      input.addData(evs); q.processAllAvailable(); q.stop()
+    }
+    run("ck1", Seq(ev(1, 100), ev(2, 200)))
+    // crash window from the round-8 review: current renamed to prev AND
+    // the crashed attempt's .next still on disk. The old code deleted
+    // prev before promoting anything — a second crash right after that
+    // delete stranded all state under .next, which recovery never read.
+    // The fix promotes prev->current FIRST, so prev's content is safe at
+    // the canonical path before any delete can run, and the stale .next
+    // is simply overwritten by the replayed batch.
+    assert(new java.io.File(statePath).renameTo(
+      new java.io.File(statePath + ".prev")))
+    val staleNext = new java.io.File(statePath + ".next")
+    staleNext.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staleNext, "garbage").toPath, Array[Byte](1, 2, 3))
+    run("ck2", Seq(ev(3, 300)))
+    val users = spark.read.parquet(statePath)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(users === Set(100L, 200L, 300L))
+    // post-swap hygiene: the fallback was consumed, not left dangling
+    assert(!new java.io.File(statePath + ".prev").exists())
+  }
 }
