@@ -58,6 +58,11 @@ object LlmExtra {
   private[graft] val JacNearDup = 0.1
   private[graft] val JacCluster = 0.02
 
+  /** K-gram length (whitespace tokens) for exact substring dedup: long
+    * enough that natural-text collisions mean real duplication, short
+    * enough to catch planted near-dup docs in the fixtures. */
+  private[graft] val SubstrK = 8
+
   /** The df-capped exploded shingle inverted index: one (doc_id, source,
     * h) row per kept shingle occurrence. The df filter is a left-semi
     * equi join against the (source, h) counts — both sides shuffle on
@@ -609,6 +614,43 @@ object LlmExtra {
         .where(col("doc_id") > col("cut")).drop("cut")
       shardVsRetained(newIdx, n, retIdx, n, newIds)
         .orderBy("doc_id")
+    }),
+
+    // EXACT SUBSTRING-level dedup (the suffix-array dedup genre, e.g.
+    // "Deduplicating Training Data Makes Language Models Better"-style
+    // duplicated-span detection, done the distributed way): a token
+    // K-gram that occurs >= 2 times ANYWHERE in the corpus marks its
+    // start position as duplicated; maximal runs of consecutive
+    // duplicated starts are the duplicated substrings (a run [i..j]
+    // spans tokens i .. j+K-1 — exactly the union of its duplicated
+    // K-grams). Plan shape: map-side explode into (doc, pos, gram), ONE
+    // corpus-wide keyed shuffle to count gram occurrences (window over
+    // the gram key — no join anywhere in the whole op), then a doc-keyed
+    // window to merge adjacent starts (bounded by doc length, never by
+    // corpus size). At 100 TB the only change is shuffling
+    // xxhash64(gram) (8-byte keys; a collision marks a non-duplicated
+    // span, the tolerable error in this genre) instead of gram strings —
+    // the structure is identical. K = 8 whitespace tokens.
+    "llm_dedup_substring" -> ((s, d) => {
+      val K = SubstrK
+      val rw = Window.partitionBy("doc_id").orderBy("p")
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= K)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pi"))
+        .select(col("doc_id"), col("pi").cast("long").as("p"),
+          concat_ws(" ", slice(col("ws"), col("pi"), lit(K))).as("g"))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+        .where(col("c") >= 2)
+        .withColumn("grp", col("p") - row_number().over(rw))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("run_start"),
+          (max(col("p")) + (K - 1)).as("run_end"),
+          (max(col("p")) - min(col("p")) + K).as("run_len"))
+        .select(col("doc_id"), col("run_start"), col("run_end"),
+          col("run_len"))
+        .orderBy("doc_id", "run_start")
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit bands for candidate
@@ -1172,6 +1214,24 @@ object LlmExtra {
       |       GROUP BY cluster_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "llm_dedup_substring" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - $SubstrK + 1)) AS p
+        |  FROM docs WHERE len(ws) >= $SubstrK),
+        |grams AS (SELECT doc_id, p,
+        |    array_to_string(ws[p:p+$SubstrK-1], ' ') AS g FROM pos),
+        |marked AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c
+        |    FROM grams) WHERE c >= 2),
+        |runs AS (SELECT doc_id, p, p - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY p) AS grp FROM marked)
+        |SELECT doc_id, min(p) AS run_start,
+        |  max(p) + $SubstrK - 1 AS run_end,
+        |  max(p) - min(p) + $SubstrK AS run_len
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, run_start""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
       s"""WITH $cappedIdxSql,
         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter

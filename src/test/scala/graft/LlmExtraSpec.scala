@@ -16,6 +16,34 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(df.where(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("substring dedup: cross-doc shared span found at exact token " +
+      "bounds; within-doc repeat found; unique docs silent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    // 10 shared tokens → duplicated 8-gram starts form one maximal run
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val block = (1 to 8).map(i => s"rep$i").mkString(" ")
+    Seq(
+      // doc 0: 2 unique tokens then the shared span at positions 3..12
+      (0L, "s", s"zero-a zero-b $shared"),
+      // doc 1: shared span at positions 1..10, unique tail
+      (1L, "s", s"$shared one-a one-b"),
+      // doc 2: the same 8-gram twice WITHIN one doc (positions 1 and 9)
+      (2L, "s", s"$block $block"),
+      // doc 3: all-unique text, long enough to form grams
+      (3L, "s", (1 to 12).map(i => s"uniq$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("llm_dedup_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 12L, 10L),   // shared span offset by the 2-token prefix
+      (1L, 1L, 10L, 10L),
+      (2L, 1L, 8L, 8L),     // within-doc repeat: both copies reported
+      (2L, 9L, 16L, 8L)))   // doc 3 absent: nothing duplicated
+  }
+
   test("df-cap: boilerplate shingles drop out of candidate generation, " +
       "true near-dups survive") {
     import spark.implicits._

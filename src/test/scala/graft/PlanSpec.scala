@@ -147,6 +147,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
+  test("llm_dedup_substring: zero joins — gram-count + run-merge are " +
+      "keyed windows only") {
+    val p = plan(q("llm_dedup_substring"))
+    // the whole op is explode → window(partition by gram) → window
+    // (partition by doc) → agg: any Join node means the plan regressed
+    // to an index-join formulation with a second corpus-wide shuffle
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("llm_dedup_clusters: edges + contraction rounds are equi joins only") {
     val p = plan(q("llm_dedup_clusters"))
     assert(!p.contains("CartesianProduct") &&
