@@ -218,6 +218,14 @@ object LlmExtra {
     * work n²/k both scale sub-linearly instead of exploding with a
     * fixed k. The oracle computes the identical expression in SQL. */
   private[graft] def ivfAssign(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearestBucket(s, e, ivfCentroids(s, e))
+
+  /** The trained coarse-quantizer itself — `(c_id, cv)` after the one
+    * k-means refinement pass. Exposed separately from `ivfAssign` so a
+    * multi-probe searcher can rank centroids per query against the SAME
+    * model the corpus was bucketed with. */
+  private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val kDf = e.agg(greatest(lit(8L),
       floor(sqrt(count(lit(1)).cast("double") / 8))).as("k"))
@@ -225,8 +233,7 @@ object LlmExtra {
       .where(col("vec_id") < col("k"))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val a0 = nearestBucket(s, e, seeds)
-    val cents = a0
-      .select(col("bucket"), posexplode(col("v")))
+    a0.select(col("bucket"), posexplode(col("v")))
       .groupBy("bucket", "pos")
       .agg((sum(round(col("col"), 8).cast("decimal(20,8)")).cast("double") /
         count(lit(1))).as("m"))
@@ -234,7 +241,6 @@ object LlmExtra {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("bucket").as("c_id"),
         transform(col("pm"), x => x.getField("m")).as("cv"))
-    nearestBucket(s, e, cents)
   }
 
   // ---- connected components (shared by llm_dedup_clusters) ----------
@@ -722,17 +728,31 @@ object LlmExtra {
     }),
 
     // IVF-style ANN (the similarity-search scale path): one k-means-lite
-    // round trains 8 centroids from deterministic seeds, vectors land in
-    // their nearest bucket, and each query scans ONLY its bucket — the
-    // corpus-side work drops by ~K×.
+    // round trains centroids from deterministic seeds, vectors land in
+    // their nearest bucket, and each query scans only its probed
+    // buckets — the corpus-side work drops by ~(K/probes)×. MULTI-PROBE
+    // (round 9): each query probes its 2 NEAREST centroids, so a query
+    // sitting on a cell boundary no longer misses true neighbors just
+    // across it — the standard IVF nprobe>1 recall lever. Probe ranking
+    // is the same broadcast-centroids map-side transform as assignment
+    // (probe 1 IS the single-probe bucket, so the candidate set only
+    // grows); a corpus vector lives in exactly one bucket, so the
+    // 2-bucket union introduces no duplicate candidates.
     "llm_knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // lazy cache (OpCache-tracked): query and corpus sides both read
-      // the assignment
-      val assigned = OpCache.track(ivfAssign(s, e))
-      val q = assigned.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      // lazy cache (OpCache-tracked): the centroid table feeds both the
+      // corpus assignment and the query probe ranking
+      val cents = OpCache.track(ivfCentroids(s, e))
+      val assigned = OpCache.track(nearestBucket(s, e, cents))
+      val q = e.where(col("vec_id") < 5)
+        .crossJoin(broadcast(cents
+          .agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(slice(reverse(array_sort(transform(col("cs"), c =>
+            struct(round(cosc(s, col("v"), c.getField("cv")), 6).as("c"),
+              (-c.getField("c_id")).as("nc"))))), 1, 2)).as("m"))
+        .select(col("q_id"), col("qv"), (-col("m.nc")).as("bucket"))
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id"))
       q.join(assigned, "bucket")
@@ -1358,7 +1378,12 @@ object LlmExtra {
     "llm_knn_ivf" ->
       (ivfAssignSql +
         """,
-        |q AS (SELECT vec_id q_id, v qv, bucket FROM asn WHERE vec_id < 5),
+        |q AS (SELECT q_id, qv, bucket FROM (
+        |  SELECT e.vec_id q_id, e.v qv, c.c_id bucket,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |       c.c_id) arn
+        |  FROM e, cent c WHERE e.vec_id < 5) WHERE arn <= 2),
         |p AS (SELECT q.q_id, a.vec_id,
         |   round(list_cosine_similarity(q.qv, a.v), 4) cos
         |  FROM q JOIN asn a ON q.bucket = a.bucket AND q.q_id <> a.vec_id),

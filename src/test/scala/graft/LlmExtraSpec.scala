@@ -16,6 +16,41 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(df.where(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("multi-probe IVF: recall@3 vs brute force >= single-probe recall") {
+    val bf = q("llm_similarity_knn").where(col("rk") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoProbe = q("llm_knn_ivf")
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-probe comparator: the SAME trained model (ivfAssign =
+    // nearest bucket over ivfCentroids), queries scanning only their own
+    // bucket — the pre-round-9 semantics
+    val e = graft.ops.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = graft.ops.LlmExtra.ivfAssign(spark, e).persist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val oneProbe = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .join(assigned, "bucket")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), round(
+        graft.functions.VectorFunctions.cosine(spark, col("qv"), col("v")),
+        4).as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assigned.unpersist(blocking = false)
+    val recall1 = (oneProbe & bf).size.toDouble / bf.size
+    val recall2 = (twoProbe & bf).size.toDouble / bf.size
+    assert(recall2 >= recall1,
+      s"2-probe recall $recall2 fell below single-probe $recall1")
+    // probe 1 is the single-probe bucket, so widening probes can only
+    // grow each query's candidate set — recall must never regress
+    assert(recall2 > 0.0)
+  }
+
   test("substring dedup: cross-doc shared span found at exact token " +
       "bounds; within-doc repeat found; unique docs silent") {
     import spark.implicits._
