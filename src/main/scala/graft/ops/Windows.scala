@@ -172,16 +172,36 @@ object Windows {
           sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
       val w = Window.partitionBy(lit(0)).orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // lerp fill (the TSDB genre's other fill mode): gaps interpolate
+      // linearly between the nearest known hours on both sides, via one
+      // extra forward-looking pass over the same calendar-bounded spine.
+      // The spine's endpoints always hold data (lo/hi come from the
+      // aggregate), so interior gaps have both neighbors; the
+      // trailing-gap LOCF arm makes the expression total anyway.
+      val wf = Window.partitionBy(lit(0)).orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       spine.join(hourly, Seq("hour"), "left")
+        .withColumn("pos", ep(col("hour")))
+        .withColumn("pv", last(col("revenue"), ignoreNulls = true).over(w))
+        .withColumn("ppos", last(when(col("revenue").isNotNull, col("pos")),
+          ignoreNulls = true).over(w))
+        .withColumn("nv", first(col("revenue"), ignoreNulls = true).over(wf))
+        .withColumn("npos", first(when(col("revenue").isNotNull, col("pos")),
+          ignoreNulls = true).over(wf))
         .select(col("hour"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           col("revenue"),
-          last(col("revenue"), ignoreNulls = true).over(w)
-            .as("revenue_filled"),
+          col("pv").as("revenue_filled"),
+          when(col("revenue").isNotNull, col("revenue"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+              ((col("pos") - col("ppos")) / (col("npos") - col("ppos"))),
+              4))
+            .as("revenue_lerp"),
           col("revenue").isNull.as("is_gap"))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
           col("n_events"), col("revenue"), col("revenue_filled"),
-          col("is_gap"))
+          col("revenue_lerp"), col("is_gap"))
         .orderBy("hour")
     })
   )
@@ -273,13 +293,26 @@ object Windows {
         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
         |            hr FROM b),
         |g AS (SELECT s.hr, coalesce(h.n_events, 0) n_events, h.revenue,
-        |    last_value(h.revenue IGNORE NULLS) OVER (ORDER BY s.hr
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      revenue_filled,
+        |    epoch_us(s.hr) pos,
+        |    last_value(h.revenue IGNORE NULLS) OVER wb revenue_filled,
+        |    last_value(CASE WHEN h.revenue IS NOT NULL
+        |      THEN epoch_us(s.hr) END IGNORE NULLS) OVER wb ppos,
+        |    first_value(h.revenue IGNORE NULLS) OVER wf nv,
+        |    first_value(CASE WHEN h.revenue IS NOT NULL
+        |      THEN epoch_us(s.hr) END IGNORE NULLS) OVER wf npos,
         |    h.revenue IS NULL is_gap
-        |  FROM spine s LEFT JOIN h ON s.hr = h.hr)
+        |  FROM spine s LEFT JOIN h ON s.hr = h.hr
+        |  WINDOW wb AS (ORDER BY s.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY s.hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT strftime(hr, '%Y-%m-%d %H:00') AS "hour", n_events,
-        |  revenue, revenue_filled, is_gap
+        |  revenue, revenue_filled,
+        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |       WHEN nv IS NULL THEN revenue_filled
+        |       ELSE round(revenue_filled + (nv - revenue_filled) *
+        |         ((pos - ppos) / (npos - ppos)), 4) END revenue_lerp,
+        |  is_gap
         |FROM g ORDER BY 1""".stripMargin
   )
 }

@@ -147,16 +147,31 @@ class AggWindowSpec extends AnyFunSuite {
       // gap rows: zero events, null revenue, filled == previous filled
       var lastFilled = Double.NaN
       rows.foreach { r =>
-        val isGap = r.getBoolean(4)
+        val isGap = r.getBoolean(5)
         assert(isGap === r.isNullAt(2))
         if (isGap) {
           assert(r.getLong(1) === 0L)
           assert(r.getDouble(3) === lastFilled) // LOCF
-        } else assert(r.getDouble(3) === r.getDouble(2))
+          // lerp fill stays between its two anchor values (and exists)
+          assert(!r.isNullAt(4))
+        } else {
+          assert(r.getDouble(3) === r.getDouble(2))
+          assert(r.getDouble(4) === r.getDouble(2)) // lerp = value itself
+        }
         lastFilled = r.getDouble(3)
       }
+      // interior gap runs: lerp is bounded by the surrounding known
+      // values and moves monotonically between them
+      rows.sliding(3).foreach {
+        case Array(a, b, c) if b.getBoolean(5) =>
+          val lo = math.min(a.getDouble(4), c.getDouble(4))
+          val hi = math.max(a.getDouble(4), c.getDouble(4))
+          assert(b.getDouble(4) >= lo - 1e-9 && b.getDouble(4) <= hi + 1e-9,
+            s"lerp ${b.getDouble(4)} outside [$lo, $hi] at ${b.getString(0)}")
+        case _ =>
+      }
       // the fixture actually exercises the fill path
-      assert(rows.count(_.getBoolean(4)) > 0, "no gaps in fixture")
+      assert(rows.count(_.getBoolean(5)) > 0, "no gaps in fixture")
     } finally df.unpersist()
   }
 }
