@@ -729,46 +729,143 @@ object Streams {
         val s = batch.sparkSession
         val incoming = batch.select("user_id", "event_id", "event_type",
           "ts", "value")
-        // Crash-safe swap: the current table lives at `statePath` with
-        // `statePath + ".prev"` as the in-flight fallback. Writes go to
-        // `.next`, then current→prev and next→current — each step a
-        // single directory rename. Invariant: a COMPLETE table exists at
-        // `statePath` before any destructive step runs, so a crash at any
-        // instant (including a second crash during recovery) leaves the
-        // replayed batch a canonical table to merge against.
-        val prevPath = statePath + ".prev"
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        val prev = new org.apache.hadoop.fs.Path(prevPath)
-        // Recovery promotion: if a prior crash landed between current→prev
-        // and next→current, `.prev` is the only complete table. Promote it
-        // back to canonical FIRST — the swap below may then delete `.prev`
-        // safely because the canonical path is already populated. (A stale
-        // `.next` from that crash is simply overwritten by this batch.)
-        if (!fs.exists(dst) && fs.exists(prev))
-          require(fs.rename(prev, dst), s"recovery rename $prev -> $dst failed")
-        val merged =
-          if (fs.exists(dst)) {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy("user_id")
-              .orderBy(col("ts").desc, col("event_id").desc)
-            s.read.parquet(statePath).unionByName(incoming)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        atomicStateSwap(s, statePath) {
+          case Some(state) =>
+            state.unionByName(incoming)
               .withColumn("rn", row_number().over(w))
               .where(col("rn") === 1).drop("rn")
-          } else incoming
-        val tmp = statePath + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        // Rotate: `.prev` is only cleared when the canonical table exists
-        // to replace it — never delete the last surviving copy.
-        if (fs.exists(dst)) {
-          fs.delete(prev, true)
-          require(fs.rename(dst, prev), s"rename $dst -> $prev failed")
+          case None => incoming
         }
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-          s"rename $tmp -> $dst failed")
-        fs.delete(prev, true)
         ()
       }
       .start()
+
+  /** Crash-safe keyed-state rewrite shared by the upsert and changelog
+    * sinks: the current table lives at `statePath` with `.prev` as the
+    * in-flight fallback. Writes go to `.next`, then current→prev and
+    * next→current — each step a single directory rename. Invariant: a
+    * COMPLETE table exists at the canonical path before any destructive
+    * step runs, so a crash at any instant (including a second crash
+    * during recovery) leaves the replayed batch a table to merge
+    * against. Recovery promotion runs first: if a prior crash landed
+    * between current→prev and next→current, `.prev` is the only
+    * complete table — promote it back to canonical BEFORE the swap may
+    * delete `.prev` (a stale `.next` from that crash is simply
+    * overwritten). `merge` receives the recovered table (None on first
+    * batch) and returns the new image. */
+  private def atomicStateSwap(s: SparkSession, statePath: String)(
+      merge: Option[DataFrame] => DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(statePath)
+    val prev = new org.apache.hadoop.fs.Path(statePath + ".prev")
+    if (!fs.exists(dst) && fs.exists(prev))
+      require(fs.rename(prev, dst), s"recovery rename $prev -> $dst failed")
+    val merged = merge(
+      if (fs.exists(dst)) Some(s.read.parquet(statePath)) else None)
+    val tmp = statePath + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    // Rotate: `.prev` is only cleared when the canonical table exists
+    // to replace it — never delete the last surviving copy.
+    if (fs.exists(dst)) {
+      fs.delete(prev, true)
+      require(fs.rename(dst, prev), s"rename $dst -> $prev failed")
+    }
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"rename $tmp -> $dst failed")
+    fs.delete(prev, true)
+    ()
+  }
+
+  /** CHANGELOG / RETRACT stream (Flink's -U/+U retract semantics over
+    * the CDC latest-image path, `cdc_ingest`'s batch mapping applied
+    * incrementally): binlog ops decode from event_type (signup=+I,
+    * error=-D, else +U); per key the NEWEST op wins, and a winning -D
+    * is kept as a TOMBSTONE (not dropped) so a later batch's older
+    * replay can't resurrect the row and a later genuine +U can. The
+    * readable state at `statePath` is tombstone-inclusive; filter
+    * `op != 'D'` for the visible image (`visibleImage`), which equals
+    * the batch op's output for the same prefix of events regardless of
+    * batching (StreamingParitySpec).
+    *
+    * Each batch also EMITS the retract changelog at
+    * `outPath/batch_id=N`: comparing the visible image before/after the
+    * merge per key — first appearance +I; changed image -U(old) then
+    * +U(new); disappearance -D(old). Downstream consumers (a
+    * materialized agg, a sink with delete support) apply rows in
+    * (user_id, chg) order. Changelog emission happens BEFORE the state
+    * swap, so a crash replay recomputes an identical changelog from the
+    * unchanged state; the one unavoidable at-least-once window is a
+    * crash between the swap and the checkpoint commit, where the replay
+    * overwrites batch N's changelog with no-ops (the state itself stays
+    * exactly-once correct — the standard foreachBatch caveat). */
+  def changelogLatestImage(events: DataFrame, statePath: String,
+      outPath: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch
+          .withColumn("op",
+            when(col("event_type") === "signup", "I")
+              .when(col("event_type") === "error", "D")
+              .otherwise("U"))
+          .select(col("user_id"), col("op"), col("event_id"),
+            graft.ops.Tables.ep(col("ts")).as("ts_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        atomicStateSwap(s, statePath) { state =>
+          val merged = state
+            .map(_.unionByName(incoming))
+            .getOrElse(incoming)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+            // one tiny image per batch; materialize so the changelog
+            // join and the swap write don't re-run the merge
+            .localCheckpoint()
+          val oldImg = state.map(_.where(col("op") =!= "D"))
+            .getOrElse(s.emptyDataFrame
+              .select(lit(0L).as("user_id"), lit("").as("op"),
+                lit(0L).as("event_id"), lit(0L).as("ts_us"))
+              .where(lit(false)))
+          val newImg = merged.where(col("op") =!= "D")
+          // retract derivation: full-outer on the key, emit the Flink
+          // op pair for every changed key (unchanged keys emit nothing)
+          val joined = oldImg
+            .select(col("user_id"), struct(col("op"), col("event_id"),
+              col("ts_us")).as("o"))
+            .join(newImg.select(col("user_id"), struct(col("op"),
+              col("event_id"), col("ts_us")).as("n")),
+              Seq("user_id"), "full_outer")
+          joined
+            .select(col("user_id"), explode(
+              when(col("o").isNull,
+                array(struct(lit("+I").as("chg"), col("n").as("img"))))
+              .when(col("n").isNull,
+                array(struct(lit("-D").as("chg"), col("o").as("img"))))
+              .when(col("o") =!= col("n"), array(
+                struct(lit("-U").as("chg"), col("o").as("img")),
+                struct(lit("+U").as("chg"), col("n").as("img"))))
+              .otherwise(array().cast(
+                "array<struct<chg:string,img:struct<op:string,event_id:bigint,ts_us:bigint>>>"))
+            ).as("e"))
+            .select(col("user_id"), col("e.chg").as("chg"),
+              col("e.img.event_id").as("event_id"),
+              col("e.img.ts_us").as("ts_us"))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          merged
+        }
+        ()
+      }
+      .start()
+
+  /** The visible (tombstone-filtered) latest image a
+    * `changelogLatestImage` state dir holds. */
+  def visibleImage(s: SparkSession, statePath: String): DataFrame =
+    s.read.parquet(statePath).where(col("op") =!= "D")
 }

@@ -824,6 +824,79 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(users === Set(100L, 200L, 300L))
   }
 
+  test("changelog sink: incremental +I/+U/-D merge == cdc_ingest batch " +
+      "op, and the emitted retract log reconstructs the image") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chlog").toString
+    val input = MemoryStream[Ev]
+    val query = Streams.changelogLatestImage(
+      input.toDS().toDF(), s"$dir/state", s"$dir/chg", s"$dir/ckpt")
+    val chunks = allEvents.grouped((allEvents.size + 2) / 3).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+    // 1) state parity: tombstone-filtered image == the batch CDC op
+    val got = Streams.visibleImage(spark, s"$dir/state")
+      .select("user_id", "op", "event_id", "ts_us")
+    val want = q("cdc_ingest").select("user_id", "op", "event_id", "ts_us")
+    assert(got.count() === want.count())
+    assert(got.join(want, Seq("user_id", "op", "event_id", "ts_us"))
+      .count() === want.count())
+    // 2) changelog reconstruction: applying +I/+U (upsert) and -D
+    // (delete) per batch in order rebuilds the final visible image;
+    // every -U retracts the exact image a prior batch inserted
+    val img = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (b <- chunks.indices) {
+      // retracts (-U/-D) must apply before inserts (+I/+U) per key:
+      // '-' sorts after '+', so chg DESC gives the retract-first order
+      val rows = spark.read.parquet(s"$dir/chg/batch_id=$b")
+        .orderBy(col("user_id"), col("chg").desc).collect()
+      rows.foreach { r =>
+        val (uid, chg) = (r.getLong(0), r.getString(1))
+        val v = (r.getLong(2), r.getLong(3))
+        chg match {
+          case "+I" =>
+            assert(!img.contains(uid), s"+I for existing key $uid"); img(uid) = v
+          case "+U" => img(uid) = v
+          case "-U" =>
+            assert(img(uid) === v, s"-U retracts a row never inserted: $uid")
+          case "-D" =>
+            assert(img(uid) === v); img.remove(uid); ()
+        }
+      }
+    }
+    val finalImg = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(img.toMap === finalImg)
+  }
+
+  test("changelog sink: a delete tombstone blocks older late updates " +
+      "but not newer ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    def ev(id: Long, uid: Long, tsUs: Long, kind: String) = Ev(id, uid,
+      new java.sql.Timestamp(tsUs / 1000L), tsUs, kind, 1.0)
+    val base = 1704067200L * 1000000L
+    val input = MemoryStream[Ev]
+    val q0 = Streams.changelogLatestImage(
+      input.toDS().toDF(), s"$dir/state", s"$dir/chg", s"$dir/ckpt")
+    // batch 1: user 7 deleted at t+10
+    input.addData(Seq(ev(2, 7, base + 10000000L, "error")))
+    q0.processAllAvailable()
+    // batch 2: a LATE update older than the delete — must stay dead
+    input.addData(Seq(ev(1, 7, base + 5000000L, "click")))
+    q0.processAllAvailable()
+    assert(Streams.visibleImage(spark, s"$dir/state").count() === 0,
+      "late pre-delete update resurrected a deleted key")
+    // batch 3: a genuinely newer update — must resurrect
+    input.addData(Seq(ev(3, 7, base + 20000000L, "click")))
+    q0.processAllAvailable()
+    q0.stop()
+    val rows = Streams.visibleImage(spark, s"$dir/state").collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("event_id") === 3L)
+  }
+
   test("upsert sink: recovery promotes the fallback before any " +
       "destructive step (second-crash safety)") {
     import spark.implicits._
