@@ -83,7 +83,8 @@ object ScaleRehearsal {
     }
   }
 
-  private def synthesize(s: SparkSession, dir: String, mult: Int): Unit = {
+  private[graft] def synthesize(s: SparkSession, dir: String,
+      mult: Int): Unit = {
     import s.implicits._
     // both tables must have committed — a run killed between the two
     // writes must not leave a dir that forever skips the embeddings

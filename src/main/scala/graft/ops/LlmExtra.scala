@@ -815,8 +815,18 @@ object LlmExtra {
           round(log(col("cnt").cast("double") / col("total")), 6)
             .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("lp"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+        // the 4-dp average is computed in EXACT integer arithmetic
+        // (micro-log units, half-away-from-zero division), because the
+        // decimal sum / count can land exactly on a 4-dp rounding
+        // boundary (e.g. -85.83125/25 = -3.43325) where double-round
+        // and decimal-round disagree across engines — observed once in
+        // 50k docs at the 10× rehearsal. m is positive micro-logs;
+        // q = round-half-up(m / (100 n)) via (2m + 100n) div (200n),
+        // truncating division on positive longs = floor in any engine.
+        .select(col("doc_id"), col("n_tokens"),
+          expr("-(CAST((CAST(-slp * 1000000 AS BIGINT) * 2 + " +
+            "n_tokens * 100) DIV (n_tokens * 200) AS DOUBLE) / 10000.0)")
             .as("avg_logp"))
         .orderBy("doc_id")
     }),
@@ -1523,8 +1533,9 @@ object LlmExtra {
         |uni AS (SELECT tok, count(*) cnt FROM tk GROUP BY 1),
         |tot AS (SELECT sum(cnt) total FROM uni)
         |SELECT doc_id, count(*) AS n_tokens,
-        | round(CAST(sum(CAST(round(ln(cnt::DOUBLE / total), 6)
-        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logp
+        | -(((CAST(-sum(CAST(round(ln(cnt::DOUBLE / total), 6)
+        |       AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
+        |     + count(*) * 100) // (count(*) * 200)) / 10000.0) AS avg_logp
         |FROM tk JOIN uni USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_domain_balance" ->
