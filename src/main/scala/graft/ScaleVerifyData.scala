@@ -76,7 +76,26 @@ object ScaleVerifyData {
       Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk))
     replicate(spark, src, dst, "events", mult,
       Map("event_id" -> ev, "user_id" -> uid))
+    // synthesize() skips when its _SUCCESS markers exist, so a re-run
+    // into the same dst at a DIFFERENT mult would silently keep the old
+    // documents/embeddings next to freshly-rewritten facts — record the
+    // mult and force a regenerate when it changed
+    val multMarker = new java.io.File(dst, "_GRAFT_MULT")
+    val priorMult = if (multMarker.isFile)
+      new String(java.nio.file.Files.readAllBytes(multMarker.toPath),
+        "UTF-8").trim
+    else ""
+    if (priorMult != mult.toString) {
+      for (t <- Seq("documents", "embeddings")) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dst, s"$t.parquet"))
+      }
+    }
     ScaleRehearsal.synthesize(spark, dst, mult)
+    java.nio.file.Files.write(multMarker.toPath,
+      mult.toString.getBytes("UTF-8"))
     println(s"SCALE_VERIFY_DATA_DONE dir=$dst mult=$mult")
     spark.stop()
   }

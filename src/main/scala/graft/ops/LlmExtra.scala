@@ -441,24 +441,37 @@ object LlmExtra {
       d: String): org.apache.spark.sql.DataFrame = {
     val key = docsSnapshot(d)
     val out = new java.io.File(clusterCacheDir, key)
+    // claim the key for this dir BEFORE building: a concurrent
+    // clusterTable on another dir with identical content (same key)
+    // sees the claim in containsValue below and won't prune mid-build
+    val old = currentClusterKey.put(d, key)
     clusterBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       if (!new java.io.File(out, "_SUCCESS").isFile)
         buildClusterTable(s, d).write.mode("overwrite")
           .parquet(out.getAbsolutePath)
-      // prune the snapshot this rewrite orphaned — the old key is never
-      // read again, so without this the cache dir (and at one lock per
-      // key, the lock map) grows per corpus rewrite, forever. Keys for
-      // DIFFERENT corpora share clusterCacheDir, so a key still current
-      // for some other dir is left alone.
-      val old = currentClusterKey.put(d, key)
-      if (old != null && old != key && !currentClusterKey.containsValue(old)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // prune the snapshot this rewrite orphaned — the old key is never
+    // read again, so without this the cache dir (and at one lock per
+    // key, the lock map) grows per corpus rewrite, forever. Pruning
+    // takes the OLD key's own lock (never nested inside the new key's —
+    // no lock-order cycle) and re-checks the claim map inside it, so a
+    // racing builder of the same key either finished already or has
+    // claimed it and is skipped. Keys for DIFFERENT corpora share
+    // clusterCacheDir, so a key still current for another dir is left
+    // alone. Contract (same as the stream artifacts): lazy DataFrames
+    // obtained against a corpus that is then REWRITTEN reference data
+    // that no longer exists and must not be executed after the rewrite.
+    if (old != null && old != key && !currentClusterKey.containsValue(old)) {
+      clusterBuildLocks.computeIfAbsent(old, _ => new Object).synchronized {
+        if (!currentClusterKey.containsValue(old)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(clusterCacheDir, old))
         }
-        rm(new java.io.File(clusterCacheDir, old))
-        clusterBuildLocks.remove(old)
-        ()
       }
+      clusterBuildLocks.remove(old)
+      ()
     }
     s.read.parquet(out.getAbsolutePath)
   }

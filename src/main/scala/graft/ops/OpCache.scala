@@ -15,10 +15,22 @@ object OpCache {
   private val handles =
     scala.collection.mutable.Map.empty[SparkSession, List[DataFrame]]
 
-  /** Lazily persist `df` and remember the handle for `release`. */
+  /** Innermost active Scope of the CURRENT thread (scopes are
+    * thread-confined: created, filled, and released on one thread —
+    * the foreachBatch pattern). A ThreadLocal, not a snapshot diff, so
+    * a concurrent caller tracking on another thread can never have its
+    * handle claimed by this thread's scope. */
+  private val activeScope = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** Lazily persist `df` and remember the handle for `release`; if the
+    * calling thread has an open `scope`, the handle is also claimed by
+    * that scope. */
   def track(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     handles.updateWith(p.sparkSession)(l => Some(p :: l.getOrElse(Nil)))
+    activeScope.get().headOption.foreach(sc => sc.mine = p :: sc.mine)
     p
   }
 
@@ -29,21 +41,27 @@ object OpCache {
 
   /** Scoped variant for callers embedded in a larger session (e.g. a
     * `foreachBatch` body composing ops while the caller holds its own
-    * tracked caches): `scope(s)` snapshots the current handle set, and
-    * `Scope.release()` unpersists only handles tracked AFTER the
-    * snapshot — the caller's pre-existing caches survive. */
-  final class Scope private[OpCache] (s: SparkSession,
-      baseline: List[DataFrame]) {
+    * tracked caches): `scope(s)` opens a scope ON THIS THREAD, every
+    * `track` from this thread while it is open is claimed by it, and
+    * `Scope.release()` unpersists exactly those handles — never a
+    * concurrent thread's, never the caller's pre-existing caches.
+    * Thread-confined: open and release on the same thread. */
+  final class Scope private[OpCache] (s: SparkSession) {
+    private[OpCache] var mine: List[DataFrame] = Nil
     def release(): Unit = OpCache.synchronized {
-      val cur = handles.getOrElse(s, Nil)
-      val (added, kept) = cur.partition(d => !baseline.exists(_ eq d))
-      added.foreach(_.unpersist(blocking = false))
-      if (kept.isEmpty) handles.remove(s) else handles(s) = kept
-      ()
+      activeScope.set(activeScope.get().filterNot(_ eq this))
+      mine.foreach(_.unpersist(blocking = false))
+      handles.updateWith(s) { l =>
+        val kept = l.getOrElse(Nil).filterNot(d => mine.exists(_ eq d))
+        if (kept.isEmpty) None else Some(kept)
+      }
+      mine = Nil
     }
   }
 
   def scope(s: SparkSession): Scope = synchronized {
-    new Scope(s, handles.getOrElse(s, Nil))
+    val sc = new Scope(s)
+    activeScope.set(sc :: activeScope.get())
+    sc
   }
 }

@@ -192,11 +192,22 @@ object Windows {
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           col("revenue"),
           col("pv").as("revenue_filled"),
+          // the 4-dp lerp is EXACT integer arithmetic (the avg_logp
+          // lesson): anchors are 2-dp money -> exact cent longs, spine
+          // positions are whole hours, so the interpolant is the
+          // rational N/(100 L) and its half-away-from-zero 4-dp
+          // rounding is (200 N + L) div (2 L) on nonneg longs —
+          // engine-independent, no double-round boundary anywhere
           when(col("revenue").isNotNull, col("revenue"))
             .when(col("nv").isNull, col("pv"))
-            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
-              ((col("pos") - col("ppos")) / (col("npos") - col("ppos"))),
-              4))
+            .otherwise(expr(
+              "CAST(((CAST(ROUND(pv * 100) AS BIGINT)" +
+                " * ((npos - pos) DIV 3600000000)" +
+                " + CAST(ROUND(nv * 100) AS BIGINT)" +
+                " * ((pos - ppos) DIV 3600000000)) * 200" +
+                " + (npos - ppos) DIV 3600000000)" +
+                " DIV (2 * ((npos - ppos) DIV 3600000000))" +
+                " AS DOUBLE) / 10000.0"))
             .as("revenue_lerp"),
           col("revenue").isNull.as("is_gap"))
         .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
@@ -310,8 +321,13 @@ object Windows {
         |  revenue, revenue_filled,
         |  CASE WHEN revenue IS NOT NULL THEN revenue
         |       WHEN nv IS NULL THEN revenue_filled
-        |       ELSE round(revenue_filled + (nv - revenue_filled) *
-        |         ((pos - ppos) / (npos - ppos)), 4) END revenue_lerp,
+        |       ELSE CAST(((CAST(round(revenue_filled * 100) AS BIGINT)
+        |           * ((npos - pos) // 3600000000)
+        |           + CAST(round(nv * 100) AS BIGINT)
+        |           * ((pos - ppos) // 3600000000)) * 200
+        |           + (npos - ppos) // 3600000000)
+        |         // (2 * ((npos - ppos) // 3600000000))
+        |         AS DOUBLE) / 10000.0 END revenue_lerp,
         |  is_gap
         |FROM g ORDER BY 1""".stripMargin
   )

@@ -51,26 +51,35 @@ object Streams {
     ()
   }
 
+  /** corpus dir → its current snapshot key under each artifact root,
+    * for pruning only SUPERSEDED snapshots: a corpus rewrite mints a
+    * new key and orphans the old one, but other corpora sharing the
+    * same root (e.g. an incremental-dedup retained corpus and a
+    * curation-gate benchmark corpus) keep their live snapshots. */
+  private val currentArtifactSnap =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   /** Build-or-reuse the snapshot-keyed artifacts at `paths` (all under
-    * `artifactDir/snap/`): under the root's lock, skip if every path
-    * already has `_SUCCESS`, else run `build`; then prune SIBLING
-    * snapshot dirs. Only the current snapshot is ever read again —
-    * each corpus rewrite mints a new snapshot key, so without pruning
-    * the root grows one dead dir per rewrite. Contract: a stream
-    * started against an older corpus snapshot does not outlive a
-    * rewrite + new stream start on the same artifact root (its
-    * artifacts are garbage by then — frozen-at-start semantics over a
-    * corpus that no longer exists). */
-  private def buildSnapshotArtifact(artifactDir: String, snap: String,
-      paths: Seq[String])(build: => Unit): Unit =
+    * `artifactDir/snap/`, derived from corpus `corpusDir`): under the
+    * root's lock, skip if every path already has `_SUCCESS`, else run
+    * `build`; then prune the snapshot dir THIS corpus's rewrite
+    * superseded (never another corpus's live snapshot). Without
+    * pruning, the root grows one dead dir — and the lock map one
+    * entry — per corpus rewrite, forever. Contract: a stream started
+    * against an older snapshot of THE SAME corpus does not outlive a
+    * rewrite + new stream start on the same root (its artifacts are
+    * garbage by then — frozen-at-start semantics over a corpus that no
+    * longer exists). */
+  private def buildSnapshotArtifact(artifactDir: String, corpusDir: String,
+      snap: String, paths: Seq[String])(build: => Unit): Unit =
     artifactLocks.computeIfAbsent(artifactDir, _ => new Object)
       .synchronized {
         if (!paths.forall(p => new java.io.File(s"$p/_SUCCESS").isFile))
           build
-        Option(new java.io.File(artifactDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName != snap)
-          .foreach(deleteRecursively)
+        val old = currentArtifactSnap.put((artifactDir, corpusDir), snap)
+        if (old != null && old != snap &&
+            !currentArtifactSnap.containsValue(old))
+          deleteRecursively(new java.io.File(artifactDir, old))
       }
 
   /** Typed view over an events DataFrame (batch or streaming). The
@@ -628,7 +637,8 @@ object Streams {
     val nPath = s"$artifactDir/$snap/retained_sizes.parquet"
     // root-level lock + stale-snapshot pruning: racing builders of the
     // same root serialize and the loser skips the build
-    buildSnapshotArtifact(artifactDir, snap, Seq(idxPath, nPath)) {
+    buildSnapshotArtifact(artifactDir, retainedDocsDir, snap,
+        Seq(idxPath, nPath)) {
       val retained = graft.ops.Tables.t(s, retainedDocsDir, "documents")
       val idx = graft.ops.LlmExtra.cappedShingleIndexOf(s, retained)
         .persist()
@@ -686,7 +696,8 @@ object Streams {
     // rewritten benchmark corpus rebuilds instead of serving stale
     val benchSnap = graft.ops.LlmExtra.docsSnapshot(benchDocsDir)
     val benchPath = s"$artifactDir/$benchSnap/bench_shingles.parquet"
-    buildSnapshotArtifact(artifactDir, benchSnap, Seq(benchPath)) {
+    buildSnapshotArtifact(artifactDir, benchDocsDir, benchSnap,
+        Seq(benchPath)) {
       graft.ops.LlmExtra.benchShingles(
           graft.ops.Tables.t(s, benchDocsDir, "documents"))
         .write.mode("overwrite").parquet(benchPath)
@@ -865,7 +876,17 @@ object Streams {
       .start()
 
   /** The visible (tombstone-filtered) latest image a
-    * `changelogLatestImage` state dir holds. */
-  def visibleImage(s: SparkSession, statePath: String): DataFrame =
-    s.read.parquet(statePath).where(col("op") =!= "D")
+    * `changelogLatestImage` state dir holds. A concurrent reader can
+    * land inside the swap window where the canonical dir is mid-rename
+    * (current→prev done, next→current not yet) — fall back to `.prev`
+    * exactly like the swap's own crash recovery, so a healthy stream
+    * never presents a missing table to its readers. */
+  def visibleImage(s: SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) statePath
+      else statePath + ".prev"
+    s.read.parquet(p).where(col("op") =!= "D")
+  }
 }

@@ -641,6 +641,40 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(runOnce("b")(100L) === true) // a stale artifact would say false
   }
 
+  test("artifact pruning spares another corpus's live snapshot on a " +
+      "shared artifact root") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_share").toString
+    Seq((0L, "s", "retained corpus words for the shared root check"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/retained/documents.parquet")
+    Seq((1L, "s", "benchmark corpus words for the shared root check"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench/documents.parquet")
+    val snapA = ops.LlmExtra.docsSnapshot(s"$dir/retained")
+    // stream 1: incremental dedup builds its retained-index snapshot
+    val in1 = MemoryStream[(Long, String, String)]
+    val q1 = Streams.incrementalDedupStream(
+      in1.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/retained", s"$dir/artifacts", s"$dir/out1", s"$dir/ckpt1")
+    in1.addData(Seq((100L, "s", "an arriving shard document")))
+    q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(
+      s"$dir/artifacts/$snapA/retained_index.parquet/_SUCCESS").isFile)
+    // stream 2: curation gate for a DIFFERENT corpus on the SAME root —
+    // its build must not prune stream 1's live snapshot
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = Streams.curationGateStream(
+      in2.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/bench", s"$dir/artifacts", s"$dir/out2", s"$dir/ckpt2")
+    in2.addData(Seq((101L, "s", "another arriving document")))
+    q2.processAllAvailable(); q2.stop()
+    assert(new java.io.File(
+      s"$dir/artifacts/$snapA/retained_index.parquet/_SUCCESS").isFile,
+      "curation gate's artifact build pruned the dedup stream's snapshot")
+  }
+
   test("incremental dedup stream: a rewritten retained corpus is NOT " +
       "served from a stale index") {
     import spark.implicits._
