@@ -586,6 +586,44 @@ object LlmExtra {
         col("dup_word_frac") <= 0.3 && col("dup_bigram_frac") <= 0.2)
   }
 
+  /** Maximal duplicated-substring runs per doc (the suffix-array dedup
+    * genre, e.g. "Deduplicating Training Data Makes Language Models
+    * Better"-style span detection, done the distributed way): a token
+    * K-gram occurring >= 2 times ANYWHERE in the corpus marks its start
+    * position as duplicated; maximal runs of consecutive duplicated
+    * starts are the duplicated substrings (a run [i..j] spans tokens
+    * i .. j+K-1 — exactly the union of its duplicated K-grams). Plan
+    * shape: map-side explode into (doc, pos, gram), ONE corpus-wide
+    * keyed shuffle to count gram occurrences (window over the gram
+    * key — no join anywhere), then a doc-keyed window to merge adjacent
+    * starts (bounded by doc length, never by corpus size). At 100 TB
+    * the only change is shuffling xxhash64(gram) (8-byte keys; a
+    * collision marks a non-duplicated span, the tolerable error in this
+    * genre) instead of gram strings — the structure is identical.
+    * K = `SubstrK` whitespace tokens. Columns: doc_id, run_start,
+    * run_end, run_len (1-based inclusive token indices). */
+  private def substrRuns(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val K = SubstrK
+    val rw = Window.partitionBy("doc_id").orderBy("p")
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= K)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pi"))
+      .select(col("doc_id"), col("pi").cast("long").as("p"),
+        concat_ws(" ", slice(col("ws"), col("pi"), lit(K))).as("g"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .where(col("c") >= 2)
+      .withColumn("grp", col("p") - row_number().over(rw))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("run_start"),
+        (max(col("p")) + (K - 1)).as("run_end"),
+        (max(col("p")) - min(col("p")) + K).as("run_len"))
+      .select(col("doc_id"), col("run_start"), col("run_end"),
+        col("run_len"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Near-dup detection by exact n-gram Jaccard, computed via the
     // DF-CAPPED INVERTED-INDEX join (the exact set-similarity-join
@@ -635,41 +673,48 @@ object LlmExtra {
         .orderBy("doc_id")
     }),
 
-    // EXACT SUBSTRING-level dedup (the suffix-array dedup genre, e.g.
-    // "Deduplicating Training Data Makes Language Models Better"-style
-    // duplicated-span detection, done the distributed way): a token
-    // K-gram that occurs >= 2 times ANYWHERE in the corpus marks its
-    // start position as duplicated; maximal runs of consecutive
-    // duplicated starts are the duplicated substrings (a run [i..j]
-    // spans tokens i .. j+K-1 — exactly the union of its duplicated
-    // K-grams). Plan shape: map-side explode into (doc, pos, gram), ONE
-    // corpus-wide keyed shuffle to count gram occurrences (window over
-    // the gram key — no join anywhere in the whole op), then a doc-keyed
-    // window to merge adjacent starts (bounded by doc length, never by
-    // corpus size). At 100 TB the only change is shuffling
-    // xxhash64(gram) (8-byte keys; a collision marks a non-duplicated
-    // span, the tolerable error in this genre) instead of gram strings —
-    // the structure is identical. K = 8 whitespace tokens.
-    "llm_dedup_substring" -> ((s, d) => {
-      val K = SubstrK
-      val rw = Window.partitionBy("doc_id").orderBy("p")
+    // EXACT SUBSTRING-level dedup — duplicated-span DETECTION (full
+    // semantics + plan shape on `substrRuns` above).
+    "llm_dedup_substring" -> ((s, d) =>
+      substrRuns(s, d).orderBy("doc_id", "run_start")),
+
+    // The ACTIONABLE half of substring dedup: REMOVE every duplicated
+    // span from every doc (the conservative form of the suffix-dedup
+    // genre's cut step — all occurrences go, not all-but-one, so no
+    // cross-doc ordering is needed and the op stays one extra equi
+    // anti-join past the run detection). Kept tokens re-assemble in
+    // position order via one doc-keyed sort-agg; docs too short to form
+    // grams, or with no duplicated span, pass through whole; a doc that
+    // is ENTIRELY duplicated text comes out empty (and countable via
+    // n_dropped = n_tokens).
+    "llm_dedup_substring_prune" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("tok"))
+      val runs = substrRuns(s, d)
+        .select(col("doc_id"), col("run_start"), col("run_end"))
+      val kept = toks.join(runs,
+        toks("doc_id") === runs("doc_id") &&
+          col("p") >= col("run_start") && col("p") <= col("run_end"),
+        "left_anti")
+      // re-anchor on the full corpus: a doc whose every token sits in a
+      // duplicated span has NO kept rows and must still surface (with
+      // empty clean_text and n_dropped = n_tokens)
       t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= K)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pi"))
-        .select(col("doc_id"), col("pi").cast("long").as("p"),
-          concat_ws(" ", slice(col("ws"), col("pi"), lit(K))).as("g"))
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-        .where(col("c") >= 2)
-        .withColumn("grp", col("p") - row_number().over(rw))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("p")).as("run_start"),
-          (max(col("p")) + (K - 1)).as("run_end"),
-          (max(col("p")) - min(col("p")) + K).as("run_len"))
-        .select(col("doc_id"), col("run_start"), col("run_end"),
-          col("run_len"))
-        .orderBy("doc_id", "run_start")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("clean_text")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit bands for candidate
@@ -1275,6 +1320,36 @@ object LlmExtra {
         |  max(p) - min(p) + $SubstrK AS run_len
         |FROM runs GROUP BY doc_id, grp
         |ORDER BY doc_id, run_start""".stripMargin,
+    "llm_dedup_substring_prune" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - $SubstrK + 1)) AS p
+        |  FROM docs WHERE len(ws) >= $SubstrK),
+        |grams AS (SELECT doc_id, p,
+        |    array_to_string(ws[p:p+$SubstrK-1], ' ') AS g FROM pos),
+        |marked AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c
+        |    FROM grams) WHERE c >= 2),
+        |runs AS (SELECT doc_id, p, p - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY p) AS grp FROM marked),
+        |spans AS (SELECT doc_id, min(p) AS run_start,
+        |    max(p) + $SubstrK - 1 AS run_end
+        |  FROM runs GROUP BY doc_id, grp),
+        |toks AS (SELECT doc_id, unnest(ws) AS tok,
+        |    CAST(generate_subscripts(ws, 1) AS BIGINT) AS p FROM docs),
+        |kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id
+        |      AND t.p BETWEEN s.run_start AND s.run_end)),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.ws) AS BIGINT) - coalesce(ka.n_kept, 0) AS n_dropped,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM docs d LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
       s"""WITH $cappedIdxSql,
         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter

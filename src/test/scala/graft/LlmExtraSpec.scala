@@ -77,6 +77,18 @@ class LlmExtraSpec extends AnyFunSuite {
       (1L, 1L, 10L, 10L),
       (2L, 1L, 8L, 8L),     // within-doc repeat: both copies reported
       (2L, 9L, 16L, 8L)))   // doc 3 absent: nothing duplicated
+    // the prune companion removes exactly those spans: doc 0 keeps its
+    // 2-token prefix, doc 1 its 2-token tail, doc 2 (entirely
+    // duplicated) comes out EMPTY but still surfaces, doc 3 untouched
+    val pruned = SparkEntry
+      .queries("llm_dedup_substring_prune")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(pruned.toSeq === Seq(
+      (0L, 12L, 10L, "zero-a zero-b"),
+      (1L, 12L, 10L, "one-a one-b"),
+      (2L, 16L, 16L, ""),
+      (3L, 12L, 0L, (1 to 12).map(i => s"uniq$i").mkString(" "))))
   }
 
   test("df-cap: boilerplate shingles drop out of candidate generation, " +

@@ -158,6 +158,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("llm_dedup_substring_prune: span removal is one equi anti-join, " +
+      "no cartesian") {
+    val p = plan(q("llm_dedup_substring_prune"))
+    // the range predicate rides as a residual on the doc_id equi key —
+    // a cartesian/BNLJ here would mean the join lost its equi component
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("llm_dedup_clusters: edges + contraction rounds are equi joins only") {
     val p = plan(q("llm_dedup_clusters"))
     assert(!p.contains("CartesianProduct") &&
