@@ -26,11 +26,26 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // A failed query reports -1.0 (never a fake timing) and lands in
     // "errors" so a broken plan can't masquerade as a fast one.
+    // Timed action: a NOOP WRITE, not count() — count() lets Catalyst
+    // eliminate row-count-preserving work (a left join against a
+    // unique-keyed aggregate, window columns nobody filters on), so an
+    // op like llm_dedup_substring_prune would "bench" an emptied plan.
+    // The noop sink executes every operator and materializes every
+    // column on the executors, then discards the rows — the honest
+    // full-plan cost, still with zero driver/disk transfer. (Streaming-
+    // only shapes that reject batch writes fall back to count.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try {
+        val df = fn(spark, sfDir)
+        try df.write.mode("overwrite").format("noop").save()
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          df.count(); ()
+        }
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
