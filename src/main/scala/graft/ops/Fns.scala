@@ -103,8 +103,13 @@ object Fns {
           "flr", "cl", "rt", "lg", "pm", "sg")),
 
     "fn_array" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // staged: the array functions run interpreted (higher-order fns
+      // have no codegen), so mentioning split(text) five times in one
+      // select would re-split five times per row — materialize the
+      // token array once and reference the attribute
+      val toks = col("toks")
       t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           size(toks).as("n_toks"),
           array_contains(toks, "data").as("has_data"),

