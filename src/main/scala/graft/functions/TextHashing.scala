@@ -70,6 +70,49 @@ object TextHashing {
     }
     new GenericArrayData(out)
   }
+
+  /** (min, distinct-count) of the rolling 8-CHAR window XXH64 hashes —
+    * bit-identical to
+    * `transform(sequence(1, greatest(length(text)-7, 1)),
+    *            i -> xxhash64(substr(text, i, 8)))`
+    * reduced by `array_min` / `size(array_distinct(..))`, in one pass
+    * with no per-window string or array allocation. substr counts
+    * CHARACTERS, so windows are built over char-start byte offsets (for
+    * ASCII they coincide with byte offsets); xxhash64(substr) hashes the
+    * substring's bytes, which are exactly the byte range between the
+    * window's first char start and one-past-last char start. */
+  def rollingFingerprint(
+      s: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val nBytes = s.numBytes()
+    // char-start byte offsets + one-past-end sentinel
+    var offs = new Array[Int](math.min(nBytes, 64) + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      if (nChars == offs.length - 1)
+        offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(nChars) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      nChars += 1
+    }
+    offs(nChars) = nBytes
+    // substr(i, 8) clamps at the end: the last full window starts at
+    // nChars-7; shorter texts get exactly one (short or empty) window
+    val m = math.max(nChars - 7, 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = hashRange(s, offs(math.min(i, nChars)),
+        offs(math.min(i + 8, nChars)))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var d = 1
+    var j = 1
+    while (j < m) { if (hs(j) != hs(j - 1)) d += 1; j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hs(0), d))
+  }
 }
 
 /** `graft_shingle_hashes3(text)`: sorted distinct 3-gram hashes. */
@@ -82,6 +125,24 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextHashing.shingleHashes3Sorted($a);")
   override protected def withNewChildInternal(c: Expression): ShingleHashes3 =
+    copy(child = c)
+}
+
+/** `graft_rolling_fp8(text)`: struct(fp_min, fp_distinct) of the
+  * rolling 8-char window hashes (winnowing-lite fingerprint). */
+case class RollingFp8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp_min", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("fp_distinct",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "graft_rolling_fp8"
+  override def nullSafeEval(a: Any): Any =
+    TextHashing.rollingFingerprint(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashing.rollingFingerprint($a);")
+  override protected def withNewChildInternal(c: Expression): RollingFp8 =
     copy(child = c)
 }
 

@@ -334,7 +334,8 @@ object VectorFunctions {
       (es => SortedIntersectCount(es.head, es(1))),
     "graft_minhash8" -> (es => MinHashSignature(es.head)),
     "graft_shingle_hashes3" -> (es => ShingleHashes3(es.head)),
-    "graft_token_hashes" -> (es => TokenHashes(es.head)))
+    "graft_token_hashes" -> (es => TokenHashes(es.head)),
+    "graft_rolling_fp8" -> (es => RollingFp8(es.head)))
 
   def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
     e.injectFunction((FunctionIdentifier(n),
@@ -370,5 +371,8 @@ object VectorFunctions {
   }
   def tokenHashes(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("graft_token_hashes", text)
+  }
+  def rollingFp8(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("graft_rolling_fp8", text)
   }
 }

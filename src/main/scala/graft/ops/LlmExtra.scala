@@ -953,18 +953,22 @@ object LlmExtra {
 
     // Document fingerprint: rolling 8-char window hashes, keep the min
     // (winnowing-lite) + distinct-window count. Oracle-exempt (xxhash64);
-    // property: identical text ⇒ identical fingerprint.
+    // property: identical text ⇒ identical fingerprint. Computed by the
+    // native one-pass RollingFp8 kernel — bit-identical to the HOF
+    // formulation transform(sequence(..), i -> xxhash64(substr(text,i,8)))
+    // + array_min/array_distinct (parity-tested in TextHashingSpec), but
+    // with no per-window string/array allocation or interpreted lambda
+    // dispatch: 3.6 s -> sub-second on the sf0.1 bench.
     "llm_fingerprint" -> ((s, d) => {
-      // two-step select: `fps` is referenced twice below, so Catalyst's
-      // CollapseProject keeps the single materialization instead of
-      // inlining (and re-running) the window-hash transform per use
+      // two-step select: `fp` is referenced twice below, so Catalyst's
+      // CollapseProject keeps the single materialization
       t(s, d, "documents")
-        .select(col("doc_id"), transform(
-          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => xxhash64(col("text").substr(i, lit(8)))).as("fps"))
         .select(col("doc_id"),
-          array_min(col("fps")).as("fp_min"),
-          size(array_distinct(col("fps"))).as("fp_distinct"))
+          graft.functions.VectorFunctions.rollingFp8(s, col("text"))
+            .as("fp"))
+        .select(col("doc_id"),
+          col("fp").getField("fp_min").as("fp_min"),
+          col("fp").getField("fp_distinct").as("fp_distinct"))
         .orderBy("doc_id")
     }),
 

@@ -98,6 +98,43 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("graft_rolling_fp8 == HOF min/distinct of xxhash64(substr) windows") {
+    val fps = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => xxhash64(col("text").substr(i, lit(8))))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs
+      .select(col("text"), fps.as("fps"))
+      .select(
+        VectorFunctions.rollingFp8(spark, col("text")).as("native"),
+        array_min(col("fps")).as("fp_min"),
+        size(array_distinct(col("fps"))).as("fp_distinct"))
+      .where(col("native.fp_min") =!= col("fp_min") ||
+        col("native.fp_distinct") =!= col("fp_distinct"))
+    assert(diff.count() === 0)
+  }
+
+  test("graft_rolling_fp8 matches HOF on short / empty / multi-byte text") {
+    // substr counts CHARACTERS: the multi-byte rows prove the window
+    // byte-offsets walk char starts, not raw bytes
+    import spark.implicits._
+    val edge = Seq("", "a", "1234567", "12345678", "123456789",
+      "naïve café text über all", "日本語のテキストです長いもの",
+      "mixed ascii and 中文 characters here").toDF("text")
+    val fps = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => xxhash64(col("text").substr(i, lit(8))))
+    val diff = edge
+      .select(col("text"), fps.as("fps"))
+      .select(
+        VectorFunctions.rollingFp8(spark, col("text")).as("native"),
+        array_min(col("fps")).as("fp_min"),
+        size(array_distinct(col("fps"))).as("fp_distinct"))
+      .where(col("native.fp_min") =!= col("fp_min") ||
+        col("native.fp_distinct") =!= col("fp_distinct"))
+    assert(diff.count() === 0)
+  }
+
   test("graft_token_hashes == transform(split, xxhash64)") {
     val hof = transform(split(col("text"), " "), t => xxhash64(t))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
