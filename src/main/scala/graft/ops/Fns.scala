@@ -153,11 +153,13 @@ object Fns {
             .otherwise(col("props")))
         // PERMISSIVE from_json yields a struct of NULL fields (not a null
         // struct) on malformed input, so the corrupt flag keys off the
-        // always-present `k` field.
+        // always-present `k` field. Staged: JSON parsing is non-codegen
+        // (JsonToStructs), so parse once per row and derive both outputs
+        // from the materialized struct.
         .select(col("event_id"),
-          from_json(col("raw"), lit("k LONG")).getField("k").as("k_parsed"),
-          from_json(col("raw"), lit("k LONG")).getField("k").isNull
-            .as("is_corrupt"))
+          from_json(col("raw"), lit("k LONG")).getField("k").as("k_parsed"))
+        .select(col("event_id"), col("k_parsed"),
+          col("k_parsed").isNull.as("is_corrupt"))
         .orderBy("event_id")),
 
     "fn_conditional" -> ((s, d) =>
