@@ -87,6 +87,36 @@ object Joins {
         .orderBy("view_id", "click_id")
     }),
 
+    // The interval join re-keyed for 100 TB: the plain formulation's
+    // equi key is user_id alone, so one hot user (a bot, a null-ish
+    // default id) turns its partition into views×clicks pairs with the
+    // range filter applied AFTER the blowup. Time-bucketing bounds the
+    // candidate space structurally: with bucket width = the 15-min join
+    // range Δ, a click at ts can only match views in its own or the
+    // previous bucket, so the VIEW side explodes into 2 keys (its bucket
+    // and the next) and the join key becomes (user, bucket) — per-key
+    // fan-in is now views-per-Δ-window, not views-per-user-ever. A
+    // (view, click) pair meets in exactly ONE bucket (the click's own),
+    // so no post-join dedup is needed; results are row-identical to
+    // join_interval (same oracle SQL, plan-asserted equi join).
+    "join_interval_bucketed" -> ((s, d) => {
+      val bkt = 900L * 1000000L // Δ = 15 min, in micros
+      val ev = t(s, d, "events")
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"),
+          explode(array(floor(ep(col("ts")) / bkt),
+            floor(ep(col("ts")) / bkt) + 1)).as("b"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"), floor(ep(col("ts")) / bkt).as("b"))
+      v.join(c, col("v_user") === col("c_user") && v("b") === c("b") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 15 minutes"))
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+        .orderBy("view_id", "click_id")
+    }),
+
     // Window join (Flink window join): views ⋈ clicks landing in the
     // SAME hourly tumbling window for the same user. The join key is
     // (user, window_start) — a plain equi shuffle join whose streaming
@@ -270,6 +300,16 @@ object Joins {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "join_interval" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        | v.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type='view') v
+        |JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    // identical semantics to join_interval by construction — the oracle
+    // is the same range-join SQL; only the Spark-side plan differs
+    "join_interval_bucketed" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id,
         | v.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type='view') v

@@ -131,6 +131,17 @@ class AggWindowSpec extends AnyFunSuite {
     assert(q("join_anti").count() === exc.count())
   }
 
+  test("join_interval_bucketed is row-identical to join_interval") {
+    // the bucketed re-key must not change semantics: every (view, click)
+    // pair within the 15-min range appears exactly once on both plans
+    val plain = q("join_interval")
+    val bucketed = q("join_interval_bucketed")
+    assert(plain.count() > 0, "fixture must exercise the range join")
+    assert(bucketed.count() === plain.count())
+    assert(plain.exceptAll(bucketed).count() === 0)
+    assert(bucketed.exceptAll(plain).count() === 0)
+  }
+
   test("win_gapfill: spine is contiguous hours; gaps carry the last " +
       "observed revenue forward") {
     val df = q("win_gapfill").cache()

@@ -44,6 +44,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_interval_bucketed: equi join carries the time-bucket key") {
+    val p = plan(q("join_interval_bucketed"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the join's equi keys must include the bucket column b, not just
+    // user — that's the whole point (bounds per-key fan-in by Δ-window
+    // density, not per-user history). Formatted explain prints SMJ/SHJ
+    // equi keys as "Left keys [...]" lists.
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("v_user")).toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("b#")),
+      p.take(3000))
+  }
+
   test("llm_similarity_knn broadcasts the query side") {
     val p = plan(q("llm_similarity_knn"))
     // non-equi (q_id != vec_id) join with a 5-row broadcast side: BNLJ
