@@ -146,8 +146,14 @@ object ScaleRehearsal {
         // multiplier's round count
         graft.ops.LlmExtra.lastCcRounds = -1
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val df = SparkEntry.queries(name)(spark, dir)
+        // timed action mirrors Bench: a noop write executes the full
+        // plan (count() would let Catalyst drop row-preserving work —
+        // llm_dedup_substring_prune's cost is invisible under count)
+        df.write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // row count for the linearity table, outside the timed region
+        val n = df.count()
         val cc = if (name == "llm_dedup_clusters")
           graft.ops.LlmExtra.lastCcRounds else -1
         graft.ops.OpCache.release(spark)
