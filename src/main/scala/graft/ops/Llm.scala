@@ -43,14 +43,47 @@ object Llm {
     }),
 
     // Exact dedup on normalized text: canonical keeper + duplicate count
-    // per distinct content (hash-groupBy — one shuffle on the text key).
+    // per distinct content. The groupBy key is the 128-bit MD5 DIGEST of
+    // the normalized text, not the text itself — at 100 TB the dedup
+    // shuffle then carries 32-byte digests instead of the entire corpus
+    // (collision probability is cryptographically negligible, and the
+    // digest is computable in DuckDB too, so the oracle still matches
+    // bit-for-bit). Within a digest group all texts are equal, so
+    // min(length) is THE group's length.
     "llm_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
-        .groupBy(trim(col("text")).as("norm_text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"), length(col("norm_text"))
-          .as("text_len"))
+        .select(col("doc_id"), trim(col("text")).as("nt"))
+        .groupBy(md5(col("nt")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(length(col("nt"))).as("text_len"))
+        .select(col("keep_id"), col("n_copies"), col("text_len"))
         .orderBy("keep_id")),
+
+    // CANONICALIZED exact dedup (the C4/RefinedWeb normalize-then-dedup
+    // pass): lowercase, fold punctuation to spaces, collapse runs,
+    // trim — then dedup on the md5 digest of the canonical form, so
+    // case/punctuation/whitespace variants of the same content collapse
+    // into one group where trim-only exact dedup keeps them apart. The
+    // fixture corpus is already lowercase, so the variant space is
+    // exercised by unioning in a per-doc noisy twin (leading blanks,
+    // uppercased, trailing punctuation; twin ids offset by 1e6) — every
+    // canonical group then provably contains >= 2 members and the keeper
+    // is the original doc. Same 100 TB shape as llm_dedup_exact: the
+    // shuffle carries digests, never text.
+    "llm_dedup_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val noisy = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+      val canon = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      docs.unionByName(noisy)
+        .select(col("doc_id"), canon.as("ct"))
+        .groupBy(md5(col("ct")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(length(col("ct"))).as("canon_len"))
+        .select(col("keep_id"), col("n_copies"), col("canon_len"))
+        .orderBy("keep_id")
+    }),
 
     // Near-dup candidates via banded MinHash LSH. Oracle-exempt (depends
     // on hash seeds); property-tested instead. Emits candidate pairs
@@ -185,8 +218,21 @@ object Llm {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-        | CAST(length(trim(text)) AS INT) AS text_len
-        |FROM documents GROUP BY trim(text) ORDER BY keep_id""".stripMargin,
+        | CAST(min(length(trim(text))) AS INT) AS text_len
+        |FROM documents GROUP BY md5(trim(text)) ORDER BY keep_id""".stripMargin,
+    "llm_dedup_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!'
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ct
+        |      FROM u)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | CAST(min(length(ct)) AS INT) AS canon_len
+        |FROM c GROUP BY md5(ct) ORDER BY keep_id""".stripMargin,
     "llm_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

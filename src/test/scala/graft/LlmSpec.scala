@@ -83,4 +83,23 @@ class LlmSpec extends AnyFunSuite {
     assert(q("llm_dedup_exact").agg(sum("n_copies")).first().getLong(0) ===
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("canonical dedup folds every noisy twin onto its original") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val canonForms = docs.select(
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("ct")).distinct().count()
+    val df = q("llm_dedup_canonical").cache()
+    try {
+      // one group per distinct canonical form: the uppercased/punctuated
+      // twins never mint their own group
+      assert(df.count() === canonForms)
+      // every group holds at least its original + twin, and the keeper
+      // is always a real doc, never a twin (twin ids are offset by 1e6)
+      assert(df.where(col("n_copies") < 2).count() === 0)
+      assert(df.where(col("keep_id") >= 1000000L).count() === 0)
+      // partition check: originals + twins all land somewhere
+      assert(df.agg(sum("n_copies")).first().getLong(0) === 2 * docs.count())
+    } finally df.unpersist()
+  }
 }
