@@ -132,7 +132,8 @@ object ScaleRehearsal {
     // so a linear curve on this shape upper-bounds the real deployment.
     val ops = Seq("llm_dedup_ngram_jaccard", "llm_dedup_clusters",
       "llm_dedup_embcos", "llm_dedup_incremental", "llm_decontaminate",
-      "llm_dedup_substring", "llm_dedup_substring_prune")
+      "llm_dedup_substring", "llm_dedup_substring_prune",
+      "llm_dedup_canonical", "llm_similarity_knn", "llm_knn_ivf")
     // warmup: codegen + parquet reader init outside the timed region
     try SparkEntry.queries("llm_text_stats")(spark, "/root/testdata/sf0.1")
       .count()

@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("exact/canonical dedup shuffles carry the md5 digest, not text") {
+    // the dedup exchange must repartition on the 32-byte digest key —
+    // shipping the normalized text itself through the shuffle is the
+    // 100 TB anti-shape this formulation exists to avoid
+    for (key <- Seq("llm_dedup_exact", "llm_dedup_canonical")) {
+      val p = plan(q(key))
+      // the digest must be computed BELOW the exchange (md5 appears in
+      // the map-side projection/aggregate), and no exchange may
+      // repartition on a text-typed column (Catalyst renames the md5
+      // alias to _groupingexpression#N, so match by exclusion)
+      assert(p.contains("md5("), s"$key:\n$p")
+      val exch = p.linesIterator
+        .filter(_.contains("hashpartitioning")).toSeq
+      assert(exch.nonEmpty, s"$key:\n$p")
+      assert(exch.forall(l => !l.contains("nt#") && !l.contains("ct#") &&
+        !l.contains("text#")), s"$key:\n$p")
+    }
+  }
+
   test("no unpartitioned Window.orderBy anywhere in src/main") {
     // A Window.orderBy with no partitionBy funnels the whole input
     // through ONE task — the textbook scale-killer. Every window in the
