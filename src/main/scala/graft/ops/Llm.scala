@@ -85,6 +85,22 @@ object Llm {
         .orderBy("keep_id")
     }),
 
+    // SoftDeDup-style duplicate REWEIGHTING (the soft alternative to
+    // dropping): keep every doc but weight it 1/n_copies of its
+    // exact-dedup group, so duplicated mass trains once in expectation
+    // while tail phrasing variants survive. Same digest-keyed shape as
+    // llm_dedup_exact — the group count joins back on the md5 digest,
+    // so neither the groupBy nor the join ever shuffles text.
+    "llm_dedup_weighted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(trim(col("text"))).as("h"))
+      val counts = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+      docs.join(counts, "h")
+        .select(col("doc_id"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup candidates via banded MinHash LSH. Oracle-exempt (depends
     // on hash seeds); property-tested instead. Emits candidate pairs
     // (a < b) that share at least one of 4 bands of 2 minhashes.
@@ -220,6 +236,12 @@ object Llm {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | CAST(min(length(trim(text))) AS INT) AS text_len
         |FROM documents GROUP BY md5(trim(text)) ORDER BY keep_id""".stripMargin,
+    "llm_dedup_weighted" ->
+      """WITH h AS (SELECT doc_id, md5(trim(text)) AS h FROM documents),
+        |c AS (SELECT h, count(*) AS n_copies FROM h GROUP BY h)
+        |SELECT doc_id, n_copies,
+        | round(1.0::DOUBLE / n_copies, 6) AS weight
+        |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
     "llm_dedup_canonical" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -84,6 +84,23 @@ class LlmSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("weighted dedup: group weights sum to 1, mass equals group count") {
+    val df = q("llm_dedup_weighted").cache()
+    try {
+      // every doc keeps a weight in (0, 1]
+      assert(df.where(col("weight") <= 0 || col("weight") > 1).count() === 0)
+      // all docs survive (soft dedup drops nothing)
+      assert(df.count() ===
+        spark.read.parquet(s"$sf/documents.parquet").count())
+      // total training mass == number of distinct contents: each digest
+      // group contributes n_copies * (1/n_copies) = 1 (rounding slack
+      // 1e-4 over the whole corpus)
+      val groups = q("llm_dedup_exact").count()
+      val mass = df.agg(sum("weight")).first().getDouble(0)
+      assert(math.abs(mass - groups) < 1e-4, s"mass $mass vs $groups")
+    } finally df.unpersist()
+  }
+
   test("canonical dedup folds every noisy twin onto its original") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val canonForms = docs.select(

@@ -77,7 +77,8 @@ class PlanSpec extends AnyFunSuite {
     // the dedup exchange must repartition on the 32-byte digest key —
     // shipping the normalized text itself through the shuffle is the
     // 100 TB anti-shape this formulation exists to avoid
-    for (key <- Seq("llm_dedup_exact", "llm_dedup_canonical")) {
+    for (key <- Seq("llm_dedup_exact", "llm_dedup_canonical",
+        "llm_dedup_weighted")) {
       val p = plan(q(key))
       // the digest must be computed BELOW the exchange (md5 appears in
       // the map-side projection/aggregate), and no exchange may
