@@ -131,6 +131,41 @@ class AggWindowSpec extends AnyFunSuite {
     assert(q("join_anti").count() === exc.count())
   }
 
+  test("bucketed interval join stays exact under a hot-key skew burst") {
+    // one bot user with a dense event history — the exact shape that
+    // melts the user-keyed plain join at scale. Build both formulations
+    // directly on the synthetic frame and compare pair sets.
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    val evs = (0 until 600).map { i =>
+      // events every 97 seconds, alternating kinds, all same user
+      val kind = if (i % 2 == 0) "view" else "click"
+      (7L, i.toLong, kind,
+        new java.sql.Timestamp(base.getTime + i * 97000L))
+    }.toDF("user_id", "event_id", "event_type", "ts")
+    def v = evs.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    def c = evs.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val range = col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr("interval 15 minutes")
+    val plain = v.join(c, col("v_user") === col("c_user") && range)
+      .select(col("view_id"), col("click_id"))
+    val bkt = 900L * 1000000L
+    val vb = v.withColumn("b", explode(array(
+      floor(unix_micros(col("v_ts")) / bkt),
+      floor(unix_micros(col("v_ts")) / bkt) + 1)))
+    val cb = c.withColumn("b", floor(unix_micros(col("c_ts")) / bkt))
+    val bucketed = vb.join(cb,
+        col("v_user") === col("c_user") && vb("b") === cb("b") && range)
+      .select(col("view_id"), col("click_id"))
+    assert(plain.count() > 1000, "burst must produce a dense pair set")
+    assert(bucketed.count() === plain.count())
+    assert(plain.exceptAll(bucketed).count() === 0)
+  }
+
   test("join_interval_bucketed is row-identical to join_interval") {
     // the bucketed re-key must not change semantics: every (view, click)
     // pair within the 15-min range appears exactly once on both plans
