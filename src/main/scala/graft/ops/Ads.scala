@@ -146,6 +146,27 @@ object Ads {
           round(col("active_users").cast("double") / col("cohort_size"), 4)
             .as("retention"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // The SQL front door (the genre is Flink-SQL-first: ADS boards are
+    // written as CTE queries over registered tables, not DataFrame
+    // chains). One key exercises spark.sql() end-to-end — temp view +
+    // ANSI CTE + the same exact-decimal money convention — proving a
+    // Table-API user can drive this engine without touching the
+    // DataFrame surface. The plan is identical Catalyst output to the
+    // equivalent DataFrame chain, so every scale property carries over.
+    "sql_ads_board" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        WITH purchases AS (
+          SELECT date_trunc('hour', ts) AS h, user_id, value
+          FROM graft_sql_events WHERE event_type = 'purchase')
+        SELECT unix_micros(h) AS h_us,
+               COUNT(*) AS n_purchases,
+               COUNT(DISTINCT user_id) AS buyers,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS revenue
+        FROM purchases GROUP BY h ORDER BY h_us""")
     })
   )
 
@@ -216,6 +237,15 @@ object Ads {
         | m.active_users, s.cohort_size,
         | round(m.active_users::DOUBLE / s.cohort_size, 4) AS retention
         |FROM m JOIN sizes s USING (cohort_wk)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "sql_ads_board" ->
+      """WITH purchases AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT epoch_us(h) AS h_us, count(*) AS n_purchases,
+        | count(DISTINCT user_id) AS buyers,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM purchases GROUP BY h ORDER BY h_us""".stripMargin
   )
 }

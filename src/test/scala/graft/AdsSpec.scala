@@ -28,6 +28,20 @@ class AdsSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_ads_board: SQL front door agrees with the DataFrame surface") {
+    val df = q("sql_ads_board").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.where(col("revenue") <= 0).count() === 0)
+      assert(df.where(col("buyers") > col("n_purchases")).count() === 0)
+      // the SQL board's purchase total must equal the DataFrame ops'
+      // view of the same fact table
+      val purchases = spark.read.parquet(s"$sf/events.parquet")
+        .where(col("event_type") === "purchase").count()
+      assert(df.agg(sum("n_purchases")).first().getLong(0) === purchases)
+    } finally df.unpersist()
+  }
+
   test("agg_mode: modal count equals the true per-user max frequency") {
     val mode = q("agg_mode")
     val truth = graft.ops.Tables.events(spark, sf)
