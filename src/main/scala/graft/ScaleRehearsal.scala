@@ -147,14 +147,18 @@ object ScaleRehearsal {
         // multiplier's round count
         graft.ops.LlmExtra.lastCcRounds = -1
         val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, dir)
         // timed action mirrors Bench: a noop write executes the full
         // plan (count() would let Catalyst drop row-preserving work —
-        // llm_dedup_substring_prune's cost is invisible under count)
+        // llm_dedup_substring_prune's cost is invisible under count).
+        // The row count for the linearity table rides the SAME execution
+        // as an observed metric — a separate count() would re-run the
+        // whole un-cached pipeline a second time per op per multiplier.
+        val df = SparkEntry.queries(name)(spark, dir)
+          .observe("graft_rows", count(lit(1)))
         df.write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        // row count for the linearity table, outside the timed region
-        val n = df.count()
+        val n = df.queryExecution.observedMetrics.get("graft_rows")
+          .map(_.getLong(0)).getOrElse(-1L)
         val cc = if (name == "llm_dedup_clusters")
           graft.ops.LlmExtra.lastCcRounds else -1
         graft.ops.OpCache.release(spark)

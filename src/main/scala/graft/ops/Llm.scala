@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.9 — LLM-training-data pipeline operators (north-star
@@ -65,15 +66,23 @@ object Llm {
     // case/punctuation/whitespace variants of the same content collapse
     // into one group where trim-only exact dedup keeps them apart. The
     // fixture corpus is already lowercase, so the variant space is
-    // exercised by unioning in a per-doc noisy twin (leading blanks,
-    // uppercased, trailing punctuation; twin ids offset by 1e6) — every
-    // canonical group then provably contains >= 2 members and the keeper
-    // is the original doc. Same 100 TB shape as llm_dedup_exact: the
-    // shuffle carries digests, never text.
+    // exercised by unioning in a per-doc noisy twin: leading blanks,
+    // ASCII-uppercased (translate, not upper — Unicode case folding
+    // isn't roundtrippable, 'ß'.upper = "SS", and ICU vs JVM may
+    // disagree cross-engine), trailing punctuation. Twin ids start at
+    // max(doc_id)+1 — derived from a broadcast 1-row aggregate, never a
+    // driver collect — so they are collision-free at ANY corpus size.
+    // Every canonical group then provably contains >= 2 members and the
+    // keeper (min id) is the original doc. Same 100 TB shape as
+    // llm_dedup_exact: the shuffle carries digests, never text.
     "llm_dedup_canonical" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val noisy = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val noisy = docs.crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("mx") + 1).as("doc_id"),
+          concat(lit("  "),
+            translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), lit(" !!")).as("text"))
       val canon = trim(regexp_replace(regexp_replace(lower(col("text")),
         "[^a-z0-9 ]", " "), " +", " "))
       docs.unionByName(noisy)
@@ -88,14 +97,16 @@ object Llm {
     // SoftDeDup-style duplicate REWEIGHTING (the soft alternative to
     // dropping): keep every doc but weight it 1/n_copies of its
     // exact-dedup group, so duplicated mass trains once in expectation
-    // while tail phrasing variants survive. Same digest-keyed shape as
-    // llm_dedup_exact — the group count joins back on the md5 digest,
-    // so neither the groupBy nor the join ever shuffles text.
+    // while tail phrasing variants survive. The group count is a window
+    // over the md5 digest — ONE digest-keyed shuffle (a groupBy + join
+    // back would be two), text never shuffles, and window partitioning
+    // groups NULL keys like groupBy does, so a NULL-text doc keeps its
+    // weight instead of vanishing through an inner join on a NULL key.
     "llm_dedup_weighted" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val w = Window.partitionBy("h")
+      t(s, d, "documents")
         .select(col("doc_id"), md5(trim(col("text"))).as("h"))
-      val counts = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
-      docs.join(counts, "h")
+        .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
         .select(col("doc_id"), col("n_copies"),
           round(lit(1.0) / col("n_copies"), 6).as("weight"))
         .orderBy("doc_id")
@@ -237,16 +248,18 @@ object Llm {
         | CAST(min(length(trim(text))) AS INT) AS text_len
         |FROM documents GROUP BY md5(trim(text)) ORDER BY keep_id""".stripMargin,
     "llm_dedup_weighted" ->
-      """WITH h AS (SELECT doc_id, md5(trim(text)) AS h FROM documents),
-        |c AS (SELECT h, count(*) AS n_copies FROM h GROUP BY h)
-        |SELECT doc_id, n_copies,
-        | round(1.0::DOUBLE / n_copies, 6) AS weight
-        |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        | count(*) OVER (PARTITION BY md5(trim(text))) AS n_copies,
+        | round(1.0::DOUBLE / count(*) OVER (PARTITION BY md5(trim(text))),
+        |   6) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_dedup_canonical" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!'
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    '  ' || translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!'
         |  FROM documents),
         |c AS (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(lower(text),

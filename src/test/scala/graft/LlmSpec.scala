@@ -112,9 +112,11 @@ class LlmSpec extends AnyFunSuite {
       // twins never mint their own group
       assert(df.count() === canonForms)
       // every group holds at least its original + twin, and the keeper
-      // is always a real doc, never a twin (twin ids are offset by 1e6)
+      // is always a real doc, never a twin (twin ids start past
+      // max(doc_id), so any keeper above it would be a twin win)
+      val maxId = docs.agg(max("doc_id")).first().getLong(0)
       assert(df.where(col("n_copies") < 2).count() === 0)
-      assert(df.where(col("keep_id") >= 1000000L).count() === 0)
+      assert(df.where(col("keep_id") > maxId).count() === 0)
       // partition check: originals + twins all land somewhere
       assert(df.agg(sum("n_copies")).first().getLong(0) === 2 * docs.count())
     } finally df.unpersist()
