@@ -1250,6 +1250,45 @@ object LlmExtra {
           (pmod(col("doc_id") * 1000003L + 12345L, lit(10000L)) < col("cut"))
             .as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled domain MIXTURE weights (the data-mixing step a
+    // training pipeline runs after curation): per source, sampling
+    // weight ∝ n_tokens^α normalized over sources, α = 0.7 — upweights
+    // tail domains relative to their natural token share without
+    // flattening the mix to uniform (α=1 is natural sampling, α=0 is
+    // uniform). `boost` = weight / natural_share is the oversampling
+    // factor the sampler applies per domain. Complements
+    // llm_domain_balance: balance CAPS head domains by dropping docs,
+    // mixture REWEIGHTS without dropping anything.
+    // Shape: one groupBy("source") scan of the corpus (the only
+    // data-scale shuffle — |sources| ≪ |docs|), a broadcast 1-row total,
+    // then map-side arithmetic over the tiny per-source table. At 100 TB
+    // the per-source aggregate is partial-agg'd map-side; nothing else
+    // grows with the corpus. Cross-engine determinism: pow is the only
+    // transcendental — each term is rounded to 6 dp, and the normalizing
+    // total accumulates those rounded terms in DECIMAL so it is exact
+    // and order-independent; everything downstream is IEEE-identical
+    // +,*,/ on identical inputs.
+    "llm_mixture_weights" -> ((s, d) => {
+      val per = t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(pow(col("n_tokens").cast("double"), 0.7), 6).as("p"))
+      val tot = per.agg(
+        sum(col("p").cast("decimal(28,6)")).as("p_tot"),
+        sum(col("n_tokens")).as("tok_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("p") / col("p_tot").cast("double"), 6).as("weight"),
+          round(col("n_tokens").cast("double") /
+            col("tok_tot").cast("double"), 6).as("natural_share"),
+          round((col("p") / col("p_tot").cast("double")) /
+            (col("n_tokens").cast("double") /
+              col("tok_tot").cast("double")), 4).as("boost"))
+        .orderBy("source")
     })
   )
 
@@ -1658,6 +1697,20 @@ object LlmExtra {
         |      FROM cnt, tgt)
         |SELECT d.doc_id, d.source, r.n_src,
         | (d.doc_id * 1000003 + 12345) % 10000 < r.cut AS keep
-        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin
+        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "llm_mixture_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY 1),
+        |p AS (SELECT source, n_docs, n_tokens,
+        |        round(pow(n_tokens::DOUBLE, 0.7), 6) AS p FROM per),
+        |t AS (SELECT sum(CAST(p AS DECIMAL(28,6))) AS p_tot,
+        |        CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM p)
+        |SELECT source, n_docs, n_tokens,
+        | round(p / p_tot::DOUBLE, 6) AS weight,
+        | round(n_tokens::DOUBLE / tok_tot::DOUBLE, 6) AS natural_share,
+        | round((p / p_tot::DOUBLE) / (n_tokens::DOUBLE / tok_tot::DOUBLE),
+        |   4) AS boost
+        |FROM p, t ORDER BY source""".stripMargin
   )
 }

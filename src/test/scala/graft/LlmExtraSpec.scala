@@ -421,4 +421,39 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(rows.count(r => r._2 == "big" && r._3) === expBig)
     assert(expBig < 40) // the cut actually bites on this fixture
   }
+
+  test("mixture weights: sum to 1, monotone in tokens, boost inverts " +
+      "the token order (alpha < 1 upweights the tail)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    // three domains with 1:4:16 token mass (one doc each, word counts)
+    val docs = Seq(
+      (1L, "tail", Seq.fill(10)("w").mkString(" ")),
+      (2L, "mid", Seq.fill(40)("w").mkString(" ")),
+      (3L, "head", Seq.fill(160)("w").mkString(" ")))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val rows = SparkEntry.queries("llm_mixture_weights")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 3)
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    // weights and natural shares each normalize to 1
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // weight is monotone in token mass, but flatter than natural:
+    // the tail domain's weight exceeds its natural share, the head's
+    // falls below it (that is what temperature alpha=0.7 buys)
+    assert(bySrc("tail")._3 < bySrc("mid")._3)
+    assert(bySrc("mid")._3 < bySrc("head")._3)
+    assert(bySrc("tail")._5 > 1.0 && bySrc("head")._5 < 1.0)
+    // boost order is the inverse of token order
+    assert(bySrc("tail")._5 > bySrc("mid")._5)
+    assert(bySrc("mid")._5 > bySrc("head")._5)
+    // closed form check on one domain: w = n^0.7 / sum(n^0.7)
+    val pows = docs.map(d => math.pow(d._3.split(" ").length, 0.7))
+    val expTail = pows.head / pows.sum
+    assert(math.abs(bySrc("tail")._3 - expTail) < 1e-5)
+  }
 }
