@@ -1289,6 +1289,53 @@ object LlmExtra {
             (col("n_tokens").cast("double") /
               col("tok_tot").cast("double")), 4).as("boost"))
         .orderBy("source")
+    }),
+
+    // PARAGRAPH-granularity dedup (CCNet/RefinedWeb boilerplate
+    // removal): dedup below the document and above the substring —
+    // repeated paragraphs (headers, licenses, nav text) are dropped
+    // corpus-wide while the host docs survive. First occurrence in
+    // (doc_id, idx) order is the keeper, INCLUDING within one doc, so
+    // intra-doc repetition collapses too. The fixture corpus has no
+    // paragraph breaks, so "paragraph" = consecutive 20-token chunk —
+    // the splitter is the corpus-specific part, everything downstream is
+    // the real pipeline. Docs re-assemble from kept chunks in position
+    // order; fully-boilerplate docs surface with empty clean_text.
+    // 100 TB shape: the dedup decision is ONE digest-keyed window (a
+    // row_number over md5(chunk) — an equi shuffle key derived from
+    // content, never an all-pairs compare); chunk text rides that
+    // shuffle because the keeper's text is re-emitted, exactly like
+    // exact dedup keeping the min-id doc. Reassembly is one doc-keyed
+    // aggregate. No joins carry text.
+    "llm_dedup_paragraph" -> ((s, d) => {
+      val P = 20
+      val words = split(col("text"), " ")
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), words.as("ws"), size(words).as("n"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0),
+            ceil(col("n").cast("double") / P).cast("int") - 1,
+            lit(1))).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", slice(col("ws"), col("idx") * P + 1, lit(P)))
+            .as("ptext"))
+      val w = Window.partitionBy(md5(col("ptext")))
+        .orderBy(col("doc_id"), col("idx"))
+      val kept = chunks.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("ptext")))),
+            x => x.getField("ptext"))).as("clean_text"))
+      chunks.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0)))
+            .as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1711,6 +1758,26 @@ object LlmExtra {
         | round(n_tokens::DOUBLE / tok_tot::DOUBLE, 6) AS natural_share,
         | round((p / p_tot::DOUBLE) / (n_tokens::DOUBLE / tok_tot::DOUBLE),
         |   4) AS boost
-        |FROM p, t ORDER BY source""".stripMargin
+        |FROM p, t ORDER BY source""".stripMargin,
+    "llm_dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws,
+        |        len(string_split(text,' ')) n FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(generate_series(0,
+        |        CAST(ceil(n::DOUBLE / 20) AS INT) - 1)) AS idx FROM w),
+        |p AS (SELECT doc_id, idx,
+        |        array_to_string(ws[idx*20+1 : idx*20+20], ' ') AS ptext
+        |      FROM c),
+        |r AS (SELECT doc_id, idx, ptext,
+        |        row_number() OVER (PARTITION BY md5(ptext)
+        |          ORDER BY doc_id, idx) AS rn FROM p),
+        |k AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |        string_agg(ptext, ' ' ORDER BY idx) AS clean_text
+        |      FROM r WHERE rn = 1 GROUP BY 1),
+        |n AS (SELECT doc_id, CAST(count(*) AS INT) AS n_chunks
+        |      FROM p GROUP BY 1)
+        |SELECT n.doc_id, n.n_chunks,
+        | n.n_chunks - coalesce(k.n_kept, 0) AS n_dropped,
+        | coalesce(k.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

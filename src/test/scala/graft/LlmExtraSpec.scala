@@ -456,4 +456,37 @@ class LlmExtraSpec extends AnyFunSuite {
     val expTail = pows.head / pows.sum
     assert(math.abs(bySrc("tail")._3 - expTail) < 1e-5)
   }
+
+  test("paragraph dedup: repeated 20-token chunks drop corpus-wide and " +
+      "intra-doc; survivors reassemble in position order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_par").toString
+    def ws(p: String, a: Int, b: Int) = (a until b).map(p + _)
+    val c1 = ws("w", 0, 20)
+    val c2 = ws("w", 20, 40)
+    val u = ws("u", 0, 20)
+    val v = ws("v", 0, 20)
+    val x = ws("x", 0, 30) // 1 full chunk + a 10-token tail chunk
+    val docs = Seq(
+      (1L, (c1 ++ c2).mkString(" ")), // both chunks first occurrences
+      (2L, (c2 ++ u).mkString(" ")), // chunk1 is doc1's c2 -> dropped
+      (3L, (c1 ++ c2).mkString(" ")), // exact copy -> fully dropped
+      (4L, (v ++ v).mkString(" ")), // intra-doc repeat -> 2nd dropped
+      (5L, x.mkString(" "))) // short tail chunk survives as its own
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val out = SparkEntry.queries("llm_dedup_paragraph")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((2, 0, (c1 ++ c2).mkString(" "))))
+    assert(out(2L) === ((2, 1, u.mkString(" "))))
+    assert(out(3L) === ((2, 2, ""))) // boilerplate-only doc empties out
+    assert(out(4L) === ((2, 1, v.mkString(" "))))
+    assert(out(5L) === ((2, 0, x.mkString(" "))))
+    // global invariant: kept chunks = distinct chunk contents
+    // (c1, c2, u, v, and x's full + tail chunks = 6)
+    val totalKept = out.values.map(t => t._1 - t._2).sum
+    assert(totalKept === 6)
+  }
 }

@@ -207,6 +207,19 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("llm_dedup_paragraph: decision is a digest-keyed window, " +
+      "reassembly joins on doc_id — never all-pairs") {
+    val p = plan(q("llm_dedup_paragraph"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the keeper decision partitions the window on the chunk digest
+    // (md5 computed below the exchange), and the final doc-level
+    // stitch is an equi join on doc_id
+    assert(p.contains("md5(") && p.contains("Window"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("agg_mode: two-level partial aggregation, no Window, no join") {
     val p = plan(q("agg_mode"))
     // count level = HashAggregate pair; min_by level = SortAggregate
