@@ -1336,6 +1336,41 @@ object LlmExtra {
             .as("n_dropped"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher-rules quality filter (the published heuristic rule set the
+    // curation genre standardized on): word-count bounds, mean-word-
+    // length bounds, minimum fraction of words containing a letter, and
+    // the ≥2-distinct-stopwords requirement. (The line-shape rules —
+    // bullet starts, ellipsis ends — degenerate on the one-line fixture
+    // corpus and are omitted; llm_repetition_filter covers the
+    // repetition rules.) Complements llm_quality_score's continuous
+    // score with the genre's canonical hard gate. Entirely map-side
+    // per-doc array math — zero shuffles at any corpus size (the only
+    // exchange is the output ORDER BY, which exists for the oracle).
+    // The token array is staged as a column so the four consumers share
+    // one split, not four (higher-order fns are interpreted).
+    "llm_quality_gopher" -> ((s, d) => {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with")
+      t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n"),
+          aggregate(transform(col("ws"), w => length(w)), lit(0),
+            (acc, x) => acc + x).as("swl"),
+          size(expr("filter(ws, w -> w rlike '[a-z]')")).as("n_alpha"),
+          stops.map(sw => array_contains(col("ws"), sw).cast("int"))
+            .reduce(_ + _).as("n_stop"))
+        .select(col("doc_id"), col("n").as("n_words"),
+          round(col("swl").cast("double") / col("n"), 4).as("mean_wlen"),
+          round(col("n_alpha").cast("double") / col("n"), 4)
+            .as("frac_alpha"),
+          col("n_stop"),
+          (col("n").between(50, 100000) &&
+            (col("swl").cast("double") / col("n")).between(3.0, 10.0) &&
+            col("n_alpha").cast("double") / col("n") >= 0.8 &&
+            col("n_stop") >= 2).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1778,6 +1813,32 @@ object LlmExtra {
         |SELECT n.doc_id, n.n_chunks,
         | n.n_chunks - coalesce(k.n_kept, 0) AS n_dropped,
         | coalesce(k.clean_text, '') AS clean_text
-        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_quality_gopher" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') ws
+        |           FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS INT) AS n,
+        |  list_sum(list_transform(ws, w -> length(w))) AS swl,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |    AS INT) AS n_alpha,
+        |  (CASE WHEN list_contains(ws,'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws,'with') THEN 1 ELSE 0 END)
+        |    AS n_stop
+        | FROM b)
+        |SELECT doc_id, n AS n_words,
+        | round(swl::DOUBLE / n, 4) AS mean_wlen,
+        | round(n_alpha::DOUBLE / n, 4) AS frac_alpha,
+        | n_stop,
+        | (n BETWEEN 50 AND 100000
+        |  AND swl::DOUBLE / n BETWEEN 3.0 AND 10.0
+        |  AND n_alpha::DOUBLE / n >= 0.8
+        |  AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

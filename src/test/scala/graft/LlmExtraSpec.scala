@@ -489,4 +489,24 @@ class LlmExtraSpec extends AnyFunSuite {
     val totalKept = out.values.map(t => t._1 - t._2).sum
     assert(totalKept === 6)
   }
+
+  test("gopher quality gate: each rule fails its crafted doc and the " +
+      "clean doc passes them all") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gq").toString
+    val good = ("the and " + Seq.fill(58)("word").mkString(" "))
+    val docs = Seq(
+      (1L, good), // 60 words, mean 4.03, alpha 1.0, 2 stops -> keep
+      (2L, "the and tiny"), // fails the 50-word minimum
+      (3L, ("the and " + Seq.fill(58)("12345").mkString(" "))), // alpha
+      (4L, ("the " + Seq.fill(59)("word").mkString(" "))), // 1 stopword
+      (5L, ("the and " + Seq.fill(58)("w").mkString(" ")))) // wlen < 3
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.catalog.clearCache()
+    val out = SparkEntry.queries("llm_quality_gopher")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
 }
