@@ -51,7 +51,28 @@ object SetOps {
       t(s, d, "customer").select(col("c_custkey").as("custkey"))
         .except(t(s, d, "orders").where(col("o_totalprice") > 400000)
           .select(col("o_custkey").as("custkey")))
-        .orderBy("custkey"))
+        .orderBy("custkey")),
+
+    // Bag-semantics EXCEPT (multiplicities subtract, not vanish): each
+    // customer's key survives n_orders − n_highvalue times. Catalyst
+    // rewrites exceptAll as a count-aggregate + replication generate —
+    // one shuffle on the compared key, no distinct pass, no join.
+    "set_except_all" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .exceptAll(t(s, d, "orders").where(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // Bag-semantics INTERSECT: per user min(n_views, n_purchases)
+    // copies — the multiset overlap a frequency-capped audience query
+    // wants (set_intersect's DISTINCT answer loses the multiplicity).
+    "set_intersect_all" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view").select("user_id")
+        .intersectAll(
+          ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -72,6 +93,16 @@ object SetOps {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type='view'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type='purchase'
+        |ORDER BY user_id""".stripMargin
   )
 }

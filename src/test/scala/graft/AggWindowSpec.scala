@@ -131,6 +131,25 @@ class AggWindowSpec extends AnyFunSuite {
     assert(q("join_anti").count() === exc.count())
   }
 
+  test("bag set ops: multiplicities subtract (except all) and take the " +
+      "pairwise min (intersect all)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // EXCEPT ALL row count is exactly total minus the removed bag
+    assert(q("set_except_all").count() ===
+      orders.count() - orders.where(col("o_totalprice") > 300000).count())
+    // INTERSECT ALL: per user min(n_view, n_purchase), checked exactly
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val perUser = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("nv"))
+      .join(ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np")), "user_id")
+      .select(least(col("nv"), col("np")).as("m"))
+      .agg(sum("m")).first().getLong(0)
+    assert(q("set_intersect_all").count() === perUser)
+    // and the distinct variant is a strict compression of the bag
+    assert(q("set_intersect").count() < q("set_intersect_all").count())
+  }
+
   test("bucketed interval join stays exact under a hot-key skew burst") {
     // one bot user with a dense event history — the exact shape that
     // melts the user-keyed plain join at scale. Build both formulations
