@@ -133,7 +133,8 @@ object ScaleRehearsal {
     val ops = Seq("llm_dedup_ngram_jaccard", "llm_dedup_clusters",
       "llm_dedup_embcos", "llm_dedup_incremental", "llm_decontaminate",
       "llm_dedup_substring", "llm_dedup_substring_prune",
-      "llm_dedup_canonical", "llm_similarity_knn", "llm_knn_ivf")
+      "llm_dedup_canonical", "llm_similarity_knn", "llm_knn_ivf",
+      "llm_dedup_paragraph")
     // warmup: codegen + parquet reader init outside the timed region
     try SparkEntry.queries("llm_text_stats")(spark, "/root/testdata/sf0.1")
       .count()
@@ -151,14 +152,17 @@ object ScaleRehearsal {
         // plan (count() would let Catalyst drop row-preserving work —
         // llm_dedup_substring_prune's cost is invisible under count).
         // The row count for the linearity table rides the SAME execution
-        // as an observed metric — a separate count() would re-run the
-        // whole un-cached pipeline a second time per op per multiplier.
+        // via the Observation listener API — a separate count() would
+        // re-run the whole un-cached pipeline a second time per op per
+        // multiplier, and reading df.queryExecution.observedMetrics
+        // does NOT work here (the write action plans its own
+        // QueryExecution; the original one never executes).
+        val obs = org.apache.spark.sql.Observation()
         val df = SparkEntry.queries(name)(spark, dir)
-          .observe("graft_rows", count(lit(1)))
+          .observe(obs, count(lit(1)).as("n"))
         df.write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        val n = df.queryExecution.observedMetrics.get("graft_rows")
-          .map(_.getLong(0)).getOrElse(-1L)
+        val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
         val cc = if (name == "llm_dedup_clusters")
           graft.ops.LlmExtra.lastCcRounds else -1
         graft.ops.OpCache.release(spark)
