@@ -138,7 +138,8 @@ class AggWindowSpec extends AnyFunSuite {
     assert(q("set_except_all").count() ===
       orders.count() - orders.where(col("o_totalprice") > 300000).count())
     // INTERSECT ALL: per user min(n_view, n_purchase), checked exactly
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // (Tables.events, not a bare read — events.parquet is TIMESTAMP(NANOS))
+    val ev = ops.Tables.events(spark, sf)
     val perUser = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(count(lit(1)).as("nv"))
       .join(ev.where(col("event_type") === "purchase")
