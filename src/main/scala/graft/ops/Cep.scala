@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Complex-event-processing patterns (Flink CEP / SQL MATCH_RECOGNIZE —
+  * the reference genre's sequence-detection layer; "Flink实时数仓",
+  * /root/reference/README.md:2).
+  *
+  * Complements the `stream_cep_*` keys (Streaming.scala), which cover
+  * the FIRST-occurrence funnel (one row per user, begin→next→next).
+  * These two cover the other half of the CEP surface: quantified
+  * patterns over ALL occurrences (`A+ B` with greedy runs and AFTER
+  * MATCH SKIP PAST LAST ROW — a user can match many times) and
+  * per-event absence (`A notFollowedBy B within T` evaluated at every
+  * A, not once per user).
+  *
+  * Flink expresses these as an NFA over per-key ordered streams; the
+  * Spark-first re-expression is run-length encoding (gaps-and-islands)
+  * plus `lead` over the run-level table — every shuffle is keyed on
+  * user_id (the windows) or (user_id, run_id) (the run aggregate), the
+  * run table is strictly smaller than the event table, and nothing
+  * joins back to base rows, so the whole plan scales linearly with the
+  * fact table and never funnels rows through one task. No NFA state is
+  * needed because the supported patterns (greedy A+ B, absence-within-
+  * interval) are exactly the ones run-adjacency can express.
+  */
+object Cep {
+  import Tables._
+
+  /** 24 h in microseconds — the absence-pattern timeout. */
+  private val timeoutUs = 86400000000L
+
+  val queries: Map[String, Q] = Map(
+    // MATCH_RECOGNIZE PATTERN (V+ P) per user, greedy, AFTER MATCH SKIP
+    // PAST LAST ROW: a maximal run of consecutive 'view' events
+    // immediately followed (in the user's event sequence) by a
+    // 'purchase'. Greediness and non-overlap both fall out of run
+    // maximality: a view-run is consumed whole, and the next candidate
+    // starts after the purchase run. Measures: run length, view-value
+    // total, first purchase value.
+    "cep_pattern_match" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("rn")
+      val runs = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), ep(col("ts")).as("ts_us"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+        // gaps-and-islands: a run boundary wherever the symbol changes
+        .withColumn("nr",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("nr")).over(byUser))
+        .groupBy("user_id", "run_id")
+        .agg(min(col("event_type")).as("sym"), // constant within a run
+          count(lit(1)).as("n"),
+          min(col("ts_us")).as("run_start_us"),
+          dsum(col("value")).as("run_total"),
+          min_by(col("value"), col("rn")).as("first_value"))
+      // adjacency via lead over the (already reduced) run table — no
+      // self-join, the run subtree evaluates once
+      val byRun = Window.partitionBy("user_id").orderBy("run_id")
+      runs
+        .withColumn("next_sym", lead(col("sym"), 1).over(byRun))
+        .withColumn("next_start_us", lead(col("run_start_us"), 1).over(byRun))
+        .withColumn("next_first_value", lead(col("first_value"), 1).over(byRun))
+        .where(col("sym") === "view" && col("next_sym") === "purchase")
+        .select(col("user_id"), col("run_start_us").as("start_us"),
+          col("next_start_us").as("end_us"), col("n").as("n_views"),
+          col("run_total").as("views_total"),
+          round(col("next_first_value"), 2).as("purchase_value"))
+        // run starts can collide at microsecond ties: order by every
+        // output column for a deterministic sequence
+        .orderBy("user_id", "start_us", "end_us", "n_views", "views_total",
+          "purchase_value")
+    }),
+
+    // Flink CEP notFollowedBy + within(24h) — the absence/timeout
+    // pattern (abandoned-interest detection): 'click' events with NO
+    // same-user 'purchase' in the following 24 h. The "next purchase"
+    // is a running min over the tail frame of one user-keyed window —
+    // never a per-event subquery or a range self-join.
+    "cep_absence_timeout" -> ((s, d) => {
+      val tail = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"))
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(tail))
+        .where(col("event_type") === "click" &&
+          (col("next_purchase_us").isNull ||
+            col("next_purchase_us") > col("ts_us") + timeoutUs))
+        .select(col("user_id"), col("event_id"), col("ts_us").as("click_us"))
+        .orderBy("user_id", "click_us", "event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cep_pattern_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS nr
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+        |g AS (
+        |  SELECT *, sum(nr) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+        |  FROM r),
+        |runs AS (
+        |  SELECT user_id, run_id, min(event_type) AS sym, count(*) AS n,
+        |    min(ts_us) AS run_start_us,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS run_total,
+        |    min_by(value, rn) AS first_value
+        |  FROM g GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, run_start_us, sym, n, run_total,
+        |    lead(sym) OVER w2 AS next_sym,
+        |    lead(run_start_us) OVER w2 AS next_start_us,
+        |    lead(first_value) OVER w2 AS next_first_value
+        |  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, run_start_us AS start_us, next_start_us AS end_us,
+        |  n AS n_views, run_total AS views_total,
+        |  round(next_first_value, 2) AS purchase_value
+        |FROM m WHERE sym = 'view' AND next_sym = 'purchase'
+        |ORDER BY user_id, start_us, end_us, n_views, views_total,
+        |  purchase_value""".stripMargin,
+    "cep_absence_timeout" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |x AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e)
+        |SELECT user_id, event_id, ts_us AS click_us FROM x
+        |WHERE event_type = 'click'
+        |  AND (np IS NULL OR np > ts_us + 86400000000::BIGINT)
+        |ORDER BY user_id, click_us, event_id""".stripMargin
+  )
+}

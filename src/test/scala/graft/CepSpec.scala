@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CEP pattern semantics: greedy quantified runs (MATCH_RECOGNIZE
+  * `V+ P`, all occurrences, skip past last row) and per-event absence
+  * (`click notFollowedBy purchase within 24h`). */
+class CepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Build a micro events corpus in a temp dir and run `f` on it. */
+  private def withEvents(
+      rows: Seq[(Long, String, Long, String, Double)])(f: String => Unit): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cep_spec").toString
+    rows.map { case (id, ts, u, et, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("pattern V+ P: greedy maximal run, all occurrences, measures") {
+    // user 1: V V P P V C P V  -> exactly ONE match: [V V] -> first P
+    //   (second P has no preceding view run; V before C no; trailing V no)
+    // user 2: V P V P          -> TWO matches (all occurrences, not first)
+    val rows = Seq(
+      (1L, "2025-01-01 00:01:00", 1L, "view", 10.0),
+      (2L, "2025-01-01 00:02:00", 1L, "view", 20.0),
+      (3L, "2025-01-01 00:03:00", 1L, "purchase", 99.0),
+      (4L, "2025-01-01 00:04:00", 1L, "purchase", 88.0),
+      (5L, "2025-01-01 00:05:00", 1L, "view", 30.0),
+      (6L, "2025-01-01 00:06:00", 1L, "click", 0.0),
+      (7L, "2025-01-01 00:07:00", 1L, "purchase", 77.0),
+      (8L, "2025-01-01 00:08:00", 1L, "view", 40.0),
+      (9L, "2025-01-02 00:01:00", 2L, "view", 1.0),
+      (10L, "2025-01-02 00:02:00", 2L, "purchase", 2.0),
+      (11L, "2025-01-02 00:03:00", 2L, "view", 3.0),
+      (12L, "2025-01-02 00:04:00", 2L, "purchase", 4.0))
+    withEvents(rows) { dir =>
+      val m = ops.Cep.queries("cep_pattern_match")(spark, dir)
+        .select("user_id", "n_views", "views_total", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      assert(m === Seq((1L, 2L, 30.0, 99.0), (2L, 1L, 1.0, 2.0),
+        (2L, 1L, 3.0, 4.0)))
+    }
+  }
+
+  test("absence within 24h: keyed per event, not once per user") {
+    // user 3: click then purchase 1h later (suppressed), a second click
+    //   whose only later purchase is 25h away (emitted) — BOTH clicks of
+    //   the same user are evaluated independently
+    // user 4: click with no purchase ever (emitted)
+    // user 5: click followed 1 min later by USER 6's purchase (emitted —
+    //   absence is keyed on user)
+    val rows = Seq(
+      (1L, "2025-01-01 00:00:00", 3L, "click", 0.0),
+      (2L, "2025-01-01 01:00:00", 3L, "purchase", 5.0),
+      (3L, "2025-01-01 02:00:00", 3L, "click", 0.0),
+      (4L, "2025-01-02 03:00:00", 3L, "purchase", 6.0),
+      (5L, "2025-01-01 00:00:00", 4L, "click", 0.0),
+      (6L, "2025-01-01 00:00:00", 5L, "click", 0.0),
+      (7L, "2025-01-01 00:01:00", 6L, "purchase", 7.0))
+    withEvents(rows) { dir =>
+      val out = ops.Cep.queries("cep_absence_timeout")(spark, dir)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out === Seq((3L, 3L), (4L, 5L), (5L, 6L)))
+    }
+  }
+
+  test("fixture invariants: measures well-formed, matches don't overlap") {
+    val m = q("cep_pattern_match")
+    assert(m.count() > 0)
+    assert(m.where(col("n_views") < 1 || col("end_us") < col("start_us") ||
+      col("views_total") <= 0).count() === 0)
+    // SKIP PAST LAST ROW: one match per (user, view-run) — starts unique
+    assert(m.groupBy("user_id", "start_us").count()
+      .where(col("count") > 1).count() === 0)
+    // emitted absences really have no later same-user purchase within 24h
+    val ev = ops.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        ops.Tables.ep(col("ts")).as("p_us"))
+      .where(col("event_type") === "purchase")
+    val bad = q("cep_absence_timeout").join(ev, "user_id")
+      .where(col("p_us") > col("click_us") &&
+        col("p_us") <= col("click_us") + 86400000000L)
+    assert(bad.count() === 0)
+  }
+}

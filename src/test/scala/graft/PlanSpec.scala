@@ -427,6 +427,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
   }
 
+  test("cep_pattern_match: run-length windows + lead, no self-join") {
+    // the naive shape self-joins the run table on run_id±1; the shipped
+    // plan is pure windows + one keyed aggregate — the run subtree
+    // evaluates once and every exchange is keyed
+    val p = plan(q("cep_pattern_match"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("cep_absence_timeout: one user-keyed window, no per-event join") {
+    val p = plan(q("cep_absence_timeout"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
