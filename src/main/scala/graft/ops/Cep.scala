@@ -40,18 +40,23 @@ object Cep {
     // starts after the purchase run. Measures: run length, view-value
     // total, first purchase value.
     "cep_pattern_match" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("rn")
+      // every window function shares ONE (user_id, ts_us, event_id)
+      // ordering — ordering the lag/sum windows by the derived rn would
+      // force a second per-partition sort Catalyst can't prove away
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val runs = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), ep(col("ts")).as("ts_us"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("rn", row_number().over(byUser))
         // gaps-and-islands: a run boundary wherever the symbol changes
         .withColumn("nr",
           when(lag(col("event_type"), 1).over(byUser).isNull ||
             lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
             .otherwise(0))
-        .withColumn("run_id", sum(col("nr")).over(byUser))
+        .withColumn("run_id", sum(col("nr")).over(running))
         .groupBy("user_id", "run_id")
         .agg(min(col("event_type")).as("sym"), // constant within a run
           count(lit(1)).as("n"),
@@ -78,21 +83,26 @@ object Cep {
 
     // Flink CEP notFollowedBy + within(24h) — the absence/timeout
     // pattern (abandoned-interest detection): 'click' events with NO
-    // same-user 'purchase' in the following 24 h. The "next purchase"
-    // is a running min over the tail frame of one user-keyed window —
-    // never a per-event subquery or a range self-join.
+    // same-user 'purchase' in the open interval (t, t+24h). TIME
+    // semantics throughout: the next-purchase lookup is a RANGE frame
+    // on ts_us (a same-microsecond purchase never counts, regardless
+    // of ingestion order), and a purchase at exactly t+24h does not
+    // suppress — Flink prunes the partial match when elapsed >= window,
+    // so the timeout fires first. The lookup is a running min over one
+    // user-keyed window's tail frame — never a per-event subquery or a
+    // range self-join.
     "cep_absence_timeout" -> ((s, d) => {
-      val tail = Window.partitionBy("user_id")
-        .orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+      val strictlyLater = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(1, Window.unboundedFollowing)
       t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           ep(col("ts")).as("ts_us"))
         .withColumn("next_purchase_us",
-          min(when(col("event_type") === "purchase", col("ts_us"))).over(tail))
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .over(strictlyLater))
         .where(col("event_type") === "click" &&
           (col("next_purchase_us").isNull ||
-            col("next_purchase_us") > col("ts_us") + timeoutUs))
+            col("next_purchase_us") >= col("ts_us") + timeoutUs))
         .select(col("user_id"), col("event_id"), col("ts_us").as("click_us"))
         .orderBy("user_id", "click_us", "event_id")
     })
@@ -137,12 +147,12 @@ object Cep {
         |  FROM events),
         |x AS (
         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
         |  FROM e)
         |SELECT user_id, event_id, ts_us AS click_us FROM x
         |WHERE event_type = 'click'
-        |  AND (np IS NULL OR np > ts_us + 86400000000::BIGINT)
+        |  AND (np IS NULL OR np >= ts_us + 86400000000::BIGINT)
         |ORDER BY user_id, click_us, event_id""".stripMargin
   )
 }

@@ -57,6 +57,10 @@ class CepSpec extends AnyFunSuite {
     // user 4: click with no purchase ever (emitted)
     // user 5: click followed 1 min later by USER 6's purchase (emitted —
     //   absence is keyed on user)
+    // user 7: purchase at the SAME microsecond as the click (emitted —
+    //   time semantics, a simultaneous purchase is not "after")
+    // user 8: purchase at exactly click + 24h (emitted — Flink prunes
+    //   the partial match at elapsed >= window, the timeout fires first)
     val rows = Seq(
       (1L, "2025-01-01 00:00:00", 3L, "click", 0.0),
       (2L, "2025-01-01 01:00:00", 3L, "purchase", 5.0),
@@ -64,31 +68,42 @@ class CepSpec extends AnyFunSuite {
       (4L, "2025-01-02 03:00:00", 3L, "purchase", 6.0),
       (5L, "2025-01-01 00:00:00", 4L, "click", 0.0),
       (6L, "2025-01-01 00:00:00", 5L, "click", 0.0),
-      (7L, "2025-01-01 00:01:00", 6L, "purchase", 7.0))
+      (7L, "2025-01-01 00:01:00", 6L, "purchase", 7.0),
+      (8L, "2025-01-01 00:00:00", 7L, "click", 0.0),
+      (9L, "2025-01-01 00:00:00", 7L, "purchase", 8.0),
+      (10L, "2025-01-01 00:00:00", 8L, "click", 0.0),
+      (11L, "2025-01-02 00:00:00", 8L, "purchase", 9.0))
     withEvents(rows) { dir =>
       val out = ops.Cep.queries("cep_absence_timeout")(spark, dir)
         .select("user_id", "event_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(out === Seq((3L, 3L), (4L, 5L), (5L, 6L)))
+      assert(out === Seq((3L, 3L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 10L)))
     }
   }
 
   test("fixture invariants: measures well-formed, matches don't overlap") {
-    val m = q("cep_pattern_match")
+    val m = q("cep_pattern_match").persist()
     assert(m.count() > 0)
     assert(m.where(col("n_views") < 1 || col("end_us") < col("start_us") ||
-      col("views_total") <= 0).count() === 0)
-    // SKIP PAST LAST ROW: one match per (user, view-run) — starts unique
-    assert(m.groupBy("user_id", "start_us").count()
-      .where(col("count") > 1).count() === 0)
-    // emitted absences really have no later same-user purchase within 24h
+      col("views_total") < 0).count() === 0)
+    // SKIP PAST LAST ROW: a later match's view-run begins after the
+    // earlier match's purchase, so windows never strictly overlap
+    // (boundaries may touch at microsecond ties — start < end pairs only)
+    val a = m.select(col("user_id"), col("start_us").as("a_start"),
+      col("end_us").as("a_end"))
+    val b = m.select(col("user_id"), col("start_us").as("b_start"))
+    assert(a.join(b, "user_id")
+      .where(col("b_start") > col("a_start") && col("b_start") < col("a_end"))
+      .count() === 0)
+    m.unpersist()
+    // emitted absences really have no same-user purchase in (t, t+24h)
     val ev = ops.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
         ops.Tables.ep(col("ts")).as("p_us"))
       .where(col("event_type") === "purchase")
     val bad = q("cep_absence_timeout").join(ev, "user_id")
       .where(col("p_us") > col("click_us") &&
-        col("p_us") <= col("click_us") + 86400000000L)
+        col("p_us") < col("click_us") + 86400000000L)
     assert(bad.count() === 0)
   }
 }
