@@ -23,6 +23,23 @@ case class FunnelState(stage: Int, viewUs: Long, clickUs: Long)
 case class FunnelOut(user_id: Long, status: String, stage: Int,
     view_us: Long, click_us: Long, purchase_us: Long)
 
+/** Current symbol run for the quantified-pattern matcher: symbol, run
+  * length, first event time, value sum in exact cents (Long — matches
+  * the batch `dsum`'s DECIMAL(18,2) accumulation bit-for-bit). */
+case class CepRunState(sym: String, n: Long, startUs: Long, vsumCents: Long)
+
+case class CepMatch(user_id: Long, start_us: Long, end_us: Long,
+    n_views: Long, views_total: Double, purchase_value: Double)
+
+/** One unresolved click awaiting its purchase-or-timeout verdict. */
+case class PendingClick(id: Long, clickUs: Long)
+
+/** Pending absence candidates for one user — O(concurrent unresolved
+  * clicks inside one timeout window) per key, never full history. */
+case class AbsenceState(pending: List[PendingClick])
+
+case class AbsenceHit(user_id: Long, event_id: Long, click_us: Long)
+
 /** SURVEY.md §2.8 — the real Structured Streaming wrappers. Each shares
   * its column expressions with the batch form in `graft.ops.Streaming`
   * (same logical op, incrementalized), the Spark analog of the genre's
@@ -397,6 +414,99 @@ object Streams {
                   state.getCurrentWatermarkMs() + 1))
             hits.iterator
           }
+      }
+  }
+
+  /** Spark's `round`/DECIMAL(18,2) rounding of a double, as exact
+    * cents: BigDecimal.valueOf goes through Double.toString (the
+    * canonical shortest representation), which is what Spark's
+    * Decimal(double) and `round(col, 2)` both use — NOT the raw binary
+    * expansion `new BigDecimal(double)` would give. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** Quantified-pattern CEP (streaming form of `cep_pattern_match`:
+    * MATCH_RECOGNIZE `PATTERN (V+ P)`, greedy, all occurrences, AFTER
+    * MATCH SKIP PAST LAST ROW). State per key is ONE current-run struct
+    * — the incremental mirror of the batch op's run-length encoding: a
+    * match is exactly a view→purchase run TRANSITION, so the matcher
+    * emits at the transition and the consumed state is replaced by the
+    * purchase run (a second consecutive purchase extends that run and
+    * cannot match — same as the batch form, where only a purchase run's
+    * FIRST event is a match end). Value sums ride in exact cents so
+    * streamed measures equal the batch `dsum` bit-for-bit. Requires
+    * per-key ts-nondecreasing arrival (the Flink-CEP ascending-
+    * timestamps contract); StreamingParitySpec proves equality with the
+    * batch op under batch-split replay. */
+  def cepMatches(events: Dataset[Ev]): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepRunState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[CepRunState]) =>
+          var st = state.getOption.orNull
+          val hits = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+          evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st != null && st.sym == e.event_type)
+              st = st.copy(n = st.n + 1,
+                vsumCents = st.vsumCents + cents(e.value))
+            else {
+              if (st != null && st.sym == "view" &&
+                  e.event_type == "purchase")
+                hits += CepMatch(uid, st.startUs, e.ts_us, st.n,
+                  st.vsumCents / 100.0, cents(e.value) / 100.0)
+              st = CepRunState(e.event_type, 1L, e.ts_us, cents(e.value))
+            }
+          }
+          if (st != null) state.update(st)
+          hits.iterator
+      }
+  }
+
+  /** Per-event absence CEP (streaming form of `cep_absence_timeout`:
+    * `click notFollowedBy purchase within(T)`, evaluated at EVERY
+    * click). Pending clicks buffer per key — O(unresolved clicks inside
+    * one timeout window), not history — and ONE event-time timer armed
+    * at the EARLIEST pending deadline (Flink collapses per-match timers
+    * the same way). A purchase at p resolves (silently drops) pending
+    * clicks with click < p < click + T — open interval on both ends,
+    * matching the batch op's time semantics (a simultaneous purchase
+    * doesn't resolve; a purchase at exactly click + T loses to the
+    * timeout). Deadlines at or before the watermark emit as abandoned.
+    * Requires `withWatermark` on the input (event-time timers). */
+  def cepAbsence(events: Dataset[Ev], timeoutUs: Long):
+      Dataset[AbsenceHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceState, AbsenceHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[AbsenceState]) =>
+          var pend = state.getOption.map(_.pending).getOrElse(Nil)
+          if (evs.hasNext) evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click")
+                pend = pend :+ PendingClick(e.event_id, e.ts_us)
+              else if (e.event_type == "purchase")
+                pend = pend.filterNot(p =>
+                  p.clickUs < e.ts_us && e.ts_us < p.clickUs + timeoutUs)
+            }
+          // fire everything the watermark has passed (works for both the
+          // timeout callback and ordinary batches — a deadline can also
+          // be overtaken by the same batch's own watermark advance)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, keep) = pend.partition(p => p.clickUs + timeoutUs <= wmUs)
+          val out = ripe.sortBy(p => (p.clickUs, p.id))
+            .map(p => AbsenceHit(uid, p.id, p.clickUs))
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(AbsenceState(keep))
+            state.setTimeoutTimestamp(math.max(
+              (keep.map(_.clickUs).min + timeoutUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
       }
   }
 

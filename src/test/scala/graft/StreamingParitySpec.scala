@@ -349,6 +349,55 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed.where(col("status") === "timeout").count() > 0)
   }
 
+  test("cepMatches stream == cep_pattern_match batch (quantified V+ P)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepMatches(input.toDS()).writeStream
+      .format("memory").queryName("cep_quant").outputMode("append").start()
+    // per-key ts-nondecreasing arrival (the ascending-timestamps
+    // contract the matcher documents): feed in global event-time order
+    val ordered = allEvents.sortBy(e => (e.ts_us, e.event_id))
+    ordered.grouped((ordered.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+    val cols = Seq("user_id", "start_us", "end_us", "n_views",
+      "views_total", "purchase_value").map(col)
+    val streamed = spark.table("cep_quant").select(cols: _*)
+    val batch = q("cep_pattern_match").select(cols: _*)
+    // exact bag equality, measures included (cents-exact dsum mirror)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("cepAbsence stream == cep_absence_timeout batch (per-event timers)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepAbsence(
+      input.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      timeoutUs = 86400000000L).writeStream
+      .format("memory").queryName("cep_absence").outputMode("append").start()
+    val ordered = allEvents.sortBy(e => (e.ts_us, e.event_id))
+    ordered.grouped((ordered.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // flush sentinel: pushes the watermark past every pending deadline
+    // so trailing unresolved clicks emit (it is a 'view' — no pending)
+    val flushUs = allEvents.map(_.ts_us).max + 30L * 24 * 3600 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("cep_absence")
+      .select("user_id", "event_id", "click_us")
+    val batch = q("cep_absence_timeout")
+      .select("user_id", "event_id", "click_us")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
     import spark.implicits._
     // restrict the dim so the lookup-miss path actually occurs (every
