@@ -28,15 +28,26 @@ case class FunnelOut(user_id: Long, status: String, stage: Int,
   * the batch `dsum`'s DECIMAL(18,2) accumulation bit-for-bit). */
 case class CepRunState(sym: String, n: Long, startUs: Long, vsumCents: Long)
 
+/** One event held in a CEP key's reorder buffer until the watermark
+  * passes its timestamp (value pre-converted to exact cents). */
+case class BufEv(id: Long, tsUs: Long, typ: String, cents: Long)
+
+/** Quantified-matcher state: the watermark reorder buffer (O(events
+  * inside one watermark slack) per key) plus the current symbol run
+  * over the already-drained prefix. */
+case class CepBufState(buf: List[BufEv], run: Option[CepRunState])
+
 case class CepMatch(user_id: Long, start_us: Long, end_us: Long,
     n_views: Long, views_total: Double, purchase_value: Double)
 
 /** One unresolved click awaiting its purchase-or-timeout verdict. */
 case class PendingClick(id: Long, clickUs: Long)
 
-/** Pending absence candidates for one user — O(concurrent unresolved
-  * clicks inside one timeout window) per key, never full history. */
-case class AbsenceState(pending: List[PendingClick])
+/** Absence-matcher state: the watermark reorder buffer plus pending
+  * unresolved clicks — O(events in one watermark slack) + O(concurrent
+  * unresolved clicks inside one timeout window) per key, never full
+  * history. */
+case class AbsenceBufState(buf: List[BufEv], pending: List[PendingClick])
 
 case class AbsenceHit(user_id: Long, event_id: Long, click_us: Long)
 
@@ -429,81 +440,119 @@ object Streams {
 
   /** Quantified-pattern CEP (streaming form of `cep_pattern_match`:
     * MATCH_RECOGNIZE `PATTERN (V+ P)`, greedy, all occurrences, AFTER
-    * MATCH SKIP PAST LAST ROW). State per key is ONE current-run struct
-    * — the incremental mirror of the batch op's run-length encoding: a
-    * match is exactly a view→purchase run TRANSITION, so the matcher
-    * emits at the transition and the consumed state is replaced by the
-    * purchase run (a second consecutive purchase extends that run and
-    * cannot match — same as the batch form, where only a purchase run's
-    * FIRST event is a match end). Value sums ride in exact cents so
-    * streamed measures equal the batch `dsum` bit-for-bit. Requires
-    * per-key ts-nondecreasing arrival (the Flink-CEP ascending-
-    * timestamps contract); StreamingParitySpec proves equality with the
-    * batch op under batch-split replay. */
+    * MATCH SKIP PAST LAST ROW). Out-of-order-safe the way Flink CEP
+    * actually is: incoming events land in a per-key reorder buffer and
+    * only DRAIN — in (ts, event_id) order — once the watermark passes
+    * them, so any arrival disorder the input's `withWatermark` slack
+    * admits (cross-batch inversions, same-timestamp ties split across
+    * batches) yields the identical match stream; events later than the
+    * watermark are handled best-effort on arrival (the Flink late-event
+    * contract). Over the drained prefix, state is ONE current-run
+    * struct — the incremental mirror of the batch op's run-length
+    * encoding: a match is exactly a view→purchase run TRANSITION, so
+    * the matcher emits at the transition and the consumed state is
+    * replaced by the purchase run (a second consecutive purchase
+    * extends that run and cannot match — same as the batch form, where
+    * only a purchase run's FIRST event is a match end). Value sums ride
+    * in exact cents so streamed measures equal the batch `dsum`
+    * bit-for-bit. Requires `withWatermark` on the input (event-time
+    * timers drain the buffer); StreamingParitySpec proves equality with
+    * the batch op under jittered out-of-order batch-split replay. */
   def cepMatches(events: Dataset[Ev]): Dataset[CepMatch] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CepRunState, CepMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, evs, state: GroupState[CepRunState]) =>
-          var st = state.getOption.orNull
+      .flatMapGroupsWithState[CepBufState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[CepBufState]) =>
+          val prev = state.getOption.getOrElse(CepBufState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var run = prev.run.orNull
           val hits = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
-          evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (st != null && st.sym == e.event_type)
-              st = st.copy(n = st.n + 1,
-                vsumCents = st.vsumCents + cents(e.value))
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            if (run != null && run.sym == b.typ)
+              run = run.copy(n = run.n + 1,
+                vsumCents = run.vsumCents + b.cents)
             else {
-              if (st != null && st.sym == "view" &&
-                  e.event_type == "purchase")
-                hits += CepMatch(uid, st.startUs, e.ts_us, st.n,
-                  st.vsumCents / 100.0, cents(e.value) / 100.0)
-              st = CepRunState(e.event_type, 1L, e.ts_us, cents(e.value))
+              if (run != null && run.sym == "view" && b.typ == "purchase")
+                hits += CepMatch(uid, run.startUs, b.tsUs, run.n,
+                  run.vsumCents / 100.0, b.cents / 100.0)
+              run = CepRunState(b.typ, 1L, b.tsUs, b.cents)
             }
           }
-          if (st != null) state.update(st)
+          if (buf.isEmpty && run == null) state.remove()
+          else {
+            state.update(CepBufState(buf, Option(run)))
+            // drain timer: fire as soon as the watermark passes the
+            // earliest buffered event (clamped past the current
+            // watermark; ms-floor still fires strictly after tsUs). A
+            // run with no buffer needs no timer — it waits silently for
+            // the next event, exactly like the batch form's open run.
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
           hits.iterator
       }
   }
 
   /** Per-event absence CEP (streaming form of `cep_absence_timeout`:
     * `click notFollowedBy purchase within(T)`, evaluated at EVERY
-    * click). Pending clicks buffer per key — O(unresolved clicks inside
-    * one timeout window), not history — and ONE event-time timer armed
-    * at the EARLIEST pending deadline (Flink collapses per-match timers
-    * the same way). A purchase at p resolves (silently drops) pending
-    * clicks with click < p < click + T — open interval on both ends,
-    * matching the batch op's time semantics (a simultaneous purchase
-    * doesn't resolve; a purchase at exactly click + T loses to the
-    * timeout). Deadlines at or before the watermark emit as abandoned.
-    * Requires `withWatermark` on the input (event-time timers). */
+    * click). Out-of-order-safe like `cepMatches`: only clicks and
+    * purchases reach the stateful operator (views are filtered before
+    * the key shuffle — they can't affect the result, and the upstream
+    * watermark node still advances on them), land in a per-key reorder
+    * buffer, and drain in (ts, event_id) order once the watermark
+    * passes — so a purchase arriving before its earlier-timestamped
+    * click still resolves it, as long as the disorder fits the
+    * `withWatermark` slack. Pending clicks buffer per key —
+    * O(unresolved clicks inside one timeout window), not history — and
+    * ONE event-time timer is armed at the earliest of (next buffered
+    * event, earliest pending deadline) (Flink collapses per-match
+    * timers the same way). A purchase at p resolves (silently drops)
+    * pending clicks with click < p < click + T — open interval on both
+    * ends, matching the batch op's time semantics (a simultaneous
+    * purchase doesn't resolve; a purchase at exactly click + T loses to
+    * the timeout). Deadlines at or before the watermark emit as
+    * abandoned. Requires `withWatermark` on the input. */
   def cepAbsence(events: Dataset[Ev], timeoutUs: Long):
       Dataset[AbsenceHit] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[AbsenceState, AbsenceHit](
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceBufState, AbsenceHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, evs, state: GroupState[AbsenceState]) =>
-          var pend = state.getOption.map(_.pending).getOrElse(Nil)
-          if (evs.hasNext) evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-            .foreach { e =>
-              if (e.event_type == "click")
-                pend = pend :+ PendingClick(e.event_id, e.ts_us)
-              else if (e.event_type == "purchase")
-                pend = pend.filterNot(p =>
-                  p.clickUs < e.ts_us && e.ts_us < p.clickUs + timeoutUs)
-            }
+        case (uid, evs, state: GroupState[AbsenceBufState]) =>
+          val prev = state.getOption.getOrElse(AbsenceBufState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, 0L)))
+            .partition(_.tsUs <= wmUs)
+          var pend = prev.pending
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            if (b.typ == "click")
+              pend = pend :+ PendingClick(b.id, b.tsUs)
+            else
+              pend = pend.filterNot(p =>
+                p.clickUs < b.tsUs && b.tsUs < p.clickUs + timeoutUs)
+          }
           // fire everything the watermark has passed (works for both the
           // timeout callback and ordinary batches — a deadline can also
           // be overtaken by the same batch's own watermark advance)
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ripe, keep) = pend.partition(p => p.clickUs + timeoutUs <= wmUs)
-          val out = ripe.sortBy(p => (p.clickUs, p.id))
+          val (timedOut, keep) =
+            pend.partition(p => p.clickUs + timeoutUs <= wmUs)
+          val out = timedOut.sortBy(p => (p.clickUs, p.id))
             .map(p => AbsenceHit(uid, p.id, p.clickUs))
-          if (keep.isEmpty) state.remove()
+          if (buf.isEmpty && keep.isEmpty) state.remove()
           else {
-            state.update(AbsenceState(keep))
+            state.update(AbsenceBufState(buf, keep))
             state.setTimeoutTimestamp(math.max(
-              (keep.map(_.clickUs).min + timeoutUs) / 1000L,
+              (buf.map(_.tsUs) ++ keep.map(_.clickUs + timeoutUs))
+                .min / 1000L,
               state.getCurrentWatermarkMs() + 1))
           }
           out.iterator

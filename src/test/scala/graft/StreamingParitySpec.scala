@@ -19,6 +19,26 @@ class StreamingParitySpec extends AnyFunSuite {
       .orderBy("event_id").collect().toSeq
   }
 
+  /** Pushes the watermark far past every fixture event (so pending
+    * windows/timers flush) via a sentinel row; key -1 / a 'view' so no
+    * pending state can exist for it. Callers filter `user_id >= 0`. */
+  private def flushWatermark(input: MemoryStream[Ev],
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val flushUs = allEvents.map(_.ts_us).max + 30L * 24 * 3600 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+  }
+
+  /** The fixture stream with bounded event-time disorder: sorted by
+    * ts + a deterministic per-event jitter in [0, 10 min), so any two
+    * events can invert (ties included) but no event arrives more than
+    * 10 minutes late — inside a 30-minute watermark slack. */
+  private def jittered: Seq[Ev] =
+    allEvents.sortBy(e =>
+      (e.ts_us + math.floorMod(e.event_id * 2654435761L, 600000000L),
+        e.event_id))
+
   private def runStream[T](name: String)(build: MemoryStream[Ev] =>
       org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -199,11 +219,7 @@ class StreamingParitySpec extends AnyFunSuite {
     allEvents.grouped((allEvents.size + 2) / 3)
       .foreach { c => input.addData(c); query.processAllAvailable() }
     // watermark flush so every in-range pair is emitted
-    val maxUs = allEvents.map(_.ts_us).max
-    val flushUs = maxUs + 30L * 24 * 3600 * 1000000
-    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
-      flushUs, "view", 0.0))
-    query.processAllAvailable()
+    flushWatermark(input, query)
     query.stop()
     val streamed = spark.table("ivjoin")
       .where(col("view_id") =!= -1L) // drop any sentinel self-artifacts
@@ -223,11 +239,7 @@ class StreamingParitySpec extends AnyFunSuite {
     allEvents.grouped((allEvents.size + 2) / 3)
       .foreach { c => input.addData(c); query.processAllAvailable() }
     // watermark flush so the last window closes and emits
-    val maxUs = allEvents.map(_.ts_us).max
-    val flushUs = maxUs + 30L * 24 * 3600 * 1000000
-    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
-      flushUs, "view", 0.0))
-    query.processAllAvailable()
+    flushWatermark(input, query)
     query.stop()
     val streamed = spark.table("wjoin").where(col("view_id") =!= -1L)
       .select(col("user_id"), ops.Tables.ep(col("w")).as("w_start_us"),
@@ -331,10 +343,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .foreach { c => input.addData(c); query.processAllAvailable() }
     // flush sentinel: pushes the watermark past every pending deadline so
     // all timed-out partial matches emit
-    val flushUs = allEvents.map(_.ts_us).max + 30L * 24 * 3600 * 1000000
-    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
-      flushUs, "view", 0.0))
-    query.processAllAvailable()
+    flushWatermark(input, query)
     query.stop()
     val streamed = spark.table("cep_within").where(col("user_id") >= 0)
     val batch = q("stream_cep_timeout")
@@ -353,17 +362,22 @@ class StreamingParitySpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val query = Streams.cepMatches(input.toDS()).writeStream
+    val query = Streams.cepMatches(
+        input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
       .format("memory").queryName("cep_quant").outputMode("append").start()
-    // per-key ts-nondecreasing arrival (the ascending-timestamps
-    // contract the matcher documents): feed in global event-time order
-    val ordered = allEvents.sortBy(e => (e.ts_us, e.event_id))
-    ordered.grouped((ordered.size + 2) / 3)
+    // OUT-OF-ORDER feed inside the watermark slack: per-event jitter
+    // inverts neighbors (ties included) across 7 micro-batches — the
+    // reorder buffer must restore (ts, event_id) order before matching
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
       .foreach { c => input.addData(c); query.processAllAvailable() }
+    // flush sentinel drains every key's trailing reorder buffer
+    flushWatermark(input, query)
     query.stop()
     val cols = Seq("user_id", "start_us", "end_us", "n_views",
       "views_total", "purchase_value").map(col)
-    val streamed = spark.table("cep_quant").select(cols: _*)
+    val streamed = spark.table("cep_quant")
+      .where(col("user_id") >= 0).select(cols: _*)
     val batch = q("cep_pattern_match").select(cols: _*)
     // exact bag equality, measures included (cents-exact dsum mirror)
     assert(streamed.count() === batch.count())
@@ -376,20 +390,21 @@ class StreamingParitySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
     val query = Streams.cepAbsence(
-      input.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev],
       timeoutUs = 86400000000L).writeStream
       .format("memory").queryName("cep_absence").outputMode("append").start()
-    val ordered = allEvents.sortBy(e => (e.ts_us, e.event_id))
-    ordered.grouped((ordered.size + 2) / 3)
+    // OUT-OF-ORDER feed inside the slack (see cepMatches test): a
+    // purchase can now arrive before its earlier-timestamped click —
+    // the reorder buffer must still resolve that click silently
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
       .foreach { c => input.addData(c); query.processAllAvailable() }
     // flush sentinel: pushes the watermark past every pending deadline
     // so trailing unresolved clicks emit (it is a 'view' — no pending)
-    val flushUs = allEvents.map(_.ts_us).max + 30L * 24 * 3600 * 1000000
-    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
-      flushUs, "view", 0.0))
-    query.processAllAvailable()
+    flushWatermark(input, query)
     query.stop()
     val streamed = spark.table("cep_absence")
+      .where(col("user_id") >= 0)
       .select("user_id", "event_id", "click_us")
     val batch = q("cep_absence_timeout")
       .select("user_id", "event_id", "click_us")
