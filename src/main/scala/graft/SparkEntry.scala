@@ -26,7 +26,8 @@ object SparkEntry {
     ops.Scans.queries ++ ops.RowOps.queries ++ ops.Joins.queries ++
       ops.Aggs.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Fns.queries ++ ops.Streaming.queries ++ ops.Llm.queries ++
-      ops.LlmExtra.queries ++ ops.Ads.queries ++ ops.Cep.queries
+      ops.LlmExtra.queries ++ ops.Ads.queries ++ ops.Cep.queries ++
+      ops.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     ops.Scans.oracleSql ++ ops.RowOps.oracleSql ++ ops.Joins.oracleSql ++
       ops.Aggs.oracleSql ++ ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
       ops.Fns.oracleSql ++ ops.Streaming.oracleSql ++ ops.Llm.oracleSql ++
-      ops.LlmExtra.oracleSql ++ ops.Ads.oracleSql ++ ops.Cep.oracleSql
+      ops.LlmExtra.oracleSql ++ ops.Ads.oracleSql ++ ops.Cep.oracleSql ++
+      ops.Graph.oracleSql
 }

@@ -148,6 +148,45 @@ object Ads {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Multi-touch purchase ATTRIBUTION (the marketing board every
+    // realtime DW ships): each purchase's value is credited to the
+    // same user's clicks in the 72 h before it — fully to the LAST
+    // touch, and split evenly across all touches (LINEAR) — then
+    // rolled up by touch day. ONE user-keyed equi join (the time
+    // range rides as a residual predicate on the key; the skew-proof
+    // time-bucketed variant of this shape is `join_interval_bucketed`)
+    // plus two windows keyed by purchase id — never data-scale rows in
+    // one partition. Linear shares are divisions, so each share rounds
+    // to 6 dp and accumulates in DECIMAL(28,6) (order-independent to
+    // the cent on both engines); last-touch credits are exact money.
+    "ads_attribution" -> ((s, d) => {
+      val winUs = 72L * 3600 * 1000000
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          ep(col("ts")).as("c_us"), to_date(col("ts")).as("c_day"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          ep(col("ts")).as("p_us"), col("value").as("p_val"))
+      val wCnt = Window.partitionBy("p_id")
+      val wLast = Window.partitionBy("p_id")
+        .orderBy(col("c_us").desc, col("click_id").desc)
+      purch.join(clicks, Seq("user_id"))
+        .where(col("c_us") < col("p_us") &&
+          col("c_us") >= col("p_us") - winUs)
+        .withColumn("n_touch", count(lit(1)).over(wCnt))
+        .withColumn("rk", row_number().over(wLast))
+        .groupBy("c_day")
+        .agg(
+          dsum(when(col("rk") === 1, col("p_val")).otherwise(lit(0.0)))
+            .as("last_touch_rev"),
+          dsum6(round(col("p_val") / col("n_touch"), 6)).as("linear_rev"),
+          count(lit(1)).as("n_touches"))
+        .select(date_format(col("c_day"), "yyyy-MM-dd").as("day"),
+          col("last_touch_rev"), col("linear_rev"), col("n_touches"))
+        .orderBy("day")
+    }),
+
     // The SQL front door (the genre is Flink-SQL-first: ADS boards are
     // written as CTE queries over registered tables, not DataFrame
     // chains). One key exercises spark.sql() end-to-end — temp view +
@@ -171,6 +210,31 @@ object Ads {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ads_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us,
+        |         CAST(ts AS DATE) AS c_day
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+        |         value AS p_val
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT p.p_id, p.p_val, c.c_day, c.c_us, c.click_id,
+        |         count(*) OVER (PARTITION BY p.p_id) AS n_touch,
+        |         row_number() OVER (PARTITION BY p.p_id
+        |           ORDER BY c.c_us DESC, c.click_id DESC) AS rk
+        |  FROM purch p JOIN clicks c USING (user_id)
+        |  WHERE c.c_us < p.p_us
+        |    AND c.c_us >= p.p_us - 259200000000::BIGINT)
+        |SELECT strftime(c_day, '%Y-%m-%d') AS day,
+        | round(CAST(sum(CASE WHEN rk = 1 THEN CAST(p_val AS DECIMAL(18,2))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |   AS last_touch_rev,
+        | round(CAST(sum(CAST(round(p_val / n_touch, 6) AS DECIMAL(28,6)))
+        |   AS DOUBLE), 2) AS linear_rev,
+        | count(*) AS n_touches
+        |FROM touches GROUP BY c_day ORDER BY day""".stripMargin,
     "ads_retention_daily" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |             FROM events),

@@ -107,4 +107,29 @@ class AdsSpec extends AnyFunSuite {
         .select("user_id").distinct().count())
     } finally m.unpersist()
   }
+
+  test("ads_attribution: both models distribute the same attributed value") {
+    val r = q("ads_attribution").cache()
+    try {
+      assert(r.count() > 0)
+      assert(r.where(col("last_touch_rev") < 0 || col("linear_rev") < 0 ||
+        col("n_touches") <= 0).count() === 0)
+      // last-touch credits each attributed purchase's full value exactly
+      // once; linear splits the same value across its touches — so the
+      // two models' GLOBAL totals agree up to rounding: 6 dp per share
+      // (touches × 5e-7) plus the 2 dp per-day output rounding
+      // (days × 5e-3)
+      val tot = r.agg(sum("last_touch_rev"), sum("linear_rev"),
+        sum("n_touches")).first()
+      val (lt, lin, nt) =
+        (tot.getDouble(0), tot.getDouble(1), tot.getLong(2))
+      assert(math.abs(lt - lin) <= nt * 5e-7 + r.count() * 5e-3 + 0.01,
+        s"$lt vs $lin")
+      // attributed value can't exceed total purchase value
+      val totalPurch = graft.ops.Tables.events(spark, sf)
+        .where(col("event_type") === "purchase")
+        .agg(sum(col("value"))).first().getDouble(0)
+      assert(lt <= totalPurch + 0.01)
+    } finally r.unpersist()
+  }
 }

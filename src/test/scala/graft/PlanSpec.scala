@@ -443,6 +443,31 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("ads_attribution: user-keyed join is equi; windows key on " +
+      "purchase id, never one partition") {
+    val p = plan(q("ads_attribution"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("graph_pagerank: one iteration = one keyed shuffle over an equi " +
+      "join with partial aggregation (asserted pre-checkpoint)") {
+    // the shipped query localCheckpoints each round (lineage), which
+    // hides the iteration plan — assert on the un-checkpointed form
+    import org.apache.spark.sql.functions.{col, lit}
+    val oe = graft.ops.Graph.outEdges(spark, sf)
+    val ranks = oe.select(col("src").as("node"))
+      .distinct().withColumn("rank", lit(0.001))
+    val p = plan(graft.ops.Graph.iterate(ranks, oe, 0.001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // contributions combine map-side before the dst shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("SinglePartition"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
