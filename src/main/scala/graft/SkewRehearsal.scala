@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Hot-KEY rehearsal (round-10 verdict items 1-3): the three operators
+  * whose round-9 plans had skew hazards — `cep_absence_timeout`
+  * (unbounded-following frame → O(n²) per user), `ads_attribution`
+  * (user-only join key → clicks-ever fan-in), `llm_dedup_substring`
+  * (gram-keyed window → full hot-gram partition in one task) — timed on
+  * PURPOSE-BUILT skewed fixtures at two sizes, 10× apart. The fixed
+  * plans are linear in the hot key's row count, so t(x10) must stay
+  * ~10× t(x1) (the quadratic frame alone would be 100×: a 10⁵-event
+  * hot user does 10¹⁰ window-buffer adds). One JSON line per fixture
+  * size on stdout and in /tmp/graft_skew_rehearsal.json.
+  *
+  * Fixtures (deterministic, no RNG):
+  *  - events: ONE bot user (user_id 1) with nHot clicks spread over
+  *    300 days plus 50 purchases and background traffic from 1 000
+  *    normal users — per-72 h-window click density is nHot/100, so the
+  *    bucketed attribution join's per-key fan-in is ~nHot/50 while the
+  *    unbucketed formulation's was 50·nHot; the absence scan sees one
+  *    nHot-row user partition.
+  *  - documents: nHot docs sharing ONE verbatim 8-token boilerplate
+  *    line (the hot gram) plus per-doc unique filler — the gram-count
+  *    window would funnel all nHot rows of that gram through one task;
+  *    the partial agg collapses them map-side.
+  *
+  * Usage: runMain graft.SkewRehearsal [mult ...]   (default: 1 10;
+  * mult 1 = 10⁴ hot rows, 10 = 10⁵).
+  */
+object SkewRehearsal {
+
+  private def synthEvents(s: SparkSession, dir: String, nHot: Long): Unit = {
+    import s.implicits._
+    if (new java.io.File(s"$dir/events.parquet/_SUCCESS").isFile) return
+    val base = 1735689600000000L // 2025-01-01 UTC, micros
+    val span = 300L * 86400000000L
+    val hot = s.range(nHot).map { i =>
+      // bot: clicks at even spacing over 300 days; every (nHot/50)th
+      // event is a purchase so attribution has purchases to credit
+      val ts = base + i * (span / nHot)
+      val isPurch = nHot >= 50 && i % (nHot / 50) == (nHot / 50) - 1
+      (i.toLong, ts, 1L, if (isPurch) "purchase" else "click",
+        if (isPurch) 25.0 else 0.0)
+    }
+    val bg = s.range(50000).map { i =>
+      val ts = base + (i * 518400L + 7L) % span // co-prime stride
+      val uid = 2L + i % 1000
+      val kind = (i % 10) match {
+        case 0 => "purchase"; case 1 | 2 => "click"; case _ => "view"
+      }
+      (1000000L + i, ts, uid, kind, if (kind == "purchase") 10.0 else 0.0)
+    }
+    hot.union(bg).toDF("event_id", "tsl", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("tsl")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def synthDocs(s: SparkSession, dir: String, nHot: Long): Unit = {
+    import s.implicits._
+    if (new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) return
+    // one verbatim 8-token boilerplate line (= exactly one hot K-gram at
+    // K=8) in every doc, wrapped in unique filler so docs aren't exact
+    // dups and no other gram repeats
+    val boiler = "all rights reserved contact the site admin team"
+    s.range(nHot).map { i =>
+      val text = s"unique lead token${i}a token${i}b $boiler " +
+        s"tail${i}c tail${i}d closing words here now"
+      (i, text, "en", s"src${i % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val root = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = Seq("cep_absence_timeout", "ads_attribution",
+      "llm_dedup_substring")
+    // warmup (codegen + reader init outside the timed region)
+    try SparkEntry.queries("cep_absence_timeout")(
+      spark, "/root/testdata/sf0.01").write.mode("overwrite")
+      .format("noop").save()
+    catch { case _: Throwable => () }
+    val lines = mults.map { mult =>
+      val nHot = 10000L * mult
+      val dir = s"$root/x$mult"
+      synthEvents(spark, dir, nHot)
+      synthDocs(spark, dir, nHot)
+      val timings = ops.map { name =>
+        val obs = org.apache.spark.sql.Observation()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
+        graft.ops.OpCache.release(spark)
+        spark.catalog.clearCache()
+        (name, dt, n)
+      }
+      val secs = timings.map(t => s""""${t._1}":${"%.2f"
+        .formatLocal(java.util.Locale.ROOT, t._2)}""")
+        .mkString("{", ",", "}")
+      val rows = timings.map(t => s""""${t._1}":${t._3}""")
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"skew":{"mult":$mult,"hot_rows":$nHot,"secs":$secs,""" +
+          s""""rows":$rows}}"""
+      println(line)
+      line
+    }
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_skew_rehearsal.json")
+      try lines.foreach(w.println) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    spark.stop()
+  }
+}

@@ -152,10 +152,16 @@ object Ads {
     // realtime DW ships): each purchase's value is credited to the
     // same user's clicks in the 72 h before it — fully to the LAST
     // touch, and split evenly across all touches (LINEAR) — then
-    // rolled up by touch day. ONE user-keyed equi join (the time
-    // range rides as a residual predicate on the key; the skew-proof
-    // time-bucketed variant of this shape is `join_interval_bucketed`)
-    // plus two windows keyed by purchase id — never data-scale rows in
+    // rolled up by touch day. The purchases⋈clicks join is TIME-
+    // BUCKETED exactly like `join_interval_bucketed` (Joins.scala):
+    // bucket width = the 72 h window Δ, purchases explode into their
+    // own and the PREVIOUS bucket (a click at c_us < p_us within Δ
+    // sits in floor(p_us/Δ) or floor(p_us/Δ)-1), clicks key on their
+    // own bucket — so the equi key is (user_id, bucket) and a hot
+    // user's (bot's) per-key fan-in is bounded by its clicks per
+    // 72 h window, not its clicks-ever. A pair meets in exactly ONE
+    // bucket (the click's own), so no post-join dedup. Downstream:
+    // two windows keyed by purchase id — never data-scale rows in
     // one partition. Linear shares are divisions, so each share rounds
     // to 6 dp and accumulates in DECIMAL(28,6) (order-independent to
     // the cent on both engines); last-touch credits are exact money.
@@ -164,14 +170,17 @@ object Ads {
       val ev = t(s, d, "events")
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
-          ep(col("ts")).as("c_us"), to_date(col("ts")).as("c_day"))
+          ep(col("ts")).as("c_us"), to_date(col("ts")).as("c_day"),
+          floor(ep(col("ts")) / winUs).as("bkt"))
       val purch = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"),
-          ep(col("ts")).as("p_us"), col("value").as("p_val"))
+          ep(col("ts")).as("p_us"), col("value").as("p_val"),
+          explode(array(floor(ep(col("ts")) / winUs) - 1,
+            floor(ep(col("ts")) / winUs))).as("bkt"))
       val wCnt = Window.partitionBy("p_id")
       val wLast = Window.partitionBy("p_id")
         .orderBy(col("c_us").desc, col("click_id").desc)
-      purch.join(clicks, Seq("user_id"))
+      purch.join(clicks, Seq("user_id", "bkt"))
         .where(col("c_us") < col("p_us") &&
           col("c_us") >= col("p_us") - winUs)
         .withColumn("n_touch", count(lit(1)).over(wCnt))

@@ -89,11 +89,21 @@ object Cep {
     // of ingestion order), and a purchase at exactly t+24h does not
     // suppress — Flink prunes the partial match when elapsed >= window,
     // so the timeout fires first. The lookup is a running min over one
-    // user-keyed window's tail frame — never a per-event subquery or a
-    // range self-join.
+    // user-keyed window — never a per-event subquery or a range
+    // self-join. Frame direction matters for scale: the tail frame
+    // (1, unboundedFollowing) is an UnboundedFollowing frame that
+    // Spark RE-AGGREGATES from scratch per row — O(n²) per user, a
+    // hot-user (bot) partition with 10⁵ events does 10¹⁰ buffer adds.
+    // Ordering ts_us DESC turns the same "min purchase strictly after
+    // me" into a GROWING frame (unboundedPreceding, -1 ≡ RANGE 1
+    // PRECEDING in desc order = values >= ts_us+1) that Spark
+    // accumulates incrementally — O(n) per user, identical semantics
+    // incl. the strict boundary (ts_us is integral micros, so +1 μs is
+    // exactly "strictly later").
     "cep_absence_timeout" -> ((s, d) => {
-      val strictlyLater = Window.partitionBy("user_id").orderBy(col("ts_us"))
-        .rangeBetween(1, Window.unboundedFollowing)
+      val strictlyLater = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
       t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           ep(col("ts")).as("ts_us"))

@@ -602,28 +602,39 @@ object LlmExtra {
     * position as duplicated; maximal runs of consecutive duplicated
     * starts are the duplicated substrings (a run [i..j] spans tokens
     * i .. j+K-1 — exactly the union of its duplicated K-grams). Plan
-    * shape: map-side explode into (doc, pos, gram), ONE corpus-wide
-    * keyed shuffle to count gram occurrences (window over the gram
-    * key — no join anywhere), then a doc-keyed window to merge adjacent
-    * starts (bounded by doc length, never by corpus size). At 100 TB
-    * the only change is shuffling xxhash64(gram) (8-byte keys; a
-    * collision marks a non-duplicated span, the tolerable error in this
-    * genre) instead of gram strings — the structure is identical.
+    * shape: map-side explode into (doc, pos, gram), PARTIAL-AGGREGATED
+    * gram counts (groupBy(g).count — map-side combine collapses
+    * boilerplate grams before the shuffle) filtered to the hot set
+    * (c >= 2), then a LEFT SEMI equi-join of the gram table against
+    * that hot set, then a doc-keyed window to merge adjacent starts
+    * (bounded by doc length, never by corpus size). A window over
+    * partitionBy(g) would compute the same count but with no partial
+    * aggregation and a full per-gram partition materialization+sort —
+    * one boilerplate line duplicated 10⁵× funnels 10⁵ rows through
+    * one task; the agg+semi-join shape keeps the reduce side at one
+    * row per distinct gram and lets AQE split/broadcast the probe.
+    * The gram table feeds both sides, so it is cached (OpCache-
+    * tracked); at 100 TB it is the persisted intermediate of this
+    * two-pass genre. The only other change at 100 TB is shuffling
+    * xxhash64(gram) (8-byte keys; a collision marks a non-duplicated
+    * span, the tolerable error in this genre) instead of gram
+    * strings — the structure is identical.
     * K = `SubstrK` whitespace tokens. Columns: doc_id, run_start,
     * run_end, run_len (1-based inclusive token indices). */
   private def substrRuns(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val K = SubstrK
     val rw = Window.partitionBy("doc_id").orderBy("p")
-    t(s, d, "documents")
+    val grams = OpCache.track(t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= K)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pi"))
       .select(col("doc_id"), col("pi").cast("long").as("p"),
-        concat_ws(" ", slice(col("ws"), col("pi"), lit(K))).as("g"))
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-      .where(col("c") >= 2)
+        concat_ws(" ", slice(col("ws"), col("pi"), lit(K))).as("g")))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("g")
+    grams.join(hot, Seq("g"), "left_semi")
       .withColumn("grp", col("p") - row_number().over(rw))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("p")).as("run_start"),

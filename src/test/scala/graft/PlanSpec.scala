@@ -181,15 +181,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
-  test("llm_dedup_substring: zero joins — gram-count + run-merge are " +
-      "keyed windows only") {
+  test("llm_dedup_substring: partial-aggregated gram count + semi join, " +
+      "run-merge is a doc-keyed window") {
     val p = plan(q("llm_dedup_substring"))
-    // the whole op is explode → window(partition by gram) → window
-    // (partition by doc) → agg: any Join node means the plan regressed
-    // to an index-join formulation with a second corpus-wide shuffle
-    assert(!p.contains("Join"), p.take(2000))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the hot-gram filter must be groupBy(g).count (partial agg — a
+    // HashAggregate pair on g) feeding a LEFT SEMI equi-join; a window
+    // over partitionBy(g) would materialize+sort each gram's full
+    // partition in one task (a 10⁵× boilerplate line = 10⁵ rows through
+    // one reducer, no map-side combine)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // the run-merge window keys on doc_id, never on the gram
     assert(p.contains("Window"), p.take(2000))
+    assert(!p.toLowerCase.contains("partitionspec: [g#") &&
+      !p.contains("windowspecdefinition(g#"), p.take(3000))
   }
 
   test("llm_dedup_substring_prune: span removal is one equi anti-join, " +
@@ -441,15 +448,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(q("cep_absence_timeout"))
     assert(!p.contains("Join"), p.take(2000))
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    // the next-purchase lookup must be a GROWING frame (desc order,
+    // unboundedpreceding..-1), never an unbounded-FOLLOWING frame —
+    // Spark re-aggregates those from scratch per row (O(n²) per user;
+    // a 10⁵-event hot user would do 10¹⁰ buffer adds)
+    assert(!p.toLowerCase.contains("unboundedfollowing"), p.take(3000))
   }
 
-  test("ads_attribution: user-keyed join is equi; windows key on " +
-      "purchase id, never one partition") {
+  test("ads_attribution: join is equi on the compound (user, 72h-bucket) " +
+      "key; windows key on purchase id, never one partition") {
     val p = plan(q("ads_attribution"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("Window"), p.take(2000))
     assert(!p.contains("SinglePartition"), p.take(2000))
+    // the time bucket must ride the equi key (SMJ/SHJ "Left keys"
+    // lists), bounding a hot user's fan-in by clicks-per-72h-window —
+    // user_id alone would rebuild the bot-user hazard
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("user_id")).toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("bkt#")),
+      p.take(3000))
   }
 
   test("graph_pagerank: one iteration = one keyed shuffle over an equi " +
