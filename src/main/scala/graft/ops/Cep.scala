@@ -81,6 +81,62 @@ object Cep {
           "purchase_value")
     }),
 
+    // MATCH_RECOGNIZE PATTERN (V{2,4} P) per user — the BOUNDED GREEDY
+    // quantifier (Flink CEP times(2,4)), extending the V+ matcher
+    // above. Semantics derived from leftmost-earliest matching + AFTER
+    // MATCH SKIP PAST LAST ROW: scanning a maximal view-run of length
+    // n followed by a purchase, a start offset leaves (n - offset)
+    // views before the purchase, and V{2,4} then P succeeds only when
+    // that remainder is in [2,4] — so n < 2 never matches, n in [2,4]
+    // matches the whole run, and n > 4 first succeeds at offset n-4,
+    // consuming exactly the LAST 4 views (greediness caps the take at
+    // 4; earlier starts fail because the 5th view is not a P). One
+    // match per qualifying run, measures over the MATCHED tail only.
+    // Plan shape: the same gaps-and-islands base as cep_pattern_match
+    // plus a tail-rank derived from max(rn) over the (user, run)
+    // window — that window's partitioning is exactly the groupBy key,
+    // so the run aggregate reuses its exchange: still 3 keyed
+    // shuffles, nothing data-scale in one task.
+    "cep_pattern_times" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byRun = Window.partitionBy("user_id", "run_id")
+      val tailLe4 = col("max_rn") - col("rn") < 4
+      val runs = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), ep(col("ts")).as("ts_us"))
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("nr",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("nr")).over(running))
+        .withColumn("max_rn", max(col("rn")).over(byRun))
+        .groupBy("user_id", "run_id")
+        .agg(min(col("event_type")).as("sym"), // constant within a run
+          count(lit(1)).as("n"),
+          min(col("ts_us")).as("run_start_us"),
+          min(when(tailLe4, col("ts_us"))).as("m_start_us"),
+          dsum(when(tailLe4, col("value"))).as("m_total"),
+          min_by(col("value"), col("rn")).as("first_value"))
+      val byRunSeq = Window.partitionBy("user_id").orderBy("run_id")
+      runs
+        .withColumn("next_sym", lead(col("sym"), 1).over(byRunSeq))
+        .withColumn("next_start_us", lead(col("run_start_us"), 1).over(byRunSeq))
+        .withColumn("next_first_value", lead(col("first_value"), 1).over(byRunSeq))
+        .where(col("sym") === "view" && col("n") >= 2 &&
+          col("next_sym") === "purchase")
+        .select(col("user_id"), col("m_start_us").as("start_us"),
+          col("next_start_us").as("end_us"),
+          least(col("n"), lit(4L)).as("n_views"),
+          col("m_total").as("views_total"),
+          round(col("next_first_value"), 2).as("purchase_value"))
+        .orderBy("user_id", "start_us", "end_us", "n_views", "views_total",
+          "purchase_value")
+    }),
+
     // Flink CEP notFollowedBy + within(24h) — the absence/timeout
     // pattern (abandoned-interest detection): 'click' events with NO
     // same-user 'purchase' in the open interval (t, t+24h). TIME
@@ -149,6 +205,43 @@ object Cep {
         |  n AS n_views, run_total AS views_total,
         |  round(next_first_value, 2) AS purchase_value
         |FROM m WHERE sym = 'view' AND next_sym = 'purchase'
+        |ORDER BY user_id, start_us, end_us, n_views, views_total,
+        |  purchase_value""".stripMargin,
+    "cep_pattern_times" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS nr
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+        |g AS (
+        |  SELECT *, sum(nr) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+        |  FROM r),
+        |g2 AS (
+        |  SELECT *, max(rn) OVER (PARTITION BY user_id, run_id) AS max_rn
+        |  FROM g),
+        |runs AS (
+        |  SELECT user_id, run_id, min(event_type) AS sym, count(*) AS n,
+        |    min(ts_us) AS run_start_us,
+        |    min(CASE WHEN max_rn - rn < 4 THEN ts_us END) AS m_start_us,
+        |    round(CAST(sum(CASE WHEN max_rn - rn < 4
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |      AS m_total,
+        |    min_by(value, rn) AS first_value
+        |  FROM g2 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, m_start_us, sym, n, m_total,
+        |    lead(sym) OVER w2 AS next_sym,
+        |    lead(run_start_us) OVER w2 AS next_start_us,
+        |    lead(first_value) OVER w2 AS next_first_value
+        |  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, m_start_us AS start_us, next_start_us AS end_us,
+        |  least(n, 4) AS n_views, m_total AS views_total,
+        |  round(next_first_value, 2) AS purchase_value
+        |FROM m WHERE sym = 'view' AND n >= 2 AND next_sym = 'purchase'
         |ORDER BY user_id, start_us, end_us, n_views, views_total,
         |  purchase_value""".stripMargin,
     "cep_absence_timeout" ->

@@ -222,8 +222,39 @@ object Fns {
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY"), lit("uid")).as("q_uid"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Live rules evaluation — the batch face of the Flink
+    // BroadcastProcessFunction pattern (streaming form:
+    // graft.streaming.Streams.broadcastRulesToSink, which re-reads and
+    // re-broadcasts this table every micro-batch so a mid-stream rules
+    // swap takes effect on the next batch). A small rules relation
+    // (rule_id, event_type, min_value, tag) broadcast-joins the events
+    // fact on event_type with the threshold as residual — the fact
+    // side never shuffles, exactly how a 100 TB stream applies a
+    // k-row rules table. An event matches every rule it satisfies
+    // (one output row per (event, rule) hit).
+    "fn_rules_apply" -> ((s, d) =>
+      t(s, d, "events")
+        .join(broadcast(defaultRules(s)), Seq("event_type"))
+        .where(coalesce(col("value"), lit(0.0)) >= col("min_value"))
+        .select(col("event_id"), col("user_id"), col("rule_id"),
+          col("tag"))
+        .orderBy("event_id", "rule_id"))
   )
+
+  /** The canonical embedded rules snapshot `fn_rules_apply` and the
+    * streaming parity tests share. */
+  def defaultRules(s: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "purchase", 50.0, "high_value"),
+      (2L, "purchase", 0.0, "any_purchase"),
+      (3L, "click", 0.0, "click_track"),
+      (4L, "error", 0.0, "error_alert"))
+      .toDF("rule_id", "event_type", "min_value", "tag")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "fn_regex" ->
@@ -356,6 +387,16 @@ object Fns {
         | regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
         | regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         | regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS q_uid
-        |FROM u ORDER BY event_id""".stripMargin
+        |FROM u ORDER BY event_id""".stripMargin,
+    "fn_rules_apply" ->
+      """WITH rules(rule_id, event_type, min_value, tag) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'purchase', 50.0, 'high_value'),
+        |  (CAST(2 AS BIGINT), 'purchase', 0.0, 'any_purchase'),
+        |  (CAST(3 AS BIGINT), 'click', 0.0, 'click_track'),
+        |  (CAST(4 AS BIGINT), 'error', 0.0, 'error_alert'))
+        |SELECT e.event_id, e.user_id, r.rule_id, r.tag
+        |FROM events e JOIN rules r ON e.event_type = r.event_type
+        |WHERE coalesce(e.value, 0) >= r.min_value
+        |ORDER BY event_id, rule_id""".stripMargin
   )
 }

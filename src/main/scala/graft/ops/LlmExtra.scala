@@ -32,6 +32,40 @@ object LlmExtra {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Toy BPE merges table, in rank order — embedded the way a real
+    * deployment broadcasts its learned ranks file. Chosen for the
+    * fixtures' lowercase-English text (th/the/in/an/and/ing/...).
+    * Single source of truth lives beside the native kernel. */
+  private[graft] val BpeMerges: Seq[(String, String)] =
+    graft.functions.TextHashing.bpeMerges.toSeq
+
+  /** One word → its BPE token array, the HOF PARITY FORMULATION of the
+    * native `graft_bpe_tokens` kernel (which the query key uses): split
+    * to characters, then apply each merge rank as one greedy
+    * left-to-right fold (array `aggregate`: append, or coalesce the
+    * tail element when it and the incoming char form the rank's pair —
+    * leftmost-first exactly like the reference algorithm's repeated
+    * lowest-rank application, and a single pass per rank is exhaustive
+    * because a rank's product can't re-form its own pair). Kept as the
+    * executable spec the kernel is parity-tested against: 12 nested
+    * interpreted lambda folds with per-step array copies cost 28.7 s
+    * on the sf0.1 bench vs sub-second for the one-pass kernel. */
+  private[graft] def bpeApplyCol(word: Column): Column = {
+    // sequence(1, 0) counts DOWN, so an empty word must short-circuit
+    // to an empty token array rather than reach the sequence
+    val chars = when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))))
+    BpeMerges.foldLeft(chars) { case (ts, (a, b)) =>
+      aggregate(ts, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    }
+  }
+
   // Shingle sets live as SORTED DISTINCT 64-bit hash arrays
   // (graft_shingle_hashes3, one native pass over the text bytes): set
   // sizes and intersections are identical to string shingles (collisions
@@ -960,6 +994,31 @@ object LlmExtra {
           when(col("n_bpe") > 0,
             round(col("len").cast("double") / col("n_bpe"), 4))
             .otherwise(0.0).as("chars_per_tok"))
+        .orderBy("doc_id")),
+
+    // BPE-EXACT tokenization companion to llm_token_count's regex
+    // approximation: character-level start symbols folded through an
+    // embedded toy merges table (the way a deployment broadcasts its
+    // learned ranks), one greedy left-to-right pass per rank in rank
+    // order — exact BPE, because a rank's merge product ("th") can
+    // never re-form that rank's own pair, so a single pass per rank
+    // reaches the fixpoint classic BPE iterates to. Bounded rounds by
+    // construction; computed by the native one-pass graft_bpe_tokens
+    // kernel (codegen'd, parity-tested against the HOF `aggregate`
+    // spec `bpeApplyCol`) — pure map-side per-row CPU that scales
+    // embarrassingly with executors, no shuffle except output order.
+    // Oracle-exempt (DuckDB has no BPE); properties pinned in
+    // LlmExtraSpec: hand-tokenized fixtures, kernel==HOF parity, and
+    // corpus-wide lossless reconstruction (concat(tokens) == word).
+    "llm_token_bpe" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_words"),
+          graft.functions.VectorFunctions.bpeTokens(s, col("text"))
+            .as("bpe"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("bpe")).cast("long").as("n_bpe"),
+          concat_ws(" ", slice(col("bpe"), 1, 12)).as("bpe_head"))
         .orderBy("doc_id")),
 
     // Document fingerprint: rolling 8-char window hashes, keep the min

@@ -169,6 +169,52 @@ object Scans {
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
         .withColumn("is_current", col("valid_to_us").isNull)
         .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    // MERGE-style upsert (SQL MERGE INTO / Flink upsert sink with
+    // retractions): fold a source changeset into a keyed target state
+    // with the full clause set — WHEN MATCHED AND <cond> THEN DELETE,
+    // WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, and
+    // target rows the source never touches pass through. Vanilla Spark
+    // has no v2 table with row-level ops (MERGE INTO parses but no
+    // built-in catalog executes it), so the semantics layer is ONE
+    // full-outer equi join of the deduped target and source images —
+    // the exact reduce a MERGE executor performs, and the shape that
+    // scales: both latest-image windows and the join key on user_id,
+    // so the whole op is one shuffle's partitioning reused three
+    // times. Target = latest even-event image per user, source =
+    // latest odd-event image (event-id parity as the batch split, as
+    // sink_foreach_upsert does); a source row whose event is 'error'
+    // is a retraction (delete clause). `action` records which MERGE
+    // clause produced each surviving row.
+    "merge_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val tgt = latest(ev.where(pmod(col("event_id"), lit(2)) === 0))
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("ts_us").as("t_us"), col("value").as("t_val"))
+      val src = latest(ev.where(pmod(col("event_id"), lit(2)) === 1))
+        .select(col("user_id"), col("event_id").as("s_id"),
+          col("ts_us").as("s_us"), col("value").as("s_val"),
+          (col("event_type") === "error").as("s_del"))
+      tgt.join(src, Seq("user_id"), "full_outer")
+        // delete clause: a source retraction removes the row whether or
+        // not a target row matched (unmatched retraction = no-op insert)
+        .where(col("s_id").isNull || !col("s_del"))
+        .select(col("user_id"),
+          when(col("s_id").isNull, lit("keep"))
+            .when(col("t_id").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("s_id"), col("t_id")).as("event_id"),
+          coalesce(col("s_us"), col("t_us")).as("ts_us"),
+          coalesce(col("s_val"), col("t_val")).as("value"))
+        .orderBy("user_id")
     })
   )
 
@@ -224,6 +270,32 @@ object Scans {
         | lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |   ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         round(value, 2) AS value
+        |  FROM events),
+        |tgt AS (
+        |  SELECT user_id, event_id AS t_id, ts_us AS t_us, value AS t_val
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+        |src AS (
+        |  SELECT user_id, event_id AS s_id, ts_us AS s_us, value AS s_val,
+        |         event_type = 'error' AS s_del
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM ev WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN s_id IS NULL THEN 'keep'
+        |       WHEN t_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  coalesce(s_id, t_id) AS event_id,
+        |  coalesce(s_us, t_us) AS ts_us,
+        |  coalesce(s_val, t_val) AS value
+        |FROM tgt FULL JOIN src USING (user_id)
+        |WHERE s_id IS NULL OR NOT s_del
+        |ORDER BY user_id""".stripMargin
   )
 }

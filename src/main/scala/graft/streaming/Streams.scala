@@ -575,6 +575,34 @@ object Streams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Broadcast-state rules stream (Flink `BroadcastProcessFunction`):
+    * events evaluated against a LIVE rules table
+    * (rule_id, event_type, min_value, tag — the canonical snapshot is
+    * `graft.ops.Fns.defaultRules`; batch form = `fn_rules_apply`).
+    * Each micro-batch re-reads the rules parquet with a fresh
+    * `spark.read` — the listing freeze documented on enrichDim is
+    * exactly what this avoids — and broadcast-joins the batch, so a
+    * rules swap takes effect on the NEXT micro-batch without a query
+    * restart, and the fact side never shuffles. Matches append to
+    * `outDir` tagged with the batch id so callers (and the parity
+    * test) can pin WHICH rules version each batch saw. Re-reading a
+    * k-row table per batch is the pattern's designed cost — Flink
+    * re-ships broadcast state on every rules change the same way. */
+  def broadcastRulesToSink(events: DataFrame, rulesPath: String,
+      outDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rules = batch.sparkSession.read.parquet(rulesPath)
+        batch.join(broadcast(rules), Seq("event_type"))
+          .where(coalesce(col("value"), lit(0.0)) >= col("min_value"))
+          .select(col("event_id"), col("user_id"), col("rule_id"),
+            col("tag"), lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Keyed streaming dedup (Flink keyed ValueState<Boolean> + state-TTL
     * pattern; the `stream_dedup_keys` batch form keeps the same
     * first-arrival row): emits only the FIRST event per

@@ -50,6 +50,40 @@ class CepSpec extends AnyFunSuite {
     }
   }
 
+  test("pattern V{2,4} P: bounded greedy take, boundary run lengths") {
+    // user 1: run of 1 view + P  -> NO match (below the {2,_} floor)
+    // user 2: run of 2 views + P -> match, both views
+    // user 3: run of 4 views + P -> match, all 4 (upper bound inclusive)
+    // user 4: run of 5 views + P -> ONE match over the LAST 4 views
+    //   (greedy cap: starts 0..n-5 fail because the 5th symbol is a V)
+    def run(u: Long, nViews: Int, firstId: Long) =
+      (0 until nViews).map(i => (firstId + i,
+        f"2025-01-01 00:${i + 1}%02d:00", u, "view", (i + 1) * 10.0)) :+
+        ((firstId + nViews, f"2025-01-01 00:${nViews + 1}%02d:00", u,
+          "purchase", 99.0))
+    val rows = (run(1L, 1, 100L) ++ run(2L, 2, 200L) ++ run(3L, 4, 300L) ++
+      run(4L, 5, 400L)).map(t =>
+      (t._1, t._2, t._3, t._4, t._5))
+    withEvents(rows) { dir =>
+      val m = ops.Cep.queries("cep_pattern_times")(spark, dir)
+        .select("user_id", "n_views", "views_total", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      assert(m === Seq(
+        (2L, 2L, 30.0, 99.0),            // 10+20
+        (3L, 4L, 100.0, 99.0),           // 10+20+30+40
+        (4L, 4L, 140.0, 99.0)))          // last 4 of 5: 20+30+40+50
+      // matched tail start: user 4's match begins at its SECOND view
+      val s4 = ops.Cep.queries("cep_pattern_times")(spark, dir)
+        .where(col("user_id") === 4L).select("start_us").collect()
+      val all4 = ops.Tables.events(spark, dir)
+        .where(col("user_id") === 4L && col("event_type") === "view")
+        .select(ops.Tables.ep(col("ts")).as("us")).orderBy("us")
+        .collect().map(_.getLong(0))
+      assert(s4.head.getLong(0) === all4(1))
+    }
+  }
+
   test("absence within 24h: keyed per event, not once per user") {
     // user 3: click then purchase 1h later (suppressed), a second click
     //   whose only later purchase is 25h away (emitted) — BOTH clicks of

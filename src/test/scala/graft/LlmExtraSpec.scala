@@ -10,6 +10,44 @@ import graft.ops.Multimodal
 class LlmExtraSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("llm_token_bpe: hand-tokenized fixtures, lossless reconstruction") {
+    import spark.implicits._
+    // ranks: th the in an er on re st and ing ou ed
+    val got = Seq("the", "hand", "thing", "steed", "x", "")
+      .toDF("w")
+      .select(graft.ops.LlmExtra.bpeApplyCol(col("w")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) === List("the"))          // t,h,e -> th,e -> the
+    assert(got(1) === List("h", "and"))     // a,n -> an; an,d -> and
+    assert(got(2) === List("th", "ing"))    // th; i,n -> in; in,g -> ing
+    assert(got(3) === List("st", "e", "ed")) // s,t -> st; e,d -> ed
+    assert(got(4) === List("x"))            // no rank applies
+    assert(got(5) === List())               // empty word -> no tokens
+    // corpus-wide invariant: BPE merges only ever coalesce adjacent
+    // symbols, so concatenating a word's tokens must reproduce the word
+    val bad = graft.ops.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), concat_ws("",
+        graft.ops.LlmExtra.bpeApplyCol(col("w"))).as("r"))
+      .where(col("w") =!= col("r")).count()
+    assert(bad === 0)
+    // native kernel == HOF executable spec, whole-text level (the query
+    // key runs the kernel; the fold chain is the semantics reference)
+    val mismatch = graft.ops.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.VectorFunctions.bpeTokens(spark, col("text"))
+          .as("k"))
+      .select(col("doc_id"),
+        flatten(transform(split(col("text"), " "),
+          w => graft.ops.LlmExtra.bpeApplyCol(w))).as("h"), col("k"))
+      .where(col("h") =!= col("k")).count()
+    assert(mismatch === 0)
+    // and the query surface: token count bounded by [n_words, n_chars]
+    val df = q("llm_token_bpe")
+    assert(df.count() > 0)
+    assert(df.where(col("n_bpe") < col("n_words")).count() === 0)
+  }
+
   test("ngram jaccard: values in (0,1], pairs ordered a<b") {
     val df = q("llm_dedup_ngram_jaccard")
     assert(df.where(col("jac") <= 0 || col("jac") > 1).count() === 0)

@@ -434,6 +434,54 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed.where(col("segment").isNull).count() > 0)
   }
 
+  test("broadcastRules: full replay == fn_rules_apply batch; swap " +
+      "changes subsequent batches only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bc_rules").toString
+    val rulesPath = s"$dir/rules"
+    try {
+      // v1 = the canonical snapshot fn_rules_apply embeds
+      ops.Fns.defaultRules(spark).write.mode("overwrite").parquet(rulesPath)
+      val input = MemoryStream[Ev]
+      val query = Streams.broadcastRulesToSink(input.toDF(), rulesPath,
+        s"$dir/out", s"$dir/ck")
+      // first two thirds under v1, last third after a LIVE swap to v2
+      // (view rule added, high-value threshold dropped to 10)
+      val chunks = allEvents.grouped((allEvents.size + 2) / 3).toSeq
+      chunks.take(2).foreach { c =>
+        input.addData(c); query.processAllAvailable()
+      }
+      Seq((1L, "purchase", 10.0, "high_value"),
+        (2L, "purchase", 0.0, "any_purchase"),
+        (3L, "click", 0.0, "click_track"),
+        (4L, "error", 0.0, "error_alert"),
+        (5L, "view", 0.0, "view_track"))
+        .toDF("rule_id", "event_type", "min_value", "tag")
+        .write.mode("overwrite").parquet(rulesPath)
+      input.addData(chunks(2)); query.processAllAvailable()
+      query.stop()
+      val out = spark.read.parquet(s"$dir/out").persist()
+      val cut = chunks.take(2).flatten.map(_.event_id).max
+      // batches 0-1 match the batch-form oracle key exactly on their slice
+      val batch = q("fn_rules_apply").where(col("event_id") <= cut)
+      val streamedV1 = out.where(col("batch_id") <= 1)
+        .select("event_id", "rule_id")
+      assert(streamedV1.count() === batch.count())
+      assert(streamedV1.join(batch.select("event_id", "rule_id"),
+        Seq("event_id", "rule_id"), "full_outer")
+        .where(col("event_id").isNull).count() === 0)
+      // the swap is visible ONLY from batch 2 on: no view hit before it,
+      // view hits after (the fixture stream has views in every chunk)
+      assert(out.where(col("batch_id") <= 1 && col("tag") === "view_track")
+        .count() === 0)
+      assert(out.where(col("batch_id") === 2 && col("tag") === "view_track")
+        .count() > 0)
+      out.unpersist(blocking = false)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("dedupKeys stream == stream_dedup_keys batch") {
     // horizon wider than the 30-day fixture span -> no key state expires
     // mid-replay, so the converged stream equals the global batch dedup.
