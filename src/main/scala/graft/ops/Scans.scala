@@ -215,6 +215,38 @@ object Scans {
           coalesce(col("s_us"), col("t_us")).as("ts_us"),
           coalesce(col("s_val"), col("t_val")).as("value"))
         .orderBy("user_id")
+    }),
+
+    // ACID-table-format sink: three arriving batches MERGE-committed
+    // through graft.streaming.SnapshotTable — immutable `v=N` snapshot
+    // dirs + atomic commit markers, so a concurrent reader that
+    // resolved version N mid-commit keeps a consistent table (the
+    // snapshot-isolation surface atomicStateSwap's in-place rotation
+    // can't give; isolation + conflict + retention semantics pinned in
+    // SnapshotTableSpec). Converges to the same latest-image the
+    // foreachBatch upsert sink serves, which is what the oracle checks;
+    // each commit is one keyed merge window, nothing driver-side but
+    // the commit marker.
+    "sink_snapshot_merge" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_merge").toString
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      (0 until 3).foreach { i =>
+        val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
+        graft.streaming.SnapshotTable.commit(s, root) { state =>
+          state.map(_.unionByName(batch)).getOrElse(batch)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+        }
+      }
+      graft.streaming.SnapshotTable.read(s, root).get
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+        .orderBy("user_id")
     })
   )
 
@@ -296,6 +328,12 @@ object Scans {
         |  coalesce(s_val, t_val) AS value
         |FROM tgt FULL JOIN src USING (user_id)
         |WHERE s_id IS NULL OR NOT s_del
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "sink_snapshot_merge" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        | round(value,2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }
