@@ -31,6 +31,36 @@ object Cep {
   /** 24 h in microseconds — the absence-pattern timeout. */
   private val timeoutUs = 86400000000L
 
+  /** The gaps-and-islands run table every quantified pattern key
+    * builds on: one row per maximal same-symbol run per user, with
+    * (sym, n, run_start_us, run_total, first_value). Every window
+    * shares ONE (user_id, ts_us, event_id) ordering — ordering the
+    * lag/sum windows by the derived rn would force a second
+    * per-partition sort Catalyst can't prove away. */
+  private def runTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val running = byUser
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), ep(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(byUser))
+      // gaps-and-islands: a run boundary wherever the symbol changes
+      .withColumn("nr",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("nr")).over(running))
+      .groupBy("user_id", "run_id")
+      .agg(min(col("event_type")).as("sym"), // constant within a run
+        count(lit(1)).as("n"),
+        min(col("ts_us")).as("run_start_us"),
+        dsum(col("value")).as("run_total"),
+        min_by(col("value"), col("rn")).as("first_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     // MATCH_RECOGNIZE PATTERN (V+ P) per user, greedy, AFTER MATCH SKIP
     // PAST LAST ROW: a maximal run of consecutive 'view' events
@@ -40,33 +70,10 @@ object Cep {
     // starts after the purchase run. Measures: run length, view-value
     // total, first purchase value.
     "cep_pattern_match" -> ((s, d) => {
-      // every window function shares ONE (user_id, ts_us, event_id)
-      // ordering — ordering the lag/sum windows by the derived rn would
-      // force a second per-partition sort Catalyst can't prove away
-      val byUser = Window.partitionBy("user_id")
-        .orderBy(col("ts_us"), col("event_id"))
-      val running = byUser
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val runs = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), ep(col("ts")).as("ts_us"))
-        .withColumn("rn", row_number().over(byUser))
-        // gaps-and-islands: a run boundary wherever the symbol changes
-        .withColumn("nr",
-          when(lag(col("event_type"), 1).over(byUser).isNull ||
-            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
-            .otherwise(0))
-        .withColumn("run_id", sum(col("nr")).over(running))
-        .groupBy("user_id", "run_id")
-        .agg(min(col("event_type")).as("sym"), // constant within a run
-          count(lit(1)).as("n"),
-          min(col("ts_us")).as("run_start_us"),
-          dsum(col("value")).as("run_total"),
-          min_by(col("value"), col("rn")).as("first_value"))
       // adjacency via lead over the (already reduced) run table — no
       // self-join, the run subtree evaluates once
       val byRun = Window.partitionBy("user_id").orderBy("run_id")
-      runs
+      runTable(s, d)
         .withColumn("next_sym", lead(col("sym"), 1).over(byRun))
         .withColumn("next_start_us", lead(col("run_start_us"), 1).over(byRun))
         .withColumn("next_first_value", lead(col("first_value"), 1).over(byRun))
@@ -79,6 +86,42 @@ object Cep {
         // output column for a deterministic sequence
         .orderBy("user_id", "start_us", "end_us", "n_views", "views_total",
           "purchase_value")
+    }),
+
+    // MATCH_RECOGNIZE PATTERN (V+ C? P) per user — the OPTIONAL
+    // quantifier (Flink CEP `.optional()`), greedy, SKIP PAST LAST
+    // ROW: a maximal view-run reaches its purchase either directly or
+    // across exactly ONE intervening click (greedy C? consumes it).
+    // Two consecutive clicks kill the match: after C? is spent the
+    // NFA needs P and sees a click — and no later start inside the
+    // click run can begin V+ — so on the run table the predicate is
+    // next run is a purchase, OR a LENGTH-1 click run whose successor
+    // is a purchase. Same 3-keyed-shuffle shape as cep_pattern_match,
+    // one extra lead pair on the reduced run table.
+    "cep_pattern_optional" -> ((s, d) => {
+      val byRun = Window.partitionBy("user_id").orderBy("run_id")
+      runTable(s, d)
+        .withColumn("s1", lead(col("sym"), 1).over(byRun))
+        .withColumn("n1", lead(col("n"), 1).over(byRun))
+        .withColumn("t1", lead(col("run_start_us"), 1).over(byRun))
+        .withColumn("v1", lead(col("first_value"), 1).over(byRun))
+        .withColumn("s2", lead(col("sym"), 2).over(byRun))
+        .withColumn("t2", lead(col("run_start_us"), 2).over(byRun))
+        .withColumn("v2", lead(col("first_value"), 2).over(byRun))
+        .where(col("sym") === "view" &&
+          (col("s1") === "purchase" ||
+            (col("s1") === "click" && col("n1") === 1 &&
+              col("s2") === "purchase")))
+        .select(col("user_id"), col("run_start_us").as("start_us"),
+          when(col("s1") === "purchase", col("t1")).otherwise(col("t2"))
+            .as("end_us"),
+          col("n").as("n_views"),
+          col("run_total").as("views_total"),
+          (col("s1") === "click").as("via_click"),
+          round(when(col("s1") === "purchase", col("v1"))
+            .otherwise(col("v2")), 2).as("purchase_value"))
+        .orderBy("user_id", "start_us", "end_us", "n_views", "views_total",
+          "via_click", "purchase_value")
     }),
 
     // MATCH_RECOGNIZE PATTERN (V{2,4} P) per user — the BOUNDED GREEDY
@@ -207,6 +250,45 @@ object Cep {
         |FROM m WHERE sym = 'view' AND next_sym = 'purchase'
         |ORDER BY user_id, start_us, end_us, n_views, views_total,
         |  purchase_value""".stripMargin,
+    "cep_pattern_optional" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS nr
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+        |g AS (
+        |  SELECT *, sum(nr) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+        |  FROM r),
+        |runs AS (
+        |  SELECT user_id, run_id, min(event_type) AS sym, count(*) AS n,
+        |    min(ts_us) AS run_start_us,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS run_total,
+        |    min_by(value, rn) AS first_value
+        |  FROM g GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, run_start_us, sym, n, run_total,
+        |    lead(sym) OVER w2 AS s1, lead(n) OVER w2 AS n1,
+        |    lead(run_start_us) OVER w2 AS t1,
+        |    lead(first_value) OVER w2 AS v1,
+        |    lead(sym, 2) OVER w2 AS s2,
+        |    lead(run_start_us, 2) OVER w2 AS t2,
+        |    lead(first_value, 2) OVER w2 AS v2
+        |  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, run_start_us AS start_us,
+        |  CASE WHEN s1 = 'purchase' THEN t1 ELSE t2 END AS end_us,
+        |  n AS n_views, run_total AS views_total,
+        |  s1 = 'click' AS via_click,
+        |  round(CASE WHEN s1 = 'purchase' THEN v1 ELSE v2 END, 2)
+        |    AS purchase_value
+        |FROM m WHERE sym = 'view' AND (s1 = 'purchase'
+        |  OR (s1 = 'click' AND n1 = 1 AND s2 = 'purchase'))
+        |ORDER BY user_id, start_us, end_us, n_views, views_total,
+        |  via_click, purchase_value""".stripMargin,
     "cep_pattern_times" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -50,6 +50,41 @@ class CepSpec extends AnyFunSuite {
     }
   }
 
+  test("pattern V+ C? P: optional single click bridged, double click " +
+      "kills the match") {
+    // user 1: V V P       -> match, via_click=false
+    // user 2: V C P       -> match, via_click=true (greedy C? consumes)
+    // user 3: V C C P     -> NO match (C? is maxed at one; the second
+    //   click blocks P and no restart inside the click run can open V+)
+    // user 4: V C V P     -> first view-run blocked (click's successor
+    //   is a view); SECOND view-run matches directly
+    val rows = Seq(
+      (1L, "2025-01-01 00:01:00", 1L, "view", 10.0),
+      (2L, "2025-01-01 00:02:00", 1L, "view", 20.0),
+      (3L, "2025-01-01 00:03:00", 1L, "purchase", 99.0),
+      (4L, "2025-01-01 00:01:00", 2L, "view", 5.0),
+      (5L, "2025-01-01 00:02:00", 2L, "click", 0.0),
+      (6L, "2025-01-01 00:03:00", 2L, "purchase", 88.0),
+      (7L, "2025-01-01 00:01:00", 3L, "view", 1.0),
+      (8L, "2025-01-01 00:02:00", 3L, "click", 0.0),
+      (9L, "2025-01-01 00:03:00", 3L, "click", 0.0),
+      (10L, "2025-01-01 00:04:00", 3L, "purchase", 77.0),
+      (11L, "2025-01-01 00:01:00", 4L, "view", 2.0),
+      (12L, "2025-01-01 00:02:00", 4L, "click", 0.0),
+      (13L, "2025-01-01 00:03:00", 4L, "view", 3.0),
+      (14L, "2025-01-01 00:04:00", 4L, "purchase", 66.0))
+    withEvents(rows) { dir =>
+      val m = ops.Cep.queries("cep_pattern_optional")(spark, dir)
+        .select("user_id", "n_views", "via_click", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getDouble(3))).toSeq
+      assert(m === Seq(
+        (1L, 2L, false, 99.0),
+        (2L, 1L, true, 88.0),
+        (4L, 1L, false, 66.0)))
+    }
+  }
+
   test("pattern V{2,4} P: bounded greedy take, boundary run lengths") {
     // user 1: run of 1 view + P  -> NO match (below the {2,_} floor)
     // user 2: run of 2 views + P -> match, both views
