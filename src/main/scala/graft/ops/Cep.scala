@@ -214,6 +214,33 @@ object Cep {
             col("next_purchase_us") >= col("ts_us") + timeoutUs))
         .select(col("user_id"), col("event_id"), col("ts_us").as("click_us"))
         .orderBy("user_id", "click_us", "event_id")
+    }),
+
+    // Flink CEP followedBy + within(24h), per event — the NON-IMMEDIATE
+    // sequence (any events may intervene, unlike the run-adjacent
+    // pattern keys): every click whose next same-user purchase lands in
+    // the open interval (t, t+24h), with the conversion gap. EXACT
+    // complement of cep_absence_timeout (same window, same strict
+    // boundaries — every click is in exactly one of the two outputs;
+    // CepSpec pins the partition corpus-wide), and the same
+    // scale-safe GROWING frame: one user-keyed desc window, O(n) per
+    // user, never a range self-join.
+    "cep_followed_within" -> ((s, d) => {
+      val strictlyLater = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"))
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .over(strictlyLater))
+        .where(col("event_type") === "click" &&
+          col("next_purchase_us") < col("ts_us") + timeoutUs)
+        .select(col("user_id"), col("event_id"),
+          col("ts_us").as("click_us"), col("next_purchase_us"),
+          (col("next_purchase_us") - col("ts_us")).as("gap_us"))
+        .orderBy("user_id", "click_us", "event_id")
     })
   )
 
@@ -338,6 +365,20 @@ object Cep {
         |SELECT user_id, event_id, ts_us AS click_us FROM x
         |WHERE event_type = 'click'
         |  AND (np IS NULL OR np >= ts_us + 86400000000::BIGINT)
+        |ORDER BY user_id, click_us, event_id""".stripMargin,
+    "cep_followed_within" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |x AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e)
+        |SELECT user_id, event_id, ts_us AS click_us,
+        |  np AS next_purchase_us, np - ts_us AS gap_us
+        |FROM x
+        |WHERE event_type = 'click' AND np < ts_us + 86400000000::BIGINT
         |ORDER BY user_id, click_us, event_id""".stripMargin
   )
 }

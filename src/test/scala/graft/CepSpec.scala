@@ -150,6 +150,23 @@ class CepSpec extends AnyFunSuite {
     }
   }
 
+  test("followedBy/absence are an exact partition of all clicks") {
+    // same window, same strict boundaries — corpus-wide, every click is
+    // in exactly one of the two outputs
+    val ev = ops.Tables.events(spark, sf)
+    val nClicks = ev.where(col("event_type") === "click").count()
+    val followed = q("cep_followed_within")
+      .select("user_id", "event_id").persist()
+    val absent = q("cep_absence_timeout").select("user_id", "event_id")
+    assert(followed.count() + absent.count() === nClicks)
+    assert(followed.join(absent, Seq("user_id", "event_id")).count() === 0)
+    // emitted gaps are strictly positive and inside the window
+    assert(q("cep_followed_within")
+      .where(col("gap_us") <= 0 || col("gap_us") >= 86400000000L)
+      .count() === 0)
+    followed.unpersist(blocking = false)
+  }
+
   test("fixture invariants: measures well-formed, matches don't overlap") {
     val m = q("cep_pattern_match").persist()
     assert(m.count() > 0)
