@@ -40,6 +40,25 @@ case class CepBufState(buf: List[BufEv], run: Option[CepRunState])
 case class CepMatch(user_id: Long, start_us: Long, end_us: Long,
     n_views: Long, views_total: Double, purchase_value: Double)
 
+/** Current run for the BOUNDED quantifier matcher (`V{lo,hi} P`): like
+  * CepRunState plus the run's last <= hi view (ts, cents) pairs — the
+  * only part of the run a bounded-greedy match can consume, so state
+  * stays O(hi) per key regardless of run length. */
+case class CepTimesRun(sym: String, n: Long, tailTs: List[Long],
+    tailCents: List[Long])
+
+case class CepTimesBufState(buf: List[BufEv], run: Option[CepTimesRun])
+
+case class CepOptMatch(user_id: Long, start_us: Long, end_us: Long,
+    n_views: Long, views_total: Double, via_click: Boolean,
+    purchase_value: Double)
+
+/** Optional-quantifier matcher state: reorder buffer, current run, and
+  * the view run PENDING across a single-click bridge (only set while
+  * the current run is a click run — the C? arm's one-lookahead). */
+case class CepOptBufState(buf: List[BufEv], run: Option[CepRunState],
+    pending: Option[CepRunState])
+
 /** One unresolved click awaiting its purchase-or-timeout verdict. */
 case class PendingClick(id: Long, clickUs: Long)
 
@@ -490,6 +509,123 @@ object Streams {
             // watermark; ms-floor still fires strictly after tsUs). A
             // run with no buffer needs no timer — it waits silently for
             // the next event, exactly like the batch form's open run.
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
+      }
+  }
+
+  /** Bounded-quantifier CEP (streaming form of `cep_pattern_times`:
+    * MATCH_RECOGNIZE `PATTERN (V{lo,hi} P)`, greedy, SKIP PAST LAST
+    * ROW). Same watermark reorder buffer and run-transition shape as
+    * `cepMatches`; the one addition is that a view run carries its
+    * last <= hi (ts, cents) pairs — exactly the slice a bounded-greedy
+    * match can consume (leftmost-earliest: the first viable start
+    * leaves min(n, hi) views before the purchase) — so per-key state
+    * stays O(hi) + O(reorder slack), never run length. A transition to
+    * purchase emits iff the closing view run reached lo. Parity with
+    * the batch op under jittered out-of-order replay is pinned in
+    * StreamingParitySpec. */
+  def cepTimes(events: Dataset[Ev], lo: Long = 2L, hi: Int = 4):
+      Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepTimesBufState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[CepTimesBufState]) =>
+          val prev = state.getOption.getOrElse(CepTimesBufState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var run = prev.run.orNull
+          val hits = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            if (run != null && run.sym == b.typ) {
+              val keepTail = run.sym == "view"
+              run = run.copy(n = run.n + 1,
+                tailTs =
+                  if (keepTail) (run.tailTs :+ b.tsUs).takeRight(hi)
+                  else run.tailTs,
+                tailCents =
+                  if (keepTail) (run.tailCents :+ b.cents).takeRight(hi)
+                  else run.tailCents)
+            } else {
+              if (run != null && run.sym == "view" &&
+                  b.typ == "purchase" && run.n >= lo)
+                hits += CepMatch(uid, run.tailTs.head, b.tsUs,
+                  math.min(run.n, hi.toLong),
+                  run.tailCents.sum / 100.0, b.cents / 100.0)
+              run = CepTimesRun(b.typ, 1L,
+                if (b.typ == "view") List(b.tsUs) else Nil,
+                if (b.typ == "view") List(b.cents) else Nil)
+            }
+          }
+          if (buf.isEmpty && run == null) state.remove()
+          else {
+            state.update(CepTimesBufState(buf, Option(run)))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
+      }
+  }
+
+  /** Optional-quantifier CEP (streaming form of `cep_pattern_optional`:
+    * MATCH_RECOGNIZE `PATTERN (V+ C? P)`, greedy, SKIP PAST LAST ROW).
+    * Same reorder-buffer scaffold as `cepMatches`; the C? arm is ONE
+    * lookahead carried as state: a view run that transitions into a
+    * click run goes PENDING, and resolves at the click run's own
+    * transition — to a purchase while the click run is still length 1
+    * (emit via_click) or to anything else / length >= 2 (discard, the
+    * batch op's dead V C C case). Direct view→purchase transitions
+    * emit as in the V+ matcher. State is O(1) runs + O(reorder slack);
+    * parity with the batch op under jittered replay is pinned in
+    * StreamingParitySpec. */
+  def cepOptional(events: Dataset[Ev]): Dataset[CepOptMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepOptBufState, CepOptMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[CepOptBufState]) =>
+          val prev = state.getOption
+            .getOrElse(CepOptBufState(Nil, None, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var run = prev.run.orNull
+          var pending = prev.pending.orNull
+          val hits = scala.collection.mutable.ArrayBuffer.empty[CepOptMatch]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            if (run != null && run.sym == b.typ)
+              run = run.copy(n = run.n + 1,
+                vsumCents = run.vsumCents + b.cents)
+            else {
+              if (run != null && run.sym == "view" && b.typ == "purchase")
+                hits += CepOptMatch(uid, run.startUs, b.tsUs, run.n,
+                  run.vsumCents / 100.0, via_click = false,
+                  b.cents / 100.0)
+              else if (run != null && run.sym == "click" && run.n == 1 &&
+                  b.typ == "purchase" && pending != null)
+                hits += CepOptMatch(uid, pending.startUs, b.tsUs,
+                  pending.n, pending.vsumCents / 100.0, via_click = true,
+                  b.cents / 100.0)
+              pending =
+                if (run != null && run.sym == "view" && b.typ == "click")
+                  run
+                else null
+              run = CepRunState(b.typ, 1L, b.tsUs, b.cents)
+            }
+          }
+          if (buf.isEmpty && run == null) state.remove()
+          else {
+            state.update(CepOptBufState(buf, Option(run), Option(pending)))
             if (buf.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 buf.map(_.tsUs).min / 1000L,

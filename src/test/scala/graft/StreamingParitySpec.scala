@@ -385,6 +385,50 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepTimes stream == cep_pattern_times batch (bounded V{2,4} P)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepTimes(
+        input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_times").outputMode("append").start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "start_us", "end_us", "n_views",
+      "views_total", "purchase_value").map(col)
+    val streamed = spark.table("cep_times")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_pattern_times").select(cols: _*)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("cepOptional stream == cep_pattern_optional batch (V+ C? P)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepOptional(
+        input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_opt").outputMode("append").start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "start_us", "end_us", "n_views",
+      "views_total", "via_click", "purchase_value").map(col)
+    val streamed = spark.table("cep_opt")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_pattern_optional").select(cols: _*)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("cepAbsence stream == cep_absence_timeout batch (per-event timers)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
