@@ -24,6 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Scans.queries ++ ops.RowOps.queries ++ ops.Joins.queries ++
+      ops.JoinsAsync.queries ++
       ops.Aggs.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Fns.queries ++ ops.Streaming.queries ++ ops.Llm.queries ++
       ops.LlmExtra.queries ++ ops.Ads.queries ++ ops.Cep.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Scans.oracleSql ++ ops.RowOps.oracleSql ++ ops.Joins.oracleSql ++
+      ops.JoinsAsync.oracleSql ++
       ops.Aggs.oracleSql ++ ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
       ops.Fns.oracleSql ++ ops.Streaming.oracleSql ++ ops.Llm.oracleSql ++
       ops.LlmExtra.oracleSql ++ ops.Ads.oracleSql ++ ops.Cep.oracleSql ++

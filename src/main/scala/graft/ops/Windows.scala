@@ -125,6 +125,29 @@ object Windows {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // DYNAMIC-gap sessionization (Flink's SessionWindowTimeGapExtractor
+    // / session_window with a per-row gap): the idle threshold that
+    // keeps a session alive depends on the PREVIOUS event — a purchase
+    // holds the session open for 1 h (checkout flows stall), anything
+    // else for 30 min. Same single keyed window pass as the fixed-gap
+    // form; only the boundary predicate consults lag(event_type). All
+    // arithmetic in integral micros, so the oracle is exact.
+    "win_session_dynamic" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(ep(col("ts")),
+        col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = ep(col("ts")) - lag(ep(col("ts")), 1).over(w)
+      val allowedUs = when(
+        lag(col("event_type"), 1).over(w) === "purchase",
+        lit(3600L * 1000000)).otherwise(lit(1800L * 1000000))
+      t(s, d, "events")
+        .withColumn("new_sess",
+          when(gapUs.isNull || gapUs > allowedUs, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), ep(col("ts")).as("ts_us"),
+          sum(col("new_sess")).over(run).as("session_n"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Share-of-total per group (the ADS "% of segment revenue" metric):
     // each order's fraction of its priority class's total. The
     // denominator accumulates in exact decimal over the partition so
@@ -275,6 +298,24 @@ object Windows {
         |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |    <= 1800000000 THEN 0 ELSE 1 END AS new_sess
         | FROM events)
+        |SELECT user_id, event_id, ts_us,
+        | CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_n
+        |FROM g ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "win_session_dynamic" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lag(event_type, 1) OVER w AS prev_type
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN gap_us IS NULL OR gap_us >
+        |    (CASE WHEN prev_type = 'purchase' THEN 3600000000
+        |          ELSE 1800000000 END)
+        |   THEN 1 ELSE 0 END AS new_sess
+        | FROM l)
         |SELECT user_id, event_id, ts_us,
         | CAST(sum(new_sess) OVER (PARTITION BY user_id
         |   ORDER BY ts_us, event_id
