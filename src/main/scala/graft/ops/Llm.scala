@@ -189,6 +189,39 @@ object Llm {
 
     // Vector column family: L2 norm, first normalized component, dim —
     // via the native codegen'd graft_l2norm expression.
+    // Per-vector INT8 min-max quantization — the storage/bandwidth
+    // path a 100 TB embedding store actually serves from (IVF cell +
+    // quantized codes; the exact-float column stays only for rerank):
+    // q_i = round((x_i - mn)·254/(mx - mn)) - 127 ∈ [-127, 127], plus
+    // the reconstruction error bound that makes the trade auditable.
+    // Pure map-side HOFs. Oracle-exempt: the q values are double
+    // round-to-int ties, where Spark (HALF_UP) and DuckDB can disagree
+    // on one-ulp boundaries; the properties that matter — error bound
+    // ≤ scale/2, exact reconstruction at the extremes, determinism —
+    // are pinned in LlmSpec instead.
+    "llm_embed_quantize" -> ((s, d) => {
+      val e = toDouble(col("embedding"))
+      val mn = array_min(col("v")); val mx = array_max(col("v"))
+      val scale = (mx - mn) / 254.0
+      val q = transform(col("v"), x =>
+        when(mx === mn, lit(0))
+          .otherwise((round((x - mn) / scale) - 127).cast("int")))
+      val recon = transform(col("q"), qi =>
+        col("mn") + (qi + 127).cast("double") * col("scale"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), e.as("v"))
+        .select(col("vec_id"), col("v"), mn.as("mn"), mx.as("mx"),
+          scale.as("scale"))
+        .select(col("vec_id"), col("v"), col("mn"), col("mx"),
+          col("scale"), q.as("q"))
+        .select(col("vec_id"), size(col("q")).as("dim"), col("q"),
+          round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+          round(aggregate(zip_with(col("v"), recon, (a, b) =>
+            abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)), 6)
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     "llm_embed_norm" -> ((s, d) => {
       val e = toDouble(col("embedding"))
       t(s, d, "embeddings")

@@ -7,6 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class LlmSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("embed_quantize: codes in [-127,127], error within half a step, " +
+      "extremes reconstruct exactly") {
+    val df = q("llm_embed_quantize").persist()
+    assert(df.count() > 0)
+    // int8 range and full dimensionality
+    assert(df.where(exists(col("q"),
+      qi => qi < -127 || qi > 127)).count() === 0)
+    assert(df.where(col("dim") =!= 64).count() === 0)
+    // round-to-nearest bound: |x - reconstruct(x)| <= step/2; max_err
+    // is reported rounded to 6 dp (and mn/mx likewise), so the slack
+    // must cover that reporting granularity, not just float noise
+    assert(df.where(col("max_err") >
+      (col("mx") - col("mn")) / 254.0 / 2.0 + 2e-6).count() === 0)
+    // the extremes map to the end codes, so they reconstruct exactly:
+    // min -> -127, max -> +127 must both be present in every vector
+    // with a nonzero range
+    assert(df.where(col("mx") > col("mn") &&
+      (!array_contains(col("q"), -127) ||
+        !array_contains(col("q"), 127))).count() === 0)
+    df.unpersist(blocking = false)
+  }
+
   test("embed_norm: norms positive, first_unit within [-1, 1]") {
     val df = q("llm_embed_norm")
     assert(df.where(col("l2_norm") <= 0).count() === 0)
