@@ -471,6 +471,43 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("cep_pattern_times / cep_pattern_optional: windows only, no " +
+      "self-join, no single partition") {
+    Seq("cep_pattern_times", "cep_pattern_optional").foreach { k =>
+      val p = plan(q(k))
+      assert(!p.contains("Join"), s"$k: ${p.take(2000)}")
+      assert(p.contains("Window"), s"$k: ${p.take(2000)}")
+      assert(!p.contains("SinglePartition"), s"$k: ${p.take(2000)}")
+    }
+  }
+
+  test("merge_upsert: both latest-image windows and the full-outer join " +
+      "share the user_id partitioning — no cartesian, no re-shuffle") {
+    val p = plan(q("merge_upsert"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // two window sorts + one SMJ, all clustered on user_id: the only
+    // hash exchanges are the two initial per-side shuffles (plus none
+    // for the join, which reuses them)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+      p.take(3000))
+  }
+
+  test("fn_rules_apply: the rules relation broadcasts — the events fact " +
+      "side never shuffles") {
+    val p = plan(q("fn_rules_apply"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("win_session_dynamic: one user-keyed window pass, like the " +
+      "fixed-gap form") {
+    val p = plan(q("win_session_dynamic"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("graph_pagerank: one iteration = one keyed shuffle over an equi " +
       "join with partial aggregation (asserted pre-checkpoint)") {
     // the shipped query localCheckpoints each round (lineage), which
