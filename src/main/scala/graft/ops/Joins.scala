@@ -87,6 +87,32 @@ object Joins {
         .orderBy("view_id", "click_id")
     }),
 
+    // LEFT OUTER interval join (Flink's outer interval join): every
+    // view survives — clicked-through views pair with each click in
+    // [v, v+15min], the rest emit once with a NULL click. Same equi
+    // key + range residual as `join_interval` (the streaming form,
+    // `Streams.intervalJoinOuter`, emits the null row only once the
+    // watermark closes the view's window — the Flink cleanup-timer
+    // semantics; parity-tested against this op). -1 stands in for the
+    // NULL click id so the output key stays non-null for ordering.
+    "join_interval_left" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      v.join(c, col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 15 minutes"),
+          "left")
+        .select(col("view_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("v_user").as("user_id"))
+        .orderBy("view_id", "click_id")
+    }),
+
     // The interval join re-keyed for 100 TB: the plain formulation's
     // equi key is user_id alone, so one hot user (a bot, a null-ish
     // default id) turns its partition into views×clicks pairs with the
@@ -304,6 +330,14 @@ object Joins {
         | v.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type='view') v
         |JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    "join_interval_left" ->
+      """SELECT v.event_id AS view_id,
+        | coalesce(c.event_id, -1) AS click_id, v.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type='view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,

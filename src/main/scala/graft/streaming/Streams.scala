@@ -271,6 +271,33 @@ object Streams {
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (Flink's outer interval
+    * join; batch form = `join_interval_left`): clicked-through views
+    * emit eagerly per matching click, and a view with NO click in its
+    * 15-minute window emits ONCE with a null click — but only after
+    * the watermark proves no matching click can still arrive (Spark
+    * holds outer-side state until the join condition's time bound
+    * passes the watermark, exactly Flink's cleanup-timer semantics;
+    * that's why both sides must be watermarked). NULL-vs--1: the null
+    * surfaces here as a real SQL NULL; the batch op coalesces to -1
+    * for oracle ordering, so the parity test maps one onto the other. */
+  def intervalJoinOuter(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 15 minutes"),
+      "leftOuter")
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+  }
+
   /** Stream-stream window join (Flink window join analog of
     * `join_windowed`): both sides bucketed into the same tumbling
     * window, joined on (key, window). Watermarks let the engine drop a

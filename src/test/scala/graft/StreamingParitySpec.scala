@@ -229,6 +229,41 @@ class StreamingParitySpec extends AnyFunSuite {
       .count() === batch.count())
   }
 
+  test("stream-stream LEFT OUTER interval join == batch " +
+      "join_interval_left (null row only after watermark closes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val joined = Streams.intervalJoinOuter(input.toDS().toDF())
+    val query = joined.writeStream.format("memory").queryName("ivjoin_l")
+      .outputMode("append").start()
+    allEvents.grouped((allEvents.size + 2) / 3)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // the null rows for trailing views only emit once the watermark
+    // passes their window bound — and the GLOBAL watermark is the MIN
+    // across both inputs, so the view-typed flush sentinel alone
+    // leaves the click side (and with it the last unclicked views)
+    // unflushed: push a click sentinel too (same -1 key; the sentinel
+    // pair's join row carries view_id -1 and is filtered below)
+    flushWatermark(input, query)
+    val flushUs = allEvents.map(_.ts_us).max + 31L * 24 * 3600 * 1000000
+    input.addData(Ev(-2L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "click", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("ivjoin_l")
+      .where(col("view_id") =!= -1L)
+      .select(col("view_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("user_id"))
+    val batch = q("join_interval_left")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("view_id", "click_id", "user_id"))
+      .count() === batch.count())
+    // the outer semantics actually exercised: some views go unclicked
+    assert(streamed.where(col("click_id") === -1L).count() > 0)
+  }
+
   test("stream-stream window join == batch join_windowed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
