@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Hot-KEY rehearsal (round-10 verdict items 1-3): the three operators
-  * whose round-9 plans had skew hazards — `cep_absence_timeout`
-  * (unbounded-following frame → O(n²) per user), `ads_attribution`
-  * (user-only join key → clicks-ever fan-in), `llm_dedup_substring`
-  * (gram-keyed window → full hot-gram partition in one task) — timed on
+/** Hot-KEY rehearsal (round-10 verdict items 1-3 + the round-11
+  * outer-interval-join fix): the operators whose earlier plans had skew
+  * hazards — `cep_absence_timeout` (unbounded-following frame → O(n²)
+  * per user), `ads_attribution` (user-only join key → clicks-ever
+  * fan-in), `llm_dedup_substring` (gram-keyed window → full hot-gram
+  * partition in one task), `join_interval_left_bucketed` (user-only
+  * outer interval key → views×clicks on one bot user) — timed on
   * PURPOSE-BUILT skewed fixtures at two sizes, 10× apart. The fixed
   * plans are linear in the hot key's row count, so t(x10) must stay
   * ~10× t(x1) (the quadratic frame alone would be 100×: a 10⁵-event
@@ -16,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Fixtures (deterministic, no RNG):
   *  - events: ONE bot user (user_id 1) with nHot clicks spread over
-  *    300 days plus 50 purchases and background traffic from 1 000
-  *    normal users — per-72 h-window click density is nHot/100, so the
+  *    300 days plus nHot/2 interleaved views, 50 purchases and
+  *    background traffic from 1 000 normal users — per-72 h-window
+  *    click density is nHot/100, so the
   *    bucketed attribution join's per-key fan-in is ~nHot/50 while the
   *    unbucketed formulation's was 50·nHot; the absence scan sees one
   *    nHot-row user partition.
@@ -44,6 +47,15 @@ object SkewRehearsal {
       (i.toLong, ts, 1L, if (isPurch) "purchase" else "click",
         if (isPurch) 25.0 else 0.0)
     }
+    // bot views interleaved between the clicks (distinct ids): the
+    // outer interval join's hazard is views×clicks on ONE user — the
+    // bucketed formulation's per-key fan-in stays at Δ-window density
+    // (~2 clicks per 15-min bucket here) while the user-keyed plan
+    // would build (nHot/2)·nHot candidate pairs before filtering
+    val hotViews = s.range(nHot / 2).map { i =>
+      val ts = base + (2 * i + 1) * (span / nHot) - (span / nHot) / 2
+      (500000L + i, ts, 1L, "view", 0.0)
+    }
     val bg = s.range(50000).map { i =>
       val ts = base + (i * 518400L + 7L) % span // co-prime stride
       val uid = 2L + i % 1000
@@ -52,7 +64,8 @@ object SkewRehearsal {
       }
       (1000000L + i, ts, uid, kind, if (kind == "purchase") 10.0 else 0.0)
     }
-    hot.union(bg).toDF("event_id", "tsl", "user_id", "event_type", "value")
+    hot.union(hotViews).union(bg)
+      .toDF("event_id", "tsl", "user_id", "event_type", "value")
       .select(col("event_id"), timestamp_micros(col("tsl")).as("ts"),
         col("user_id"), col("event_type"), col("value"),
         lit("{}").as("props"))
@@ -78,7 +91,10 @@ object SkewRehearsal {
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
-    val root = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    // _v2 suffix: the fixture gained hot-user views in round 11 and the
+    // synth step skips dirs with a _SUCCESS marker, so a version bump is
+    // what invalidates fixtures left by earlier rounds
+    val root = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew_v2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,10 +104,16 @@ object SkewRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ops = Seq("cep_absence_timeout", "ads_attribution",
-      "llm_dedup_substring")
-    // warmup (codegen + reader init outside the timed region)
+      "llm_dedup_substring", "join_interval_left_bucketed")
+    // warmup (codegen + reader init outside the timed region) runs
+    // against the FIRST mult's own synthesized fixture — it exists by
+    // construction, unlike a hardcoded corpus path that silently makes
+    // the first timed op absorb the init cost on boxes without it
+    val warmDir = s"$root/x${mults.head}"
+    synthEvents(spark, warmDir, 10000L * mults.head)
+    synthDocs(spark, warmDir, 10000L * mults.head)
     try SparkEntry.queries("cep_absence_timeout")(
-      spark, "/root/testdata/sf0.01").write.mode("overwrite")
+      spark, warmDir).write.mode("overwrite")
       .format("noop").save()
     catch { case _: Throwable => () }
     val lines = mults.map { mult =>

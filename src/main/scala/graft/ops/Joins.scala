@@ -95,6 +95,11 @@ object Joins {
     // watermark closes the view's window — the Flink cleanup-timer
     // semantics; parity-tested against this op). -1 stands in for the
     // NULL click id so the output key stays non-null for ordering.
+    // DIDACTIC BASELINE like `join_interval`: the equi key is user_id
+    // alone, so one hot user makes its partition views×clicks before
+    // the range residual filters — `join_interval_left_bucketed` below
+    // is the skew-proof production formulation (same rows, same
+    // oracle).
     "join_interval_left" -> ((s, d) => {
       val ev = t(s, d, "events")
       val v = ev.where(col("event_type") === "view")
@@ -140,6 +145,45 @@ object Joins {
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("interval 15 minutes"))
         .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+        .orderBy("view_id", "click_id")
+    }),
+
+    // The OUTER interval join re-keyed for 100 TB (the bucketed sibling
+    // of `join_interval_left`, exactly as `join_interval_bucketed` is
+    // to `join_interval`): the inner pairs come from the same
+    // (user, Δ-bucket) equi key — the view side explodes into its own
+    // and the next 15-min bucket, a click matches in exactly ONE bucket
+    // so matched pairs are emitted once — and the NULL row comes from a
+    // per-view match count over the pre-exploded left join: a view
+    // whose every bucket row missed keeps exactly one of its two null
+    // rows (the own-bucket one). The count window partitions on
+    // view_id — a unique, uniformly distributed key — so no step of the
+    // plan funnels a hot user through one task: per-key join fan-in is
+    // bounded by Δ-window click density, and the widest per-view
+    // partition is that view's own match list. Row-identical to
+    // join_interval_left (same oracle SQL).
+    "join_interval_left_bucketed" -> ((s, d) => {
+      val bkt = 900L * 1000000L // Δ = 15 min, in micros
+      val ev = t(s, d, "events")
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"), floor(ep(col("ts")) / bkt).as("vb"))
+        .select(col("v_user"), col("view_id"), col("v_ts"), col("vb"),
+          explode(array(col("vb"), col("vb") + 1)).as("b"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"), floor(ep(col("ts")) / bkt).as("cb"))
+      val perView = Window.partitionBy("view_id")
+      v.join(c, col("v_user") === col("c_user") && col("b") === col("cb") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 15 minutes"),
+          "left")
+        .withColumn("n_match", count(col("click_id")).over(perView))
+        .where(col("click_id").isNotNull ||
+          (col("n_match") === 0 && col("b") === col("vb")))
+        .select(col("view_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("v_user").as("user_id"))
         .orderBy("view_id", "click_id")
     }),
 
@@ -334,6 +378,16 @@ object Joins {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
     "join_interval_left" ->
+      """SELECT v.event_id AS view_id,
+        | coalesce(c.event_id, -1) AS click_id, v.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type='view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    // identical semantics to join_interval_left by construction — the
+    // oracle is the same outer range-join SQL; only the plan differs
+    "join_interval_left_bucketed" ->
       """SELECT v.event_id AS view_id,
         | coalesce(c.event_id, -1) AS click_id, v.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type='view') v

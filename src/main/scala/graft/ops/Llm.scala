@@ -198,7 +198,12 @@ object Llm {
     // round-to-int ties, where Spark (HALF_UP) and DuckDB can disagree
     // on one-ulp boundaries; the properties that matter — error bound
     // ≤ scale/2, exact reconstruction at the extremes, determinism —
-    // are pinned in LlmSpec instead.
+    // are pinned in LlmSpec instead. The codes dump as ONE deterministic
+    // CSV string (`q_csv`) rather than an int array: the driver's
+    // verification sorts the dumped frame in pandas, and an ndarray
+    // cell in the sort path is unhashable — the round-10 artifact crash
+    // (LlmSpec splits the string back to ints for its properties; a
+    // consumer wanting the array applies the same one-line split).
     "llm_embed_quantize" -> ((s, d) => {
       val e = toDouble(col("embedding"))
       val mn = array_min(col("v")); val mx = array_max(col("v"))
@@ -214,7 +219,8 @@ object Llm {
           scale.as("scale"))
         .select(col("vec_id"), col("v"), col("mn"), col("mx"),
           col("scale"), q.as("q"))
-        .select(col("vec_id"), size(col("q")).as("dim"), col("q"),
+        .select(col("vec_id"), size(col("q")).as("dim"),
+          concat_ws(",", col("q")).as("q_csv"),
           round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
           round(aggregate(zip_with(col("v"), recon, (a, b) =>
             abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)), 6)

@@ -9,12 +9,19 @@ class LlmSpec extends AnyFunSuite {
 
   test("embed_quantize: codes in [-127,127], error within half a step, " +
       "extremes reconstruct exactly") {
-    val df = q("llm_embed_quantize").persist()
+    // the op dumps codes as a CSV string (pandas-sortable); the
+    // properties check the recovered int array
+    val df = q("llm_embed_quantize")
+      .withColumn("q", transform(split(col("q_csv"), ","),
+        x => x.cast("int")))
+      .persist()
     assert(df.count() > 0)
-    // int8 range and full dimensionality
+    // int8 range and full dimensionality (a non-numeric token would
+    // cast to null — exists() treats null as false, so pin those too)
     assert(df.where(exists(col("q"),
-      qi => qi < -127 || qi > 127)).count() === 0)
-    assert(df.where(col("dim") =!= 64).count() === 0)
+      qi => qi.isNull || qi < -127 || qi > 127)).count() === 0)
+    assert(df.where(col("dim") =!= 64 ||
+      size(col("q")) =!= col("dim")).count() === 0)
     // round-to-nearest bound: |x - reconstruct(x)| <= step/2; max_err
     // is reported rounded to 6 dp (and mn/mx likewise), so the slack
     // must cover that reporting granularity, not just float noise

@@ -58,6 +58,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("join_interval_left_bucketed: outer join carries the bucket key " +
+      "and the null-row window partitions on view_id") {
+    val p = plan(q("join_interval_left_bucketed"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // like join_interval_bucketed, the equi keys must include the
+    // Δ-bucket, not just the user — that is the skew fix
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("v_user")).toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("b#")),
+      p.take(3000))
+    // the match-count window must partition on the unique view_id, and
+    // nothing in the plan may run a single global partition
+    val winLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("view_id")),
+      p.take(3000))
+  }
+
   test("llm_similarity_knn broadcasts the query side") {
     val p = plan(q("llm_similarity_knn"))
     // non-equi (q_id != vec_id) join with a 5-row broadcast side: BNLJ
