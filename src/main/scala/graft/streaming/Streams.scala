@@ -70,6 +70,9 @@ case class AbsenceBufState(buf: List[BufEv], pending: List[PendingClick])
 
 case class AbsenceHit(user_id: Long, event_id: Long, click_us: Long)
 
+case class FollowedHit(user_id: Long, event_id: Long, click_us: Long,
+    next_purchase_us: Long, gap_us: Long)
+
 /** SURVEY.md §2.8 — the real Structured Streaming wrappers. Each shares
   * its column expressions with the batch form in `graft.ops.Streaming`
   * (same logical op, incrementalized), the Spark analog of the genre's
@@ -280,7 +283,19 @@ object Streams {
     * passes the watermark, exactly Flink's cleanup-timer semantics;
     * that's why both sides must be watermarked). NULL-vs--1: the null
     * surfaces here as a real SQL NULL; the batch op coalesces to -1
-    * for oracle ordering, so the parity test maps one onto the other. */
+    * for oracle ordering, so the parity test maps one onto the other.
+    *
+    * Skew note (why this form does NOT need the batch sibling
+    * `join_interval_left_bucketed`'s (user, Δ-bucket) key): the batch
+    * hazard is a hot user's views×clicks-EVER fan-in, but stream-state
+    * here is watermark-bounded — each side retains only rows inside
+    * the 15-min join range plus the 10-min slack, so a hot user's
+    * state is capped at its ~25-min event volume by construction, the
+    * same Δ-window density bound the batch bucketing imposes. (An
+    * exploded-bucket key is also semantically unavailable to the
+    * streaming OUTER join: the two bucket rows of an unmatched view
+    * would each emit a null row, and the batch form's match-count
+    * dedup window has no append-mode streaming equivalent.) */
   def intervalJoinOuter(events: DataFrame): DataFrame = {
     val v = events.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -719,6 +734,64 @@ object Streams {
               state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
+      }
+  }
+
+  /** Per-event conversion CEP (streaming form of `cep_followed_within`:
+    * `click followedBy purchase within(T)`, evaluated at EVERY click) —
+    * the EMIT-ON-RESOLUTION half of the exact pending-click state
+    * machine `cepAbsence` runs (same reorder buffer, same pending list,
+    * same open-interval time semantics; a click lands in exactly one of
+    * the two outputs). The roles swap: here a purchase at p RESOLVES
+    * every pending click with click < p < click + T and emits
+    * (click, purchase, gap) immediately — the batch op's "min purchase
+    * strictly after me" falls out of in-order draining, since the first
+    * qualifying purchase to drain claims the click — while a deadline
+    * passing the watermark drops the click silently (that click belongs
+    * to the absence stream). State bounds are identical to cepAbsence:
+    * O(events in one watermark slack) + O(unresolved clicks inside one
+    * timeout window) per key, one collapsed event-time timer. Requires
+    * `withWatermark` on the input. */
+  def cepFollowed(events: Dataset[Ev], timeoutUs: Long):
+      Dataset[FollowedHit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceBufState, FollowedHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[AbsenceBufState]) =>
+          val prev = state.getOption.getOrElse(AbsenceBufState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, 0L)))
+            .partition(_.tsUs <= wmUs)
+          var pend = prev.pending
+          val hits = scala.collection.mutable.ListBuffer.empty[FollowedHit]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            if (b.typ == "click")
+              pend = pend :+ PendingClick(b.id, b.tsUs)
+            else {
+              val (resolved, rest) = pend.partition(p =>
+                p.clickUs < b.tsUs && b.tsUs < p.clickUs + timeoutUs)
+              resolved.sortBy(p => (p.clickUs, p.id)).foreach(p =>
+                hits += FollowedHit(uid, p.id, p.clickUs, b.tsUs,
+                  b.tsUs - p.clickUs))
+              pend = rest
+            }
+          }
+          // deadlines the watermark has passed: these clicks converted
+          // to nothing — they are the absence stream's rows, drop them
+          val keep = pend.filterNot(p => p.clickUs + timeoutUs <= wmUs)
+          if (buf.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(AbsenceBufState(buf, keep))
+            state.setTimeoutTimestamp(math.max(
+              (buf.map(_.tsUs) ++ keep.map(_.clickUs + timeoutUs))
+                .min / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
       }
   }
 

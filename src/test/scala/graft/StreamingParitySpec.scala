@@ -492,6 +492,36 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepFollowed stream == cep_followed_within batch (emit on " +
+      "purchase arrival with the gap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepFollowed(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev],
+      timeoutUs = 86400000000L).writeStream
+      .format("memory").queryName("cep_followed").outputMode("append")
+      .start()
+    // same jittered out-of-order replay as the cepAbsence test: a
+    // purchase arriving before its earlier-timestamped click must still
+    // claim it through the reorder buffer
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    // flush sentinel: trailing pending clicks must NOT emit here — an
+    // unresolved click past its deadline belongs to the absence stream
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "event_id", "click_us",
+      "next_purchase_us", "gap_us").map(col)
+    val streamed = spark.table("cep_followed")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_followed_within").select(cols: _*)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
     import spark.implicits._
     // restrict the dim so the lookup-miss path actually occurs (every
