@@ -216,6 +216,32 @@ object Cep {
         .orderBy("user_id", "click_us", "event_id")
     }),
 
+    // Flink CEP notNext — the IMMEDIATE negation, the last standard
+    // quantifier ("view NOT immediately followed by click": e.g. a
+    // product impression that failed to draw the next action). TRUE
+    // per-event Flink semantics: begin("V").notNext("C") matches EVERY
+    // view whose immediately-next same-user event is not a click — a
+    // view mid-run matches too (its successor is a view), and the last
+    // event of a user's stream matches vacuously (no next event can be
+    // a click). One lead() over the shared (user, ts, id) ordering —
+    // a single user-keyed shuffle, O(n) per user, no run table and no
+    // self-join; `followed_by` reports the successor symbol ('none' at
+    // end-of-stream) so downstream can split the vacuous tail out.
+    "cep_pattern_not_next" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"))
+        .withColumn("next_sym", lead(col("event_type"), 1).over(byUser))
+        .where(col("event_type") === "view" &&
+          (col("next_sym").isNull || col("next_sym") =!= "click"))
+        .select(col("user_id"), col("event_id"),
+          col("ts_us").as("view_us"),
+          coalesce(col("next_sym"), lit("none")).as("followed_by"))
+        .orderBy("user_id", "view_us", "event_id")
+    }),
+
     // Flink CEP followedBy + within(24h), per event — the NON-IMMEDIATE
     // sequence (any events may intervene, unlike the run-adjacent
     // pattern keys): every click whose next same-user purchase lands in
@@ -366,6 +392,18 @@ object Cep {
         |WHERE event_type = 'click'
         |  AND (np IS NULL OR np >= ts_us + 86400000000::BIGINT)
         |ORDER BY user_id, click_us, event_id""".stripMargin,
+    "cep_pattern_not_next" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_sym
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us AS view_us,
+        |  coalesce(next_sym, 'none') AS followed_by
+        |FROM e
+        |WHERE event_type = 'view'
+        |  AND (next_sym IS NULL OR next_sym <> 'click')
+        |ORDER BY user_id, view_us, event_id""".stripMargin,
     "cep_followed_within" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

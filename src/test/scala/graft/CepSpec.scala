@@ -150,6 +150,36 @@ class CepSpec extends AnyFunSuite {
     }
   }
 
+  test("notNext: per-event immediate negation, vacuous at end of stream") {
+    // user 1: V C V V P V     -> event 1 excluded (next is click);
+    //   3 matches: event 3 (next view), event 4 (next purchase),
+    //   event 6 (end of stream, vacuous 'none')
+    // user 2: C V             -> event 14 matches vacuously
+    // ties: user 3 has V and C at the SAME timestamp — event_id breaks
+    //   the tie, so the view (lower id) IS immediately followed by the
+    //   click and must not match; the click's successor view matches
+    val rows = Seq(
+      (1L, "2025-01-01 00:01:00", 1L, "view", 1.0),
+      (2L, "2025-01-01 00:02:00", 1L, "click", 0.0),
+      (3L, "2025-01-01 00:03:00", 1L, "view", 2.0),
+      (4L, "2025-01-01 00:04:00", 1L, "view", 3.0),
+      (5L, "2025-01-01 00:05:00", 1L, "purchase", 9.0),
+      (6L, "2025-01-01 00:06:00", 1L, "view", 4.0),
+      (13L, "2025-01-02 00:01:00", 2L, "click", 0.0),
+      (14L, "2025-01-02 00:02:00", 2L, "view", 5.0),
+      (20L, "2025-01-03 00:01:00", 3L, "view", 6.0),
+      (21L, "2025-01-03 00:01:00", 3L, "click", 0.0),
+      (22L, "2025-01-03 00:02:00", 3L, "view", 7.0))
+    withEvents(rows) { dir =>
+      val m = ops.Cep.queries("cep_pattern_not_next")(spark, dir)
+        .select("user_id", "event_id", "followed_by")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq
+      assert(m === Seq((1L, 3L, "view"), (1L, 4L, "purchase"),
+        (1L, 6L, "none"), (2L, 14L, "none"), (3L, 22L, "none")))
+    }
+  }
+
   test("followedBy/absence are an exact partition of all clicks") {
     // same window, same strict boundaries — corpus-wide, every click is
     // in exactly one of the two outputs
