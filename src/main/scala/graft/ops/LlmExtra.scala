@@ -1441,6 +1441,40 @@ object LlmExtra {
             col("n_alpha").cast("double") / col("n") >= 0.8 &&
             col("n_stop") >= 2).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Model-based quality filter — the fastText/CCNet-style linear
+    // classifier that complements the RULE-based `llm_quality_gopher`:
+    // each token hashes into one of 64 feature buckets, a fixed weight
+    // table scores the bucket, and the doc's mean weight passes through
+    // a sigmoid. The production shape is exactly this but with learned
+    // weights broadcast to executors (64 ints here; 2M-bucket fastText
+    // weights broadcast identically) — entirely map-side, no shuffle,
+    // no model server. Everything before the sigmoid is INTEGER-exact
+    // so the oracle reproduces it bit-for-bit: the bucket hash is
+    // char-arithmetic (first/last code point + length — the hashing
+    // trick needs any deterministic hash, and this one both engines
+    // compute identically), weights are tenths in [-1, 1] stored ×10,
+    // and `keep` compares the integer weight sum against 0 (≡ score
+    // ≥ 0.5 by sigmoid monotonicity) so no float boundary can flip it.
+    "llm_quality_classifier" -> ((s, d) => {
+      def bucket(t: Column): Column =
+        pmod(ascii(t) * 31 +
+          ascii(t.substr(length(t), lit(1))) * 7 + length(t), lit(64))
+      def wTenths(t: Column): Column =
+        (pmod(bucket(t) * 37, lit(21)) - 10).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(toks(col("text")), tk => length(tk) > 0).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"), size(col("tk")).as("n_toks"),
+          aggregate(col("tk"), lit(0L), (acc, tk) => acc + wTenths(tk))
+            .as("w_sum"))
+        .select(col("doc_id"), col("n_toks"), col("w_sum"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("w_sum") / (col("n_toks") * 10.0)))), 4).as("score"),
+          (col("w_sum") >= 0).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1909,6 +1943,27 @@ object LlmExtra {
         |  AND swl::DOUBLE / n BETWEEN 3.0 AND 10.0
         |  AND n_alpha::DOUBLE / n >= 0.8
         |  AND n_stop >= 2) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // same integer-exact hash/weight arithmetic as the Spark op; only
+    // the final sigmoid is float, rounded on both engines
+    "llm_quality_classifier" ->
+      """WITH tk AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((ascii(t) * 31 + ascii(substr(t, length(t), 1)) * 7
+        |      + length(t)) % 64) AS b
+        |  FROM tk),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+        |    CAST(sum((b * 37) % 21 - 10) AS BIGINT) AS w_sum
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_toks, w_sum,
+        |  round(1.0 / (1.0 + exp(-(w_sum / (n_toks * 10.0)))), 4) AS score,
+        |  w_sum >= 0 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -89,6 +89,38 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(recall2 > 0.0)
   }
 
+  test("quality classifier: hand-scored fixture, integer weight sum, " +
+      "sigmoid score, keep threshold at w_sum = 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    // hand-computed buckets/weights for the op's hash:
+    //   b(t) = (ascii(first)*31 + ascii(last)*7 + len) % 64
+    //   w(b) = (b*37) % 21 - 10   (tenths)
+    // "ab": (97*31+98*7+2)%64 = 3695%64 = 47 -> w = (1739%21)-10 = +7
+    // "ba": (98*31+97*7+2)%64 = 3719%64 =  7 -> w = (259%21)-10  = -3
+    // "q":  (113*31+113*7+1)%64 = 4295%64 = 7 -> w = -3
+    // "a":  (97*31+97*7+1)%64 = 3687%64 = 39 -> w = (1443%21)-10 = +5
+    // "aq": (97*31+113*7+2)%64 = 3800%64 = 24 -> w = (888%21)-10 = -4
+    Seq(
+      (0L, "s", "ab ba"),        // w_sum 7-3 = 4          -> keep
+      (1L, "s", "ba q q"),       // w_sum -9               -> drop
+      (2L, "s", "a a ba q aq"),  // w_sum 5+5-3-3-4 = 0    -> keep (boundary)
+      (3L, "s", "ab  ba"))       // double space: empty token filtered, = doc 0
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("llm_quality_classifier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // score checks: sigmoid(4/20)=0.5498; sigmoid(-9/30)=0.4256;
+    // sigmoid(0)=0.5 with keep TRUE at the boundary
+    assert(got.toSeq === Seq(
+      (0L, 2, 4L, 0.5498, true),
+      (1L, 3, -9L, 0.4256, false),
+      (2L, 5, 0L, 0.5, true),
+      (3L, 2, 4L, 0.5498, true)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("substring dedup: cross-doc shared span found at exact token " +
       "bounds; within-doc repeat found; unique docs silent") {
     import spark.implicits._
