@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * relational is strictly better; this op covers the case it can't.
   *
   * Scale shape: `mapPartitions` (the documented last-resort seam, same
-  * as the multimodal codecs) with micro-batches of `Cap` in-flight
-  * futures on the shared EC — per-partition memory is O(Cap), the
-  * iterator never materializes, and the stub's map rides an actual
-  * Spark broadcast exactly like a connection-config handle would. */
+  * as the multimodal codecs) with a SLIDING window of `Cap` in-flight
+  * futures on the shared EC — fire on pull, await only the oldest —
+  * so per-partition memory is O(Cap), the iterator never materializes,
+  * one stalled lookup never empties the pipeline behind it (the
+  * orderedWait capacity model, not a batch barrier), and the stub's
+  * map rides an actual Spark broadcast exactly like a
+  * connection-config handle would. A single lookup exceeding the 60 s
+  * await still fails the task — the deliberate Flink `timeout`
+  * analog. */
 object JoinsAsync {
   import Tables._
 
@@ -46,18 +51,30 @@ object JoinsAsync {
           import scala.concurrent.duration._
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.global
-          it.grouped(Cap).flatMap { batch =>
-            // fire Cap concurrent "requests", await the batch — the
-            // orderedWait shape (emission order preserved; unordered
-            // would need the id carried through, which it is)
-            val inFlight = batch.map { case (ck, nk) =>
-              Future {
-                // stubbed remote call: deterministic answer, the
-                // latency a real service would add overlaps here
-                (ck, svc.value.getOrElse(nk, "UNKNOWN"))
+          // TRUE sliding in-flight window (Flink orderedWait's capacity
+          // model, not a batch barrier): keep up to Cap futures live,
+          // awaiting only the OLDEST as each new one is fired — a slow
+          // lookup delays emission but never stops the other Cap-1
+          // requests from being in flight behind it, so total latency
+          // tracks the per-lookup maximum, not the sum of per-batch
+          // maxima. Emission order = input order (orderedWait).
+          new Iterator[(Long, String)] {
+            private val inFlight =
+              scala.collection.mutable.Queue.empty[Future[(Long, String)]]
+            private def fill(): Unit =
+              while (inFlight.size < Cap && it.hasNext) {
+                val (ck, nk) = it.next()
+                inFlight.enqueue(Future {
+                  // stubbed remote call: deterministic answer, the
+                  // latency a real service would add overlaps here
+                  (ck, svc.value.getOrElse(nk, "UNKNOWN"))
+                })
               }
+            def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+            def next(): (Long, String) = {
+              fill()
+              Await.result(inFlight.dequeue(), 60.seconds)
             }
-            Await.result(Future.sequence(inFlight), 60.seconds)
           }
         }
         .toDF("c_custkey", "n_name")

@@ -63,13 +63,36 @@ object SnapshotTable {
     s.read.parquet(s"$root/v=$v")
   }
 
+  /** A marker-less `v=N` dir older than this is an orphan from a
+    * commit that died between its rename and its marker create — no
+    * in-flight commit can still be publishing it (rename is atomic;
+    * only the sub-second marker create follows), so it is garbage. The
+    * gate only throttles DELETION; version numbering skips past
+    * orphans of any age, so a fresh one never wedges the table. */
+  private val orphanGateMs = 15L * 60 * 1000
+
+  /** All `v=N` numbers present on disk, committed or not. */
+  private def allVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+  }
+
   /** Commit `transform(current)` as the next version; returns it.
     * The new image is STAGED under a unique name (never at a `v=` path
     * another commit could target), then published by rename only after
     * re-checking the base is still current — so a lost race fails
-    * loudly at the re-check, the rename (destination taken), or the
-    * exclusive marker create, and can never clobber the winner's
-    * files. A failed commit leaves at most an invisible staging dir. */
+    * loudly at the re-check, the landing check after the rename (a
+    * Hadoop rename onto an EXISTING dir "succeeds" by moving the stage
+    * INSIDE it — the loser detects the nesting, removes its stage, and
+    * throws the documented conflict), or the exclusive marker create,
+    * and can never clobber the winner's files. A failed commit leaves
+    * at most an invisible staging dir — or a marker-less `v=N` dir if
+    * it died between rename and marker, which later commits SKIP past
+    * when numbering (so the table stays commitable) and DELETE once
+    * it is older than the orphan gate. */
   def commit(s: SparkSession, root: String, retain: Int = 2)(
       transform: Option[DataFrame] => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
@@ -79,20 +102,61 @@ object SnapshotTable {
     transform(base.map(v => s.read.parquet(s"$root/v=$v")))
       .write.mode("overwrite").parquet(stage)
     val stagePath = new org.apache.hadoop.fs.Path(stage)
-    def conflict(): Nothing = {
-      fs.delete(stagePath, true)
+    def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
+      fs.delete(cleanup, true)
       throw new IllegalStateException(
         s"snapshot commit conflict at $root: base $base superseded")
     }
-    if (latestVersion(s, root) != base) conflict()
-    val next = base.getOrElse(-1L) + 1
-    if (!fs.rename(stagePath,
-        new org.apache.hadoop.fs.Path(s"$root/v=$next"))) conflict()
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/v=$next/_COMMITTED"), false).close()
+    if (latestVersion(s, root) != base) conflict(stagePath)
+    // orphan handling: delete marker-less dirs past the age gate, and
+    // number the new version past every v= dir still on disk — an
+    // orphaned v=N must never be the rename target (the rename would
+    // nest into it and every retry would conflict forever)
+    val committed = versionsOf(s, root).toSet
+    val now = System.currentTimeMillis()
+    val live = allVersionDirs(fs, root).filter { st =>
+      val v = st.getPath.getName.stripPrefix("v=").toLong
+      if (committed.contains(v)) true
+      else if (now - st.getModificationTime > orphanGateMs) {
+        fs.delete(st.getPath, true); false
+      } else true
+    }.map(_.getPath.getName.stripPrefix("v=").toLong)
+    val next = (live :+ base.getOrElse(-1L)).max + 1
+    publish(fs, root, stagePath, next)
     // vacuum past the retention horizon (never the newest `retain`)
     versionsOf(s, root).dropRight(retain).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true))
     next
+  }
+
+  /** Publish a staged snapshot at `v=next`: rename, verify the stage
+    * LANDED at exactly `v=next` (a Hadoop rename onto a dir another
+    * writer created in the race window "succeeds" by nesting the stage
+    * INSIDE it — that loser must clean its nested dir up and conflict,
+    * never leave it hidden inside the winner's snapshot), then create
+    * the exclusive marker. Package-visible so the race window — too
+    * narrow to hit through commit() in a test — is testable directly. */
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, stagePath: org.apache.hadoop.fs.Path,
+      next: Long): Unit = {
+    def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
+      fs.delete(cleanup, true)
+      throw new IllegalStateException(
+        s"snapshot commit conflict at $root: v=$next taken")
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$root/v=$next")
+    if (!fs.rename(stagePath, dest)) conflict(stagePath)
+    val nested = new org.apache.hadoop.fs.Path(dest, stagePath.getName)
+    if (fs.exists(nested)) conflict(nested)
+    try fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/v=$next/_COMMITTED"), false).close()
+    catch { case _: java.io.IOException =>
+      // marker taken ⇒ v=next was committed by someone else and the
+      // landing check somehow passed (e.g. object stores where rename
+      // is copy-like); our image is unreferenced — leave the winner's
+      // dir untouched and fail as a conflict
+      throw new IllegalStateException(
+        s"snapshot commit conflict at $root: marker for v=$next taken")
+    }
   }
 }

@@ -61,6 +61,66 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a marker-less orphan dir never wedges the table: fresh orphans " +
+      "are skipped past, aged orphans are deleted") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root)(_ => img(1L -> "a"))
+      // simulate a commit that died between rename and marker create:
+      // a v=1 dir exists with data but no _COMMITTED
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orphan = new org.apache.hadoop.fs.Path(s"$root/v=1")
+      fs.mkdirs(orphan)
+      // FRESH orphan: the next commit must neither fail nor target
+      // v=1 — it numbers past it and lands committed v=2
+      val n2 = SnapshotTable.commit(spark, root)(_ => img(2L -> "b"))
+      assert(n2 === 2L)
+      assert(SnapshotTable.latestVersion(spark, root) === Some(2L))
+      assert(SnapshotTable.read(spark, root).get
+        .select("v").first().getString(0) === "b")
+      // the fresh orphan is untouched (an in-flight publisher may own it)
+      assert(fs.exists(orphan))
+      // AGED orphan: push its mtime past the gate — the next commit
+      // garbage-collects it and proceeds
+      fs.setTimes(orphan, System.currentTimeMillis() - 16 * 60 * 1000L, -1)
+      val n3 = SnapshotTable.commit(spark, root)(_ => img(3L -> "c"))
+      assert(n3 === 3L)
+      assert(!fs.exists(orphan))
+      assert(SnapshotTable.latestVersion(spark, root) === Some(3L))
+    }
+  }
+
+  test("a lost rename race cannot nest the loser's stage inside the " +
+      "winner's snapshot") {
+    withRoot { root =>
+      // the winner owns v=1; the loser (simulated at the publish step —
+      // the race window between numbering and rename is too narrow to
+      // hit through commit()) renames its stage at the same v=1:
+      // Hadoop local-FS rename onto the existing dir "succeeds" by
+      // moving the stage INSIDE it — the landing check must detect
+      // that, clean the nested dir up, and conflict
+      SnapshotTable.commit(spark, root)(_ => img(1L -> "a"))
+      SnapshotTable.commit(spark, root)(_ => img(2L -> "winner"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(s"$root/.stage-loser")
+      img(3L -> "loser").write.mode("overwrite").parquet(stage.toString)
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.publish(fs, root, stage, 1L)
+      }
+      assert(e.getMessage.contains("conflict"))
+      // winner's snapshot is intact, current, and contains NO nested
+      // stage dir; the loser's stage is gone entirely
+      assert(SnapshotTable.read(spark, root).get
+        .select("v").collect().map(_.getString(0)).toSeq === Seq("winner"))
+      val inside = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v=1")).toSeq
+        .map(_.getPath.getName)
+      assert(!inside.exists(_.startsWith(".stage-")), inside)
+      assert(!fs.exists(stage))
+    }
+  }
+
   test("retention vacuums only versions past the horizon; survivors " +
       "stay time-travelable") {
     withRoot { root =>
