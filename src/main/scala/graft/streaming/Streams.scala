@@ -73,6 +73,16 @@ case class AbsenceHit(user_id: Long, event_id: Long, click_us: Long)
 case class FollowedHit(user_id: Long, event_id: Long, click_us: Long,
     next_purchase_us: Long, gap_us: Long)
 
+/** A drained view awaiting its immediately-next event. */
+case class PendingView(id: Long, viewUs: Long)
+
+/** notNext matcher state: reorder buffer plus the key's latest drained
+  * view awaiting its successor (O(1) + slack per key). */
+case class NotNextState(buf: List[BufEv], pending: Option[PendingView])
+
+case class NotNextHit(user_id: Long, event_id: Long, view_us: Long,
+    followed_by: String)
+
 /** SURVEY.md §2.8 — the real Structured Streaming wrappers. Each shares
   * its column expressions with the batch form in `graft.ops.Streaming`
   * (same logical op, incrementalized), the Spark analog of the genre's
@@ -790,6 +800,50 @@ object Streams {
               (buf.map(_.tsUs) ++ keep.map(_.clickUs + timeoutUs))
                 .min / 1000L,
               state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
+      }
+  }
+
+  /** Streaming notNext (incremental form of `cep_pattern_not_next`):
+    * a view resolves the moment its successor event drains — emitted
+    * iff that successor is not a click — exactly when Flink's
+    * begin("V").notNext("C") NFA can decide it. The batch key's
+    * vacuous end-of-stream rows (`followed_by='none'`) are an
+    * END-OF-CORPUS artifact with no unbounded-stream analog (Flink
+    * holds that partial match open forever too), so this mirror emits
+    * only successor-resolved rows and the parity test compares against
+    * the batch key minus its 'none' rows. ALL event types reach the
+    * operator (any type can be the successor); state is one pending
+    * view per key + the reorder slack. */
+  def cepNotNext(events: Dataset[Ev]): Dataset[NotNextHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[NotNextState, NotNextHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[NotNextState]) =>
+          val prev = state.getOption.getOrElse(NotNextState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, 0L)))
+            .partition(_.tsUs <= wmUs)
+          var pending = prev.pending
+          val hits = scala.collection.mutable.ListBuffer.empty[NotNextHit]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            pending.foreach { v =>
+              if (b.typ != "click")
+                hits += NotNextHit(uid, v.id, v.viewUs, b.typ)
+            }
+            pending = if (b.typ == "view") Some(PendingView(b.id, b.tsUs))
+              else None
+          }
+          if (buf.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(NotNextState(buf, pending))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
           }
           hits.iterator
       }

@@ -522,6 +522,34 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepNotNext stream == cep_pattern_not_next batch minus its " +
+      "vacuous end-of-corpus rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepNotNext(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_not_next").outputMode("append")
+      .start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "event_id", "view_us", "followed_by").map(col)
+    // the flush sentinel rides a negative user and is filtered on the
+    // streamed side; 'none' rows exist only at end of CORPUS — an
+    // unbounded stream (and Flink's NFA) can never decide them, so the
+    // batch side drops them for the comparison
+    val streamed = spark.table("cep_not_next")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_pattern_not_next")
+      .where(col("followed_by") =!= "none").select(cols: _*)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
     import spark.implicits._
     // restrict the dim so the lookup-miss path actually occurs (every
