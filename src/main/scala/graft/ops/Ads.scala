@@ -215,6 +215,133 @@ object Ads {
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                  AS revenue
         FROM purchases GROUP BY h ORDER BY h_us""")
+    }),
+
+    // PATH ANALYSIS (the behavior-flow / sankey board): top-10 3-step
+    // event-type paths over 30-min-gap sessions. Sessionization is the
+    // standard gaps-and-islands running sum keyed by user; the two
+    // lead() steps run over the SAME (user, ts) ordering (one
+    // per-user sort, reused by all three windows); the path count is
+    // one keyed shuffle on the path string and the top-10 is a
+    // TakeOrderedAndProject — nothing global except the final ≤|paths|
+    // rows (event-type alphabet³ = 125 paths max, constant at any
+    // corpus size).
+    "ads_path_topn" -> ((s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"))
+        .withColumn("nb",
+          when(lag(col("ts_us"), 1).over(byUser).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("nb")).over(running))
+      val bySess = Window.partitionBy("user_id", "sess_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      sess
+        .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
+    // A/B EXPERIMENT BOARD (the growth team's lift readout): users split
+    // deterministically by user_id parity (stand-in for the production
+    // hash-bucket assignment — parity is the cross-engine-stable
+    // choice), per-arm conversion + revenue, then lift and the
+    // two-proportion z-score in one summary row. Everything reduces to
+    // two 1-row aggregates over the per-user table (one keyed shuffle);
+    // the z arithmetic happens on scalars. Counts are exact integers
+    // and revenue is exact DECIMAL; the derived rates/z round to 6 dp
+    // at each defined point so both engines agree bit-for-bit.
+    "ads_ab_lift" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2 === 0).as("is_a"))
+        // conversion = a BIG-TICKET purchase (>150): the plain any-
+        // purchase rate saturates at 1.0 on the fixture, making se = 0
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1).otherwise(0))
+          .as("converted"),
+          sum(when(col("event_type") === "purchase", col("value").cast(dec))
+            .otherwise(lit(0).cast(dec))).as("rev"))
+      val arm = perUser.groupBy("is_a")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"),
+          sum(col("rev")).as("rev"))
+      val a = arm.where(col("is_a")).select(col("n").as("n_a"),
+        col("conv").as("conv_a"), col("rev").as("rev_a"))
+      val b = arm.where(!col("is_a")).select(col("n").as("n_b"),
+        col("conv").as("conv_b"), col("rev").as("rev_b"))
+      val pA = round(col("conv_a").cast("double") / col("n_a"), 6)
+      val pB = round(col("conv_b").cast("double") / col("n_b"), 6)
+      val pPool = round((col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")), 6)
+      a.crossJoin(b)
+        .withColumn("rate_a", pA).withColumn("rate_b", pB)
+        .withColumn("se", round(sqrt(pPool * (lit(1) - pPool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          col("rate_a"), col("rate_b"),
+          col("rev_a").cast("double").as("rev_a"),
+          col("rev_b").cast("double").as("rev_b"),
+          // degenerate-arm guard: 0-rate or 0-se yields NULL, not a
+          // crash (ANSI division) — mirrored with nullif in the oracle
+          round((col("rate_b") - col("rate_a")) /
+            when(col("rate_a") =!= 0, col("rate_a")), 6).as("lift"),
+          round((col("rate_b") - col("rate_a")) /
+            when(col("se") =!= 0, col("se")), 6).as("z"))
+    }),
+
+    // RFM SEGMENTATION (the CRM board): per-user Recency / Frequency /
+    // Monetary over purchases, each scored 1-4 against the corpus
+    // quartiles, rolled up per segment label. Deliberately NOT a global
+    // ntile — ranking every user in one window is the single-partition
+    // trap at 1e9 users; instead the three quartile CUTOFFS come from
+    // one exact-percentile 1-row aggregate over the per-user table and
+    // scoring is a map-side comparison against the broadcast cutoffs
+    // (same shape both engines; memory for the exact percentile is
+    // bounded by distinct metric values — recency_days and frequency
+    // are small-int, monetary is cents-grid). All three metrics are
+    // INTEGERS (days / count / cents), so quartile interpolation
+    // (lo + (hi-lo)·frac, frac ∈ {0,.25,.5,.75}) is IEEE-exact and the
+    // int-vs-cutoff comparisons can never straddle an ulp cross-engine.
+    "ads_rfm_segments" -> ((s, d) => {
+      val p = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value"))
+      val maxDay = p.agg(max(col("day")).as("max_day"))
+      val rfm = OpCache.track(p.crossJoin(broadcast(maxDay))
+        .groupBy("user_id")
+        .agg(max(datediff(col("max_day"), col("day"))).cast("long")
+          .as("r_days"),
+          count(lit(1)).as("f_cnt"),
+          sum(round(col("value").cast(dec) * 100, 0).cast("long"))
+            .as("m_cents")))
+      val cuts = rfm.agg(
+        percentile(col("r_days"), lit(Array(0.25, 0.5, 0.75))).as("rc"),
+        percentile(col("f_cnt"), lit(Array(0.25, 0.5, 0.75))).as("fc"),
+        percentile(col("m_cents"), lit(Array(0.25, 0.5, 0.75))).as("mc"))
+      def score(m: org.apache.spark.sql.Column, c: String) =
+        lit(1) + (m > col(c)(0)).cast("int") + (m > col(c)(1)).cast("int") +
+          (m > col(c)(2)).cast("int")
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("user_id"),
+          concat(lit("R"), score(col("r_days"), "rc"),
+            lit("F"), score(col("f_cnt"), "fc"),
+            lit("M"), score(col("m_cents"), "mc")).as("segment"),
+          col("m_cents"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("m_cents")).cast("double") / 100, 2).as("monetary"))
+        .orderBy("segment")
     })
   )
 
@@ -319,6 +446,73 @@ object Ads {
         | count(DISTINCT user_id) AS buyers,
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |   AS revenue
-        |FROM purchases GROUP BY h ORDER BY h_us""".stripMargin
+        |FROM purchases GROUP BY h ORDER BY h_us""".stripMargin,
+    "ads_path_topn" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) ts_us
+        |            FROM events),
+        |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0
+        |       END nb FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+        |      FROM b),
+        |p AS (SELECT event_type e1, lead(event_type, 1) OVER w2 e2,
+        |        lead(event_type, 2) OVER w2 e3 FROM s
+        |      WINDOW w2 AS (PARTITION BY user_id, sess_id
+        |        ORDER BY ts_us, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "ads_ab_lift" ->
+      """WITH pu AS (SELECT user_id, (user_id % 2 = 0) is_a,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) converted,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) rev
+        |  FROM events GROUP BY 1, 2),
+        |arm AS (SELECT is_a, count(*) n,
+        |        CAST(sum(converted) AS BIGINT) conv, sum(rev) rev
+        |        FROM pu GROUP BY 1),
+        |a AS (SELECT n n_a, conv conv_a, rev rev_a FROM arm WHERE is_a),
+        |b AS (SELECT n n_b, conv conv_b, rev rev_b FROM arm WHERE NOT is_a),
+        |f AS (SELECT n_a, n_b, conv_a, conv_b, rev_a, rev_b,
+        |    round(conv_a::DOUBLE / n_a, 6) rate_a,
+        |    round(conv_b::DOUBLE / n_b, 6) rate_b,
+        |    round((conv_a + conv_b)::DOUBLE / (n_a + n_b), 6) p_pool
+        |  FROM a, b),
+        |g AS (SELECT *, round(sqrt(p_pool * (1 - p_pool) *
+        |    (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6) se
+        |  FROM f)
+        |SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+        | rev_a::DOUBLE AS rev_a, rev_b::DOUBLE AS rev_b,
+        | round((rate_b - rate_a) / nullif(rate_a, 0), 6) AS lift,
+        | round((rate_b - rate_a) / nullif(se, 0), 6) AS z
+        |FROM g""".stripMargin,
+    "ads_rfm_segments" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(day) max_day FROM p),
+        |rfm AS (SELECT user_id,
+        |    CAST(max(date_diff('day', day, max_day)) AS BIGINT) r_days,
+        |    count(*) f_cnt,
+        |    sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT))
+        |      m_cents
+        |  FROM p, mx GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) rc,
+        |    quantile_cont(f_cnt, [0.25, 0.5, 0.75]) fc,
+        |    quantile_cont(m_cents, [0.25, 0.5, 0.75]) mc
+        |  FROM rfm)
+        |SELECT 'R' || (1 + (r_days > rc[1])::INT + (r_days > rc[2])::INT
+        |         + (r_days > rc[3])::INT)
+        |    || 'F' || (1 + (f_cnt > fc[1])::INT + (f_cnt > fc[2])::INT
+        |         + (f_cnt > fc[3])::INT)
+        |    || 'M' || (1 + (m_cents > mc[1])::INT + (m_cents > mc[2])::INT
+        |         + (m_cents > mc[3])::INT) AS segment,
+        | count(*) AS n_users,
+        | round(sum(m_cents)::DOUBLE / 100, 2) AS monetary
+        |FROM rfm, cuts GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -267,6 +267,55 @@ object Cep {
           col("ts_us").as("click_us"), col("next_purchase_us"),
           (col("next_purchase_us") - col("ts_us")).as("gap_us"))
         .orderBy("user_id", "click_us", "event_id")
+    }),
+
+    // Flink CEP ITERATIVE CONDITION (`IterativeCondition` — the
+    // where-clause that inspects the events already accepted into the
+    // match): purchases oneOrMore, accepting while the match's running
+    // value total stays ≤ 150, firing when a purchase tips it over.
+    // Detects the first event of each consecutive-purchase run at which
+    // the run's cumulative value EXCEEDS 150 — the fraud-burst /
+    // spend-cap pattern. Re-expression: the same gaps-and-islands run
+    // labels as `runTable` (kept at EVENT level — the condition needs
+    // per-event running state, which is exactly what the NFA's
+    // iterative context holds), a cumulative DECIMAL sum over the
+    // (user, run) frame, and first-crossing selection by row_number
+    // after the threshold filter. The cumulative sum accumulates in
+    // exact DECIMAL(18,2), so its value — and therefore the crossing
+    // POSITION — is independent of both engine and partition order
+    // (a double running sum would differ: DuckDB window-sums via
+    // segment tree, Spark left-to-right). Every window keys on
+    // user_id or (user_id, run_id): O(n) per user, run-bounded state,
+    // no self-join, nothing data-scale in one task.
+    "cep_iterative_condition" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byRun = Window.partitionBy("user_id", "run_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val runFrame = byRun
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), ep(col("ts")).as("ts_us"))
+        .withColumn("nr",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("nr")).over(running))
+        .where(col("event_type") === "purchase")
+        .withColumn("cum", sum(col("value").cast(dec)).over(runFrame))
+        .withColumn("k", row_number().over(byRun))
+        .withColumn("run_start_us", min(col("ts_us")).over(runFrame))
+        .where(col("cum") > 150)
+        .withColumn("rk", row_number().over(byRun))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("run_start_us"),
+          col("ts_us").as("cross_us"), col("k").cast("long").as("n_events"),
+          round(col("cum").cast("double"), 2).as("total"))
+        .orderBy("user_id", "run_start_us", "cross_us", "n_events",
+          "total")
     })
   )
 
@@ -417,6 +466,33 @@ object Cep {
         |  np AS next_purchase_us, np - ts_us AS gap_us
         |FROM x
         |WHERE event_type = 'click' AND np < ts_us + 86400000000::BIGINT
-        |ORDER BY user_id, click_us, event_id""".stripMargin
+        |ORDER BY user_id, click_us, event_id""".stripMargin,
+    "cep_iterative_condition" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |       END nr FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ri AS (SELECT *, sum(nr) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+        |       FROM r),
+        |c AS (SELECT user_id, run_id, ts_us, event_id,
+        |        sum(CAST(value AS DECIMAL(18,2))) OVER w2 AS cum,
+        |        row_number() OVER w2 AS k,
+        |        min(ts_us) OVER w2 AS run_start_us
+        |      FROM ri WHERE event_type = 'purchase'
+        |      WINDOW w2 AS (PARTITION BY user_id, run_id
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT *, row_number() OVER (PARTITION BY user_id, run_id
+        |        ORDER BY ts_us, event_id) rk
+        |      FROM c WHERE cum > 150)
+        |SELECT user_id, run_start_us, ts_us AS cross_us, k AS n_events,
+        |  round(CAST(cum AS DOUBLE), 2) AS total
+        |FROM x WHERE rk = 1
+        |ORDER BY user_id, run_start_us, cross_us, n_events, total""".stripMargin
   )
 }

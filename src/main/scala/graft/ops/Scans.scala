@@ -217,6 +217,46 @@ object Scans {
         .orderBy("user_id")
     }),
 
+    // RETRACT-STREAM AGGREGATION (Flink's changelog algebra — the
+    // mechanism that makes GROUP BY over an updating stream correct:
+    // every update retracts the old image (-U) before adding the new
+    // (+U), so downstream aggregates never double-count). The changelog
+    // is synthesized per user from the event sequence exactly as a
+    // binlog would emit it — first image +I, update -U/+U pair, 'error'
+    // = -D (and the next event re-inserts) — then folded into a
+    // per-value-band board by SIGNED aggregation: n_users = Σ sign,
+    // total = Σ sign·value in exact DECIMAL, so every retraction
+    // cancels its insert bit-for-bit and vacated bands net to zero.
+    // The oracle computes the same board DIRECTLY from latest images —
+    // the comparison proves the changelog algebra. Plan: one user-keyed
+    // window (lag), a ≤2-row map-side explode, one keyed shuffle on
+    // band — linear, no driver state.
+    "cdc_retract_agg" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val prevPresent = col("prev_type").isNotNull &&
+        col("prev_type") =!= "error"
+      val isDel = col("event_type") === "error"
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), ep(col("ts")).as("ts_us"))
+        .withColumn("prev_val", lag(col("value"), 1).over(byUser))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .select(explode(filter(array(
+          when(prevPresent,
+            struct(lit(-1).as("sign"), col("prev_val").as("v"))),
+          when(!isDel,
+            struct(lit(1).as("sign"), col("value").as("v")))),
+          x => x.isNotNull)).as("c"))
+        .groupBy(floor(col("c.v") / 100).cast("long").as("band"))
+        .agg(sum(col("c.sign")).as("n_users"),
+          sum(col("c.sign") * col("c.v").cast(dec)).as("tot"))
+        .where(col("n_users") > 0)
+        .select(col("band"), col("n_users"),
+          round(col("tot").cast("double"), 2).as("total"))
+        .orderBy("band")
+    }),
+
     // ACID-table-format sink: three arriving batches MERGE-committed
     // through graft.streaming.SnapshotTable — immutable `v=N` snapshot
     // dirs + atomic commit markers, so a concurrent reader that
@@ -334,6 +374,19 @@ object Scans {
         | round(value,2) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Direct latest-image board — equality with the Spark-side signed
+    // changelog fold is exactly the retraction-correctness property.
+    "cdc_retract_agg" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT CAST(floor(value / 100) AS BIGINT) AS band,
+        | count(*) AS n_users,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS total
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

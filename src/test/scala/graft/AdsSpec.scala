@@ -42,6 +42,79 @@ class AdsSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("ads_path_topn: valid 3-step paths, descending counts, exact total") {
+    val r = q("ads_path_topn").collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    r.foreach { row =>
+      val steps = row.getAs[String]("path").split(">")
+      assert(steps.length === 3 && steps.forall(types.contains))
+    }
+    // counts are non-increasing and ties break by path asc
+    r.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+      assert(na > nb || (na == nb &&
+        a.getAs[String]("path") < b.getAs[String]("path")))
+    }
+    // independent brute-force oracle on the tiny corpus: simulate the
+    // sessionization + triple walk driver-side and compare the top-10
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime * 1000,
+        x.getLong(2), x.getString(3)))
+      .groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    ev.values.foreach { rows =>
+      val sorted = rows.toSeq.map(e => (e._2, e._3, e._4)).sorted
+      var sess = List.empty[List[String]]
+      sorted.zipWithIndex.foreach { case ((ts, _, ty), i) =>
+        val newSess = i == 0 || ts - sorted(i - 1)._1 > 1800000000L
+        sess = if (newSess) List(ty) :: sess
+          else (ty :: sess.head) :: sess.tail
+      }
+      sess.map(_.reverse).foreach { types =>
+        types.sliding(3).filter(_.length == 3).foreach { tri =>
+          val p = tri.mkString(">")
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = r.map(row => (row.getAs[String]("path"), row.getAs[Long]("n")))
+    assert(got.toSeq === want)
+  }
+
+  test("ads_ab_lift: arms partition users, rates exact, z sign consistent") {
+    val row = q("ads_ab_lift").collect().head
+    val users = graft.ops.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val nA = row.getAs[Long]("n_a"); val nB = row.getAs[Long]("n_b")
+    assert(nA + nB === users)
+    val convA = row.getAs[Long]("conv_a"); val convB = row.getAs[Long]("conv_b")
+    assert(convA <= nA && convB <= nB)
+    assert(row.getAs[Double]("rate_a") ===
+      math.round(convA.toDouble / nA * 1e6) / 1e6)
+    val z = row.getAs[Double]("z")
+    val dr = row.getAs[Double]("rate_b") - row.getAs[Double]("rate_a")
+    assert(z.sign === dr.sign || dr == 0.0)
+  }
+
+  test("ads_rfm_segments: exhaustive over buyers, well-formed labels, " +
+      "monetary adds up") {
+    val r = q("ads_rfm_segments").collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(
+      row.getAs[String]("segment").matches("R[1-4]F[1-4]M[1-4]")))
+    val buyers = graft.ops.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_users")).sum === buyers)
+    val gmv = graft.ops.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .agg(sum(round(col("value"), 2))).first().getDouble(0)
+    assert(math.abs(r.map(_.getAs[Double]("monetary")).sum - gmv) < 0.5)
+  }
+
   test("agg_mode: modal count equals the true per-user max frequency") {
     val mode = q("agg_mode")
     val truth = graft.ops.Tables.events(spark, sf)

@@ -197,6 +197,51 @@ class CepSpec extends AnyFunSuite {
     followed.unpersist(blocking = false)
   }
 
+  test("iterative condition: first crossing per run, strict boundary, " +
+      "singleton runs") {
+    // T = 150. user 1: P60 P70 P40 (cum 60,130,170 -> crosses at #3),
+    // then V, then P200 (singleton run crosses immediately).
+    // user 2: P100 P50 -> cum exactly 150, NOT > 150 -> silent.
+    // user 3: P100 V P100 -> two 1-purchase runs, neither crosses.
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 60.0),
+      (2L, "2024-01-01 00:01:00", 1L, "purchase", 70.0),
+      (3L, "2024-01-01 00:02:00", 1L, "purchase", 40.0),
+      (4L, "2024-01-01 00:03:00", 1L, "view", 1.0),
+      (5L, "2024-01-01 00:04:00", 1L, "purchase", 200.0),
+      (6L, "2024-01-01 00:00:00", 2L, "purchase", 100.0),
+      (7L, "2024-01-01 00:01:00", 2L, "purchase", 50.0),
+      (8L, "2024-01-01 00:00:00", 3L, "purchase", 100.0),
+      (9L, "2024-01-01 00:01:00", 3L, "view", 1.0),
+      (10L, "2024-01-01 00:02:00", 3L, "purchase", 100.0))
+    withEvents(rows) { dir =>
+      val r = SparkEntry.queries("cep_iterative_condition")(spark, dir)
+        .collect()
+      assert(r.map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("n_events"),
+        x.getAs[Double]("total"))).toSeq ===
+        Seq((1L, 3L, 170.0), (1L, 1L, 200.0)))
+      val first = r.head
+      assert(first.getAs[Long]("cross_us") -
+        first.getAs[Long]("run_start_us") === 120000000L)
+    }
+  }
+
+  test("iterative condition: corpus-wide, the pre-crossing prefix never " +
+      "exceeds the threshold") {
+    // total > 150 by construction; total minus the crossing event's own
+    // value (joined back by user+timestamp) must be <= 150 — i.e. the
+    // match fired at the FIRST possible event, never later
+    val r = q("cep_iterative_condition")
+    assert(r.where(col("total") <= 150).count() === 0)
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), graft.ops.Tables.ep(col("ts")).as("cross_us"),
+        col("value"))
+    val joined = q("cep_iterative_condition").join(ev, Seq("user_id", "cross_us"))
+    assert(joined.count() === r.count())
+    assert(joined.where(col("total") - col("value") > lit(150) + 1e-9)
+      .count() === 0)
+  }
+
   test("fixture invariants: measures well-formed, matches don't overlap") {
     val m = q("cep_pattern_match").persist()
     assert(m.count() > 0)
