@@ -1475,6 +1475,85 @@ object LlmExtra {
             exp(-(col("w_sum") / (col("n_toks") * 10.0)))), 4).as("score"),
           (col("w_sum") >= 0).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    // prune near-duplicates WITHIN each cluster — the semantic
+    // complement of the lexical dedup family. Reuses the exact IVF
+    // coarse quantizer `llm_knn_ivf` trains (corpus-scaled k, decimal-
+    // exact means), so pair work is bucket-local (n²/k, k ~ √n) — never
+    // corpus-wide all-pairs. A vector is PRUNED when a lower-id vector
+    // in its bucket has cosine ≥ τ (the deterministic keep-lowest-id
+    // representative rule); τ = 0.35 is fixture-calibrated (synthetic
+    // embeddings are near-orthogonal — real corpora use ~0.95+; the
+    // mechanism, not the constant, is what's verified — and the oracle
+    // computes the identical rule in SQL, so correctness is exact, not
+    // exempt). The prune flag joins back on vec_id — co-partitioned
+    // with the assignment's own key at scale.
+    "llm_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val assigned = OpCache.track(ivfAssign(s, e))
+      val dups = assigned.select(col("bucket"), col("vec_id").as("doc_b"),
+          col("v").as("b_v"))
+        .join(assigned.select(col("bucket"), col("vec_id").as("doc_a"),
+          col("v").as("a_v")), "bucket")
+        .where(col("doc_a") < col("doc_b") &&
+          round(cosc(s, col("a_v"), col("b_v")), 4) >= 0.35)
+        .select(col("doc_b").as("vec_id")).distinct()
+      assigned.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"), col("dup").isNull.as("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // DATASET CARD (the per-source report every curation pipeline
+    // publishes next to the data): doc/char/token volume, language mix,
+    // and exact-dup rate per source. One keyed shuffle on source; the
+    // two DISTINCT aggregates ride the same key (Spark plans them as
+    // expand + partial agg, still source-keyed — no single partition);
+    // text reduces to a 32-byte digest before the distinct, so the
+    // wide column never shuffles.
+    "llm_source_report" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(when(col("lang") === "en", 1).otherwise(0))
+            .cast("double") / count(lit(1)), 4).as("en_share"),
+          countDistinct(md5(col("text"))).as("n_uniq"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("dup_rate",
+          round(lit(1) - col("n_uniq").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
+    }),
+
+    // BLOOM-FILTER MEMBERSHIP PRE-FILTER (the incremental-ingest
+    // cheap path): before the exact `llm_dedup_incremental` join, a
+    // new shard probes a Bloom filter of the already-ingested corpus's
+    // content digests — a no-false-NEGATIVE test, so unflagged docs
+    // skip the exact join entirely and only the flagged sliver (true
+    // dups + fpp false positives) pays the shuffle. Built with
+    // DataFrame.stat.bloomFilter (distributed treeAggregate of
+    // per-partition filters), broadcast once (~1.2 GB per 1e9 docs at
+    // 1% — per-executor, not per-task; beyond that, shard the filter
+    // by digest prefix and probe the matching shard). Hash-seeded →
+    // no SQL oracle (exempt); the no-false-negative + fpp-bound +
+    // determinism properties are spec-pinned.
+    "llm_bloom_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val seen = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val fresh = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val nSeen = math.max(seen.count(), 1L)
+      val bf = s.sparkContext.broadcast(
+        seen.stat.bloomFilter("digest", nSeen, 0.01))
+      val might = udf((dg: String) => bf.value.mightContain(dg))
+      fresh
+        .select(col("doc_id"), col("digest"),
+          might(col("digest")).as("flagged"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1964,6 +2043,28 @@ object LlmExtra {
         |SELECT doc_id, n_toks, w_sum,
         |  round(1.0 / (1.0 + exp(-(w_sum / (n_toks * 10.0)))), 4) AS score,
         |  w_sum >= 0 AS keep
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "llm_semdedup" ->
+      (ivfAssignSql +
+        """,
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM asn a JOIN asn b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35)
+        |SELECT a.vec_id, a.bucket, (d.vec_id IS NULL) AS kept
+        |FROM asn a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
+    "llm_source_report" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(n_chars), 2) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+        |   / count(*), 4) AS en_share,
+        | count(DISTINCT md5(text)) AS n_uniq,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | round(1 - count(DISTINCT md5(text))::DOUBLE / count(*), 4)
+        |   AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -73,6 +73,19 @@ case class AbsenceHit(user_id: Long, event_id: Long, click_us: Long)
 case class FollowedHit(user_id: Long, event_id: Long, click_us: Long,
     next_purchase_us: Long, gap_us: Long)
 
+/** Iterative-condition run: symbol, start, accepted count, cumulative
+  * cents, and whether this run already fired (SKIP: one hit per run). */
+case class IterRun(sym: String, startUs: Long, n: Long, cumCents: Long,
+    fired: Boolean)
+
+/** Iterative-condition matcher state: reorder buffer + current run
+  * (O(1) + reorder slack per key — the cumulative total is a scalar,
+  * never the accepted events themselves). */
+case class CepIterState(buf: List[BufEv], run: Option[IterRun])
+
+case class IterHit(user_id: Long, run_start_us: Long, cross_us: Long,
+    n_events: Long, total: Double)
+
 /** A drained view awaiting its immediately-next event. */
 case class PendingView(id: Long, viewUs: Long)
 
@@ -840,6 +853,57 @@ object Streams {
           if (buf.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(NotNextState(buf, pending))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
+      }
+  }
+
+  /** Iterative-condition CEP (streaming form of
+    * `cep_iterative_condition`: purchases oneOrMore accepted while the
+    * match's running total stays ≤ 150, firing at the purchase that
+    * tips it over — Flink's `IterativeCondition`). Same watermark
+    * reorder buffer as `cepMatches`; the drained-prefix state is ONE
+    * current-run struct whose cumulative total rides as a SCALAR in
+    * exact cents — the NFA never stores the accepted events, only the
+    * aggregate its condition reads, which is why per-key state is O(1)
+    * + reorder slack even for arbitrarily long purchase runs. `fired`
+    * pins the batch form's first-crossing-only emission (rk = 1); a
+    * non-purchase event resets the run exactly like a batch run
+    * boundary. Bag-equality with the batch key under jittered
+    * out-of-order replay is pinned in StreamingParitySpec. */
+  def cepIterative(events: Dataset[Ev],
+      thresholdCents: Long = 15000L): Dataset[IterHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepIterState, IterHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[CepIterState]) =>
+          val prev = state.getOption.getOrElse(CepIterState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var run = prev.run.orNull
+          val hits = scala.collection.mutable.ArrayBuffer.empty[IterHit]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            run =
+              if (run != null && run.sym == b.typ)
+                run.copy(n = run.n + 1, cumCents = run.cumCents + b.cents)
+              else IterRun(b.typ, b.tsUs, 1L, b.cents, fired = false)
+            if (run.sym == "purchase" && !run.fired &&
+                run.cumCents > thresholdCents) {
+              hits += IterHit(uid, run.startUs, b.tsUs, run.n,
+                run.cumCents / 100.0)
+              run = run.copy(fired = true)
+            }
+          }
+          if (buf.isEmpty && run == null) state.remove()
+          else {
+            state.update(CepIterState(buf, Option(run)))
             if (buf.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 buf.map(_.tsUs).min / 1000L,

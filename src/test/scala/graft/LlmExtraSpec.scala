@@ -579,4 +579,77 @@ class LlmExtraSpec extends AnyFunSuite {
     assert(out === Map(1L -> true, 2L -> false, 3L -> false,
       4L -> false, 5L -> false))
   }
+
+  test("llm_semdedup: exhaustive over vectors; prune rule exact in both " +
+      "directions") {
+    val r = q("llm_semdedup").persist()
+    try {
+      val total = graft.ops.Tables.t(spark, sf, "embeddings").count()
+      assert(r.count() === total)
+      assert(r.select("vec_id").distinct().count() === total)
+      // rebuild the bucket-local cos graph independently of the key's
+      // dup join and check: (a) every vec with a lower-id tau-neighbor
+      // is pruned; (b) every pruned vec has one
+      val e = graft.ops.Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val withV = r.join(e, "vec_id")
+      val cos = graft.functions.VectorFunctions.cosine(spark,
+        col("a.v"), col("b.v"))
+      val pairs = withV.as("a").join(withV.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(round(cos, 4) >= 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      val shouldPrune = pairs.count()
+      assert(shouldPrune > 0, "fixture must exercise the prune path")
+      assert(r.where(!col("kept")).count() === shouldPrune)
+      assert(r.join(pairs, "vec_id").where(col("kept")).count() === 0)
+    } finally r.unpersist()
+  }
+
+  test("llm_source_report: volumes add up and rates are recomputable") {
+    val r = q("llm_source_report").persist()
+    try {
+      val docs = graft.ops.Tables.t(spark, sf, "documents")
+      assert(r.agg(sum("n_docs")).first().getLong(0) === docs.count())
+      assert(r.agg(sum("total_chars")).first().getLong(0) ===
+        docs.agg(sum("n_chars")).first().getLong(0))
+      assert(r.where(col("en_share") < 0 || col("en_share") > 1 ||
+        col("dup_rate") < 0 || col("dup_rate") > 1).count() === 0)
+      // spot-recompute one source's dup rate from scratch
+      val src = r.select("source").first().getString(0)
+      val sub = docs.where(col("source") === src)
+      val expect = 1.0 - sub.select(md5(col("text"))).distinct().count()
+        .toDouble / sub.count()
+      val got = r.where(col("source") === src)
+        .select("dup_rate").first().getDouble(0)
+      assert(math.abs(got - math.round(expect * 1e4) / 1e4) < 1e-9)
+    } finally r.unpersist()
+  }
+
+  test("llm_bloom_dedup: no false negatives, bounded false positives, " +
+      "deterministic") {
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val seenDigests = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select("digest").distinct()
+    val r = q("llm_bloom_dedup").persist()
+    try {
+      assert(r.count() ===
+        docs.where(pmod(col("doc_id"), lit(3)) === 0).count())
+      // every true cross-shard duplicate MUST be flagged (the Bloom
+      // contract: zero false negatives)
+      val missed = r.join(seenDigests, "digest").where(!col("flagged"))
+      assert(missed.count() === 0)
+      // false positives bounded: fpp=1% plus slack on the tiny corpus
+      val falsePos = r.where(col("flagged"))
+        .join(seenDigests, Seq("digest"), "left_anti").count()
+      assert(falsePos <= math.max(5L, r.count() / 20))
+      // same session, same corpus -> bit-identical flags
+      val again = q("llm_bloom_dedup").collect().map(
+        x => (x.getLong(0), x.getBoolean(2))).toSeq
+      assert(again === r.select("doc_id", "flagged").collect().map(
+        x => (x.getLong(0), x.getBoolean(1))).toSeq)
+    } finally r.unpersist()
+  }
 }

@@ -543,6 +543,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(4000))
   }
 
+  test("cep_iterative_condition: windows only, no self-join, no single " +
+      "partition") {
+    val p = plan(q("cep_iterative_condition"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("cdc_retract_agg: user-keyed lag + band-keyed partial agg, " +
+      "no join") {
+    val p = plan(q("cdc_retract_agg"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    // map-side partial aggregation on the band key
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("ads_path_topn: user-keyed session windows + top-10 as " +
+      "TakeOrderedAndProject, never a global sort") {
+    val p = plan(q("ads_path_topn"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("ads_rfm_segments: quartile scoring is map-side against 1-row " +
+      "broadcasts — no global ntile window anywhere") {
+    val p = plan(q("ads_rfm_segments"))
+    // the whole point: scoring must NOT rank users in a window (the
+    // single-partition trap at 1e9 users); cutoffs ride tiny broadcasts
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("llm_semdedup: candidate pairs meet on the bucket equi key; " +
+      "assignment broadcasts stay nested-loop-free of the corpus") {
+    val p = plan(q("llm_semdedup"))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("bucket")).toSeq
+    assert(keyLines.nonEmpty, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.

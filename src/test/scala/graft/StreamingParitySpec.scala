@@ -550,6 +550,31 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepIterative stream == cep_iterative_condition batch under " +
+      "jittered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepIterative(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_iter").outputMode("append")
+      .start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "run_start_us", "cross_us", "n_events",
+      "total").map(col)
+    val streamed = spark.table("cep_iter")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_iterative_condition").select(cols: _*)
+    assert(batch.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
     import spark.implicits._
     // restrict the dim so the lookup-miss path actually occurs (every
