@@ -342,6 +342,47 @@ object Ads {
         .agg(count(lit(1)).as("n_users"),
           round(sum(col("m_cents")).cast("double") / 100, 2).as("monetary"))
         .orderBy("segment")
+    }),
+
+    // METRIC ANOMALY ALERTING (the realtime-DW board that pages
+    // someone): each day's GMV scored against the trailing 7 days'
+    // mean/std (current day excluded, ≥3 days of history required),
+    // |z| > 2 flags. The moment arithmetic runs on EXACT integer cents
+    // — window sums s1 = Σc and s2 = Σc² accumulate in BIGINT/DECIMAL
+    // so both engines hold identical integers, and the float part is
+    // one shared scalar formula ((s2 - s1²/n)/(n-1)) evaluated in the
+    // same operation order — IEEE gives bit-identical z on both
+    // engines, where a built-in stddev_samp (Welford on one engine,
+    // segment-tree two-pass on the other) would drift in the last ulp
+    // and flip a rounding. The constant-key window runs over the
+    // per-day table (≤365 rows/year — the provably-reduced exception
+    // `ads_gmv_cumulative` documents).
+    "ads_anomaly_zscore" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value").cast(dec) * 100, 0).cast("long"))
+          .as("c"))
+      val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-7, -1)
+      val nn = col("n").cast("double")
+      val s1d = col("s1").cast("double")
+      val s2d = col("s2").cast("double")
+      val vr = (s2d - s1d * s1d / nn) / (nn - lit(1))
+      val z = when(vr > 0,
+        round((col("c").cast("double") - s1d / nn) / sqrt(vr), 4))
+      daily
+        .withColumn("n", count(col("c")).over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        // c² in DECIMAL: a 1e13-cent day would overflow BIGINT squared
+        .withColumn("s2",
+          sum((col("c").cast("decimal(19,0)") *
+            col("c").cast("decimal(19,0)"))).over(w))
+        .where(col("n") >= 3)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("c").cast("double") / 100, 2).as("gmv"),
+          z.as("z"),
+          (abs(z) > 2).as("is_anomaly"))
+        .orderBy("day")
     })
   )
 
@@ -513,6 +554,25 @@ object Ads {
         |         + (m_cents > mc[3])::INT) AS segment,
         | count(*) AS n_users,
         | round(sum(m_cents)::DOUBLE / 100, 2) AS monetary
-        |FROM rfm, cuts GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM rfm, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ads_anomaly_zscore" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+        |      AS BIGINT)) c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |wn AS (SELECT day, c, count(c) OVER w n, sum(c) OVER w s1,
+        |    sum(c * c) OVER w s2
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT day, c, c::DOUBLE cd, s1::DOUBLE s1d, s2::DOUBLE s2d,
+        |    n::DOUBLE nn,
+        |    (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1) vr
+        |  FROM wn WHERE n >= 3),
+        |zc AS (SELECT day, c, CASE WHEN vr > 0
+        |    THEN round((cd - s1d / nn) / sqrt(vr), 4) END z FROM v)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | round(c::DOUBLE / 100, 2) AS gmv, z, abs(z) > 2 AS is_anomaly
+        |FROM zc ORDER BY 1""".stripMargin
   )
 }

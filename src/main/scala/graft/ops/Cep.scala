@@ -316,6 +316,59 @@ object Cep {
           round(col("cum").cast("double"), 2).as("total"))
         .orderBy("user_id", "run_start_us", "cross_us", "n_events",
           "total")
+    }),
+
+    // Flink CEP UNTIL (`oneOrMore().until(stop)` — the loop-breaker
+    // condition): `V+ until(value > 90) P`. The until-condition stops
+    // the view loop WITHOUT consuming the triggering element, so after
+    // a >90 view the NFA needs P and sees that view — dead; but a
+    // fresh start strictly AFTER the last >90 view still matches. Net
+    // batch semantics on a view-run followed by a purchase: the
+    // matched segment is the run's SUFFIX after its last >90 view
+    // (the whole run when none), non-empty. Re-expression: the
+    // event-level run labels, one (user, run)-keyed window carrying
+    // the last trigger timestamp to every row, and conditional
+    // aggregates over the suffix — same 3-keyed-shuffle shape as the
+    // other quantifier keys, no self-join, run-bounded state.
+    "cep_pattern_until" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wholeRun = Window.partitionBy("user_id", "run_id")
+      val inSuffix = col("last_high_us").isNull ||
+        col("ts_us") > col("last_high_us")
+      val byRun = Window.partitionBy("user_id").orderBy("run_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), ep(col("ts")).as("ts_us"))
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("nr",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("nr")).over(running))
+        .withColumn("last_high_us",
+          max(when(col("value") > 90, col("ts_us"))).over(wholeRun))
+        .groupBy("user_id", "run_id")
+        .agg(min(col("event_type")).as("sym"),
+          min(col("ts_us")).as("run_start_us"),
+          min_by(col("value"), col("rn")).as("first_value"),
+          count(when(inSuffix, 1)).as("n_suf"),
+          dsum(when(inSuffix, col("value"))).as("suf_total"),
+          min(when(inSuffix, col("ts_us"))).as("suf_start_us"))
+        .withColumn("next_sym", lead(col("sym"), 1).over(byRun))
+        .withColumn("next_start_us", lead(col("run_start_us"), 1).over(byRun))
+        .withColumn("next_first_value",
+          lead(col("first_value"), 1).over(byRun))
+        .where(col("sym") === "view" && col("next_sym") === "purchase" &&
+          col("n_suf") > 0)
+        .select(col("user_id"), col("suf_start_us").as("start_us"),
+          col("next_start_us").as("end_us"), col("n_suf").as("n_views"),
+          col("suf_total").as("views_total"),
+          round(col("next_first_value"), 2).as("purchase_value"))
+        .orderBy("user_id", "start_us", "end_us", "n_views", "views_total",
+          "purchase_value")
     })
   )
 
@@ -493,6 +546,44 @@ object Cep {
         |SELECT user_id, run_start_us, ts_us AS cross_us, k AS n_events,
         |  round(CAST(cum AS DOUBLE), 2) AS total
         |FROM x WHERE rk = 1
-        |ORDER BY user_id, run_start_us, cross_us, n_events, total""".stripMargin
+        |ORDER BY user_id, run_start_us, cross_us, n_events, total""".stripMargin,
+    "cep_pattern_until" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |       END nr FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ri AS (SELECT *, sum(nr) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_id
+        |       FROM r),
+        |h AS (SELECT *, max(CASE WHEN value > 90 THEN ts_us END)
+        |        OVER (PARTITION BY user_id, run_id) last_high_us
+        |      FROM ri),
+        |runs AS (SELECT user_id, run_id, min(event_type) sym,
+        |    min(ts_us) run_start_us, min_by(value, rn) first_value,
+        |    count(CASE WHEN last_high_us IS NULL OR ts_us > last_high_us
+        |      THEN 1 END) n_suf,
+        |    round(CAST(sum(CASE WHEN last_high_us IS NULL
+        |        OR ts_us > last_high_us
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |      suf_total,
+        |    min(CASE WHEN last_high_us IS NULL OR ts_us > last_high_us
+        |      THEN ts_us END) suf_start_us
+        |  FROM h GROUP BY 1, 2),
+        |a AS (SELECT *, lead(sym) OVER w3 next_sym,
+        |        lead(run_start_us) OVER w3 next_start_us,
+        |        lead(first_value) OVER w3 next_first_value
+        |      FROM runs WINDOW w3 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, suf_start_us AS start_us, next_start_us AS end_us,
+        |  n_suf AS n_views, suf_total AS views_total,
+        |  round(next_first_value, 2) AS purchase_value
+        |FROM a WHERE sym = 'view' AND next_sym = 'purchase' AND n_suf > 0
+        |ORDER BY user_id, start_us, end_us, n_views, views_total,
+        |  purchase_value""".stripMargin
   )
 }

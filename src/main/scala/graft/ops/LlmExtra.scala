@@ -1554,6 +1554,66 @@ object LlmExtra {
         .select(col("doc_id"), col("digest"),
           might(col("digest")).as("flagged"))
         .orderBy("doc_id")
+    }),
+
+    // BPE TOKENIZER TRAINING (Sennrich et al. 2016 — learning the
+    // merge table `llm_token_bpe` APPLIES): 8 merge rounds over the
+    // corpus. The distributed shape every at-scale BPE trainer uses:
+    // the corpus collapses ONCE into the distinct-word/count table
+    // (vocab ≪ corpus — all later rounds touch only the vocab), each
+    // round counts adjacent symbol pairs weighted by word count (one
+    // vocab-keyed shuffle + map-side partial agg), takes the argmax
+    // pair as a 1-row TakeOrdered (count desc, pair asc — total
+    // order, so training is deterministic), and rewrites the vocab's
+    // symbol arrays with the same left-to-right fold `bpeApplyCol`
+    // applies at inference. Per-round driver traffic is ONE 3-field
+    // row (the pagerank-style iterative scalar); per-round vocab
+    // tables are OpCache-tracked so round r+1 reads r's materialized
+    // state, not an 8-deep lineage. Iterative + argmax → not
+    // SQL-expressible (exempt); LlmExtraSpec pins exact equality with
+    // a driver-side reference trainer plus the max-pair-count
+    // monotonicity invariant.
+    "llm_tokenizer_train" -> ((s, d) => {
+      import s.implicits._
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      var cur = OpCache.track(words.select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sym")))
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var done = false
+      for (r <- 1 to 8 if !done) {
+        val top = cur.select(col("cnt"), explode(
+            when(size(col("sym")) < 2,
+              array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("sym")) - 1),
+              i => struct(element_at(col("sym"), i).as("a"),
+                element_at(col("sym"), i + 1).as("b"))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((r, a, b, top(0).getLong(2)))
+          cur = OpCache.track(cur.select(col("cnt"),
+            aggregate(col("sym"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("sym")))
+        }
+      }
+      merges.toSeq.toDF("rank", "pair_a", "pair_b", "weighted_count")
+        .select(col("rank"), col("pair_a"), col("pair_b"),
+          concat(col("pair_a"), col("pair_b")).as("merged"),
+          col("weighted_count"))
+        .orderBy("rank")
     })
   )
 

@@ -115,6 +115,44 @@ class AdsSpec extends AnyFunSuite {
     assert(math.abs(r.map(_.getAs[Double]("monetary")).sum - gmv) < 0.5)
   }
 
+  test("ads_anomaly_zscore: z matches a driver-side recomputation and " +
+      "the flag is |z| > 2") {
+    val daily = graft.ops.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value").cast(graft.ops.Tables.dec) * 100, 0)
+        .cast("long")).as("c"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val want = daily.indices.flatMap { i =>
+      val hist = daily.slice(math.max(0, i - 7), i).map(_._2)
+      if (hist.length < 3) None
+      else {
+        val nn = hist.length.toDouble
+        val s1d = hist.sum.toDouble
+        val s2d = hist.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+        val vr = (s2d - s1d * s1d / nn) / (nn - 1)
+        val z = if (vr > 0)
+          Some((daily(i)._2.toDouble - s1d / nn) / math.sqrt(vr))
+          else None
+        Some((daily(i)._1, z))
+      }
+    }
+    val got = q("ads_anomaly_zscore").orderBy("day").collect()
+      .map(r => (r.getAs[String]("day"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+        Option(r.getAs[java.lang.Boolean]("is_anomaly"))))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gd, gz, flag), (wd, wz)) =>
+      assert(gd === wd)
+      assert(gz.isDefined === wz.isDefined, gd)
+      // the op rounds to 4 dp; the reference is unrounded
+      gz.zip(wz).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 5.1e-5, s"$gd: $g vs $w") }
+      assert(flag === gz.map(v => math.abs(v) > 2), gd)
+    }
+  }
+
   test("agg_mode: modal count equals the true per-user max frequency") {
     val mode = q("agg_mode")
     val truth = graft.ops.Tables.events(spark, sf)

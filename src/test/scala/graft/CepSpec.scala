@@ -242,6 +242,52 @@ class CepSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("until: suffix after the last trigger, empty suffix kills the " +
+      "match, trigger-free run passes whole") {
+    // until(value > 90): u1 V50 V95 V30 P -> suffix [V30] matches;
+    // u2 V50 V95 P -> trigger is last view, suffix empty, no match;
+    // u3 V10 V20 P -> no trigger, whole run matches;
+    // u4 V95 P -> singleton trigger run, no match.
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 50.0),
+      (2L, "2024-01-01 00:01:00", 1L, "view", 95.0),
+      (3L, "2024-01-01 00:02:00", 1L, "view", 30.0),
+      (4L, "2024-01-01 00:03:00", 1L, "purchase", 10.0),
+      (5L, "2024-01-01 00:00:00", 2L, "view", 50.0),
+      (6L, "2024-01-01 00:01:00", 2L, "view", 95.0),
+      (7L, "2024-01-01 00:02:00", 2L, "purchase", 10.0),
+      (8L, "2024-01-01 00:00:00", 3L, "view", 10.0),
+      (9L, "2024-01-01 00:01:00", 3L, "view", 20.0),
+      (10L, "2024-01-01 00:02:00", 3L, "purchase", 5.0),
+      (11L, "2024-01-01 00:00:00", 4L, "view", 95.0),
+      (12L, "2024-01-01 00:01:00", 4L, "purchase", 5.0))
+    withEvents(rows) { dir =>
+      val r = SparkEntry.queries("cep_pattern_until")(spark, dir)
+        .collect().map(x => (x.getAs[Long]("user_id"),
+          x.getAs[Long]("n_views"), x.getAs[Double]("views_total"),
+          x.getAs[Double]("purchase_value")))
+      assert(r.toSeq === Seq((1L, 1L, 30.0, 10.0), (3L, 2L, 30.0, 5.0)))
+    }
+  }
+
+  test("until: every match is a (possibly trimmed) cep_pattern_match run") {
+    val until = q("cep_pattern_until").persist()
+    val full = q("cep_pattern_match").persist()
+    try {
+      assert(until.count() > 0)
+      // same user and same ending purchase; the until segment never
+      // starts earlier and never takes more views than the full run
+      val joined = until.as("u").join(full.as("f"),
+        col("u.user_id") === col("f.user_id") &&
+          col("u.end_us") === col("f.end_us"))
+      assert(joined.count() === until.count())
+      assert(joined.where(col("u.n_views") > col("f.n_views") ||
+        col("u.start_us") < col("f.start_us")).count() === 0)
+      // and the trimmed-vs-whole split is real in the fixture
+      assert(until.count() < full.count())
+    } finally { until.unpersist(); full.unpersist() }
+  }
+
   test("fixture invariants: measures well-formed, matches don't overlap") {
     val m = q("cep_pattern_match").persist()
     assert(m.count() > 0)

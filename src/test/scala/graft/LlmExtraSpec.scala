@@ -627,6 +627,52 @@ class LlmExtraSpec extends AnyFunSuite {
     } finally r.unpersist()
   }
 
+  test("llm_tokenizer_train: exact match with a driver-side reference " +
+      "trainer; max pair count never increases") {
+    // reference BPE trainer: same tie-break (count desc, pair asc),
+    // same left-to-right merge fold, run on the collected word counts
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    graft.ops.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        words(r.getString(0).map(_.toString).toList) = r.getLong(1) }
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to 8) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, cnt) =>
+        sym.zip(sym.drop(1)).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + cnt }
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), n) = pairs.toSeq.minBy { case ((a, b), n) =>
+          (-n, a, b) }
+        want += ((r, a, b, n))
+        val snapshot = words.toSeq; words.clear()
+        snapshot.foreach { case (sym, cnt) =>
+          val merged = sym.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.head == a && x == b) (a + b) :: acc.tail
+            else x :: acc
+          }.reverse
+          words(merged) = words.getOrElse(merged, 0L) + cnt
+        }
+      }
+    }
+    val got = q("llm_tokenizer_train").collect().map(x =>
+      (x.getAs[Int]("rank"), x.getAs[String]("pair_a"),
+        x.getAs[String]("pair_b"), x.getAs[Long]("weighted_count")))
+    assert(got.toSeq === want.toSeq)
+    // merging the argmax pair can only shrink other pairs' counts and
+    // any new pair is bounded by the merged one — monotone training
+    got.map(_._4).sliding(2).filter(_.length == 2).foreach {
+      case Array(x, y) => assert(x >= y) }
+    val mergedCol = q("llm_tokenizer_train")
+      .where(col("merged") =!= concat(col("pair_a"), col("pair_b")))
+    assert(mergedCol.count() === 0)
+  }
+
   test("llm_bloom_dedup: no false negatives, bounded false positives, " +
       "deterministic") {
     val docs = graft.ops.Tables.t(spark, sf, "documents")

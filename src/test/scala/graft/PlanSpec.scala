@@ -587,6 +587,25 @@ class PlanSpec extends AnyFunSuite {
     assert(keyLines.nonEmpty, p.take(3000))
   }
 
+  test("cep_pattern_until: windows only, no self-join, no single " +
+      "partition") {
+    val p = plan(q("cep_pattern_until"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("ads_anomaly_zscore: one keyed day-reduction, then the constant-" +
+      "key window only over the per-day table") {
+    val p = plan(q("ads_anomaly_zscore"))
+    assert(!p.contains("Join"), p.take(2000))
+    // the only keyed exchange is the per-day groupBy (partial agg on
+    // both sides of it); the trailing-window pass rides the reduced
+    // table
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
