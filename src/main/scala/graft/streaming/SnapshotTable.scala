@@ -159,4 +159,29 @@ object SnapshotTable {
         s"snapshot commit conflict at $root: marker for v=$next taken")
     }
   }
+
+  /** Small-file COMPACTION (the maintenance op every table format
+    * ships — Iceberg's rewrite_data_files / Delta's OPTIMIZE): commit
+    * a new version whose rows are IDENTICAL but rewritten into
+    * `targetFiles` parquet files via coalesce (narrow — no shuffle;
+    * production picks the target from a size estimate, bin-packing
+    * ~128 MB files). Riding the normal commit path means compaction
+    * inherits every isolation property for free: readers pinned to the
+    * fragmented version keep it until the vacuum horizon passes, a
+    * racing data commit wins or loses exactly like any commit, and
+    * time travel still serves the pre-compaction image. Returns the
+    * new version. */
+  def compact(s: SparkSession, root: String, targetFiles: Int = 1): Long =
+    commit(s, root) { cur =>
+      require(cur.isDefined, s"compact: no committed version at $root")
+      cur.get.coalesce(targetFiles)
+    }
+
+  /** Parquet part-file count of a committed version (compaction's
+    * observable effect; marker and _SUCCESS excluded). */
+  def fileCount(s: SparkSession, root: String, v: Long): Int = {
+    val fs = fsOf(s, root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
 }

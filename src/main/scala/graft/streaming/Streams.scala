@@ -86,6 +86,13 @@ case class CepIterState(buf: List[BufEv], run: Option[IterRun])
 case class IterHit(user_id: Long, run_start_us: Long, cross_us: Long,
     n_events: Long, total: Double)
 
+/** OVER-aggregation state: reorder buffer + the running per-key
+  * aggregate (count + exact-cents sum) over the drained prefix. */
+case class OverState(buf: List[BufEv], cnt: Long, sumCents: Long)
+
+case class OverRow(user_id: Long, event_id: Long, ts_us: Long,
+    run_cnt: Long, run_sum: Double)
+
 /** A drained view awaiting its immediately-next event. */
 case class PendingView(id: Long, viewUs: Long)
 
@@ -910,6 +917,45 @@ object Streams {
                 state.getCurrentWatermarkMs() + 1))
           }
           hits.iterator
+      }
+  }
+
+  /** Streaming OVER aggregation (Flink SQL's `SUM(...) OVER (PARTITION
+    * BY key ORDER BY time ROWS UNBOUNDED PRECEDING)` on a stream — the
+    * per-event running enrichment the batch `win_running_frame` /
+    * `win_time_range` family computes with Window): every event emits
+    * once, annotated with its key's running count and exact-cents
+    * running sum AT that event. The reorder buffer makes the running
+    * order the EVENT-TIME order (Flink's over-agg holds the same
+    * watermark-bounded buffer); drained state is two scalars per key —
+    * O(1) + slack, unbounded frames never store their history because
+    * sum/count are incremental. Parity with the batch window form is
+    * pinned in StreamingParitySpec under jittered replay. */
+  def overAggregate(events: Dataset[Ev]): Dataset[OverRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverState, OverRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[OverState]) =>
+          val prev = state.getOption.getOrElse(OverState(Nil, 0L, 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var (cnt, sum) = (prev.cnt, prev.sumCents)
+          val out = ripe.sortBy(b => (b.tsUs, b.id)).map { b =>
+            cnt += 1; sum += b.cents
+            OverRow(uid, b.id, b.tsUs, cnt, sum / 100.0)
+          }
+          if (buf.isEmpty && cnt == 0) state.remove()
+          else {
+            state.update(OverState(buf, cnt, sum))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
       }
   }
 

@@ -139,6 +139,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact shrinks the file count, preserves rows exactly, and " +
+      "leaves time travel + later commits intact") {
+    withRoot { root =>
+      // a deliberately fragmented image: 8 part files of 4 rows
+      val rows = (1L to 32L).map(k => (k, s"v$k"))
+      SnapshotTable.commit(spark, root, retain = 10) { _ =>
+        img(rows: _*).repartition(8) }
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.fileCount(spark, root, v1) === 8)
+      val v2 = SnapshotTable.compact(spark, root)
+      assert(v2 === v1 + 1)
+      assert(SnapshotTable.fileCount(spark, root, v2) === 1)
+      // byte-identical content
+      val before = SnapshotTable.readVersion(spark, root, v1)
+      val after = SnapshotTable.readVersion(spark, root, v2)
+      assert(after.count() === 32)
+      assert(after.exceptAll(before).count() === 0)
+      assert(before.exceptAll(after).count() === 0)
+      // the fragmented version is still time-travelable (retain=2
+      // default on compact keeps it), and the table stays writable
+      SnapshotTable.commit(spark, root) { cur =>
+        cur.get.unionByName(img(33L -> "v33")) }
+      assert(SnapshotTable.read(spark, root).get.count() === 33)
+      // compacting an empty table fails loudly, not silently
+      withRoot { empty =>
+        intercept[IllegalArgumentException] {
+          SnapshotTable.compact(spark, empty) }
+      }
+    }
+  }
+
   test("sink_snapshot_merge equals the foreachBatch upsert sink's " +
       "converged image") {
     val a = q("sink_snapshot_merge")

@@ -575,6 +575,40 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("overAggregate stream == batch running window under jittered " +
+      "replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.overAggregate(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("over_agg").outputMode("append")
+      .start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = ops.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        ops.Tables.ep(col("ts")).as("ts_us"), col("value"))
+      .withColumn("run_cnt", count(lit(1)).over(w))
+      .withColumn("run_sum", round(sum(col("value")
+        .cast(ops.Tables.dec)).over(w).cast("double"), 2))
+      .drop("value")
+    val cols = Seq("user_id", "event_id", "ts_us", "run_cnt", "run_sum")
+      .map(col)
+    val streamed = spark.table("over_agg")
+      .where(col("user_id") >= 0).select(cols: _*)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch.select(cols: _*)).count() === 0)
+    assert(batch.select(cols: _*).exceptAll(streamed).count() === 0)
+  }
+
   test("enrichDim stream == batch broadcast left join (lookup misses kept)") {
     import spark.implicits._
     // restrict the dim so the lookup-miss path actually occurs (every
