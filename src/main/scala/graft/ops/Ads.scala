@@ -383,6 +383,78 @@ object Ads {
           z.as("z"),
           (abs(z) > 2).as("is_anomaly"))
         .orderBy("day")
+    }),
+
+    // Regional GMV board (the genre's "by province" ADS page): orders
+    // rolled up per region/nation with buyer counts and average order
+    // value. Scale shape: AGGREGATE-BEFORE-JOIN — orders reduce to one
+    // row per customer first (one keyed shuffle over |customers|, the
+    // fact table never joins at row grain), then the reduced table
+    // joins customer and the two broadcast-size dims; the final
+    // group-by runs over |customers| rows. Money accumulates in exact
+    // DECIMAL(18,2) end-to-end.
+    "ads_province_board" -> ((s, d) => {
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(col("o_totalprice").cast(dec)).as("rev"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      perCust.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("n_ord")).as("n_orders"),
+          count(lit(1)).as("buyers"),
+          round(sum(col("rev")).cast("double"), 2).as("revenue"),
+          round(sum(col("rev")).cast("double") / sum(col("n_ord")), 4)
+            .as("aov"))
+        .orderBy("region", "nation")
+    }),
+
+    // Traffic board (the genre's PV/UV/bounce DWS page): per day — page
+    // views, unique visitors, sessions started, single-event bounce
+    // sessions, bounce rate, and average session duration. Sessions are
+    // the 30-min-gap sessionization (`win_sessionize`'s lag+cumsum
+    // form, one user-keyed window); the session table then reduces to
+    // per-day cardinality before any unkeyed work, and the pv/uv side
+    // is one keyed shuffle on day — both join inputs are ≤|days| rows.
+    // Durations sum in exact integral micros.
+    "ads_traffic_board" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(ep(col("ts")),
+        col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = ep(col("ts")) - lag(ep(col("ts")), 1).over(w)
+      val sess = t(s, d, "events")
+        .withColumn("new_sess",
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .select(col("user_id"), ep(col("ts")).as("ts_us"),
+          sum(col("new_sess")).over(run).as("session_n"))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_ev"))
+      val byDay = sess
+        .groupBy(date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("bounces"),
+          sum(col("end_us") - col("start_us")).as("dur_us"))
+      val pvuv = t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"))
+      pvuv.join(byDay, Seq("day"), "left")
+        .select(col("day"), col("pv"), col("uv"),
+          coalesce(col("sessions"), lit(0L)).as("sessions"),
+          coalesce(col("bounces"), lit(0L)).as("bounce_sessions"),
+          when(col("sessions").isNotNull,
+            round(col("bounces").cast("double") / col("sessions"), 4))
+            .otherwise(lit(0.0)).as("bounce_rate"),
+          when(col("sessions").isNotNull,
+            round(col("dur_us").cast("double") / col("sessions") / 1000000,
+              4)).otherwise(lit(0.0)).as("avg_session_sec"))
+        .orderBy("day")
     })
   )
 
@@ -573,6 +645,64 @@ object Ads {
         |    THEN round((cd - s1d / nn) / sqrt(vr), 4) END z FROM v)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
         | round(c::DOUBLE / 100, 2) AS gmv, z, abs(z) > 2 AS is_anomaly
-        |FROM zc ORDER BY 1""".stripMargin
+        |FROM zc ORDER BY 1""".stripMargin,
+
+    "ads_province_board" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n_ord,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT r_name AS region, n_name AS nation,
+        |  CAST(sum(n_ord) AS BIGINT) AS n_orders,
+        |  count(*) AS buyers,
+        |  round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+        |  round(CAST(sum(rev) AS DOUBLE) / sum(n_ord), 4) AS aov
+        |FROM pc
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region, nation""".stripMargin,
+
+    "ads_traffic_board" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS DISTINCT FROM NULL
+        |     AND epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      <= 1800000000 THEN 0 ELSE 1 END AS new_sess,
+        |    event_id
+        |  FROM events),
+        |sn AS (SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_n
+        |  FROM g),
+        |sess AS (SELECT user_id, session_n, min(ts_us) AS start_us,
+        |    max(ts_us) AS end_us, count(*) AS n_ev
+        |  FROM sn GROUP BY user_id, session_n),
+        |by_day AS (SELECT
+        |    strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+        |    count(*) AS sessions,
+        |    sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS bounces,
+        |    sum(end_us - start_us) AS dur_us
+        |  FROM sess GROUP BY 1),
+        |pvuv AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS pv, count(DISTINCT user_id) AS uv
+        |  FROM events GROUP BY 1)
+        |SELECT p.day, p.pv, p.uv,
+        |  CAST(coalesce(b.sessions, 0) AS BIGINT) AS sessions,
+        |  CAST(coalesce(b.bounces, 0) AS BIGINT) AS bounce_sessions,
+        |  CASE WHEN b.sessions IS NOT NULL
+        |    THEN round(CAST(b.bounces AS DOUBLE) / b.sessions, 4)
+        |    ELSE 0.0 END AS bounce_rate,
+        |  CASE WHEN b.sessions IS NOT NULL
+        |    THEN round(CAST(b.dur_us AS DOUBLE) / b.sessions / 1000000, 4)
+        |    ELSE 0.0 END AS avg_session_sec
+        |FROM pvuv p LEFT JOIN by_day b ON p.day = b.day
+        |ORDER BY p.day""".stripMargin
   )
 }

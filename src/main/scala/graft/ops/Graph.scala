@@ -63,6 +63,39 @@ object Graph {
           .cast(DecimalType38_12)).cast("double"), 10).as("rank"))
       .select(col("dst").as("node"), col("rank"))
 
+  /** ONE BFS relaxation round: frontier ⋈ edges on the source key,
+    * dst-keyed min (partial-agg combines map-side), left-join back onto
+    * the full distance table — linear in |E|, equi joins only
+    * (plan-asserted un-checkpointed in PlanSpec). */
+  def spIterate(dist: org.apache.spark.sql.DataFrame,
+      oe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = oe.join(dist.where(col("dist") < Inf),
+        oe("src") === dist("node"))
+      .groupBy(oe("dst"))
+      .agg((min(col("dist")) + 1L).as("cand"))
+      .select(col("dst").as("cnode"), col("cand"))
+    dist.join(cand, dist("node") === col("cnode"), "left")
+      .select(col("node"),
+        least(col("dist"), coalesce(col("cand"), lit(Inf))).as("dist"))
+  }
+
+  /** ONE synchronous label-propagation round: labels ⋈ edges on the
+    * source key, (dst, label)-keyed count, dst-keyed row_number picking
+    * (count DESC, label ASC) — deterministic argmax, keyed shuffles
+    * only (plan-asserted un-checkpointed in PlanSpec). */
+  def lpIterate(labels: org.apache.spark.sql.DataFrame,
+      oe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("c").desc, col("label"))
+    oe.join(labels, oe("src") === labels("node"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("dst").as("node"), col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the bipartite customer↔supplier graph: an
     // UNDIRECTED edge per distinct (customer, supplier) pair that ever
@@ -87,13 +120,86 @@ object Graph {
         // into one mega-plan (the dedup-cluster loop's 61 s→9 s lesson)
         ranks = iterate(ranks, oe, teleport).localCheckpoint()
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // Single-source shortest path (Gelly's other flagship iterative op):
+    // hop distance from customer "c1" over the same undirected trade
+    // graph, bounded to `spIters` BFS rounds. Each round is ONE edge ⋈
+    // frontier equi join + a dst-keyed min — linear in |E| per round,
+    // the pagerank shuffle shape — with `localCheckpoint` truncating
+    // lineage. Infinity is the INF sentinel (not NULL) so `least`
+    // semantics are identical across engines; output keeps only reached
+    // nodes (dist ≤ spIters by construction).
+    "graph_shortest_path" -> ((s, d) => {
+      val oe = OpCache.track(outEdges(s, d))
+      var dist = oe.select(col("src")).distinct()
+        .select(col("src").as("node"),
+          when(col("src") === SpSeed, lit(0L)).otherwise(lit(Inf))
+            .as("dist"))
+      for (_ <- 1 to spIters)
+        dist = spIterate(dist, oe).localCheckpoint()
+      dist.where(col("dist") < Inf).orderBy(col("dist"), col("node"))
+    }),
+
+    // Synchronous label propagation (community detection, Gelly
+    // LabelPropagation): init label = own node id; each round every
+    // node adopts its neighbors' most frequent label, ties broken by
+    // smallest label so the trajectory is deterministic on both
+    // engines; `lpIters` fixed rounds (sync LPA can oscillate — a fixed
+    // round count is the standard determinism guarantee). Per round:
+    // ONE edge ⋈ labels equi join + (dst, label)-keyed count + a
+    // dst-keyed row_number — all keyed shuffles linear in |E|. Output
+    // is the community size table (top-20 by size, label tiebreak).
+    "graph_label_propagation" -> ((s, d) => {
+      val oe = OpCache.track(outEdges(s, d))
+      var labels = oe.select(col("src")).distinct()
+        .select(col("src").as("node"), col("src").as("label"))
+      for (_ <- 1 to lpIters)
+        labels = lpIterate(labels, oe).localCheckpoint()
+      labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community")).limit(20)
     })
   )
+
+  /** BFS round bound / LPA round count / infinity sentinel — fixed so
+    * the DuckDB oracle unrolls the same loops as plain CTEs. */
+  private val spIters = 4
+  private val lpIters = 3
+  private val Inf = 1000000L
+  private val SpSeed = "c1"
 
   /** The 5 iterations unrolled as plain CTEs (standard SQL forbids
     * aggregation in a recursive CTE term; unrolling keeps the oracle
     * ANSI and byte-deterministic). */
   val oracleSql: Map[String, String] = {
+    // shared undirected trade-graph CTEs (identical to `outEdges`)
+    val graphCtes =
+      """pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
+    val spCte = (k: Int) =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, min(d.dist) + 1 AS cand
+         |  FROM edges e JOIN d${k - 1} d ON e.src = d.node
+         |  WHERE d.dist < 1000000 GROUP BY e.dst),
+         |d$k AS (
+         |  SELECT d.node, least(d.dist, coalesce(c.cand, 1000000)) AS dist
+         |  FROM d${k - 1} d LEFT JOIN c$k c ON d.node = c.node)""".stripMargin
+    val lpCte = (k: Int) =>
+      s"""n$k AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.node
+         |  GROUP BY e.dst, l.label),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, label) AS rn FROM n$k)
+         |  WHERE rn = 1)""".stripMargin
     val iterCte = (k: Int) =>
       s"""r$k AS (
          |  SELECT oe.dst AS node,
@@ -120,7 +226,23 @@ object Graph {
            |       FROM deg),
            |${(1 to iters).map(iterCte).mkString(",\n")}
            |SELECT node, rank FROM r$iters
-           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+      "graph_shortest_path" ->
+        s"""WITH $graphCtes,
+           |d0 AS (SELECT src AS node,
+           |         CASE WHEN src = 'c1' THEN 0 ELSE 1000000 END AS dist
+           |       FROM deg),
+           |${(1 to spIters).map(spCte).mkString(",\n")}
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$spIters
+           |WHERE dist < 1000000 ORDER BY dist, node""".stripMargin,
+
+      "graph_label_propagation" ->
+        s"""WITH $graphCtes,
+           |l0 AS (SELECT src AS node, src AS label FROM deg),
+           |${(1 to lpIters).map(lpCte).mkString(",\n")}
+           |SELECT label AS community, count(*) AS size FROM l$lpIters
+           |GROUP BY label ORDER BY size DESC, community LIMIT 20""".stripMargin
     )
   }
 }

@@ -243,4 +243,59 @@ class AdsSpec extends AnyFunSuite {
       assert(lt <= totalPurch + 0.01)
     } finally r.unpersist()
   }
+
+  test("ads_province_board: regional rollup conserves orders, buyers, " +
+      "and revenue") {
+    val r = q("ads_province_board").cache()
+    try {
+      val orders = graft.ops.Tables.t(spark, sf, "orders")
+      val tot = r.agg(sum("n_orders"), sum("buyers"), sum("revenue"))
+        .first()
+      assert(tot.getLong(0) === orders.count())
+      assert(tot.getLong(1) ===
+        orders.select("o_custkey").distinct().count())
+      val rev = orders.agg(
+        sum(col("o_totalprice").cast(graft.ops.Tables.dec))).first()
+        .getDecimal(0).doubleValue()
+      // per-(region,nation) 2-dp output rounding only
+      assert(math.abs(tot.getDouble(2) - rev) <= r.count() * 5e-3 + 0.01)
+      // aov is the per-group mean order value: between 0 and revenue
+      r.collect().foreach { row =>
+        val aov = row.getAs[Double]("aov")
+        assert(aov > 0 && aov * row.getAs[Long]("n_orders") <=
+          row.getAs[Double]("revenue") + row.getAs[Long]("n_orders") * 1e-4)
+      }
+    } finally r.unpersist()
+  }
+
+  test("ads_traffic_board: pv conserves events, sessions conserve the " +
+      "sessionization, bounce rate bounded") {
+    val r = q("ads_traffic_board").cache()
+    try {
+      val ev = graft.ops.Tables.events(spark, sf)
+      val tot = r.agg(sum("pv"), sum("sessions"),
+        sum("bounce_sessions")).first()
+      assert(tot.getLong(0) === ev.count())
+      // every session starts on exactly one day, so daily session
+      // counts sum to the corpus-wide session count — which equals the
+      // number of session-starting events (new_sess sums)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(graft.ops.Tables.ep(col("ts")), col("event_id"))
+      val gapUs = graft.ops.Tables.ep(col("ts")) -
+        lag(graft.ops.Tables.ep(col("ts")), 1).over(w)
+      val nSess = ev.withColumn("new_sess",
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .agg(sum("new_sess")).first().getLong(0)
+      assert(tot.getLong(1) === nSess)
+      assert(tot.getLong(2) <= tot.getLong(1))
+      r.collect().foreach { row =>
+        val br = row.getAs[Double]("bounce_rate")
+        assert(br >= 0 && br <= 1)
+        assert(row.getAs[Double]("avg_session_sec") >= 0)
+        assert(row.getAs[Long]("uv") <= row.getAs[Long]("pv"))
+      }
+    } finally r.unpersist()
+  }
 }

@@ -34,4 +34,53 @@ class GraphSpec extends AnyFunSuite {
     val b = q("graph_pagerank").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("graph_shortest_path: seed at 0, hops bounded, bipartite parity, " +
+      "and every edge is 1-Lipschitz") {
+    val rows = q("graph_shortest_path").collect()
+    val dist = rows.map(r =>
+      r.getAs[String]("node") -> r.getAs[Long]("dist")).toMap
+    assert(dist("c1") === 0L)
+    assert(dist.values.forall(v => v >= 0 && v <= 4))
+    // bipartite: from a customer seed, customers sit at even hops,
+    // suppliers at odd hops
+    dist.foreach { case (n, v) =>
+      if (n.startsWith("c")) assert(v % 2 === 0, s"$n at odd dist $v")
+      else assert(v % 2 === 1, s"$n at even dist $v")
+    }
+    // BFS distances differ by at most 1 across any edge whose both
+    // endpoints were reached (the defining shortest-path invariant)
+    val edges = graft.ops.Graph.outEdges(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    edges.foreach { case (a, b) =>
+      (dist.get(a), dist.get(b)) match {
+        case (Some(da), Some(db)) =>
+          assert(math.abs(da - db) <= 1, s"edge $a($da)-$b($db)")
+        case _ => // a node beyond the 4-hop bound
+      }
+    }
+  }
+
+  test("graph_label_propagation: community sizes partition the node set " +
+      "and the output is deterministic") {
+    val rows = q("graph_label_propagation").collect()
+    val sizes = rows.map(_.getAs[Long]("size"))
+    sizes.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+    val n = graft.ops.Graph.outEdges(spark, sf)
+      .select("src").distinct().count()
+    // top-20 communities can't exceed the node count; with ≤20
+    // communities they partition it exactly
+    assert(sizes.sum <= n)
+    if (rows.length < 20) assert(sizes.sum === n)
+    // labels are genuine node ids
+    rows.foreach { r =>
+      val c = r.getAs[String]("community")
+      assert(c.matches("[cs]\\d+"), c)
+    }
+    val again = q("graph_label_propagation").collect().map(_.toSeq)
+    assert(rows.map(_.toSeq).toSeq === again.toSeq)
+  }
 }

@@ -606,6 +606,56 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("graph_shortest_path: one BFS round = equi joins + map-side min, " +
+      "no cartesian (asserted pre-checkpoint)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val oe = graft.ops.Graph.outEdges(spark, sf)
+    val dist = oe.select(col("src")).distinct()
+      .select(col("src").as("node"),
+        when(col("src") === "c1", lit(0L)).otherwise(lit(1000000L))
+          .as("dist"))
+    val p = plan(graft.ops.Graph.spIterate(dist, oe))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the dst-keyed min combines map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("SinglePartition"), p.take(4000))
+  }
+
+  test("graph_label_propagation: one round = equi join + keyed count + " +
+      "dst-keyed row_number, no cartesian (asserted pre-checkpoint)") {
+    import org.apache.spark.sql.functions.col
+    val oe = graft.ops.Graph.outEdges(spark, sf)
+    val labels = oe.select(col("src")).distinct()
+      .select(col("src").as("node"), col("src").as("label"))
+    val p = plan(graft.ops.Graph.lpIterate(labels, oe))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(4000))
+    // the argmax window partitions by dst — never a single partition
+    assert(!p.contains("SinglePartition"), p.take(4000))
+  }
+
+  test("ads_province_board: fact aggregates BEFORE joining, dims " +
+      "broadcast, no single-partition stage") {
+    val p = plan(q("ads_province_board"))
+    // nation and region ride broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SinglePartition"), p.take(4000))
+    // aggregate-before-join: the per-customer rollup's partial+final
+    // HashAggregates appear below the customer join
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(4000))
+  }
+
+  test("ads_traffic_board: user-keyed sessionization, day-keyed rollups, " +
+      "no single-partition stage") {
+    val p = plan(q("ads_traffic_board"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("SinglePartition"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
