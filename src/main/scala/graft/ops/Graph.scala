@@ -63,38 +63,37 @@ object Graph {
           .cast(DecimalType38_12)).cast("double"), 10).as("rank"))
       .select(col("dst").as("node"), col("rank"))
 
-  /** ONE BFS relaxation round: frontier ⋈ edges on the source key,
-    * dst-keyed min (partial-agg combines map-side), left-join back onto
-    * the full distance table — linear in |E|, equi joins only
-    * (plan-asserted un-checkpointed in PlanSpec). */
+  /** ONE BFS relaxation round: frontier ⋈ edges on the source key
+    * emits per-edge candidates, then candidates UNION the current
+    * distance table and a single node-keyed min folds both — the merge
+    * costs one keyed shuffle with map-side partial min instead of a
+    * second join (union is free; min(old, cand+1) ≡ the textbook
+    * relaxation). Linear in |E|, equi join only (plan-asserted
+    * un-checkpointed in PlanSpec). */
   def spIterate(dist: org.apache.spark.sql.DataFrame,
       oe: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cand = oe.join(dist.where(col("dist") < Inf),
         oe("src") === dist("node"))
-      .groupBy(oe("dst"))
-      .agg((min(col("dist")) + 1L).as("cand"))
-      .select(col("dst").as("cnode"), col("cand"))
-    dist.join(cand, dist("node") === col("cnode"), "left")
-      .select(col("node"),
-        least(col("dist"), coalesce(col("cand"), lit(Inf))).as("dist"))
+      .select(oe("dst").as("node"), (col("dist") + 1L).as("dist"))
+    dist.union(cand).groupBy("node").agg(min(col("dist")).as("dist"))
   }
 
   /** ONE synchronous label-propagation round: labels ⋈ edges on the
-    * source key, (dst, label)-keyed count, dst-keyed row_number picking
-    * (count DESC, label ASC) — deterministic argmax, keyed shuffles
-    * only (plan-asserted un-checkpointed in PlanSpec). */
+    * source key, (dst, label)-keyed count, then a dst-keyed
+    * `min_by(label, (-count, label))` — the deterministic argmax
+    * (count DESC, label ASC) as a plain aggregate with map-side
+    * partials, no per-group sort/window (plan-asserted un-checkpointed
+    * in PlanSpec). */
   def lpIterate(labels: org.apache.spark.sql.DataFrame,
       oe: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("dst").orderBy(col("c").desc, col("label"))
+      : org.apache.spark.sql.DataFrame =
     oe.join(labels, oe("src") === labels("node"))
       .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("dst"))
+      .agg(min_by(col("label"),
+        struct((-col("c")).as("nc"), col("label"))).as("label"))
       .select(col("dst").as("node"), col("label"))
-  }
 
   val queries: Map[String, Q] = Map(
     // PageRank over the bipartite customer↔supplier graph: an
@@ -148,8 +147,9 @@ object Graph {
     // engines; `lpIters` fixed rounds (sync LPA can oscillate — a fixed
     // round count is the standard determinism guarantee). Per round:
     // ONE edge ⋈ labels equi join + (dst, label)-keyed count + a
-    // dst-keyed row_number — all keyed shuffles linear in |E|. Output
-    // is the community size table (top-20 by size, label tiebreak).
+    // dst-keyed min_by argmax — all keyed shuffles linear in |E|.
+    // Output is the community size table (top-20 by size, label
+    // tiebreak).
     "graph_label_propagation" -> ((s, d) => {
       val oe = OpCache.track(outEdges(s, d))
       var labels = oe.select(col("src")).distinct()

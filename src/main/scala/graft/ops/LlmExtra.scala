@@ -996,6 +996,37 @@ object LlmExtra {
             .otherwise(0.0).as("chars_per_tok"))
         .orderBy("doc_id")),
 
+    // Training-shard MANIFEST (the step after curation/packing: cut the
+    // corpus into fixed-token-budget shards and record what went
+    // where): contiguous-in-doc_id ~400-token shards per source, each
+    // manifest row carrying doc/token counts, the doc_id range, and an
+    // order-INSENSITIVE content digest — md5 over the SORTED per-doc
+    // md5s, so the shard hash is identical however partitions deliver
+    // rows, and two manifests diff shard-by-shard. Shard assignment is
+    // the token-offset prefix sum WITHIN each source (sources are the
+    // parallel unit — one keyed window, the sessionization shape; a
+    // single whale source would switch to the two-level chunked prefix
+    // `stream_watermark_late` demonstrates). Shuffle carries 32-byte
+    // hashes + counters, never text.
+    "llm_shard_manifest" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard_id", expr("off div 400"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"),
+          md5(concat_ws("", array_sort(collect_list(col("h")))))
+            .as("digest"))
+        .orderBy("source", "shard_id")
+    }),
+
     // BPE-EXACT tokenization companion to llm_token_count's regex
     // approximation: character-level start symbols folded through an
     // embedded toy merges table (the way a deployment broadcasts its
@@ -1926,6 +1957,24 @@ object LlmExtra {
         |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
         |  ELSE 0.0 END AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_shard_manifest" ->
+      """WITH dtok AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tok, h,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM dtok)
+        |SELECT source, CAST(off // 400 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+        |  md5(string_agg(h, '' ORDER BY h)) AS digest
+        |FROM o GROUP BY 1, 2
+        |ORDER BY source, shard_id""".stripMargin,
     "llm_multimodal_frames" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) hx,
         |        octet_length(encode(text)) byte_len

@@ -698,4 +698,39 @@ class LlmExtraSpec extends AnyFunSuite {
         x => (x.getLong(0), x.getBoolean(1))).toSeq)
     } finally r.unpersist()
   }
+
+  test("llm_shard_manifest: shards partition the corpus, boundaries land " +
+      "on the 400-token grid, digests are well-formed") {
+    val r = q("llm_shard_manifest").collect()
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val totDocs = docs.count()
+    val totToks = docs.select(
+        size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n"))
+      .first().getLong(0)
+    assert(r.map(_.getAs[Long]("n_docs")).sum === totDocs)
+    assert(r.map(_.getAs[Long]("n_tokens")).sum === totToks)
+    // per source: shard ids consecutive from 0, doc ranges strictly
+    // ordered, and the manifest's own running token total at each shard
+    // boundary sits inside that shard's 400-token budget window — the
+    // defining offset-sharding invariant, checkable from the manifest
+    // alone
+    r.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val shards = rows.sortBy(_.getAs[Long]("shard_id"))
+      var running = 0L
+      shards.zipWithIndex.foreach { case (row, k) =>
+        assert(row.getAs[Long]("shard_id") === k.toLong)
+        assert(running >= 400L * k && running < 400L * (k + 1),
+          s"boundary $running outside shard $k window")
+        assert(row.getAs[Long]("doc_lo") <= row.getAs[Long]("doc_hi"))
+        running += row.getAs[Long]("n_tokens")
+      }
+      shards.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("doc_hi") < b.getAs[Long]("doc_lo"))
+        case _ => ()
+      }
+    }
+    r.foreach(row =>
+      assert(row.getAs[String]("digest").matches("[0-9a-f]{32}")))
+  }
 }

@@ -623,7 +623,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph_label_propagation: one round = equi join + keyed count + " +
-      "dst-keyed row_number, no cartesian (asserted pre-checkpoint)") {
+      "dst-keyed min_by argmax, no cartesian (asserted pre-checkpoint)") {
     import org.apache.spark.sql.functions.col
     val oe = graft.ops.Graph.outEdges(spark, sf)
     val labels = oe.select(col("src")).distinct()
@@ -631,8 +631,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.ops.Graph.lpIterate(labels, oe))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(4000))
-    // the argmax window partitions by dst — never a single partition
+    // both the (dst,label) count and the dst argmax combine map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(4000))
+    // the argmax is a keyed aggregate, not a window — no sort, never a
+    // single partition
+    assert(!p.contains("Window"), p.take(4000))
     assert(!p.contains("SinglePartition"), p.take(4000))
   }
 
