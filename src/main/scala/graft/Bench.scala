@@ -79,7 +79,17 @@ object Bench {
     "win_lag_lead" -> 0.48, "win_rank_dense" -> 1.58,
     "win_rank_topn" -> 0.47, "win_running_frame" -> 1.27,
     "win_session_dynamic" -> 0.70, "win_sessionize" -> 0.56,
-    "win_share_of_total" -> 0.81, "win_time_range" -> 0.64)
+    "win_share_of_total" -> 0.81, "win_time_range" -> 0.64,
+    // round-11 additions (warm medians of the closing 169-key runs;
+    // the two graph iteratives re-measured after the LPA lineage fix)
+    "ads_ab_lift" -> 1.57, "ads_anomaly_zscore" -> 1.14,
+    "ads_path_topn" -> 0.86, "ads_province_board" -> 0.93,
+    "ads_rfm_segments" -> 1.46, "ads_traffic_board" -> 1.25,
+    "cdc_retract_agg" -> 0.93, "cep_iterative_condition" -> 0.82,
+    "cep_pattern_until" -> 1.11, "graph_label_propagation" -> 4.02,
+    "graph_shortest_path" -> 3.50, "llm_bloom_dedup" -> 0.47,
+    "llm_semdedup" -> 1.33, "llm_shard_manifest" -> 0.45,
+    "llm_source_report" -> 0.43, "llm_tokenizer_train" -> 1.92)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -103,8 +103,12 @@ object SkewRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ads_traffic_board rides the same bot-user fixture: its
+    // sessionization window sorts the one nHot-row user partition —
+    // O(n log n) per key, so t(x10) must stay ~10× t(x1)
     val ops = Seq("cep_absence_timeout", "ads_attribution",
-      "llm_dedup_substring", "join_interval_left_bucketed")
+      "llm_dedup_substring", "join_interval_left_bucketed",
+      "ads_traffic_board")
     // warmup (codegen + reader init outside the timed region) runs
     // against the FIRST mult's own synthesized fixture — it exists by
     // construction, unlike a hardcoded corpus path that silently makes
