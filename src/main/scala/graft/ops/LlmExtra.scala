@@ -409,54 +409,10 @@ object LlmExtra {
     dir
   }
 
-  /** Fingerprint of the documents table under `d`: SHA-256 over every
-    * part file's path, length, and PARQUET FOOTER bytes (the tail
-    * metadata block: row-group offsets, per-column min/max/null stats,
-    * byte sizes — any data rewrite perturbs it). Content-keyed without
-    * reading content: a rewrite that lands within the same mtime tick
-    * with identical sizes still changes the key (the stats differ), but
-    * the driver reads only O(KB) per part file — at 100 TB this walks
-    * footers, not data, the same scan the parquet reader's planning
-    * phase already does. Non-parquet/tiny files (e.g. `_SUCCESS`,
-    * `.crc`) hash in full — they ARE footer-sized. */
-  private[graft] def docsSnapshot(d: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-          .flatMap(walk)
-      else Seq(f)
-    def footerBytes(f: java.io.File): Array[Byte] = {
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try {
-        val len = raf.length()
-        // parquet tail = footer, 4-byte LE footer length, "PAR1" magic.
-        // A malformed length (not parquet, or corrupt) falls back to
-        // hashing the whole file — correctness never depends on format.
-        val start =
-          if (len < 12) 0L
-          else {
-            raf.seek(len - 8)
-            val b = new Array[Byte](4)
-            raf.readFully(b)
-            val fl = java.nio.ByteBuffer.wrap(b)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-            if (fl < 0 || fl > len - 8) 0L else len - 8 - fl
-          }
-        raf.seek(start)
-        val out = new Array[Byte]((len - start).toInt)
-        raf.readFully(out)
-        out
-      } finally raf.close()
-    }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    walk(new java.io.File(s"$d/documents.parquet")).foreach { f =>
-      md.update(f.getPath.getBytes("UTF-8"))
-      md.update(java.nio.ByteBuffer.allocate(8)
-        .putLong(f.length()).array())
-      md.update(footerBytes(f))
-    }
-    md.digest().map("%02x".format(_)).mkString.take(32)
-  }
+  /** Fingerprint of the documents table under `d` (see [[Snapshot]]
+    * for the footer-keyed scheme and its 100 TB cost bound). */
+  private[graft] def docsSnapshot(d: String): String =
+    Snapshot.of(Seq(s"$d/documents.parquet"))
 
   /** One monitor per snapshot key: concurrent sessions building cluster
     * tables for DIFFERENT input dirs proceed in parallel; only racing

@@ -527,6 +527,42 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("graph iterative loops: the persisted src-partitioned edge table " +
+      "is never re-shuffled — a round exchanges only on the agg key") {
+    // the shipped queries persist tradeGraph repartitioned on the
+    // per-round join key `src` (Graph.partitionedEdges); every
+    // iteration's join must then reuse that one exchange instead of
+    // re-shuffling |E| edges per round. AQE + auto-broadcast off so the
+    // assertion pins the non-broadcast shape a billion-node graph gets
+    // (at test scale AQE would broadcast the node side — fine, but it
+    // would hide the partitioning-reuse property this test is about).
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val oe = graft.ops.Graph.tradeGraph(spark, sf)
+        .repartition(col("src")).persist()
+      try {
+        oe.count() // materialize so the join sees the cached partitioning
+        val ranks = oe.select(col("src").as("node")).distinct()
+          .withColumn("rank", lit(0.001))
+        val it = graft.ops.Graph.iterate(ranks, oe, 0.001)
+        val shuffles = it.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s.outputPartitioning.toString }
+        // exactly one shuffle — the dst-keyed aggregation; neither join
+        // input exchanges (edges ride the persisted partitioning, and
+        // this round's node side derives from it)
+        assert(shuffles.size == 1 && shuffles.head.contains("dst"),
+          shuffles.mkString("; ") + "\n" +
+            it.queryExecution.executedPlan.toString.take(3000))
+      } finally { oe.unpersist(); () }
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
+
   test("graph_pagerank: one iteration = one keyed shuffle over an equi " +
       "join with partial aggregation (asserted pre-checkpoint)") {
     // the shipped query localCheckpoints each round (lineage), which
