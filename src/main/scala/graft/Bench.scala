@@ -62,7 +62,7 @@ object Bench {
     "scan_parquet" -> 1.22, "scan_projected" -> 0.43,
     "set_except" -> 0.40, "set_except_all" -> 0.59,
     "set_intersect" -> 0.32, "set_intersect_all" -> 0.34,
-    "set_union_all" -> 0.27, "side_output_split" -> 0.44,
+    "set_union_all" -> 0.27, "set_union" -> 0.30, "side_output_split" -> 0.44,
     "sink_csv_roundtrip" -> 0.38, "sink_foreach_upsert" -> 0.55,
     "sink_json_roundtrip" -> 0.32, "sink_orc_roundtrip" -> 0.48,
     "sink_parquet" -> 0.53, "sink_partitioned" -> 0.65,

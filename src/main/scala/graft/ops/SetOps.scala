@@ -33,6 +33,20 @@ object SetOps {
         .orderBy("event_id")
     }),
 
+    // DISTINCT union (Flink SQL UNION vs UNION ALL): the deduplicating
+    // merge — users reachable through EITHER channel, once each. Plans
+    // as union + distinct-aggregate: one shuffle on the projected key,
+    // map-side partial dedup first, so at 100 TB only the surviving
+    // distinct keys cross the wire.
+    "set_union" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view").select("user_id")
+        .union(ev.where(col("event_type") === "purchase")
+          .select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
     // Audience overlap: users who both viewed and purchased.
     "set_intersect" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -84,6 +98,11 @@ object SetOps {
         |UNION ALL
         |SELECT event_id, event_type, user_id FROM events WHERE event_type='signup'
         |ORDER BY event_id""".stripMargin,
+    "set_union" ->
+      """SELECT user_id FROM events WHERE event_type='view'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type='purchase'
+        |ORDER BY user_id""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM events WHERE event_type='view'
         |INTERSECT

@@ -129,6 +129,20 @@ class AggWindowSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/customer.parquet").count())
     // join_anti computes the same set via NOT EXISTS
     assert(q("join_anti").count() === exc.count())
+    // distinct UNION = |viewers ∪ purchasers| with each user once:
+    // equals the distinct count of the unioned bag, and is bounded by
+    // the sum of the two distinct sides (strictly below when overlap
+    // exists — which set_intersect above proves non-empty)
+    val un = q("set_union")
+    val dv = ev.where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    val dp = ev.where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(un.count() ===
+      ev.where(col("event_type").isin("view", "purchase"))
+        .select("user_id").distinct().count())
+    assert(un.count() <= dv + dp)
+    assert(un.select("user_id").distinct().count() === un.count())
   }
 
   test("bag set ops: multiplicities subtract (except all) and take the " +
