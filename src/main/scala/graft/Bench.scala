@@ -28,7 +28,7 @@ object Bench {
     "fn_date" -> 0.55, "fn_hash" -> 0.23, "fn_json" -> 2.05,
     "fn_json_malformed" -> 0.91, "fn_map" -> 0.49, "fn_math" -> 2.66,
     "fn_regex" -> 0.48, "fn_rules_apply" -> 0.39, "fn_string" -> 0.32,
-    "fn_string2" -> 0.28, "fn_url" -> 0.23, "graph_pagerank" -> 5.50,
+    "fn_string2" -> 0.28, "fn_url" -> 0.23, "graph_pagerank" -> 4.50,
     "join_anti" -> 0.31, "join_asof_dim" -> 0.65,
     "join_asof_temporal" -> 0.53, "join_broadcast_dim" -> 0.34,
     "join_bucketed_colocated" -> 2.02, "join_full_outer" -> 0.64,
@@ -87,7 +87,7 @@ object Bench {
     "ads_rfm_segments" -> 1.46, "ads_traffic_board" -> 1.25,
     "cdc_retract_agg" -> 0.93, "cep_iterative_condition" -> 0.82,
     "cep_pattern_until" -> 1.11, "graph_label_propagation" -> 2.70,
-    "graph_shortest_path" -> 2.60, "llm_bloom_dedup" -> 0.47,
+    "graph_shortest_path" -> 2.30, "llm_bloom_dedup" -> 0.47,
     "llm_semdedup" -> 1.33, "llm_shard_manifest" -> 0.45,
     "llm_source_report" -> 0.43, "llm_tokenizer_train" -> 1.92)
 

@@ -132,9 +132,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(q("llm_dedup_ngram_jaccard"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // candidates come from the exploded shingle-hash index, not a block
-    // cross product: the join is an equi SMJ/SHJ on (h, source)
-    assert(p.contains("Generate") && p.contains("explode("), p.take(2000))
+    // candidates meet on the shingle-hash equi key of the MATERIALIZED
+    // inverted index (the explode+df-cap runs once at artifact-build
+    // time — shingleIndexTable — so the query plan shows the index
+    // parquet scan self-joined on h, never a block cross product)
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("h#")).toSeq
+    assert(keyLines.nonEmpty, p.take(3000))
+    // and the shingle index build itself is the exploded form
+    val b = plan(graft.ops.LlmExtra.cappedShingleIndexOf(spark,
+      graft.ops.Tables.t(spark, sf, "documents")))
+    assert(b.contains("Generate") && b.contains("explode("), b.take(2000))
   }
 
   test("join_asof_dim is one window pass — no range self-join") {
