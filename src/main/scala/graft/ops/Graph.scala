@@ -3,22 +3,26 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (the Flink-Gelly side of the reference
-  * genre — "Flink实时数仓", /root/reference/README.md:2). One flagship
-  * op: PageRank over the customer↔supplier trade graph.
+  * genre — "Flink实时数仓", /root/reference/README.md:2): PageRank,
+  * single-source shortest path (BFS), and label-propagation community
+  * detection over the customer↔supplier trade graph.
   *
-  * Scale notes: each PageRank iteration is ONE keyed shuffle
-  * (contributions grouped by destination) over an edge table joined to
-  * the per-source rank — the `llm_dedup_clusters` contraction shape,
-  * linear per round at any graph size, and every join is an equi join
-  * (plan-asserted in PlanSpec). Per-iteration `localCheckpoint`
-  * truncates the lineage so 5 rounds don't compound into one
-  * mega-plan (the measured 61 s→9 s lesson from the dedup cluster
-  * loop). Cross-engine determinism: per-edge contributions round to
-  * 12 dp and accumulate in DECIMAL(38,12), and each iteration's rank
-  * re-quantizes to 10 dp — both engines walk the identical quantized
-  * trajectory, so the oracle compare is hash-exact, not approximate
-  * (the SNIPPETS.md order-independent-money discipline applied to
-  * rank mass).
+  * Scale notes: all three loops share one materialized edge table
+  * ([[tradeGraph]]) persisted pre-partitioned on the per-round join
+  * key ([[partitionedEdges]]), so each iteration is ONE keyed shuffle
+  * of the |N|-row state side against a stationary |E|-row side — the
+  * `llm_dedup_clusters` contraction shape, linear per round at any
+  * graph size, every join an equi join (plan-asserted in PlanSpec,
+  * including the no-re-shuffle property of the persisted edge side).
+  * Per-iteration LAZY `localCheckpoint` truncates lineage so rounds
+  * don't compound into one mega-plan (the measured 61 s→9 s lesson
+  * from the dedup cluster loop) without a separate materialization
+  * job per round. Cross-engine determinism: per-edge contributions
+  * round to 12 dp and accumulate in DECIMAL(38,12), and each
+  * iteration's rank re-quantizes to 10 dp — both engines walk the
+  * identical quantized trajectory, so the oracle compare is
+  * hash-exact, not approximate (the SNIPPETS.md
+  * order-independent-money discipline applied to rank mass).
   */
 object Graph {
   import Tables._
