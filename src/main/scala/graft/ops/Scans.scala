@@ -55,6 +55,27 @@ object Scans {
         .orderBy("value")
     }),
 
+    // BINARY-FILE source (`spark.read.format("binaryFile")`) — the
+    // multimodal ingest front door: a directory of raw media/document
+    // files becomes (path, modificationTime, length, content) rows,
+    // scanned distributed with path-glob pruning, feeding the decode
+    // seam in `Multimodal`. The fixture dir holds each document's text
+    // bytes as `<doc_id>.bin` (written once per corpus per JVM via a
+    // distributed foreachPartition — synthesizer scaffolding, not the
+    // op); the op is the binaryFile scan + filename parse + content
+    // digest. md5 over the raw bytes equals DuckDB's md5 over the same
+    // utf8 text, so this SOURCE key is fully oracle-checked end-to-end
+    // — the scan provably returns the exact bytes written.
+    "source_binary_files" -> ((s, d) =>
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(binFilesDir(s, d))
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id")),
+
     // ADS-layer file sink: write then read back (round-trip proves the sink).
     "sink_parquet" -> ((s, d) => {
       // Path derived from the input dir so each sf / concurrent run
@@ -290,7 +311,58 @@ object Scans {
     })
   )
 
+  /** Fixture dir for `source_binary_files`: one `<doc_id>.bin` per
+    * document holding the text's UTF-8 bytes, written once per corpus
+    * snapshot per JVM (distributed foreachPartition write; executors
+    * and driver share a filesystem in local mode — the fixture
+    * synthesizer's one local-mode assumption, same as every sink
+    * round-trip above). Content-keyed like the other per-JVM artifacts
+    * (see [[Snapshot]]); the dir dies with the JVM. */
+  private lazy val binCacheDir: java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_binsrc_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
+
+  private val binBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def binFilesDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = LlmExtra.docsSnapshot(d)
+    val out = new java.io.File(binCacheDir, key)
+    binBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
+        out.mkdirs()
+        val root = out.getAbsolutePath
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              val f = new java.io.File(root, s"${r.get(0)}.bin")
+              val fos = new java.io.FileOutputStream(f)
+              try fos.write(r.getString(1).getBytes("UTF-8"))
+              finally fos.close()
+            }
+          }
+        new java.io.FileOutputStream(
+          new java.io.File(out, "_SUCCESS")).close()
+      }
+    }
+    out.getAbsolutePath
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        | md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
