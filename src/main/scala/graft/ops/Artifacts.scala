@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE root for every materialized shared artifact (trade-graph
+  * edge table, dedup cluster table, capped shingle index, IVF
+  * centroids, binary-file fixtures, sink scratch dirs), configurable
+  * via the SQL conf `spark.graft.artifactRoot`.
+  *
+  * Why this exists (round-11 review, the single `weak` finding): each
+  * artifact builder previously rooted its cache at `java.io.tmpdir`.
+  * In `local[*]` driver == executor and that works; on a multi-node
+  * cluster `df.write.parquet(<node-local path>)` scatters part files
+  * across executors' local disks and the read-back sees a torn
+  * directory. The PATTERN (materialize once, content-keyed, read back
+  * partitioned) was right; only the root was node-local. Setting
+  * `spark.graft.artifactRoot` to shared storage (`hdfs://…/graft`,
+  * `s3a://bucket/graft`) makes every builder write and read through
+  * the Hadoop FileSystem for that scheme — the same committer path
+  * Spark's own writes use — so the artifacts land where every executor
+  * AND every session on the cluster can see them.
+  *
+  * Two deployment modes, selected purely by whether the conf is set:
+  *  - UNSET (default, local/test): a per-JVM nonce directory under
+  *    `java.io.tmpdir`, removed by a shutdown hook — exactly the
+  *    pre-round-12 per-JVM cache semantics. Artifacts die with the
+  *    process; a fresh bench JVM pays each build once, as before.
+  *  - SET (shared root): artifacts persist across JVMs and sessions —
+  *    the first session per content key pays the build, every later
+  *    session (today or tomorrow) reads parquet. Nothing is auto-
+  *    deleted: retention on shared storage is an ops policy (TTL on
+  *    the bucket, a cron over `<root>/<family>`), not something an
+  *    individual session should decide for its peers mid-query, so
+  *    [[deleteIf]] (rewrite pruning) becomes a no-op in this mode.
+  *
+  * Publish protocol — build to a temp sibling, then rename:
+  * `<dir>.build-<jvmNonce>-<seq>` → `<dir>`. Within one JVM a per-path
+  * monitor serializes racing builders (the loser finds `_SUCCESS` and
+  * skips). ACROSS JVMs on a shared root there is no lock; the protocol
+  * makes the race benign on rename-atomic stores (HDFS, local FS): the
+  * published dir only ever appears via one atomic rename of a COMPLETE
+  * build, so readers never see a torn directory; a builder that loses
+  * the publish race deletes its temp (or the nested dir HDFS's
+  * move-into-existing rename semantics leave behind) and reads the
+  * winner's bytes — which are IDENTICAL, because keys fingerprint
+  * input content ([[Snapshot]]) and every builder is deterministic.
+  * On S3-like stores without atomic rename the worst case is double
+  * write of the same bytes, never a torn read, because `_SUCCESS` is
+  * part of the renamed payload and readers gate on it. */
+object Artifacts {
+  /** SQL conf key for the shared root. Read per call through the
+    * session's RuntimeConfig, so tests (and notebooks) can point two
+    * sessions at one root without JVM restarts. */
+  val RootConf = "spark.graft.artifactRoot"
+
+  private val jvmNonce = java.util.UUID.randomUUID().toString.take(8)
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Builds actually executed by this JVM (not served from a published
+    * dir) — a test seam for the share-one-build property, and a cheap
+    * production metric. */
+  private[graft] val buildsPerformed =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private lazy val defaultRoot: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_artifacts_$jvmNonce")
+    dir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir.getAbsolutePath
+  }
+
+  def root(s: SparkSession): String =
+    s.conf.getOption(RootConf).filter(_.nonEmpty).getOrElse(defaultRoot)
+
+  /** True when the session points at externally managed shared
+    * storage — rewrite pruning is disabled there (see scaladoc). */
+  def isShared(s: SparkSession): Boolean =
+    s.conf.getOption(RootConf).exists(_.nonEmpty)
+
+  private def fsFor(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private[graft] def dirFor(s: SparkSession, family: String,
+      key: String): Path = new Path(new Path(root(s), family), key)
+
+  /** One monitor per published path: racing builders of the SAME
+    * artifact in one JVM serialize; different artifacts proceed in
+    * parallel. Monitors are tiny and keys are content-bounded, but
+    * [[deleteIf]] drops a pruned key's monitor so corpus rewrites
+    * can't grow the map forever (the cluster-table lesson). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Materialize-once: if `<root>/<family>/<key>/_SUCCESS` exists the
+    * build is skipped entirely; otherwise `build` writes a COMPLETE
+    * artifact (its own `_SUCCESS` included — Spark's parquet committer
+    * does this) into a temp sibling which is then atomically renamed
+    * into place. Returns the published directory as a string usable by
+    * both `spark.read` and the Hadoop FS API. */
+  def materialize(s: SparkSession, family: String, key: String)(
+      build: Path => Unit): String = {
+    val dir = dirFor(s, family, key)
+    val fs = fsFor(s, dir)
+    val done = new Path(dir, "_SUCCESS")
+    locks.computeIfAbsent(dir.toString, _ => new Object).synchronized {
+      if (!fs.exists(done)) {
+        val tmp = new Path(dir.getParent,
+          s"${dir.getName}.build-$jvmNonce-${tmpSeq.incrementAndGet()}")
+        fs.delete(tmp, true)
+        buildsPerformed.incrementAndGet()
+        try {
+          build(tmp)
+          require(fs.exists(new Path(tmp, "_SUCCESS")),
+            s"artifact build for $dir left no _SUCCESS marker in $tmp — " +
+              "builder must publish a complete artifact")
+        } catch { case e: Throwable => fs.delete(tmp, true); throw e }
+        fs.mkdirs(dir.getParent)
+        if (fs.rename(tmp, dir)) {
+          // HDFS rename-into-existing-dir semantics: if a cross-JVM
+          // racer published `dir` between our check and the rename,
+          // `tmp` lands NESTED inside it — remove the junk, keep the
+          // winner's identical bytes.
+          val nested = new Path(dir, tmp.getName)
+          if (fs.exists(nested)) { fs.delete(nested, true); () }
+        } else { fs.delete(tmp, true); () } // racer won at publish time
+        require(fs.exists(done),
+          s"artifact publish for $dir failed — no _SUCCESS after rename")
+      }
+    }
+    dir.toString
+  }
+
+  /** Parquet-table artifact: the common case (edge table, cluster
+    * table, shingle index, centroids). The build plan executes through
+    * Spark's committer into the temp dir; the read-back is an ordinary
+    * pruned/pushed-down parquet scan. */
+  def parquet(s: SparkSession, family: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = materialize(s, family, key)(tmp =>
+      build.write.mode("overwrite").parquet(tmp.toString))
+    s.read.parquet(dir)
+  }
+
+  /** Raw-files artifact (the binary-fixture synthesizer): `build`
+    * writes loose files into the temp dir — from executors, through
+    * whatever FS the root's scheme resolves to — and returns the file
+    * count it EXPECTS. The store then counts what actually landed and
+    * refuses to publish on a mismatch, so a deployment whose executors
+    * wrote somewhere the driver can't see fails LOUDLY here instead of
+    * silently serving a partial directory (round-11 advice on the old
+    * unconditional `_SUCCESS`). */
+  def files(s: SparkSession, family: String, key: String)(
+      build: Path => Long): String =
+    materialize(s, family, key) { tmp =>
+      val fs = fsFor(s, tmp)
+      fs.mkdirs(tmp)
+      val expected = build(tmp)
+      val actual = fs.listStatus(tmp)
+        .count(f => !f.getPath.getName.startsWith("_")).toLong
+      require(actual == expected,
+        s"files artifact $family/$key: builder expected $expected " +
+          s"files but $actual are visible under $tmp — on a cluster " +
+          "this means executors wrote to node-local disks; set " +
+          s"$RootConf to shared storage")
+      fs.create(new Path(tmp, "_SUCCESS")).close()
+    }
+
+  /** Rewrite pruning (the cluster-table pattern): delete `family/key`
+    * iff `cond` still holds under the artifact's own lock — callers
+    * re-check their claim maps inside `cond` so a racing builder that
+    * re-claimed the key is never pruned. No-op on a shared root
+    * (retention is an ops policy there, and peers in other JVMs may be
+    * mid-read). Returns true when a delete happened. */
+  def deleteIf(s: SparkSession, family: String, key: String)(
+      cond: => Boolean): Boolean = {
+    if (isShared(s)) return false
+    val dir = dirFor(s, family, key)
+    val did = locks.computeIfAbsent(dir.toString, _ => new Object)
+      .synchronized {
+        cond && fsFor(s, dir).delete(dir, true)
+      }
+    if (did) locks.remove(dir.toString)
+    did
+  }
+
+  /** Un-keyed scratch dir for sink round-trip keys (`sink_parquet`,
+    * `sink_csv_roundtrip`, …): cluster-visible like every artifact,
+    * but NOT materialize-once — sinks overwrite their own tag each
+    * run, which is the semantics a sink key is testing. */
+  def scratch(s: SparkSession, name: String): String =
+    new Path(new Path(root(s), "scratch"), name).toString
+}

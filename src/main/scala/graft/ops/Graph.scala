@@ -54,40 +54,20 @@ object Graph {
     edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
   }
 
-  /** Per-JVM content-keyed materialization of [[outEdges]] — the graph
+  /** Content-keyed materialization of [[outEdges]] — the graph
     * analytics family's shared input, built once per corpus snapshot
-    * and read by all three iterative ops, exactly like production graph
+    * and read by all the iterative ops, exactly like production graph
     * systems materialize the edge list before running analytics over it
     * (and exactly like the dedup cluster table in `LlmExtra`). Keyed on
-    * the orders+lineitem parquet footers (see [[Snapshot]]), so a
-    * corpus rewrite mints a new table; entries accumulate per distinct
-    * corpus within one JVM (bounded by the handful of fixture dirs a
-    * session touches) and the whole cache dir dies with the JVM. */
-  private lazy val graphCacheDir: java.io.File = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_graph_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir
-  }
-
-  private val graphBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+    * the orders+lineitem parquet footers (see [[Snapshot]]); rooted at
+    * [[Artifacts]], so `spark.graft.artifactRoot` pointed at shared
+    * storage makes the table cluster-visible and cross-session, while
+    * the unset default keeps the pre-round-12 per-JVM tmpdir
+    * semantics. */
   def tradeGraph(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val key = Snapshot.of(Seq(s"$d/orders.parquet", s"$d/lineitem.parquet"))
-    val out = new java.io.File(graphCacheDir, key)
-    graphBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (!new java.io.File(out, "_SUCCESS").isFile)
-        outEdges(s, d).write.mode("overwrite").parquet(out.getAbsolutePath)
-    }
-    s.read.parquet(out.getAbsolutePath)
+    Artifacts.parquet(s, "graph", key)(outEdges(s, d))
   }
 
   /** The iterative loops' stationary side: the materialized edge table

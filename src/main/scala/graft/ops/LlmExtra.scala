@@ -120,45 +120,22 @@ object LlmExtra {
       d: String): org.apache.spark.sql.DataFrame =
     cappedShingleIndexOf(s, t(s, d, "documents"))
 
-  /** Per-JVM content-keyed materialization of [[cappedShingleIndex]] —
-    * THE persisted intermediate of the two-pass dedup genre (the
+  /** Content-keyed materialization of [[cappedShingleIndex]] — THE
+    * persisted intermediate of the two-pass dedup genre (the
     * substring-dedup scaladoc below says it for 100 TB: the index is
     * the artifact every pass and every arriving shard joins against).
     * Shared by `llm_dedup_ngram_jaccard`, `llm_dedup_incremental`, and
     * the cluster-table build; first caller per corpus snapshot pays the
     * shingle explode + df-cap, the rest read parquet. Keyed like the
-    * cluster table ([[docsSnapshot]]); entries accumulate per distinct
-    * corpus within one JVM (no rewrite pruning here — the handful of
-    * test fixtures is bounded, and a rewrite mints a fresh key so
-    * correctness never depends on pruning) and the dir dies with the
-    * JVM. */
-  private lazy val indexCacheDir: java.io.File = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_shidx_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir
-  }
-
-  private val indexBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+    * cluster table ([[docsSnapshot]]); no rewrite pruning here — the
+    * handful of fixture corpora is bounded, and a rewrite mints a
+    * fresh key so correctness never depends on pruning. Rooted at
+    * [[Artifacts]] (shared storage when `spark.graft.artifactRoot` is
+    * set; per-JVM tmpdir otherwise). */
   private def shingleIndexTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val key = docsSnapshot(d)
-    val out = new java.io.File(indexCacheDir, key)
-    indexBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (!new java.io.File(out, "_SUCCESS").isFile)
-        cappedShingleIndex(s, d).write.mode("overwrite")
-          .parquet(out.getAbsolutePath)
-    }
-    s.read.parquet(out.getAbsolutePath)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    Artifacts.parquet(s, "shidx", docsSnapshot(d))(
+      cappedShingleIndex(s, d))
 
   /** Capped shingle-set size per doc (the Jaccard denominator side
     * inputs). Doc-count-sized — joins back onto the (tiny) pair table. */
@@ -299,47 +276,27 @@ object LlmExtra {
     * k-means refinement pass. Exposed separately from `ivfAssign` so a
     * multi-probe searcher can rank centroids per query against the SAME
     * model the corpus was bucketed with. */
-  /** Per-JVM content-keyed materialization of the TRAINED quantizer —
-    * the IVF index-build step of a production ANN system, which trains
-    * once per corpus version and serves every searcher from the same
-    * model (the property the multi-probe scaladoc below already
-    * requires: corpus and queries must rank against the SAME model).
-    * Keyed on the embeddings parquet footers; the k-means result is
+  /** Content-keyed materialization of the TRAINED quantizer — the IVF
+    * index-build step of a production ANN system, which trains once
+    * per corpus version and serves every searcher from the same model
+    * (the property the multi-probe scaladoc below already requires:
+    * corpus and queries must rank against the SAME model). Keyed on
+    * the embeddings parquet footers; the k-means result is
     * deterministic (decimal-exact means, fixed seeds), so reading the
     * table is bit-identical to retraining. Assignment itself stays a
-    * per-query map-side transform over the broadcast centroids. */
-  private lazy val ivfCacheDir: java.io.File = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_ivf_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir
-  }
-
-  private val ivfBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+    * per-query map-side transform over the broadcast centroids.
+    * Rooted at [[Artifacts]] (shared storage when
+    * `spark.graft.artifactRoot` is set; per-JVM tmpdir otherwise). */
   private def embFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   private def ivfCentroidsTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val key = Snapshot.of(Seq(s"$d/embeddings.parquet"))
-    val out = new java.io.File(ivfCacheDir, key)
-    ivfBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (!new java.io.File(out, "_SUCCESS").isFile)
-        ivfCentroids(s, embFrame(s, d)).write.mode("overwrite")
-          .parquet(out.getAbsolutePath)
-    }
-    s.read.parquet(out.getAbsolutePath)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    Artifacts.parquet(s, "ivf",
+      Snapshot.of(Seq(s"$d/embeddings.parquet")))(
+      ivfCentroids(s, embFrame(s, d)))
 
   private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -460,48 +417,26 @@ object LlmExtra {
     lab.localCheckpoint(true)
   }
 
-  /** The cluster table is built ONCE per (JVM, input snapshot) and
+  /** The cluster table is built ONCE per (root, input snapshot) and
     * shared: `llm_dedup_clusters` and `llm_dedup_prune` are independent
     * contract keys over the same table, and rebuilding the
     * shingle→pairs→CC pipeline for each doubled the dedup tail of every
-    * full run. The cache is a MATERIALIZED PARQUET TABLE under the JVM's
-    * temp dir — the lakehouse write a multi-node deployment does, scaled
-    * to local mode — which fixes three problems the round-6
-    * localCheckpoint cache had: (a) the path is keyed on a snapshot of
-    * the input files (SHA-256 over part contents), so rewriting the
-    * documents table can never serve stale clusters; (b) the artifact is on reliable
+    * full run. The cache is a MATERIALIZED PARQUET TABLE under
+    * [[Artifacts]] — the lakehouse write a multi-node deployment does
+    * (point `spark.graft.artifactRoot` at shared storage; the unset
+    * default is the per-JVM tmpdir) — which fixes three problems the
+    * round-6 localCheckpoint cache had: (a) the path is keyed on a
+    * snapshot of the input files, so rewriting the documents table can
+    * never serve stale clusters; (b) the artifact is on reliable
     * storage, so a lost executor block cannot brick the cached frame
-    * (re-reading the file always works); (c) the build runs under a
-    * lock and is idempotent (mode=overwrite to a deterministic path),
-    * so a racing second builder orphans nothing. Nothing driver-side
-    * retains SparkSession or DataFrame references, and a shutdown hook
-    * removes the whole cache dir. The per-JVM nonce scopes reuse to one
-    * process: a fresh bench JVM pays the full build exactly like the
-    * old in-session checkpoint did. */
-  private lazy val clusterCacheDir: java.io.File = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_clusters_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir
-  }
+    * (re-reading the file always works); (c) the build runs under the
+    * store's lock with a temp-then-rename publish, so a racing second
+    * builder orphans nothing. */
 
   /** Fingerprint of the documents table under `d` (see [[Snapshot]]
     * for the footer-keyed scheme and its 100 TB cost bound). */
   private[graft] def docsSnapshot(d: String): String =
     Snapshot.of(Seq(s"$d/documents.parquet"))
-
-  /** One monitor per snapshot key: concurrent sessions building cluster
-    * tables for DIFFERENT input dirs proceed in parallel; only racing
-    * builders of the SAME snapshot serialize (and the loser finds the
-    * winner's _SUCCESS and skips the build). */
-  private val clusterBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** input dir → its current snapshot key, for pruning superseded cache
     * entries (a rewrite mints a new key; the old one is dead unless
@@ -512,40 +447,30 @@ object LlmExtra {
   private def clusterTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val key = docsSnapshot(d)
-    val out = new java.io.File(clusterCacheDir, key)
     // claim the key for this dir BEFORE building: a concurrent
     // clusterTable on another dir with identical content (same key)
     // sees the claim in containsValue below and won't prune mid-build
     val old = currentClusterKey.put(d, key)
-    clusterBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (!new java.io.File(out, "_SUCCESS").isFile)
-        buildClusterTable(s, d).write.mode("overwrite")
-          .parquet(out.getAbsolutePath)
-    }
+    val table = Artifacts.parquet(s, "clusters", key)(
+      buildClusterTable(s, d))
     // prune the snapshot this rewrite orphaned — the old key is never
-    // read again, so without this the cache dir (and at one lock per
-    // key, the lock map) grows per corpus rewrite, forever. Pruning
-    // takes the OLD key's own lock (never nested inside the new key's —
-    // no lock-order cycle) and re-checks the claim map inside it, so a
-    // racing builder of the same key either finished already or has
-    // claimed it and is skipped. Keys for DIFFERENT corpora share
-    // clusterCacheDir, so a key still current for another dir is left
-    // alone. Contract (same as the stream artifacts): lazy DataFrames
-    // obtained against a corpus that is then REWRITTEN reference data
-    // that no longer exists and must not be executed after the rewrite.
-    if (old != null && old != key && !currentClusterKey.containsValue(old)) {
-      clusterBuildLocks.computeIfAbsent(old, _ => new Object).synchronized {
-        if (!currentClusterKey.containsValue(old)) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(clusterCacheDir, old))
-        }
-      }
-      clusterBuildLocks.remove(old)
+    // read again, so without this the cache (and at one lock per key,
+    // the store's lock map) grows per corpus rewrite, forever. The
+    // store takes the OLD key's own lock (never nested inside the new
+    // key's — no lock-order cycle) and the claim map is re-checked
+    // inside it, so a racing builder that re-claimed the key is never
+    // pruned. Shared-root mode skips pruning entirely (peers in other
+    // JVMs may be mid-read; retention is an ops policy there — see
+    // Artifacts.deleteIf). Contract (same as the stream artifacts):
+    // lazy DataFrames obtained against a corpus that is then REWRITTEN
+    // reference data that no longer exists and must not be executed
+    // after the rewrite.
+    if (old != null && old != key) {
+      Artifacts.deleteIf(s, "clusters", old)(
+        !currentClusterKey.containsValue(old))
       ()
     }
-    s.read.parquet(out.getAbsolutePath)
+    table
   }
 
   /** doc_id → (cluster_id, cluster_size) over the whole corpus: capped-

@@ -81,7 +81,7 @@ object Scans {
       // Path derived from the input dir so each sf / concurrent run
       // round-trips its own data instead of clobbering a shared file.
       val tag = new java.io.File(d).getName
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_$tag"
+      val out = s"${Artifacts.scratch(s, "sink")}_parquet_$tag"
       t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -94,7 +94,7 @@ object Scans {
     // partition directory (PartitionFilters in the plan, PlanSpec-checked).
     "sink_partitioned" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_$tag"
+      val out = s"${Artifacts.scratch(s, "sink")}_part_$tag"
       t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -108,7 +108,7 @@ object Scans {
     // file-exchange path; schema-on-read, no inference in the pipeline).
     "sink_csv_roundtrip" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv_$tag"
+      val out = s"${Artifacts.scratch(s, "sink")}_csv_$tag"
       t(s, d, "nation").write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -119,7 +119,7 @@ object Scans {
     // ORC sink/source round-trip (the other columnar lakehouse format).
     "sink_orc_roundtrip" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc_$tag"
+      val out = s"${Artifacts.scratch(s, "sink")}_orc_$tag"
       t(s, d, "region").write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("r_regionkey")
     }),
@@ -127,7 +127,7 @@ object Scans {
     // JSON-lines sink/source round-trip with an explicit read schema.
     "sink_json_roundtrip" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json_$tag"
+      val out = s"${Artifacts.scratch(s, "sink")}_json_$tag"
       t(s, d, "supplier").write.mode("overwrite").json(out)
       s.read.schema(
           "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -313,50 +313,32 @@ object Scans {
 
   /** Fixture dir for `source_binary_files`: one `<doc_id>.bin` per
     * document holding the text's UTF-8 bytes, written once per corpus
-    * snapshot per JVM (distributed foreachPartition write; executors
-    * and driver share a filesystem in local mode — the fixture
-    * synthesizer's one local-mode assumption, same as every sink
-    * round-trip above). Content-keyed like the other per-JVM artifacts
-    * (see [[Snapshot]]); the dir dies with the JVM. */
-  private lazy val binCacheDir: java.io.File = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_binsrc_${java.util.UUID.randomUUID().toString.take(8)}")
-    dir.mkdirs()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir
-  }
-
-  private val binBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+    * snapshot (distributed foreachPartition write). Executors write
+    * through the Hadoop FileSystem for the [[Artifacts]] root's scheme
+    * — a shared `hdfs://`/`s3a://` root works multi-node, the default
+    * tmpdir root works in local mode — and [[Artifacts.files]] refuses
+    * to publish `_SUCCESS` unless the number of files visible to the
+    * DRIVER equals the documents row count, so a deployment whose
+    * executors wrote somewhere the driver can't see fails loudly
+    * instead of silently serving a partial directory. */
   private def binFilesDir(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
-    val key = LlmExtra.docsSnapshot(d)
-    val out = new java.io.File(binCacheDir, key)
-    binBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (!new java.io.File(out, "_SUCCESS").isFile) {
-        out.mkdirs()
-        val root = out.getAbsolutePath
-        t(s, d, "documents").select(col("doc_id"), col("text"))
-          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            rows.foreach { r =>
-              val f = new java.io.File(root, s"${r.get(0)}.bin")
-              val fos = new java.io.FileOutputStream(f)
-              try fos.write(r.getString(1).getBytes("UTF-8"))
-              finally fos.close()
-            }
-          }
-        new java.io.FileOutputStream(
-          new java.io.File(out, "_SUCCESS")).close()
+      d: String): String =
+    Artifacts.files(s, "binsrc", LlmExtra.docsSnapshot(d)) { tmp =>
+      val root = tmp.toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val base = new org.apache.hadoop.fs.Path(root)
+        val fs = base.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${r.get(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes("UTF-8"))
+          finally out.close()
+        }
       }
+      docs.count()
     }
-    out.getAbsolutePath
-  }
 
   val oracleSql: Map[String, String] = Map(
     "source_binary_files" ->

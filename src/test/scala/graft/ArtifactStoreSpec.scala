@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Artifacts
+
+/** The cluster-safe artifact store (round-12): one configurable root
+  * (`spark.graft.artifactRoot`) for every materialized shared artifact,
+  * with a temp-then-rename publish. These tests pin the deployment
+  * contract the round-11 review asked for: two sessions pointed at the
+  * same shared root share ONE build; distinct content keys never
+  * collide; the default (conf unset) keeps per-JVM semantics; the
+  * raw-files builder refuses to publish a partial directory; rewrite
+  * pruning works locally and is refused on shared roots. */
+class ArtifactStoreSpec extends AnyFunSuite {
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_artspec").toString
+
+  private def sessionWithRoot(root: String) = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set(Artifacts.RootConf, root)
+    s
+  }
+
+  test("two sessions with the same shared root share one build") {
+    val root = freshRoot()
+    val a = sessionWithRoot(root)
+    val b = sessionWithRoot(root)
+    val before = Artifacts.buildsPerformed.get()
+    val d1 = Artifacts.parquet(a, "spec", "k1")(
+      a.range(5).toDF("id"))
+    assert(d1.count() === 5)
+    assert(Artifacts.buildsPerformed.get() === before + 1)
+    // second session, same root + key: must read the published table,
+    // never evaluate the by-name builder
+    val d2 = Artifacts.parquet(b, "spec", "k1")(
+      sys.error("builder must not run — artifact is published"))
+    assert(d2.count() === 5)
+    assert(Artifacts.buildsPerformed.get() === before + 1)
+    // published layout is clean: the key dir with _SUCCESS, no
+    // leftover .build-* temp siblings
+    val fam = new java.io.File(root, "spec")
+    assert(new java.io.File(fam, "k1/_SUCCESS").isFile)
+    assert(fam.listFiles().map(_.getName).toSet === Set("k1"))
+  }
+
+  test("distinct keys and families do not collide") {
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
+    val d1 = Artifacts.parquet(s, "specA", "k")(s.range(3).toDF("id"))
+    val d2 = Artifacts.parquet(s, "specB", "k")(s.range(7).toDF("id"))
+    val d3 = Artifacts.parquet(s, "specA", "k2")(s.range(11).toDF("id"))
+    assert(d1.count() === 3)
+    assert(d2.count() === 7)
+    assert(d3.count() === 11)
+  }
+
+  test("default root (conf unset) still materializes once per JVM") {
+    val s = TestSpark.spark
+    assert(!Artifacts.isShared(s))
+    val key = s"default_${System.nanoTime()}"
+    val before = Artifacts.buildsPerformed.get()
+    Artifacts.parquet(s, "spec", key)(s.range(2).toDF("id")).count()
+    Artifacts.parquet(s, "spec", key)(
+      sys.error("must not rebuild")).count()
+    assert(Artifacts.buildsPerformed.get() === before + 1)
+    // and it landed under the per-JVM tmpdir root, which is a local dir
+    assert(new java.io.File(Artifacts.root(s)).isDirectory)
+  }
+
+  test("files artifact refuses to publish on a count mismatch " +
+      "(executors wrote where the driver can't see)") {
+    val s = TestSpark.spark
+    val key = s"bad_${System.nanoTime()}"
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.files(s, "spec", key) { tmp =>
+        val f = new java.io.File(tmp.toUri.getPath, "one.bin")
+        val fos = new java.io.FileOutputStream(f)
+        try fos.write(Array[Byte](1, 2, 3)) finally fos.close()
+        2L // builder claims two files; only one is visible
+      }
+    }
+    assert(e.getMessage.contains("expected 2"))
+    // nothing was published — a retry builds cleanly
+    val dir = Artifacts.parquet(s, "spec", key)(s.range(1).toDF("id"))
+    assert(dir.count() === 1)
+  }
+
+  test("files artifact publishes when counts agree and the scan " +
+      "reads the bytes back") {
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
+    val dir = Artifacts.files(s, "spec", "good") { tmp =>
+      val base = tmp.toUri.getPath
+      (0 until 4).foreach { i =>
+        val fos = new java.io.FileOutputStream(
+          new java.io.File(base, s"$i.bin"))
+        try fos.write(s"payload$i".getBytes("UTF-8")) finally fos.close()
+      }
+      4L
+    }
+    val rows = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+    assert(rows.count() === 4)
+  }
+
+  test("deleteIf prunes under the default root, never under a " +
+      "shared root") {
+    val s = TestSpark.spark
+    val key = s"prune_${System.nanoTime()}"
+    Artifacts.parquet(s, "spec", key)(s.range(2).toDF("id")).count()
+    assert(Artifacts.deleteIf(s, "spec", key)(true))
+    // pruned: the next call rebuilds
+    val before = Artifacts.buildsPerformed.get()
+    Artifacts.parquet(s, "spec", key)(s.range(2).toDF("id")).count()
+    assert(Artifacts.buildsPerformed.get() === before + 1)
+    // condition=false never deletes
+    assert(!Artifacts.deleteIf(s, "spec", key)(false))
+    // shared root: refuse regardless of condition
+    val sh = sessionWithRoot(freshRoot())
+    Artifacts.parquet(sh, "spec", "keep")(sh.range(1).toDF("id")).count()
+    assert(!Artifacts.deleteIf(sh, "spec", "keep")(true))
+    assert(Artifacts.parquet(sh, "spec", "keep")(
+      sys.error("must not rebuild")).count() === 1)
+  }
+
+  test("tradeGraph and the dedup cluster pipeline build under the " +
+      "configured shared root") {
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
+    assert(graft.ops.Graph.tradeGraph(s, TestSpark.sf).count() > 0)
+    assert(new java.io.File(root, "graph").listFiles()
+      .exists(d => new java.io.File(d, "_SUCCESS").isFile))
+    // a second shared-root session reuses the published edge table
+    val before = Artifacts.buildsPerformed.get()
+    val s2 = sessionWithRoot(root)
+    assert(graft.ops.Graph.tradeGraph(s2, TestSpark.sf).count() > 0)
+    assert(Artifacts.buildsPerformed.get() === before)
+    // the dedup cluster pipeline (shingle index + cluster table) roots
+    // at the same conf — the 100×-deployment path the round-11 review
+    // flagged
+    assert(SparkEntry.queries("llm_dedup_clusters")(s, TestSpark.sf)
+      .count() > 0)
+    for (fam <- Seq("clusters", "shidx"))
+      assert(new java.io.File(root, fam).listFiles()
+        .exists(d => new java.io.File(d, "_SUCCESS").isFile), fam)
+    graft.ops.OpCache.release(s)
+    s.catalog.clearCache()
+  }
+}
