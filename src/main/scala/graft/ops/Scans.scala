@@ -145,13 +145,9 @@ object Scans {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
       val batches = (0 until 3).map(i => ev.where(pmod(col("event_id"), lit(3)) === i))
-      val merged = batches.reduce { (state, batch) =>
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        state.unionByName(batch)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1).drop("rn")
-      }
+      val merged = batches
+        .foldLeft(Option.empty[org.apache.spark.sql.DataFrame])(
+          (state, batch) => Some(upsertMerge(state, batch))).get
       merged
         .select(col("user_id"), col("event_id"), col("event_type"),
           ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
@@ -294,15 +290,10 @@ object Scans {
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
       (0 until 3).foreach { i =>
         val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
-        graft.streaming.SnapshotTable.commit(s, root) { state =>
-          state.map(_.unionByName(batch)).getOrElse(batch)
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1).drop("rn")
-        }
+        graft.streaming.SnapshotTable.commit(s, root)(state =>
+          upsertMerge(state, batch))
       }
       graft.streaming.SnapshotTable.read(s, root).get
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -310,6 +301,28 @@ object Scans {
         .orderBy("user_id")
     })
   )
+
+  /** The keyed latest-image merge every upsert sink folds batches
+    * through (`sink_foreach_upsert`, `sink_snapshot_merge`): union the
+    * incoming batch into the state and keep one row per user_id — the
+    * argmax by (ts, event_id). IDEMPOTENT UNDER REDELIVERY, which is
+    * the genre's exactly-once story for at-least-once foreachBatch
+    * sinks: merging rows the state already absorbed can never change a
+    * per-key argmax, so re-applying ANY previously applied batch — the
+    * crash-replay case, where foreachBatch re-executes the last
+    * uncommitted batch id after a restart — converges to the same
+    * image as applying it once. WarehouseSpec replays both the
+    * duplicate-batch and the stale-past-batch case and pins state
+    * equality, end-to-end through a SnapshotTable commit. */
+  def upsertMerge(state: Option[org.apache.spark.sql.DataFrame],
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    state.map(_.unionByName(batch)).getOrElse(batch)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
 
   /** Fixture dir for `source_binary_files`: one `<doc_id>.bin` per
     * document holding the text's UTF-8 bytes, written once per corpus

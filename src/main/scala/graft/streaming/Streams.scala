@@ -86,6 +86,22 @@ case class CepIterState(buf: List[BufEv], run: Option[IterRun])
 case class IterHit(user_id: Long, run_start_us: Long, cross_us: Long,
     n_events: Long, total: Double)
 
+/** until-matcher run: current symbol + the view-run SUFFIX accumulators
+  * (count, exact-cents sum, first suffix timestamp; sufStartUs = -1
+  * when the suffix is empty). A >90 view RESETS the suffix — the
+  * streaming image of the batch key's "segment after the run's last
+  * >90 view". Non-view runs carry empty accumulators. */
+case class UntilRun(sym: String, sufN: Long, sufCents: Long,
+    sufStartUs: Long)
+
+/** until matcher state: reorder buffer + current run (O(1) + reorder
+  * slack per key — the suffix rides as three scalars, never the
+  * accepted events themselves). */
+case class CepUntilState(buf: List[BufEv], run: Option[UntilRun])
+
+case class UntilHit(user_id: Long, start_us: Long, end_us: Long,
+    n_views: Long, views_total: Double, purchase_value: Double)
+
 /** OVER-aggregation state: reorder buffer + the running per-key
   * aggregate (count + exact-cents sum) over the drained prefix. */
 case class OverState(buf: List[BufEv], cnt: Long, sumCents: Long)
@@ -911,6 +927,76 @@ object Streams {
           if (buf.isEmpty && run == null) state.remove()
           else {
             state.update(CepIterState(buf, Option(run)))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                buf.map(_.tsUs).min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          hits.iterator
+      }
+  }
+
+  /** until-condition CEP (streaming form of `cep_pattern_until`:
+    * Flink's `V oneOrMore until(value > 90)` followed by P — the
+    * loop-breaker condition). The batch key's semantics: on a view run
+    * immediately followed by a purchase run, the matched segment is
+    * the view run's SUFFIX strictly after its last >90 view (the whole
+    * run when none), and only non-empty suffixes fire. The incremental
+    * mirror, over the same watermark reorder buffer as `cepMatches`:
+    * drained state is ONE current-run struct whose suffix rides as
+    * three SCALARS (count, exact-cents sum, first-suffix ts) — a >90
+    * view CLEARS them (everything at or before it is outside the
+    * match), any other view accumulates, and the hit is emitted at the
+    * view→purchase run TRANSITION using the transition event's ts and
+    * value (the batch key's `next_start_us` / `next_first_value` are
+    * exactly the purchase run's first event in (ts, event_id) order,
+    * which is the event being drained). A run of any OTHER type
+    * between views and purchase replaces the run struct and cannot
+    * match — same as the batch adjacency (`lead` over run_id). The
+    * >90 threshold compares exact cents (value > 90 ⇔ cents > 9000 on
+    * the 2-decimal fixture values, the same convention every mirror
+    * uses for its measures). Bag-equality with the batch key under
+    * jittered out-of-order replay is pinned in StreamingParitySpec. */
+  def cepUntil(events: Dataset[Ev],
+      thresholdCents: Long = 9000L): Dataset[UntilHit] = {
+    import events.sparkSession.implicits._
+    def fresh(b: BufEv): UntilRun =
+      if (b.typ == "view" && b.cents <= thresholdCents)
+        UntilRun("view", 1L, b.cents, b.tsUs)
+      else UntilRun(b.typ, 0L, 0L, -1L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepUntilState, UntilHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[CepUntilState]) =>
+          val prev = state.getOption.getOrElse(CepUntilState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, buf) = (prev.buf ++ evs.map(e =>
+              BufEv(e.event_id, e.ts_us, e.event_type, cents(e.value))))
+            .partition(_.tsUs <= wmUs)
+          var run = prev.run.orNull
+          val hits = scala.collection.mutable.ArrayBuffer.empty[UntilHit]
+          ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+            run =
+              if (run == null) fresh(b)
+              else if (run.sym == b.typ) {
+                if (b.typ != "view") run
+                else if (b.cents > thresholdCents)
+                  run.copy(sufN = 0L, sufCents = 0L, sufStartUs = -1L)
+                else run.copy(sufN = run.sufN + 1,
+                  sufCents = run.sufCents + b.cents,
+                  sufStartUs =
+                    if (run.sufN == 0L) b.tsUs else run.sufStartUs)
+              } else {
+                if (run.sym == "view" && b.typ == "purchase" &&
+                    run.sufN > 0)
+                  hits += UntilHit(uid, run.sufStartUs, b.tsUs, run.sufN,
+                    run.sufCents / 100.0, b.cents / 100.0)
+                fresh(b)
+              }
+          }
+          if (buf.isEmpty && run == null) state.remove()
+          else {
+            state.update(CepUntilState(buf, Option(run)))
             if (buf.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 buf.map(_.tsUs).min / 1000L,

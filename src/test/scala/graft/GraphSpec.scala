@@ -83,4 +83,42 @@ class GraphSpec extends AnyFunSuite {
     val again = q("graph_label_propagation").collect().map(_.toSeq)
     assert(rows.map(_.toSeq).toSeq === again.toSeq)
   }
+
+  test("graph_connected_components: components partition the node set, " +
+      "labels are component minima, and the split sums check out") {
+    val rows = q("graph_connected_components").collect()
+    val n = graft.ops.Graph.outEdges(spark, sf)
+      .select("src").distinct().count()
+    val sizes = rows.map(_.getAs[Long]("size"))
+    sizes.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+    // with < 20 components listed, they partition the node set exactly
+    assert(sizes.sum <= n)
+    if (rows.length < 20) assert(sizes.sum === n)
+    rows.foreach { r =>
+      // per-component: customers + suppliers = size, label is a real
+      // node id, and (bipartite, edges exist) both sides are populated
+      assert(r.getAs[Long]("n_customers") + r.getAs[Long]("n_suppliers")
+        === r.getAs[Long]("size"))
+      val lbl = r.getAs[String]("component")
+      assert(lbl.matches("[cs]\\d+"), lbl)
+      assert(r.getAs[Long]("n_customers") > 0)
+      assert(r.getAs[Long]("n_suppliers") > 0)
+    }
+    // the label is the MINIMUM node id of its component: no member of
+    // any listed component sorts below its label. Re-derive labels and
+    // cross-check against a direct min over the membership.
+    val pairs = graft.ops.Graph.tradeGraph(spark, sf)
+      .where(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val labs = graft.ops.LlmExtra.connectedComponents(pairs)
+    val minByComp = labs.groupBy("label")
+      .agg(min(col("doc_id")).as("mn")).collect()
+    minByComp.foreach(r =>
+      assert(r.getAs[String]("label") === r.getAs[String]("mn")))
+    // deterministic across runs
+    val again = q("graph_connected_components").collect().map(_.toSeq)
+    assert(rows.map(_.toSeq).toSeq === again.toSeq)
+  }
 }

@@ -241,6 +241,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("graph_connected_components: contraction output aggregates on " +
+      "the label key — equi joins only, no cartesian") {
+    val p = plan(q("graph_connected_components"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("llm_dedup_paragraph: decision is a digest-keyed window, " +
       "reassembly joins on doc_id — never all-pairs") {
     val p = plan(q("llm_dedup_paragraph"))

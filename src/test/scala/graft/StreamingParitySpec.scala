@@ -575,6 +575,31 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepUntil stream == cep_pattern_until batch under jittered " +
+      "replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Streams.cepUntil(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_until").outputMode("append")
+      .start()
+    val ordered = jittered
+    ordered.grouped((ordered.size + 6) / 7)
+      .foreach { c => input.addData(c); query.processAllAvailable() }
+    flushWatermark(input, query)
+    query.stop()
+    val cols = Seq("user_id", "start_us", "end_us", "n_views",
+      "views_total", "purchase_value").map(col)
+    val streamed = spark.table("cep_until")
+      .where(col("user_id") >= 0).select(cols: _*)
+    val batch = q("cep_pattern_until").select(cols: _*)
+    assert(batch.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("overAggregate stream == batch running window under jittered " +
       "replay") {
     import spark.implicits._

@@ -57,4 +57,46 @@ class WarehouseSpec extends AnyFunSuite {
     assert(streamedAds.join(batchAds,
         Seq("w_start", "event_type", "n", "rk")).count() === batchAds.count())
   }
+
+  test("upsert merge is idempotent under foreachBatch redelivery: " +
+      "duplicate and stale batch replays are no-ops") {
+    // The crash-replay contract: a foreachBatch sink restarted from a
+    // checkpoint re-executes its last batch id against a state that may
+    // already contain that batch's rows (at-least-once delivery). The
+    // exactly-once story is the MERGE's, not the scheduler's: applying
+    // the same batch twice — or any PAST batch again — must converge to
+    // the image of applying each batch once.
+    val ev = ops.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val batches = (0 until 3).map(i =>
+      ev.where(pmod(col("event_id"), lit(3)) === i))
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id")).orderBy("user_id")
+        .collect().map(_.toSeq).toSeq
+    // once: b0, b1, b2
+    val once = batches.foldLeft(
+      Option.empty[org.apache.spark.sql.DataFrame])((s0, b) =>
+      Some(ops.Scans.upsertMerge(s0, b))).get
+    // crash-replay: b0, b1, b1 again (duplicate redelivery), b2, then
+    // b0 again (stale batch arriving after later state)
+    val replayed = Seq(batches(0), batches(1), batches(1), batches(2),
+      batches(0)).foldLeft(
+      Option.empty[org.apache.spark.sql.DataFrame])((s0, b) =>
+      Some(ops.Scans.upsertMerge(s0, b))).get
+    assert(img(once) === img(replayed))
+    assert(once.count() ===
+      ev.select(col("user_id")).distinct().count())
+
+    // end-to-end through the ACID sink: commit b0+b1, then commit b1
+    // AGAIN (the redelivered batch), then b2 — the final snapshot
+    // equals the no-crash table image row for row.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retry_idem").toString
+    Seq(batches(0), batches(1), batches(1), batches(2)).foreach(b =>
+      graft.streaming.SnapshotTable.commit(spark, root)(st =>
+        ops.Scans.upsertMerge(st, b)))
+    val table = graft.streaming.SnapshotTable.read(spark, root).get
+    assert(img(table) === img(once))
+  }
 }
