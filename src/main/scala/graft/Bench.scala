@@ -89,7 +89,11 @@ object Bench {
     "cep_pattern_until" -> 1.11, "graph_label_propagation" -> 2.70,
     "graph_shortest_path" -> 2.30, "llm_bloom_dedup" -> 0.47,
     "llm_semdedup" -> 1.33, "llm_shard_manifest" -> 0.45,
-    "llm_source_report" -> 0.43, "llm_tokenizer_train" -> 1.92)
+    "llm_source_report" -> 0.43, "llm_tokenizer_train" -> 1.92,
+    // round-12 additions (median of 3 fresh-JVM runs each; both pay
+    // their artifact build — CC runs alphabetically FIRST of the graph
+    // family so it owns the tradeGraph build in full sessions too)
+    "graph_connected_components" -> 5.00, "source_binary_files" -> 1.03)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,13 +162,20 @@ object Bench {
       // full-inventory session (each query pays its own cache build
       // above, inside its timing — no cross-query subsidy). release()
       // also frees the driver-side OpCache handle list, which
-      // clearCache alone leaves growing for the session. Two designed
-      // exceptions survive this hygiene as temp-parquet
-      // materializations: the shared cluster table
-      // (llm_dedup_clusters/prune) and the trade-graph edge table
-      // (graph_pagerank/shortest_path/label_propagation) — whichever
-      // family member runs first pays the build, exactly like
-      // production reading a materialized cluster/edge table.
+      // clearCache alone leaves growing for the session. FIVE designed
+      // exceptions survive this hygiene as materialized artifacts
+      // under the graft.ops.Artifacts root (content-keyed, built once
+      // per JVM or shared root): the dedup cluster table
+      // (llm_dedup_clusters/prune), the trade-graph edge table
+      // (graph_connected_components/pagerank/shortest_path/
+      // label_propagation), the capped shingle index
+      // (llm_dedup_ngram_jaccard/incremental + the cluster build), the
+      // IVF centroids (llm_dedup_embcos/knn_ivf/semdedup), and the
+      // binary fixture dir (source_binary_files). Whichever family
+      // member runs FIRST in a session pays its build — exactly like
+      // production reading a materialized table — so ~12 keys' timings
+      // depend on in-session order; alphabetical execution makes that
+      // order (and therefore the per-key medians) stable run-to-run.
       graft.ops.OpCache.release(spark)
       spark.catalog.clearCache()
       if (ok) dt else -1.0
