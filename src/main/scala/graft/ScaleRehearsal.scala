@@ -116,6 +116,32 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Trade tables at multiples of the REAL sf0.1 shape (150k orders,
+    * 4 lineitems/order, 15k customers, 1k suppliers → ~587k distinct
+    * trading pairs / 1.17M directed edges measured on the fixture), so
+    * the graph-iterative family can rehearse the same 1×→10× curve the
+    * dedup family does (round-11 verdict item 7). Customers AND
+    * suppliers scale with the corpus — the regime where both the edge
+    * table and the iterated rank/dist/label side grow linearly, which
+    * is exactly the claim the per-round one-keyed-shuffle plans make. */
+  private[graft] def synthesizeTrade(s: SparkSession, dir: String,
+      mult: Int): Unit = {
+    import s.implicits._
+    if (new java.io.File(s"$dir/orders.parquet/_SUCCESS").isFile &&
+      new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").isFile) return
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nOrders = 150000L * mult
+    s.range(nOrders).map(id => (id, (mix(id, 51) >>> 1) % nCust))
+      .toDF("o_orderkey", "o_custkey")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    s.range(nOrders * 4).map(i => (i / 4, (mix(i, 53) >>> 1) % nSupp))
+      .toDF("l_orderkey", "l_suppkey")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
@@ -184,10 +210,36 @@ object ScaleRehearsal {
         .mkString("{", ",", "}")
       val ccRounds = timings.collectFirst {
         case (_, _, _, cc) if cc >= 0 => cc }.getOrElse(-1)
+      // graph-iterative rehearsal on synthesized trade tables of the
+      // same multiplier. The shared edge artifact builds ONCE outside
+      // the per-op timings (production materializes it once too), so
+      // the op numbers are pure per-iteration cost; the build gets its
+      // own scaling datum. CC runs first so its timing includes no
+      // hidden build even if the artifact were dropped.
+      synthesizeTrade(spark, dir, mult)
+      val tG0 = System.nanoTime()
+      val nEdges = graft.ops.Graph.tradeGraph(spark, dir).count()
+      val graphBuild = (System.nanoTime() - tG0) / 1e9
+      val gTimings = Seq("graph_connected_components", "graph_pagerank",
+        "graph_shortest_path", "graph_label_propagation").map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.ops.OpCache.release(spark)
+        spark.catalog.clearCache()
+        (name, dt)
+      }
+      val gSecs = gTimings.map(t => s""""${t._1}":${"%.2f"
+        .formatLocal(java.util.Locale.ROOT, t._2)}""")
+        .mkString("{", ",", "}")
       val line = s"""{"rehearsal":{"mult":$mult,"docs":${docs.count()},""" +
         s""""secs":$secs,"rows":$rows,"cc_rounds":$ccRounds,""" +
         s""""max_df":${dfStats.getLong(0)},""" +
-        s""""cand_pairs":${dfStats.getDouble(1).toLong}}}"""
+        s""""cand_pairs":${dfStats.getDouble(1).toLong},""" +
+        s""""edges":$nEdges,"graph_build":${"%.2f"
+          .formatLocal(java.util.Locale.ROOT, graphBuild)},""" +
+        s""""graph_secs":$gSecs}}"""
       println(line)
       line
     }

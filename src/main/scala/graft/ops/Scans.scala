@@ -285,8 +285,11 @@ object Scans {
     // each commit is one keyed merge window, nothing driver-side but
     // the commit marker.
     "sink_snapshot_merge" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_snap_merge").toString
+      // fresh per invocation (the op's semantics are three commits on
+      // an EMPTY table), but rooted under Artifacts so the snapshot
+      // dirs land on cluster-visible storage like every other artifact
+      val root = Artifacts.scratch(s,
+        s"snap_merge_${java.util.UUID.randomUUID().toString.take(8)}")
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))

@@ -1,8 +1,9 @@
 package graft.ops
 
-/** Content fingerprints for on-disk parquet inputs, shared by the
-  * per-JVM materialized-artifact caches (the dedup cluster table in
-  * `LlmExtra`, the trade-graph edge table in `Graph`).
+/** Content fingerprints for parquet inputs, shared by the
+  * materialized-artifact caches (the dedup cluster table in `LlmExtra`,
+  * the trade-graph edge table in `Graph`, the binary-fixture dir —
+  * everything under [[Artifacts]]).
   *
   * The key is SHA-256 over every part file's path, length, and PARQUET
   * FOOTER bytes (the tail metadata block: row-group offsets, per-column
@@ -13,7 +14,13 @@ package graft.ops
   * 100 TB this walks footers, not data, the same scan the parquet
   * reader's planning phase already does. Non-parquet/tiny files (e.g.
   * `_SUCCESS`, `.crc`) hash in full — they ARE footer-sized.
-  */
+  *
+  * Local bare paths take the `java.io` fast path (one fewer layer per
+  * footer read on the hot local[*] loop); scheme-qualified paths
+  * (`hdfs://…`, `s3a://…` — the 100×-deployment inputs, same class of
+  * cluster-reality fix as the Artifacts root) walk and read through
+  * the Hadoop FileSystem for their scheme, producing the same
+  * name-ordered digest stream. */
 private[graft] object Snapshot {
   private def walk(f: java.io.File): Seq[java.io.File] =
     if (f.isDirectory)
@@ -21,22 +28,29 @@ private[graft] object Snapshot {
         .flatMap(walk)
     else Seq(f)
 
+  /** Footer start offset given the file's last 8 bytes (4-byte LE
+    * footer length + "PAR1"). A malformed length (not parquet, or
+    * corrupt) falls back to 0 — hash the whole file; correctness never
+    * depends on format. */
+  private def footerStart(len: Long, tail8: Array[Byte]): Long =
+    if (len < 12) 0L
+    else {
+      val fl = java.nio.ByteBuffer.wrap(tail8, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (fl < 0 || fl > len - 8) 0L else len - 8 - fl
+    }
+
   private def footerBytes(f: java.io.File): Array[Byte] = {
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
       val len = raf.length()
-      // parquet tail = footer, 4-byte LE footer length, "PAR1" magic.
-      // A malformed length (not parquet, or corrupt) falls back to
-      // hashing the whole file — correctness never depends on format.
       val start =
         if (len < 12) 0L
         else {
           raf.seek(len - 8)
-          val b = new Array[Byte](4)
+          val b = new Array[Byte](8)
           raf.readFully(b)
-          val fl = java.nio.ByteBuffer.wrap(b)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-          if (fl < 0 || fl > len - 8) 0L else len - 8 - fl
+          footerStart(len, b)
         }
       raf.seek(start)
       val out = new Array[Byte]((len - start).toInt)
@@ -45,12 +59,57 @@ private[graft] object Snapshot {
     } finally raf.close()
   }
 
+  private def hasScheme(p: String): Boolean =
+    new java.net.URI(p).getScheme != null
+
+  private def walkFs(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (st.isDirectory)
+      fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+        .flatMap(walkFs(fs, _))
+    else Seq(st)
+
+  private def footerBytesFs(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Array[Byte] = {
+    val len = st.getLen
+    val in = fs.open(st.getPath)
+    try {
+      val start =
+        if (len < 12) 0L
+        else {
+          val b = new Array[Byte](8)
+          in.readFully(len - 8, b)
+          footerStart(len, b)
+        }
+      val out = new Array[Byte]((len - start).toInt)
+      in.readFully(start, out)
+      out
+    } finally in.close()
+  }
+
   /** 32-hex-char fingerprint of the parquet trees at `paths` (files or
-    * directories), order-sensitive so callers pass a canonical order. */
-  def of(paths: Seq[String]): String = {
+    * directories), order-sensitive so callers pass a canonical order.
+    * `hadoopConf` is consulted only for scheme-qualified paths; pass
+    * the session's `sparkContext.hadoopConfiguration` when the inputs
+    * need cluster credentials (object-store keys etc.). */
+  def of(paths: Seq[String],
+      hadoopConf: () => org.apache.hadoop.conf.Configuration =
+        () => new org.apache.hadoop.conf.Configuration()): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     paths.foreach { p =>
-      walk(new java.io.File(p)).foreach { f =>
+      if (hasScheme(p)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hadoopConf())
+        if (fs.exists(hp)) walkFs(fs, fs.getFileStatus(hp)).foreach { st =>
+          // digest the scheme-relative path so file://<dir> and the
+          // bare <dir> of the same tree produce the same key stream
+          md.update(st.getPath.toUri.getPath.getBytes("UTF-8"))
+          md.update(java.nio.ByteBuffer.allocate(8)
+            .putLong(st.getLen).array())
+          md.update(footerBytesFs(fs, st))
+        }
+      } else walk(new java.io.File(p)).foreach { f =>
         md.update(f.getPath.getBytes("UTF-8"))
         md.update(java.nio.ByteBuffer.allocate(8)
           .putLong(f.length()).array())

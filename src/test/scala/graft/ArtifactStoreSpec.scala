@@ -123,6 +123,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
       sys.error("must not rebuild")).count() === 1)
   }
 
+  test("racing builders of the same key serialize to exactly one build") {
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
+    val before = Artifacts.buildsPerformed.get()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try {
+          val n = Artifacts.parquet(s, "spec", "race")(
+            s.range(100).toDF("id")).count()
+          assert(n === 100)
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs)
+    assert(Artifacts.buildsPerformed.get() === before + 1)
+    // and the published dir is the only thing on disk — losers left no
+    // temp siblings
+    assert(new java.io.File(root, "spec").listFiles()
+      .map(_.getName).toSet === Set("race"))
+  }
+
+  test("scratch dirs root under the configured shared root") {
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
+    val p = Artifacts.scratch(s, "probe")
+    assert(p.startsWith(root), p)
+  }
+
+  test("Snapshot fingerprints scheme-qualified paths through Hadoop " +
+      "FS, matching the local fast path byte for byte") {
+    val d = TestSpark.sf
+    val bare = graft.ops.Snapshot.of(Seq(s"$d/documents.parquet"))
+    val viaFs = graft.ops.Snapshot.of(Seq(s"file://$d/documents.parquet"))
+    assert(bare === viaFs)
+    // and a rewrite-sensitive property survives the FS branch: a
+    // different table fingerprints differently
+    val other = graft.ops.Snapshot.of(Seq(s"file://$d/orders.parquet"))
+    assert(other !== viaFs)
+  }
+
   test("tradeGraph and the dedup cluster pipeline build under the " +
       "configured shared root") {
     val root = freshRoot()
