@@ -146,6 +146,22 @@ class ArtifactStoreSpec extends AnyFunSuite {
       .map(_.getName).toSet === Set("race"))
   }
 
+  test("a scheme-qualified root (file://) resolves through Hadoop FS " +
+      "— the same branch an hdfs:// root takes") {
+    val bare = freshRoot()
+    val s = sessionWithRoot(s"file://$bare")
+    val d = Artifacts.parquet(s, "spec", "schemed")(s.range(9).toDF("id"))
+    assert(d.count() === 9)
+    // published on the local disk behind the scheme, marker included
+    assert(new java.io.File(bare, "spec/schemed/_SUCCESS").isFile)
+    // reuse across a second session with the same schemed root
+    val before = Artifacts.buildsPerformed.get()
+    val s2 = sessionWithRoot(s"file://$bare")
+    assert(Artifacts.parquet(s2, "spec", "schemed")(
+      sys.error("must not rebuild")).count() === 9)
+    assert(Artifacts.buildsPerformed.get() === before)
+  }
+
   test("scratch dirs root under the configured shared root") {
     val root = freshRoot()
     val s = sessionWithRoot(root)
