@@ -93,7 +93,8 @@ object Bench {
     // round-12 additions (median of 3 fresh-JVM runs each; both pay
     // their artifact build — CC runs alphabetically FIRST of the graph
     // family so it owns the tradeGraph build in full sessions too)
-    "graph_connected_components" -> 5.00, "source_binary_files" -> 1.03)
+    "graph_connected_components" -> 5.00, "source_binary_files" -> 1.03,
+    "fn_xml" -> 1.18, "sink_xml_roundtrip" -> 0.79)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -224,6 +224,37 @@ object Fns {
           parse_url(col("url"), lit("QUERY"), lit("uid")).as("q_uid"))
         .orderBy("event_id")),
 
+    // XML payload parsing (Spark 4's built-in XML support; the genre's
+    // legacy-system ingest — industrial/ERP feeds still deliver XML
+    // where the web side delivers JSON). Builds a deterministic XML
+    // payload from event fields (the fn_url pattern), then parses it
+    // back with the native from_xml expression against an explicit
+    // schema; every 7th payload is TRUNCATED mid-element, and the
+    // malformed-input contract mirrors fn_json_malformed: fields null,
+    // a corrupt flag raised, the row never dropped. Values ride as
+    // %.2f strings so the double round-trips exactly (2-dp fixture).
+    // Oracle recomputes the expected fields straight from the base
+    // columns — a parse that silently mangled anything hash-fails.
+    "fn_xml" -> ((s, d) => {
+      val xmlSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("uid BIGINT, t STRING, v DOUBLE")
+      t(s, d, "events")
+        .where(col("event_id") < 500)
+        .withColumn("xml0",
+          concat(lit("<e><uid>"), col("user_id"), lit("</uid><t>"),
+            col("event_type"), lit("</t><v>"),
+            format_string("%.2f", col("value")), lit("</v></e>")))
+        .withColumn("xml",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            substring(col("xml0"), 1, 12)).otherwise(col("xml0")))
+        .withColumn("p", from_xml(col("xml"), xmlSchema))
+        .select(col("event_id"), col("p.uid").as("uid"),
+          col("p.t").as("t"), round(col("p.v"), 2).as("v"),
+          (col("p.uid").isNull && col("p.t").isNull && col("p.v").isNull)
+            .as("corrupt"))
+        .orderBy("event_id")
+    }),
+
     // Live rules evaluation — the batch face of the Flink
     // BroadcastProcessFunction pattern (streaming form:
     // graft.streaming.Streams.broadcastRulesToSink, which re-reads and
@@ -388,6 +419,13 @@ object Fns {
         | regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         | regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS q_uid
         |FROM u ORDER BY event_id""".stripMargin,
+    "fn_xml" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 7 <> 0 THEN user_id END AS uid,
+        | CASE WHEN event_id % 7 <> 0 THEN event_type END AS t,
+        | CASE WHEN event_id % 7 <> 0 THEN round(value, 2) END AS v,
+        | (event_id % 7 = 0) AS corrupt
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
     "fn_rules_apply" ->
       """WITH rules(rule_id, event_type, min_value, tag) AS (VALUES
         |  (CAST(1 AS BIGINT), 'purchase', 50.0, 'high_value'),

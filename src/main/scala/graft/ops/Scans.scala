@@ -124,6 +124,23 @@ object Scans {
       s.read.orc(out).orderBy("r_regionkey")
     }),
 
+    // XML sink/source round-trip (Spark 4's built-in XML datasource —
+    // the genre's legacy-feed exchange format, alongside CSV/JSON).
+    // Explicit read schema like every roundtrip; rowTag pins the
+    // record element on both sides.
+    "sink_xml_roundtrip" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val out = s"${Artifacts.scratch(s, "sink")}_xml_$tag"
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").format("xml").option("rowTag", "row")
+        .save(out)
+      s.read.format("xml").option("rowTag", "row")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(out)
+        .orderBy("n_nationkey")
+    }),
+
     // JSON-lines sink/source round-trip with an explicit read schema.
     "sink_json_roundtrip" -> ((s, d) => {
       val tag = new java.io.File(d).getName
@@ -387,6 +404,9 @@ object Scans {
     "sink_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "sink_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "sink_orc_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
     "sink_foreach_upsert" ->

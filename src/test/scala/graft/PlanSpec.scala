@@ -357,6 +357,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("fn_xml: map-side only — no exchange except output order") {
+    val p = plan(q("fn_xml"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
   test("llm_dedup_prune: equi joins only, like the cluster table") {
     val p = plan(q("llm_dedup_prune"))
     assert(!p.contains("CartesianProduct") &&
