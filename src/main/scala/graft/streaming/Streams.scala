@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event record for keyed-state operators. `ts` drives watermarks;
   * `ts_us` is the exact micro timestamp used for state logic so results
@@ -384,6 +384,45 @@ object Streams {
     * horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     dedupKeys(events, "10 minutes")
+
+  /** The SAME visit counter on Spark 4's transformWithState — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState and is
+    * the closest Spark has ever been to Flink's KeyedProcessFunction:
+    * named state variables from a handle (`ValueState`/`ListState`/
+    * `MapState`, each with optional TTL), explicit timer registration,
+    * schema-evolvable RocksDB-backed state. One `ValueState[Long]`
+    * per user, exactly [[visitCounter]]'s state; parity with both the
+    * classic-API form and the batch key is pinned in
+    * StreamingBatchSpec. Queries using it must run with the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore
+    * .providerClass` → `RocksDBStateStoreProvider`) — transformWithState
+    * rejects the default HDFS-backed store, and that requirement IS
+    * the deployment guidance: arbitrary per-key state at 100 TB wants
+    * the out-of-heap incremental-checkpoint store anyway. */
+  class VisitCounterProcessor
+      extends StatefulProcessor[Long, Ev, Visit] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[Visit] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        n += 1
+        Visit(e.event_id, uid, if (n == 1) "new" else "returning", n)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  def visitCounterTws(events: Dataset[Ev]): Dataset[Visit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new VisitCounterProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Keyed state machine (KeyedProcessFunction + ValueState analog of
     * `stream_stateful_counter`): per-user visit counter, first visit

@@ -67,6 +67,35 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("visitCounterTws (transformWithState + RocksDB) == classic " +
+      "visitCounter == batch") {
+    // transformWithState requires the RocksDB state store provider;
+    // scope the provider switch to this test so every other streaming
+    // test keeps the default HDFS-backed store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream("visits_tws")(in =>
+        Streams.visitCounterTws(in.toDS()))
+      val batch = q("stream_stateful_counter")
+      assert(streamed.count() === batch.count())
+      val diff = streamed
+        .join(batch.withColumnRenamed("visit_kind", "b_kind")
+            .withColumnRenamed("visit_no", "b_no"),
+          Seq("event_id", "user_id"))
+        .where(col("visit_kind") =!= col("b_kind") ||
+          col("visit_no") =!= col("b_no"))
+      assert(diff.count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cepFunnel stream == stream_cep_pattern batch") {
     val streamed = runStream("funnel")(in => Streams.cepFunnel(in.toDS()))
     val batch = q("stream_cep_pattern")
