@@ -69,7 +69,8 @@ class ArtifactStoreSpec extends AnyFunSuite {
 
   test("files artifact refuses to publish on a count mismatch " +
       "(executors wrote where the driver can't see)") {
-    val s = TestSpark.spark
+    val root = freshRoot()
+    val s = sessionWithRoot(root)
     val key = s"bad_${System.nanoTime()}"
     val e = intercept[IllegalArgumentException] {
       Artifacts.files(s, "spec", key) { tmp =>
@@ -80,7 +81,12 @@ class ArtifactStoreSpec extends AnyFunSuite {
       }
     }
     assert(e.getMessage.contains("expected 2"))
-    // nothing was published — a retry builds cleanly
+    // the failed build left NOTHING behind — no published dir, no
+    // .build-* temp sibling (the crash path deletes its temp)
+    val fam = new java.io.File(root, "spec")
+    assert(!fam.exists() || fam.listFiles().isEmpty,
+      Option(fam.listFiles()).map(_.mkString(",")).getOrElse(""))
+    // and a retry builds cleanly
     val dir = Artifacts.parquet(s, "spec", key)(s.range(1).toDF("id"))
     assert(dir.count() === 1)
   }
