@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event record for keyed-state operators. `ts` drives watermarks;
   * `ts_us` is the exact micro timestamp used for state logic so results
@@ -422,6 +422,86 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new VisitCounterProcessor(),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[cepAbsence]] on transformWithState — the TIMER half of the new
+    * API (visitCounterTws shows named state; this shows
+    * `registerTimer`/`handleExpiredTimer`, Flink's
+    * `ctx.timerService().registerEventTimeTimer` pattern): pending
+    * clicks and the reorder buffer ride as two named ListStates, and
+    * instead of the classic API's single implicit timeout timestamp
+    * the processor explicitly re-arms ONE event-time timer at the
+    * earliest instant the key waits on (oldest buffered event or
+    * nearest deadline — the same collapsed-timer discipline), firing
+    * `handleExpiredTimer` when the watermark passes it. Drain logic is
+    * byte-identical to cepAbsence's; parity with the batch key under
+    * jittered replay is pinned in StreamingParitySpec (RocksDB
+    * provider, which transformWithState requires). */
+  class AbsenceProcessor(timeoutUs: Long)
+      extends StatefulProcessor[Long, Ev, AbsenceHit] {
+    @transient private var bufState: ListState[BufEv] = _
+    @transient private var pendState: ListState[PendingClick] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bufState = getHandle.getListState[BufEv]("buf",
+        org.apache.spark.sql.Encoders.product[BufEv], TTLConfig.NONE)
+      pendState = getHandle.getListState[PendingClick]("pending",
+        org.apache.spark.sql.Encoders.product[PendingClick], TTLConfig.NONE)
+    }
+
+    private def advance(uid: Long, incoming: Iterator[Ev],
+        timers: TimerValues): Iterator[AbsenceHit] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val prevBuf = if (bufState.exists()) bufState.get().toList else Nil
+      val prevPend = if (pendState.exists()) pendState.get().toList else Nil
+      val (ripe, buf) = (prevBuf ++ incoming.map(e =>
+          BufEv(e.event_id, e.ts_us, e.event_type, 0L)))
+        .partition(_.tsUs <= wmUs)
+      var pend = prevPend
+      ripe.sortBy(b => (b.tsUs, b.id)).foreach { b =>
+        if (b.typ == "click")
+          pend = pend :+ PendingClick(b.id, b.tsUs)
+        else
+          pend = pend.filterNot(p =>
+            p.clickUs < b.tsUs && b.tsUs < p.clickUs + timeoutUs)
+      }
+      val (timedOut, keep) =
+        pend.partition(p => p.clickUs + timeoutUs <= wmUs)
+      val out = timedOut.sortBy(p => (p.clickUs, p.id))
+        .map(p => AbsenceHit(uid, p.id, p.clickUs))
+      bufState.clear()
+      if (buf.nonEmpty) bufState.put(buf.toArray)
+      pendState.clear()
+      if (keep.nonEmpty) pendState.put(keep.toArray)
+      // collapsed-timer re-arm: drop whatever was armed, register the
+      // earliest wait (clamped past the watermark — an at-or-before
+      // expiry would never fire)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val waits = buf.map(_.tsUs) ++ keep.map(_.clickUs + timeoutUs)
+      if (waits.nonEmpty)
+        getHandle.registerTimer(math.max(waits.min / 1000L,
+          timers.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[AbsenceHit] =
+      advance(uid, evs, timers)
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[AbsenceHit] =
+      advance(uid, Iterator.empty, timers)
+  }
+
+  def absenceTws(events: Dataset[Ev], timeoutUs: Long)
+      : Dataset[AbsenceHit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new AbsenceProcessor(timeoutUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Keyed state machine (KeyedProcessFunction + ValueState analog of

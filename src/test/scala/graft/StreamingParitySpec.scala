@@ -521,6 +521,43 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("absenceTws (transformWithState timers + RocksDB) == " +
+      "cep_absence_timeout batch under jittered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val query = Streams.absenceTws(
+        input.toDS().withWatermark("ts", "30 minutes").as[Ev],
+        timeoutUs = 86400000000L).writeStream
+        .format("memory").queryName("absence_tws")
+        .outputMode("append").start()
+      val ordered = jittered
+      ordered.grouped((ordered.size + 6) / 7)
+        .foreach { c => input.addData(c); query.processAllAvailable() }
+      flushWatermark(input, query)
+      query.stop()
+      val streamed = spark.table("absence_tws")
+        .where(col("user_id") >= 0)
+        .select("user_id", "event_id", "click_us")
+      val batch = q("cep_absence_timeout")
+        .select("user_id", "event_id", "click_us")
+      assert(batch.count() > 0)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cepFollowed stream == cep_followed_within batch (emit on " +
       "purchase arrival with the gap)") {
     import spark.implicits._
