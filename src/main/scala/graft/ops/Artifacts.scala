@@ -34,20 +34,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    individual session should decide for its peers mid-query, so
   *    [[deleteIf]] (rewrite pruning) becomes a no-op in this mode.
   *
-  * Publish protocol — build to a temp sibling, then rename:
-  * `<dir>.build-<jvmNonce>-<seq>` → `<dir>`. Within one JVM a per-path
-  * monitor serializes racing builders (the loser finds `_SUCCESS` and
-  * skips). ACROSS JVMs on a shared root there is no lock; the protocol
-  * makes the race benign on rename-atomic stores (HDFS, local FS): the
-  * published dir only ever appears via one atomic rename of a COMPLETE
-  * build, so readers never see a torn directory; a builder that loses
-  * the publish race deletes its temp (or the nested dir HDFS's
-  * move-into-existing rename semantics leave behind) and reads the
-  * winner's bytes — which are IDENTICAL, because keys fingerprint
-  * input content ([[Snapshot]]) and every builder is deterministic.
-  * On S3-like stores without atomic rename the worst case is double
-  * write of the same bytes, never a torn read, because `_SUCCESS` is
-  * part of the renamed payload and readers gate on it. */
+  * Publish protocol — build to a temp sibling, rename, THEN mark:
+  * `<dir>.build-<jvmNonce>-<seq>` → `<dir>`, and `_SUCCESS` is created
+  * at the FINAL path only after the rename returns. Readers gate on
+  * `_SUCCESS`, so the marker-last ordering makes the gate sound even
+  * on stores whose "rename" is a non-atomic list+copy (S3A copies keys
+  * in lexicographic order, which would land a renamed `_SUCCESS`
+  * before the part files — the reason the marker cannot travel inside
+  * the rename). Within one JVM a striped monitor serializes racing
+  * builders (the loser finds `_SUCCESS` and skips). ACROSS JVMs on a
+  * shared root there is no lock: on rename-atomic stores (HDFS, local
+  * FS) the dir appears complete in one operation; on copy-rename
+  * stores a racer that observes the half-copied dir simply builds its
+  * own temp — identical bytes, content-keyed deterministic build — and
+  * on losing the publish rename waits (bounded) for the winner's
+  * marker instead of reading a torn directory. */
 object Artifacts {
   /** SQL conf key for the shared root. Read per call through the
     * session's RuntimeConfig, so tests (and notebooks) can point two
@@ -72,7 +73,11 @@ object Artifacts {
       f.delete(); ()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
-    dir.getAbsolutePath
+    // file:-qualified so the default stays LOCAL even on a cluster
+    // whose fs.defaultFS is HDFS — an unqualified /tmp path would
+    // silently resolve to hdfs:/tmp while the shutdown hook above
+    // deleted only the empty local dir
+    dir.toURI.toString.stripSuffix("/")
   }
 
   def root(s: SparkSession): String =
@@ -89,13 +94,19 @@ object Artifacts {
   private[graft] def dirFor(s: SparkSession, family: String,
       key: String): Path = new Path(new Path(root(s), family), key)
 
-  /** One monitor per published path: racing builders of the SAME
-    * artifact in one JVM serialize; different artifacts proceed in
-    * parallel. Monitors are tiny and keys are content-bounded, but
-    * [[deleteIf]] drops a pruned key's monitor so corpus rewrites
-    * can't grow the map forever (the cluster-table lesson). */
-  private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** STRIPED monitors (1024): racing in-JVM builders of the same
+    * artifact serialize; distinct artifacts almost always get distinct
+    * stripes. Striping over a per-path map because the map variant
+    * needed entry removal to stay bounded across corpus rewrites, and
+    * removing a monitor that a builder is queued on silently
+    * re-admitted concurrent same-key builds — a fixed stripe array is
+    * bounded by construction and a monitor can never disappear from
+    * under a waiter. The cost is occasional false sharing (unrelated
+    * builds on one stripe serialize), invisible at any realistic
+    * concurrent-build count. */
+  private val lockStripes = Array.fill(1024)(new Object)
+  private def lockFor(path: String): Object =
+    lockStripes(math.floorMod(path.hashCode, lockStripes.length))
 
   /** Materialize-once: if `<root>/<family>/<key>/_SUCCESS` exists the
     * build is skipped entirely; otherwise `build` writes a COMPLETE
@@ -108,7 +119,7 @@ object Artifacts {
     val dir = dirFor(s, family, key)
     val fs = fsFor(s, dir)
     val done = new Path(dir, "_SUCCESS")
-    locks.computeIfAbsent(dir.toString, _ => new Object).synchronized {
+    lockFor(dir.toString).synchronized {
       if (!fs.exists(done)) {
         val tmp = new Path(dir.getParent,
           s"${dir.getName}.build-$jvmNonce-${tmpSeq.incrementAndGet()}")
@@ -116,9 +127,17 @@ object Artifacts {
         buildsPerformed.incrementAndGet()
         try {
           build(tmp)
-          require(fs.exists(new Path(tmp, "_SUCCESS")),
+          // the builder must have produced a complete artifact (Spark's
+          // committer marks one) — but the marker must NOT travel inside
+          // the rename: copy-rename stores (S3A) move keys in
+          // lexicographic order, which would expose _SUCCESS before the
+          // part files. Strip it here; re-create it at the final path
+          // AFTER the rename returns (marker-last publish).
+          val tmpDone = new Path(tmp, "_SUCCESS")
+          require(fs.exists(tmpDone),
             s"artifact build for $dir left no _SUCCESS marker in $tmp — " +
               "builder must publish a complete artifact")
+          fs.delete(tmpDone, false)
         } catch { case e: Throwable => fs.delete(tmp, true); throw e }
         fs.mkdirs(dir.getParent)
         if (fs.rename(tmp, dir)) {
@@ -128,7 +147,16 @@ object Artifacts {
           // winner's identical bytes.
           val nested = new Path(dir, tmp.getName)
           if (fs.exists(nested)) { fs.delete(nested, true); () }
-        } else { fs.delete(tmp, true); () } // racer won at publish time
+          if (!fs.exists(done)) fs.create(done).close()
+        } else {
+          // lost the publish to a cross-JVM racer: drop our temp and
+          // wait (bounded) for the winner's marker — on copy-rename
+          // stores the winner may still be copying part files
+          fs.delete(tmp, true)
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (!fs.exists(done) && System.nanoTime() < deadline)
+            Thread.sleep(500)
+        }
         require(fs.exists(done),
           s"artifact publish for $dir failed — no _SUCCESS after rename")
       }
@@ -181,12 +209,9 @@ object Artifacts {
       cond: => Boolean): Boolean = {
     if (isShared(s)) return false
     val dir = dirFor(s, family, key)
-    val did = locks.computeIfAbsent(dir.toString, _ => new Object)
-      .synchronized {
-        cond && fsFor(s, dir).delete(dir, true)
-      }
-    if (did) locks.remove(dir.toString)
-    did
+    lockFor(dir.toString).synchronized {
+      cond && fsFor(s, dir).delete(dir, true)
+    }
   }
 
   /** Un-keyed scratch dir for sink round-trip keys (`sink_parquet`,

@@ -302,11 +302,16 @@ object Scans {
     // each commit is one keyed merge window, nothing driver-side but
     // the commit marker.
     "sink_snapshot_merge" -> ((s, d) => {
-      // fresh per invocation (the op's semantics are three commits on
-      // an EMPTY table), but rooted under Artifacts so the snapshot
-      // dirs land on cluster-visible storage like every other artifact
-      val root = Artifacts.scratch(s,
-        s"snap_merge_${java.util.UUID.randomUUID().toString.take(8)}")
+      // tag-keyed like every sink (NOT uuid-fresh — a uuid name under
+      // a shared root accumulates one orphan table per invocation that
+      // no retention convention covers): reruns commit onto the
+      // existing table, which converges to the same latest image by
+      // the upsertMerge redelivery-idempotence proof (WarehouseSpec),
+      // and SnapshotTable's retention (retain=2) bounds the version
+      // history. Rooted under Artifacts so the snapshot dirs land on
+      // cluster-visible storage.
+      val tag = new java.io.File(d).getName
+      val root = Artifacts.scratch(s, s"snap_merge_$tag")
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
@@ -358,11 +363,22 @@ object Scans {
       d: String): String =
     Artifacts.files(s, "binsrc", LlmExtra.docsSnapshot(d)) { tmp =>
       val root = tmp.toString
+      // ship the SESSION's Hadoop conf entries to the executors — a
+      // bare `new Configuration()` there would lose the spark.hadoop.*
+      // settings (object-store credentials, HA nameservices) that make
+      // a shared artifactRoot reachable in the first place
+      val confEntries = {
+        val it = s.sparkContext.hadoopConfiguration.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+        buf.toArray
+      }
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new org.apache.hadoop.fs.Path(root)
-        val fs = base.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = base.getFileSystem(conf)
         rows.foreach { r =>
           val out = fs.create(
             new org.apache.hadoop.fs.Path(base, s"${r.get(0)}.bin"), true)

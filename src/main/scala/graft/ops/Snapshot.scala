@@ -59,8 +59,10 @@ private[graft] object Snapshot {
     } finally raf.close()
   }
 
+  // string-match, not java.net.URI: URI.new throws on legal local
+  // paths containing spaces etc., which the java.io fast path accepts
   private def hasScheme(p: String): Boolean =
-    new java.net.URI(p).getScheme != null
+    p.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")
 
   private def walkFs(fs: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus)
@@ -90,12 +92,17 @@ private[graft] object Snapshot {
 
   /** 32-hex-char fingerprint of the parquet trees at `paths` (files or
     * directories), order-sensitive so callers pass a canonical order.
-    * `hadoopConf` is consulted only for scheme-qualified paths; pass
-    * the session's `sparkContext.hadoopConfiguration` when the inputs
-    * need cluster credentials (object-store keys etc.). */
+    * `hadoopConf` is consulted only for scheme-qualified paths and
+    * defaults to the ACTIVE session's hadoopConfiguration — the one
+    * carrying `spark.hadoop.*` credentials and nameservice config —
+    * falling back to a bare Configuration only when no session exists
+    * (every production call site runs driver-side under a session). */
   def of(paths: Seq[String],
       hadoopConf: () => org.apache.hadoop.conf.Configuration =
-        () => new org.apache.hadoop.conf.Configuration()): String = {
+        () => org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     paths.foreach { p =>
       if (hasScheme(p)) {

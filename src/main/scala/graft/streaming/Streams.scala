@@ -88,11 +88,15 @@ case class IterHit(user_id: Long, run_start_us: Long, cross_us: Long,
 
 /** until-matcher run: current symbol + the view-run SUFFIX accumulators
   * (count, exact-cents sum, first suffix timestamp; sufStartUs = -1
-  * when the suffix is empty). A >90 view RESETS the suffix — the
-  * streaming image of the batch key's "segment after the run's last
-  * >90 view". Non-view runs carry empty accumulators. */
+  * when the suffix is empty) + `lastHighUs`, the max timestamp of any
+  * >90 view seen in the run (-1 when none). A >90 view RESETS the
+  * suffix and raises lastHighUs; a later view joins the suffix only
+  * when its timestamp is STRICTLY greater — the exact batch predicate
+  * (`ts_us > last_high_us`), so a <=90 view TIED on timestamp with a
+  * >90 view is excluded on both engines. Non-view runs carry empty
+  * accumulators. */
 case class UntilRun(sym: String, sufN: Long, sufCents: Long,
-    sufStartUs: Long)
+    sufStartUs: Long, lastHighUs: Long)
 
 /** until matcher state: reorder buffer + current run (O(1) + reorder
   * slack per key — the suffix rides as three scalars, never the
@@ -1081,8 +1085,10 @@ object Streams {
     import events.sparkSession.implicits._
     def fresh(b: BufEv): UntilRun =
       if (b.typ == "view" && b.cents <= thresholdCents)
-        UntilRun("view", 1L, b.cents, b.tsUs)
-      else UntilRun(b.typ, 0L, 0L, -1L)
+        UntilRun("view", 1L, b.cents, b.tsUs, -1L)
+      else if (b.typ == "view")
+        UntilRun("view", 0L, 0L, -1L, b.tsUs)
+      else UntilRun(b.typ, 0L, 0L, -1L, -1L)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[CepUntilState, UntilHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1100,7 +1106,12 @@ object Streams {
               else if (run.sym == b.typ) {
                 if (b.typ != "view") run
                 else if (b.cents > thresholdCents)
-                  run.copy(sufN = 0L, sufCents = 0L, sufStartUs = -1L)
+                  // reset AND raise the bar: same-timestamp views that
+                  // drain after this one are ties, not suffix members
+                  run.copy(sufN = 0L, sufCents = 0L, sufStartUs = -1L,
+                    lastHighUs = math.max(run.lastHighUs, b.tsUs))
+                else if (b.tsUs <= run.lastHighUs)
+                  run // tied with (or behind) the last >90 view — outside
                 else run.copy(sufN = run.sufN + 1,
                   sufCents = run.sufCents + b.cents,
                   sufStartUs =

@@ -63,8 +63,12 @@ class ArtifactStoreSpec extends AnyFunSuite {
     Artifacts.parquet(s, "spec", key)(
       sys.error("must not rebuild")).count()
     assert(Artifacts.buildsPerformed.get() === before + 1)
-    // and it landed under the per-JVM tmpdir root, which is a local dir
-    assert(new java.io.File(Artifacts.root(s)).isDirectory)
+    // and it landed under the per-JVM tmpdir root, which is a LOCAL dir
+    // behind an explicit file: scheme (qualified so a cluster
+    // fs.defaultFS=hdfs can never capture the default root)
+    val root = Artifacts.root(s)
+    assert(root.startsWith("file:"), root)
+    assert(new java.io.File(new java.net.URI(root)).isDirectory, root)
   }
 
   test("files artifact refuses to publish on a count mismatch " +

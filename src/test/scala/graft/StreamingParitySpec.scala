@@ -666,6 +666,52 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("cepUntil golden: a <=90 view TIED on timestamp with a >90 view " +
+      "is outside the suffix (strict ts_us > last_high_us, both engines)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L
+    def ev(id: Long, uid: Long, tUs: Long, typ: String, v: Double) =
+      Ev(id, uid, new java.sql.Timestamp(tUs / 1000), tUs, typ, v)
+    val t0 = base
+    val evs = Seq(
+      // user 1: >90 view and a tied <=90 view, then purchase → the tie
+      // is excluded, suffix empty, NO hit
+      ev(1, 1, t0, "view", 95.0),
+      ev(2, 1, t0, "view", 10.0),
+      ev(3, 1, t0 + 1000000, "purchase", 50.0),
+      // user 2: <=90, then a >90 and a TIED <=90 at t0+1s (excluded),
+      // then a later view (suffix) and the purchase → hit over ONLY
+      // the strictly-later view
+      ev(4, 2, t0, "view", 10.0),
+      ev(5, 2, t0 + 1000000, "view", 95.0),
+      ev(6, 2, t0 + 1000000, "view", 12.0),
+      ev(7, 2, t0 + 2000000, "view", 20.0),
+      ev(8, 2, t0 + 3000000, "purchase", 30.0))
+    val input = MemoryStream[Ev]
+    val query = Streams.cepUntil(
+      input.toDS().withWatermark("ts", "30 minutes").as[Ev]).writeStream
+      .format("memory").queryName("cep_until_tie").outputMode("append")
+      .start()
+    input.addData(evs)
+    query.processAllAvailable()
+    val flushUs = t0 + 40L * 60 * 1000000
+    input.addData(Ev(-1L, -1L, new java.sql.Timestamp(flushUs / 1000),
+      flushUs, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val hits = spark.table("cep_until_tie").where(col("user_id") >= 0)
+      .collect()
+    assert(hits.length === 1)
+    val h = hits.head
+    assert(h.getAs[Long]("user_id") === 2L)
+    assert(h.getAs[Long]("start_us") === t0 + 2000000)
+    assert(h.getAs[Long]("end_us") === t0 + 3000000)
+    assert(h.getAs[Long]("n_views") === 1L)
+    assert(h.getAs[Double]("views_total") === 20.0)
+    assert(h.getAs[Double]("purchase_value") === 30.0)
+  }
+
   test("overAggregate stream == batch running window under jittered " +
       "replay") {
     import spark.implicits._
