@@ -222,14 +222,24 @@ object ScaleRehearsal {
       val graphBuild = (System.nanoTime() - tG0) / 1e9
       val gTimings = Seq("graph_connected_components", "graph_pagerank",
         "graph_shortest_path", "graph_label_propagation").map { name =>
+        graft.ops.LlmExtra.lastCcRounds = -1
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // the CC loop runs its contraction eagerly inside the builder
+        // on this thread, so the diagnostic is its round count — the
+        // one graph loop whose rounds GROW (log-diameter) with scale,
+        // which is what separates an extra-round step from a per-round
+        // blowup when a segment of the timing curve exceeds linear
+        val cc = if (name == "graph_connected_components")
+          graft.ops.LlmExtra.lastCcRounds else -1
         graft.ops.OpCache.release(spark)
         spark.catalog.clearCache()
-        (name, dt)
+        (name, dt, cc)
       }
+      val gRounds = gTimings.collectFirst {
+        case (_, _, cc) if cc >= 0 => cc }.getOrElse(-1)
       val gSecs = gTimings.map(t => s""""${t._1}":${"%.2f"
         .formatLocal(java.util.Locale.ROOT, t._2)}""")
         .mkString("{", ",", "}")
@@ -239,7 +249,7 @@ object ScaleRehearsal {
         s""""cand_pairs":${dfStats.getDouble(1).toLong},""" +
         s""""edges":$nEdges,"graph_build":${"%.2f"
           .formatLocal(java.util.Locale.ROOT, graphBuild)},""" +
-        s""""graph_secs":$gSecs}}"""
+        s""""graph_cc_rounds":$gRounds,"graph_secs":$gSecs}}"""
       println(line)
       line
     }

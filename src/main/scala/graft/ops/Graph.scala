@@ -229,7 +229,7 @@ object Graph {
       val pairs = tradeGraph(s, d)
         .where(col("src") < col("dst"))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      LlmExtra.connectedComponents(pairs)
+      LlmExtra.connectedComponents(pairs, dedupePerRound = true)
         .groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("size"),
           count(when(substring(col("doc_id"), 1, 1) === "c", 1))

@@ -355,15 +355,53 @@ object LlmExtra {
     * materialization a later refactor of the loop's count()/require()
     * could silently leave the result recomputing the whole upstream
     * pipeline after the caller's unpersist. */
+  /** Drop a lazily-localCheckpointed frame's persisted blocks. The CC
+    * loop checkpoints an |E|-row edge set EVERY round; without explicit
+    * freeing the spent rounds' blocks linger until the ContextCleaner's
+    * GC-driven sweep gets to them, and at ~36M edges (scale-rehearsal
+    * ×30) the accumulated ~2 GB/round of deserialized blocks squeezed
+    * the store hard enough to turn a 3-round loop from ~linear to 6.6×
+    * super-linear on the 10×→30× segment (measured: 99.6 s → see
+    * BENCH_LOG round 12). Freeing is only legal once nothing will read
+    * the checkpoint again — a localCheckpoint CANNOT be recomputed (its
+    * lineage is gone), so callers must free strictly spent rounds. */
+  private def freeLocalCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
+  /** `dedupePerRound`: collapse the rewritten edge multiset to its
+    * distinct support each round. Contraction multiplies parallel
+    * edges by the density of the hooked clusters — on the DENSE trade
+    * graph the ×30 rehearsal's 36M-row multiset stays 36M rows per
+    * round without it (measured 109→91 s with it), while on the
+    * SPARSE near-dup pair graphs the collapse recovers almost nothing
+    * and the extra keyed shuffle per round is pure cost (clusters
+    * +1.5-2 s at sf0.1). Callers pick by graph shape: Graph.scala's
+    * trade-graph CC passes true, the dedup cluster build keeps
+    * false. */
   private[graft] def connectedComponents(
-      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      pairs: org.apache.spark.sql.DataFrame,
+      dedupePerRound: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val initialEdges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
+    var edges = initialEdges
     var lab = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var remaining = edges.count()
     var round = 0
+    // spent-round bookkeeping: round-k edges (k ≥ 1) are read only by
+    // round-k+1's build — freeable as soon as the next round
+    // materializes. The INITIAL edges and every round's sup table stay
+    // pinned: `lab` is built lazily against them and only materializes
+    // at the final eager checkpoint below.
+    var prevEdges: org.apache.spark.sql.DataFrame = null
+    var sups: List[org.apache.spark.sql.DataFrame] = Nil
     // 40 rounds ≫ log2 of any physical component count; hitting the cap
     // means a bug, and the require below turns it into a loud failure.
     while (remaining > 0 && round < 40) {
@@ -406,15 +444,28 @@ object LlmExtra {
         .join(sup.select(col("v").as("dst"), col("s").as("sb")), "dst")
         .select(col("sa").as("src"), col("sb").as("dst"))
         .where(col("src") =!= col("dst"))
+      edges = (if (dedupePerRound) edges.distinct() else edges)
         .localCheckpoint(false)
       remaining = edges.count()
+      // the new round is materialized — the PREVIOUS round's edge
+      // blocks (|E| rows) can never be read again; free them now
+      // instead of waiting for the GC-driven ContextCleaner sweep
+      if (prevEdges != null) freeLocalCheckpoint(prevEdges)
+      prevEdges = edges
+      sups = sup :: sups
     }
     require(remaining == 0,
       s"connectedComponents: $remaining edges left after $round rounds")
     lastCcRounds = round
     // eager: one extra tiny job (labels are vertex-count rows) buys the
     // no-lineage-to-input contract documented above
-    lab.localCheckpoint(true)
+    val out = lab.localCheckpoint(true)
+    // labels are materialized — every remaining checkpoint (initial
+    // edges, the last round's edges, all sup tables) is now spent
+    freeLocalCheckpoint(initialEdges)
+    if (prevEdges != null) freeLocalCheckpoint(prevEdges)
+    sups.foreach(freeLocalCheckpoint)
+    out
   }
 
   /** The cluster table is built ONCE per (root, input snapshot) and

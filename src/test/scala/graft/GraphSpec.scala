@@ -112,7 +112,7 @@ class GraphSpec extends AnyFunSuite {
     val pairs = graft.ops.Graph.tradeGraph(spark, sf)
       .where(col("src") < col("dst"))
       .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-    val labs = graft.ops.LlmExtra.connectedComponents(pairs)
+    val labs = graft.ops.LlmExtra.connectedComponents(pairs, dedupePerRound = true)
     val minByComp = labs.groupBy("label")
       .agg(min(col("doc_id")).as("mn")).collect()
     minByComp.foreach(r =>
