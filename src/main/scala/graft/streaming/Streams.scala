@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event record for keyed-state operators. `ts` drives watermarks;
   * `ts_us` is the exact micro timestamp used for state logic so results
@@ -122,6 +122,9 @@ case class NotNextState(buf: List[BufEv], pending: Option[PendingView])
 
 case class NotNextHit(user_id: Long, event_id: Long, view_us: Long,
     followed_by: String)
+
+case class DedupHit(user_id: Long, event_type: String, event_id: Long,
+    ts_us: Long)
 
 /** SURVEY.md §2.8 — the real Structured Streaming wrappers. Each shares
   * its column expressions with the batch form in `graft.ops.Streaming`
@@ -506,6 +509,42 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new AbsenceProcessor(timeoutUs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Keyed first-arrival dedup on transformWithState MapState — the
+    * third state shape of the modern API (visitCounterTws: ValueState;
+    * absenceTws: ListState + timers; this: a per-key MAP, Flink's
+    * `MapState` exactly): per user, the first event of each event_type
+    * passes, later ones drop, and the seen-set rides as
+    * MapState[event_type → kept event_id] so lookups and inserts are
+    * per-entry RocksDB point operations — the state never
+    * serializes/deserializes as one blob the way a Map inside a
+    * GroupState value would, which is the API's actual scale win for
+    * large per-key maps. Same in-order-arrival assumption as
+    * [[visitCounter]] (sorted within each batch); parity with the
+    * batch `stream_dedup_keys` key is pinned in StreamingParitySpec. */
+  class DedupProcessor extends StatefulProcessor[Long, Ev, DedupHit] {
+    @transient private var seen: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long]("seen",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[DedupHit] =
+      evs.toSeq.sortBy(e => (e.event_id, e.ts_us)).flatMap { e =>
+        if (seen.containsKey(e.event_type)) None
+        else {
+          seen.updateValue(e.event_type, e.event_id)
+          Some(DedupHit(uid, e.event_type, e.event_id, e.ts_us))
+        }
+      }.iterator
+  }
+
+  def dedupTws(events: Dataset[Ev]): Dataset[DedupHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new DedupProcessor(),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Keyed state machine (KeyedProcessFunction + ValueState analog of

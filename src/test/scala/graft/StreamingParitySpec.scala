@@ -96,6 +96,31 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupTws (transformWithState MapState + RocksDB) == " +
+      "stream_dedup_keys batch") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream("dedup_tws")(in =>
+        Streams.dedupTws(in.toDS()))
+      val batch = q("stream_dedup_keys")
+      assert(batch.count() > 0)
+      assert(streamed.count() === batch.count())
+      val cols = Seq("user_id", "event_type", "event_id", "ts_us").map(col)
+      assert(streamed.select(cols: _*)
+        .exceptAll(batch.select(cols: _*)).count() === 0)
+      assert(batch.select(cols: _*)
+        .exceptAll(streamed.select(cols: _*)).count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cepFunnel stream == stream_cep_pattern batch") {
     val streamed = runStream("funnel")(in => Streams.cepFunnel(in.toDS()))
     val batch = q("stream_cep_pattern")
