@@ -119,6 +119,13 @@ object Artifacts {
     val dir = dirFor(s, family, key)
     val fs = fsFor(s, dir)
     val done = new Path(dir, "_SUCCESS")
+    // set inside the monitor when this JVM lost the publish rename to a
+    // cross-JVM racer; the bounded wait for the winner's marker then
+    // runs OUTSIDE the stripe lock — the wait only reads, so holding
+    // the monitor through up to 120 s of polling would block unrelated
+    // artifact builds that hash to the same of 1024 stripes for no
+    // mutual-exclusion benefit
+    var lostPublish = false
     lockFor(dir.toString).synchronized {
       if (!fs.exists(done)) {
         val tmp = new Path(dir.getParent,
@@ -148,18 +155,31 @@ object Artifacts {
           val nested = new Path(dir, tmp.getName)
           if (fs.exists(nested)) { fs.delete(nested, true); () }
           if (!fs.exists(done)) fs.create(done).close()
+          require(fs.exists(done),
+            s"artifact publish for $dir failed — no _SUCCESS after rename")
         } else {
-          // lost the publish to a cross-JVM racer: drop our temp and
-          // wait (bounded) for the winner's marker — on copy-rename
-          // stores the winner may still be copying part files
+          // lost the publish to a cross-JVM racer: drop our temp; the
+          // wait for the winner's marker happens outside the lock
           fs.delete(tmp, true)
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (!fs.exists(done) && System.nanoTime() < deadline)
-            Thread.sleep(500)
+          lostPublish = true
         }
-        require(fs.exists(done),
-          s"artifact publish for $dir failed — no _SUCCESS after rename")
       }
+    }
+    if (lostPublish) {
+      // on copy-rename stores the winner may still be copying part
+      // files — poll (bounded) for its marker-last _SUCCESS. Releasing
+      // the stripe first can at worst let an in-JVM same-key racer
+      // start another identical build while the winner copies — the
+      // same wasted-but-correct work the cross-JVM race already
+      // permits (content-keyed deterministic bytes; its rename loses
+      // or nests) — and never a torn read, since readers still gate
+      // on the marker.
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!fs.exists(done) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      require(fs.exists(done),
+        s"artifact publish for $dir failed — lost the rename race and " +
+          "the winner's _SUCCESS never appeared within 120 s")
     }
     dir.toString
   }

@@ -408,9 +408,10 @@ object LlmExtra {
       round += 1
       // hook: every current vertex -> min(self, min neighbor). Both edge
       // directions are present, so every hook target is itself hooked.
-      var sup = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      val hook = edges.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src").as("v"), least(col("src"), col("mn")).as("s"))
         .localCheckpoint(false)
+      var sup = hook
       // pointer jumping, 3 fixed applications of s := s(s): compresses
       // hook chains 8× per outer round with NO extra Spark action (a
       // counted jump-until-fixed inner loop cost one job per jump and
@@ -451,6 +452,12 @@ object LlmExtra {
       // blocks (|E| rows) can never be read again; free them now
       // instead of waiting for the GC-driven ContextCleaner sweep
       if (prevEdges != null) freeLocalCheckpoint(prevEdges)
+      // that same count() materialized the POST-JUMP sup checkpoint
+      // (edges reads it twice), so the hook-stage checkpoint — read
+      // only by the jump joins inside sup's plan — is spent too; one
+      // |V|-row block set per round would otherwise linger until the
+      // GC-driven ContextCleaner sweep
+      freeLocalCheckpoint(hook)
       prevEdges = edges
       sups = sup :: sups
     }

@@ -302,16 +302,22 @@ object Scans {
     // each commit is one keyed merge window, nothing driver-side but
     // the commit marker.
     "sink_snapshot_merge" -> ((s, d) => {
-      // tag-keyed like every sink (NOT uuid-fresh — a uuid name under
-      // a shared root accumulates one orphan table per invocation that
-      // no retention convention covers): reruns commit onto the
-      // existing table, which converges to the same latest image by
-      // the upsertMerge redelivery-idempotence proof (WarehouseSpec),
-      // and SnapshotTable's retention (retain=2) bounds the version
-      // history. Rooted under Artifacts so the snapshot dirs land on
-      // cluster-visible storage.
+      // CONTENT-keyed (round-12 advice), not uuid-fresh and not
+      // dir-name-keyed: a uuid name under a shared root accumulates
+      // one orphan table per invocation that no retention convention
+      // covers, while a bare dir-name tag survives in-place fixture
+      // rewrites — stale rows from the previous corpus would outlive
+      // the upsert latest-image (redelivery idempotence only covers
+      // replays of the SAME corpus). The events-parquet footer
+      // snapshot gives reruns on unchanged data the same table (they
+      // converge to the same latest image by the upsertMerge proof in
+      // WarehouseSpec, with SnapshotTable retention retain=2 bounding
+      // version history) and a rewritten corpus a fresh one. Rooted
+      // under Artifacts so the snapshot dirs land on cluster-visible
+      // storage.
       val tag = new java.io.File(d).getName
-      val root = Artifacts.scratch(s, s"snap_merge_$tag")
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val root = Artifacts.scratch(s, s"snap_merge_${tag}_$snap")
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))

@@ -108,7 +108,14 @@ private[graft] object Snapshot {
       if (hasScheme(p)) {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(hadoopConf())
-        if (fs.exists(hp)) walkFs(fs, fs.getFileStatus(hp)).foreach { st =>
+        // fail-fast like the local branch (whose footer read throws
+        // FileNotFoundException): a mistyped hdfs://s3a:// input must
+        // not silently contribute nothing and degenerate every caller
+        // to one shared constant key
+        require(fs.exists(hp),
+          s"Snapshot.of: input $p does not exist — refusing to key " +
+            "an artifact on a missing input")
+        walkFs(fs, fs.getFileStatus(hp)).foreach { st =>
           // digest the scheme-relative path so file://<dir> and the
           // bare <dir> of the same tree produce the same key stream
           md.update(st.getPath.toUri.getPath.getBytes("UTF-8"))
