@@ -162,6 +162,40 @@ object Fns {
           col("k_parsed").isNull.as("is_corrupt"))
         .orderBy("event_id")),
 
+    // VARIANT-type JSON (round-12 verdict item 7): Spark 4's
+    // parse_json/variant_get is the modern public-API face of the
+    // genre's props parsing — parse ONCE into the binary VARIANT
+    // encoding, then typed path extraction without re-parsing per
+    // field (the from_json complement above re-parses text per
+    // expression tree). Payload is a deterministic NESTED document
+    // built from base columns (the fn_url/fn_xml pattern — the flat
+    // props fixture can't exercise object/array paths): an object
+    // path, an array index, a conditional JSON null (is_variant_null
+    // distinguishes "present but null" from "absent"), and a missing
+    // path through try_variant_get (NULL, never an error). Staged so
+    // the parse runs once per row; map-side only like every fn_ key.
+    "fn_json_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("payload",
+          concat(lit("{\"meta\":{\"type\":\""), col("event_type"),
+            lit("\",\"k\":"), col("k_str"),
+            lit("},\"ids\":["), col("user_id"), lit(","), col("event_id"),
+            lit("],\"extra\":"),
+            when(col("k_str").cast("long") > 50, col("k_str"))
+              .otherwise(lit("null")),
+            lit("}")))
+        .select(col("event_id"), parse_json(col("payload")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+          expr("variant_get(v, '$.meta.k', 'long')").as("k_long"),
+          expr("variant_get(v, '$.ids[1]', 'long')").as("second_id"),
+          expr("variant_get(v, '$.extra', 'long')").as("extra_long"),
+          expr("is_variant_null(variant_get(v, '$.extra'))")
+            .as("extra_is_null"),
+          expr("try_variant_get(v, '$.meta.missing', 'long')").as("missing"))
+        .orderBy("event_id")),
+
     "fn_conditional" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -391,6 +425,26 @@ object Fns {
         |      THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k_parsed,
         | NOT json_valid(raw) AS is_corrupt
         |FROM r ORDER BY event_id""".stripMargin,
+    // same payload rebuilt in DuckDB's JSON dialect: json_extract for
+    // typed paths, json_type(...)='NULL' for the JSON-null probe (JSON
+    // null ≠ SQL NULL there too), TRY_CAST absorbing the null arm
+    "fn_json_variant" ->
+      """WITH p AS (SELECT event_id,
+        |  '{"meta":{"type":"' || event_type || '","k":' ||
+        |  json_extract_string(props, '$.k') ||
+        |  '},"ids":[' || user_id || ',' || event_id || '],"extra":' ||
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |       THEN json_extract_string(props, '$.k') ELSE 'null' END ||
+        |  '}' AS payload
+        | FROM events)
+        |SELECT event_id,
+        | json_extract_string(payload, '$.meta.type') AS vtype,
+        | CAST(json_extract(payload, '$.meta.k') AS BIGINT) AS k_long,
+        | CAST(json_extract(payload, '$.ids[1]') AS BIGINT) AS second_id,
+        | TRY_CAST(json_extract(payload, '$.extra') AS BIGINT) AS extra_long,
+        | json_type(payload, '$.extra') = 'NULL' AS extra_is_null,
+        | CAST(NULL AS BIGINT) AS missing
+        |FROM p ORDER BY event_id""".stripMargin,
     "fn_conditional" ->
       """SELECT event_id,
         | CASE WHEN value < 1.0 THEN 'low' WHEN value < 5.0 THEN 'mid'

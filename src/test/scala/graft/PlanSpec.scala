@@ -363,6 +363,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("fn_json_variant: map-side only — no exchange except output order") {
+    val p = plan(q("fn_json_variant"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    // one parse feeding all six extractions, not one parse per field
+    assert("parse_json".r.findAllIn(p.toLowerCase).size <= 2, p.take(2000))
+  }
+
   test("llm_dedup_prune: equi joins only, like the cluster table") {
     val p = plan(q("llm_dedup_prune"))
     assert(!p.contains("CartesianProduct") &&
