@@ -106,6 +106,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The "No Partition Defined for Window operation" warning fires for
+    // the three CONSTANT-KEY windows (ads_gmv_cumulative, win_gapfill,
+    // ads_anomaly_zscore) whose inputs are plan-asserted in PlanSpec to
+    // be calendar-bounded aggregates (≤|days|/|hours| rows) — proven
+    // benign there, so the per-query spam carries no information in
+    // bench logs. Scoped to the one logger; every other WARN still
+    // surfaces. (The logger is the CONCRETE exec class; the message
+    // lives in WindowExecBase — set both.)
+    Seq("org.apache.spark.sql.execution.window.WindowExec",
+      "org.apache.spark.sql.execution.window.WindowExecBase")
+      .foreach(n => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(n, org.apache.logging.log4j.Level.ERROR))
     // Untimed warmup: JIT, codegen compilation, and parquet reader init
     // land here instead of inside the first timed query. The default
     // set first-touches every fact table a cold box distorts most
@@ -182,7 +194,30 @@ object Bench {
       if (ok) dt else -1.0
     }
     var reruns = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Materialized-artifact builds are production MATERIALIZATION jobs,
+    // not per-query cost: the trade-graph edge table (orders ⋈ lineitem
+    // over the whole corpus) previously billed itself to whichever
+    // graph-family key ran alphabetically first (CC, in full sessions),
+    // making that key's median depend on session order. Time the build
+    // as its own bench line BEFORE the sweep — the four graph keys then
+    // measure query latency against the published artifact, exactly as
+    // production owns a materialization job separately from the queries
+    // that read it. Skipped when a SPARK_GRAFT_QUERIES subset names no
+    // graph key (the build would be dead cost there).
+    val artifactLines: Seq[(String, Double)] =
+      if (only.exists(qs => !qs.exists(_.startsWith("graph_")))) Nil
+      else {
+        val t0 = System.nanoTime()
+        val ok = try { graft.ops.Graph.tradeGraph(spark, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] graph_artifact_build failed: ${e.getMessage}")
+          false
+        }
+        Seq(("graph_artifact_build",
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      }
+    val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val dt1 = runOnce(name, fn)
