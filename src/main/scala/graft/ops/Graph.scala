@@ -194,16 +194,22 @@ object Graph {
     // tiebreak).
     "graph_label_propagation" -> ((s, d) => {
       val oe = partitionedEdges(s, d)
-      // measured: NO per-round checkpoint here — each round references
+      // checkpoint-per-round vs compound plan: each round references
       // `labels` exactly ONCE (the BFS round references `dist` twice,
       // so its un-checkpointed plan doubles per round; this one grows
-      // linearly), and at 3 rounds the compound plan executes ~4 s
-      // faster than 3 materializations. Deeper round counts or a
-      // re-referenced frontier would bring the checkpoint back.
+      // linearly), so both are correct and the choice is purely
+      // measured. Round 12 adopted the compound plan on a single
+      // measurement and the per-run MEDIAN regressed 3.3→5.3 s; the
+      // round-13 median-of-5 A/B (LpaAb, BENCH_LOG round-13) decides
+      // the default below, with the conf as the deployment override.
+      val ckpt = s.conf.getOption("spark.graft.lpaCheckpoint")
+        .map(_.toBoolean).getOrElse(LpaCheckpointDefault)
       var labels = oe.select(col("src")).distinct()
         .select(col("src").as("node"), col("src").as("label"))
-      for (_ <- 1 to lpIters)
+      for (_ <- 1 to lpIters) {
         labels = lpIterate(labels, oe)
+        if (ckpt) labels = labels.localCheckpoint(false)
+      }
       labels.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("community")).limit(20)
@@ -239,6 +245,11 @@ object Graph {
         .orderBy(col("size").desc, col("component")).limit(20)
     })
   )
+
+  /** Default for the LPA per-round lazy checkpoint, set by the
+    * round-13 median-of-5 A/B (see `graft.LpaAb` + BENCH_LOG):
+    * overridable per session via `spark.graft.lpaCheckpoint`. */
+  private[graft] val LpaCheckpointDefault = true
 
   /** BFS round bound / LPA round count / infinity sentinel — fixed so
     * the DuckDB oracle unrolls the same loops as plain CTEs. */

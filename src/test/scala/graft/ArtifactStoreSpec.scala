@@ -191,6 +191,103 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(other !== viaFs)
   }
 
+  // ---- non-atomic-rename (object-store) publish races, exercised for
+  // real through the copyfs: test FileSystem (round-12 verdict item 2)
+
+  private def copyFsSession(bare: String) = {
+    TestSpark.spark.sparkContext.hadoopConfiguration
+      .set("fs.copyfs.impl", classOf[CopyRenameFileSystem].getName)
+    sessionWithRoot(s"copyfs:$bare")
+  }
+
+  test("a reader racing a mid-copy publish never sees partial data " +
+      "(marker-last over a lexicographic copy-rename)") {
+    CopyFsControl.reset()
+    val bare = freshRoot()
+    val s = copyFsSession(bare)
+    // the publish rename of THIS key copies file-by-file in
+    // lexicographic order with 200 ms between files — the S3A window
+    CopyFsControl.slowDirName = "torn"
+    CopyFsControl.pauseMs = 200L
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val builder = new Thread(() =>
+      try Artifacts.parquet(s, "spec", "torn")(s.range(50).toDF("id"))
+      catch { case t: Throwable => err.set(t) })
+    builder.start()
+    // the reader protocol, driven from the OUTSIDE view (plain java.io,
+    // what another process on this store would see): gate on _SUCCESS,
+    // and once the gate opens the data must be complete
+    val dir = new java.io.File(bare, "spec/torn")
+    val marker = new java.io.File(dir, "_SUCCESS")
+    var sawTornWindow = false
+    var readRows = -1L
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (readRows < 0 && System.nanoTime() < deadline) {
+      if (dir.isDirectory && !marker.isFile) sawTornWindow = true
+      if (marker.isFile)
+        readRows = TestSpark.spark.read.parquet(dir.toString).count()
+      else Thread.sleep(5)
+    }
+    builder.join(60000)
+    assert(err.get() == null, String.valueOf(err.get()))
+    // the half-published window genuinely existed (the dir was visible
+    // without its marker while keys were still landing) …
+    assert(sawTornWindow, "copy-rename never exposed a marker-less dir " +
+      "— the race this test pins was not exercised")
+    // … and the gated reader still saw only complete data
+    assert(readRows === 50)
+    CopyFsControl.reset()
+  }
+
+  test("losing the publish race waits for the winner OUTSIDE the " +
+      "stripe lock, and converges on the winner's bytes") {
+    CopyFsControl.reset()
+    val bare = freshRoot()
+    val s = copyFsSession(bare)
+    // every rename onto this key's final dir reports failure — the
+    // loser's view of a cross-JVM race
+    CopyFsControl.failRenameDst = "lostkey"
+    def stripe(k: String): Int = math.floorMod(
+      Artifacts.dirFor(s, "spec", k).toString.hashCode, 1024)
+    // a DIFFERENT key that hashes to the SAME of the 1024 lock
+    // stripes: with the wait inside the monitor it could not build
+    // until the loser's 120 s poll expired
+    val other = (1 to 200000).map(i => s"other$i")
+      .find(k => stripe(k) == stripe("lostkey"))
+      .getOrElse(fail("no same-stripe key found"))
+    val loserRows =
+      new java.util.concurrent.atomic.AtomicLong(-1L)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val loser = new Thread(() =>
+      try loserRows.set(Artifacts.parquet(s, "spec", "lostkey")(
+        s.range(5).toDF("id")).count())
+      catch { case t: Throwable => err.set(t) })
+    loser.start()
+    // wait until the loser's rename failed — it is now polling for the
+    // winner's marker
+    val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!CopyFsControl.renameFailed.get && System.nanoTime() < dl)
+      Thread.sleep(10)
+    assert(CopyFsControl.renameFailed.get)
+    // an unrelated same-stripe artifact builds to completion WHILE the
+    // loser waits — the property the round-12 lock restructure bought
+    assert(Artifacts.parquet(s, "spec", other)(
+      s.range(3).toDF("id")).count() === 3)
+    assert(loser.isAlive, "loser should still be waiting for the winner")
+    // now the winner (another session, same shared root) publishes —
+    // through the SAME stripe, which only works because the waiting
+    // loser is not holding it
+    CopyFsControl.failRenameDst = ""
+    val winner = copyFsSession(bare)
+    assert(Artifacts.parquet(winner, "spec", "lostkey")(
+      winner.range(5).toDF("id")).count() === 5)
+    // the loser unblocks on the winner's marker and reads its bytes
+    loser.join(30000)
+    assert(err.get() == null, String.valueOf(err.get()))
+    assert(loserRows.get() === 5L)
+    CopyFsControl.reset()
+  }
+
   test("tradeGraph and the dedup cluster pipeline build under the " +
       "configured shared root") {
     val root = freshRoot()

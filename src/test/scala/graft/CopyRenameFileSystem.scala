@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+
+/** Test doubles for the Artifacts publish protocol (round-12 verdict
+  * item 2): a Hadoop `FileSystem` whose `rename` behaves like an
+  * object store's non-atomic list+copy (S3A): destination keys appear
+  * ONE BY ONE in lexicographic order with an injectable pause between
+  * them, so a reader can genuinely observe the half-published window
+  * the protocol's marker-last design defends against. A second switch
+  * makes `rename` report failure for a chosen destination, simulating
+  * losing the publish race to another JVM.
+  *
+  * Registered under the `copyfs:` scheme via
+  * `fs.copyfs.impl` = this class; everything else delegates to
+  * RawLocalFileSystem so Spark's committer works unchanged.
+  */
+object CopyFsControl {
+  /** rename destinations with this basename get the lexicographic
+    * file-by-file copy with [[pauseMs]] between files. */
+  @volatile var slowDirName: String = ""
+  @volatile var pauseMs: Long = 0L
+  /** rename destinations with this basename report failure (the
+    * lost-the-publish-race case). */
+  @volatile var failRenameDst: String = ""
+  /** latched true when a rename was failed via [[failRenameDst]]. */
+  val renameFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    slowDirName = ""; pauseMs = 0L; failRenameDst = ""
+    renameFailed.set(false)
+  }
+}
+
+class CopyRenameFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("copyfs:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (dst.getName == CopyFsControl.failRenameDst) {
+      CopyFsControl.renameFailed.set(true)
+      return false
+    }
+    if (dst.getName == CopyFsControl.slowDirName) {
+      // the S3A shape: no atomic move — create the destination, copy
+      // keys in LEXICOGRAPHIC order (the order that would land a
+      // renamed _SUCCESS before the part files), pause between keys,
+      // then delete the source
+      val files = listStatus(src).sortBy(_.getPath.getName)
+      mkdirs(dst)
+      files.foreach { st =>
+        FileUtil.copy(this, st.getPath, this,
+          new Path(dst, st.getPath.getName), false, getConf)
+        Thread.sleep(CopyFsControl.pauseMs)
+      }
+      delete(src, true)
+      true
+    } else super.rename(src, dst)
+  }
+}
