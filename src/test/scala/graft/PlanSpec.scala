@@ -363,6 +363,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("AQE skew-join splits the hot-key partition at runtime — the " +
+      "100× answer the manual salt backstops") {
+    // join_skew_salted is the MANUAL fallback; at production scale the
+    // first answer is spark.sql.adaptive.skewJoin (round-12 verdict
+    // item 4). Pin that it actually fires: on the SkewRehearsal bot-
+    // user fixture, the plain fact ⋈ per-user-dim shuffle join's
+    // executed plan must show the skew split (skew=true) when AQE
+    // skew handling is forced with fixture-scaled thresholds — and
+    // must NOT when skew handling is off (falsifiability control).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_skewplan").toString
+    SkewRehearsal.synthEvents(spark, dir, 100000L)
+    // the dim is MATERIALIZED first (production reads it as a table):
+    // OptimizeSkewedJoin only matches Sort(ShuffleQueryStage) directly
+    // under the join on BOTH sides, so an inline aggregate between the
+    // dim's sort and its shuffle silently defeats the rule — measured
+    // in round 13, and itself a deployment lesson worth pinning here
+    graft.ops.Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"))
+      .write.mode("overwrite").parquet(s"$dir/user_dim.parquet")
+    def run(skewOn: Boolean): String = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      if (skewOn) {
+        s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s.conf.set("spark.sql.adaptive.skewJoin." +
+          "skewedPartitionThresholdInBytes", "32k")
+        s.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      }
+      val fact = graft.ops.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"))
+      val dim = s.read.parquet(s"$dir/user_dim.parquet")
+      val joined = fact.join(dim, Seq("user_id"))
+      // execute through the dataset's OWN QueryExecution so the
+      // adaptive plan finalizes on it (a write action would plan a
+      // fresh command and leave this one unexecuted); toRdd.count
+      // avoids materializing 200k Rows on the driver
+      assert(joined.queryExecution.toRdd.count() === 200000)
+      joined.queryExecution.executedPlan.toString
+    }
+    val withSkew = run(skewOn = true)
+    assert(withSkew.contains("skew=true"), withSkew.take(3000))
+    val without = run(skewOn = false)
+    assert(!without.contains("skew=true"), without.take(3000))
+  }
+
   test("constant-key windows consume reduced calendar-bounded inputs") {
     // The "no unpartitioned Window.orderBy" rule above admits
     // Window.partitionBy(lit(0)) only over PROVABLY REDUCED tables.

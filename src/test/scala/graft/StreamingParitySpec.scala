@@ -121,6 +121,85 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("state store reader inspects transformWithState MapState — " +
+      "the ops story for debugging 100 TB streaming state") {
+    // Spark 4's spark.read.format("statestore") opens a checkpoint's
+    // state offline — how an operator at scale answers "what does the
+    // stream believe right now" without touching the running query.
+    // Run the MapState dedup to a real checkpoint, then read the
+    // "seen" map back and require it to EQUAL the kept rows the
+    // stream emitted: per user, event_type → first event_id.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tws_sr").toString
+      val input = MemoryStream[Ev]
+      val query = Streams.dedupTws(input.toDS())
+        .writeStream.format("memory").queryName("dedup_tws_sr")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val chunks = allEvents.grouped((allEvents.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      query.stop()
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "seen").load(ckpt)
+      // grouping key / map key / map value arrive as single-field
+      // structs for primitive encoders — unwrap by schema, not by
+      // hardcoded inner names
+      def scalar(c: String): org.apache.spark.sql.Column =
+        state.schema(c).dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            col(s"$c.${st.fields.head.name}")
+          case _ => col(c)
+        }
+      val flat = state.select(
+        scalar("key").cast("long").as("user_id"),
+        scalar("user_map_key").cast("string").as("event_type"),
+        scalar("user_map_value").cast("long").as("event_id"))
+      val sink = spark.table("dedup_tws_sr")
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      assert(sink.count() > 0)
+      assert(flat.count() === sink.count(), state.schema.treeString)
+      assert(flat.exceptAll(sink).count() === 0)
+      assert(sink.exceptAll(flat).count() === 0)
+      // and the ValueState of the visit counter reads back the same
+      // way: one row per user with the final count the stream reached
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft_tws_sr2").toString
+      val input2 = MemoryStream[Ev]
+      val q2 = Streams.visitCounterTws(input2.toDS())
+        .writeStream.format("memory").queryName("visits_tws_sr")
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append").start()
+      chunks.foreach { c => input2.addData(c); q2.processAllAvailable() }
+      q2.stop()
+      val vstate = spark.read.format("statestore")
+        .option("stateVarName", "count").load(ckpt2)
+      def vscalar(c: String): org.apache.spark.sql.Column =
+        vstate.schema(c).dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            col(s"$c.${st.fields.head.name}")
+          case _ => col(c)
+        }
+      val vflat = vstate.select(vscalar("key").cast("long").as("user_id"),
+        vscalar("value").cast("long").as("n"))
+      val expected = spark.table("visits_tws_sr")
+        .groupBy("user_id").agg(max("visit_no").as("n"))
+      assert(vflat.count() === expected.count(), vstate.schema.treeString)
+      assert(vflat.exceptAll(expected).count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cepFunnel stream == stream_cep_pattern batch") {
     val streamed = runStream("funnel")(in => Streams.cepFunnel(in.toDS()))
     val batch = q("stream_cep_pattern")
