@@ -242,7 +242,26 @@ object Aggs {
         .select(col("o_orderpriority"), col("bucket"),
           (col("bucket") * 50000).as("lo"),
           ((col("bucket") + 1) * 50000).as("hi"), col("n"))
-        .orderBy("o_orderpriority", "bucket"))
+        .orderBy("o_orderpriority", "bucket")),
+
+    // Ordered string aggregation via Spark 4.1's native LISTAGG
+    // (round 13; the report-facing face of collect_list — ANSI
+    // 2016's within-group ordered concat, previously only
+    // expressible as sort_array(collect_list(...)) + array_join):
+    // per user, the DISTINCT sorted set of event types as one
+    // comma-joined column, plus the event count. The WITHIN GROUP
+    // ordering makes the output deterministic under any partition
+    // order — without it a distributed string agg is nondeterministic
+    // by construction, which is why the unordered form never appears
+    // in this engine. One keyed shuffle; the per-group value is
+    // bounded by |event types| (small domain), not row count.
+    "agg_listagg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(expr("listagg(DISTINCT event_type, ',') WITHIN GROUP " +
+          "(ORDER BY event_type)").as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -338,6 +357,12 @@ object Aggs {
         |        PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
         |      FROM cnt)
         |SELECT user_id, event_type AS mode_type, n FROM r
-        |WHERE rk = 1 ORDER BY user_id""".stripMargin
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "agg_listagg" ->
+      """SELECT user_id,
+        | string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |   AS types,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -339,7 +339,34 @@ object Joins {
         .join(t(s, d, "part"), col("p_retailprice") < col("s_acctbal") / 10)
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_cheaper"))
-        .orderBy("s_suppkey"))
+        .orderBy("s_suppkey")),
+
+    // LATERAL correlated subquery (round 13; Spark 4's SQL face of
+    // top-N-per-group — the form analysts actually write): each
+    // customer's 3 highest-value orders via JOIN LATERAL ( … ORDER BY
+    // … LIMIT 3). Catalyst DECORRELATES this to a window rank over the
+    // orders side — one keyed shuffle, no per-customer subquery
+    // execution — so the analyst-friendly SQL and the hand-written
+    // `win_rank_topn` shape compile to the same scalable plan
+    // (plan-asserted in PlanSpec: no nested-loop re-execution, a
+    // window/rank instead). Ties on o_totalprice break by o_orderkey
+    // so the LIMIT cutoff is deterministic on both engines.
+    "join_lateral_topn" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS price
+        FROM graft_lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM graft_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +473,18 @@ object Joins {
     "join_theta" ->
       """SELECT s_suppkey, count(*) AS n_cheaper
         |FROM supplier JOIN part ON p_retailprice < s_acctbal / 10
-        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM customer c,
+        | LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        | ) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+        .stripMargin
   )
 }

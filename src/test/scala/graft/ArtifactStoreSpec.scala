@@ -209,6 +209,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // lexicographic order with 200 ms between files — the S3A window
     CopyFsControl.slowDirName = "torn"
     CopyFsControl.pauseMs = 200L
+    try {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val builder = new Thread(() =>
       try Artifacts.parquet(s, "spec", "torn")(s.range(50).toDF("id"))
@@ -236,7 +237,9 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "— the race this test pins was not exercised")
     // … and the gated reader still saw only complete data
     assert(readRows === 50)
-    CopyFsControl.reset()
+    // reset in finally: a failed assert must not leave the slow-copy
+    // switches set for later suites sharing this JVM
+    } finally CopyFsControl.reset()
   }
 
   test("losing the publish race waits for the winner OUTSIDE the " +
@@ -247,6 +250,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // every rename onto this key's final dir reports failure — the
     // loser's view of a cross-JVM race
     CopyFsControl.failRenameDst = "lostkey"
+    try {
     def stripe(k: String): Int = math.floorMod(
       Artifacts.dirFor(s, "spec", k).toString.hashCode, 1024)
     // a DIFFERENT key that hashes to the SAME of the 1024 lock
@@ -285,7 +289,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     loser.join(30000)
     assert(err.get() == null, String.valueOf(err.get()))
     assert(loserRows.get() === 5L)
-    CopyFsControl.reset()
+    } finally CopyFsControl.reset()
   }
 
   test("tradeGraph and the dedup cluster pipeline build under the " +

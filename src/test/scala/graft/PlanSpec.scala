@@ -363,6 +363,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("join_lateral_topn decorrelates to a window rank — no " +
+      "per-customer subquery re-execution") {
+    val p = plan(q("join_lateral_topn"))
+    // the LATERAL ( … ORDER BY … LIMIT 3 ) must compile to the same
+    // scalable shape as the hand-written win_rank_topn: a window
+    // rank over the orders side plus ONE equi join — never a nested
+    // loop that re-runs the subquery per outer row
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("row_number") || p.contains("rank"), p.take(2000))
+  }
+
+  test("agg_listagg: partial aggregation, one keyed shuffle") {
+    val p = plan(q("agg_listagg"))
+    assert(p.contains("partial_listagg") || p.contains("partial"),
+      p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("AQE skew-join splits the hot-key partition at runtime — the " +
       "100× answer the manual salt backstops") {
     // join_skew_salted is the MANUAL fallback; at production scale the
