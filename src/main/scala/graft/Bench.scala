@@ -94,7 +94,11 @@ object Bench {
     // their artifact build — CC runs alphabetically FIRST of the graph
     // family so it owns the tradeGraph build in full sessions too)
     "graph_connected_components" -> 5.00, "source_binary_files" -> 1.03,
-    "fn_xml" -> 1.18, "sink_xml_roundtrip" -> 0.79)
+    "fn_xml" -> 1.18, "sink_xml_roundtrip" -> 0.79,
+    // round-13 additions (first full-session run; CC is query-only now
+    // that graph_artifact_build owns the edge-table build)
+    "fn_json_variant" -> 2.02, "join_lateral_topn" -> 0.85,
+    "agg_listagg" -> 0.45, "sql_pipe_board" -> 0.60)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -217,6 +217,32 @@ object Ads {
         FROM purchases GROUP BY h ORDER BY h_us""")
     }),
 
+    // SQL PIPE syntax (round 13; Spark 4's |> operators — the modern
+    // linear-dataflow face of the same SQL surface `sql_ads_board`
+    // shows in classic form): the daily revenue board written as
+    // FROM → WHERE → EXTEND → AGGREGATE → SELECT → ORDER BY stages.
+    // Each pipe stage maps 1:1 onto a logical operator, so Catalyst
+    // sees the IDENTICAL plan as the classic formulation — same
+    // pushdown, same one keyed shuffle with partial aggregation —
+    // which is the point: syntax sugar, zero plan cost (the oracle is
+    // the classic SQL and the compare is hash-exact). Money in
+    // DECIMAL(18,2) like every revenue key.
+    "sql_pipe_board" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_pipe_events")
+      s.sql("""
+        FROM graft_pipe_events
+        |> WHERE event_type = 'purchase'
+        |> EXTEND to_date(ts) AS day
+        |> AGGREGATE COUNT(*) AS n_purchases,
+             COUNT(DISTINCT user_id) AS buyers,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+           GROUP BY day
+        |> SELECT date_format(day, 'yyyy-MM-dd') AS day,
+             n_purchases, buyers, revenue
+        |> ORDER BY day""")
+    }),
+
     // PATH ANALYSIS (the behavior-flow / sankey board): top-10 3-step
     // event-type paths over 30-min-gap sessions. Sessionization is the
     // standard gaps-and-islands running sum keyed by user; the two
@@ -560,6 +586,14 @@ object Ads {
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |   AS revenue
         |FROM purchases GROUP BY h ORDER BY h_us""".stripMargin,
+    "sql_pipe_board" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        | count(*) AS n_purchases,
+        | count(DISTINCT user_id) AS buyers,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
     "ads_path_topn" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) ts_us
         |            FROM events),

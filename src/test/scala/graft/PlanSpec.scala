@@ -363,6 +363,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("sql_pipe_board: pipe stages compile to the classic plan — " +
+      "pushdown reaches the scan, aggregation is partial") {
+    val p = plan(q("sql_pipe_board"))
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
   test("join_lateral_topn decorrelates to a window rank — no " +
       "per-customer subquery re-execution") {
     val p = plan(q("join_lateral_topn"))
