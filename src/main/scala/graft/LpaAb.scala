@@ -52,22 +52,59 @@ object LpaAb {
     }
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
-    val lines = Seq(("sf0.1", sf01), ("x10", x10)).map { case (tag, dir) =>
-      // build the edge artifact + warm codegen outside the samples
-      graft.ops.Graph.tradeGraph(spark, dir).count()
-      sample(dir, ckpt = true)
-      // interleaved: c0, n0, c1, n1, … so drift hits both variants
-      val pairs = (1 to runs).map { _ =>
-        (sample(dir, ckpt = true), sample(dir, ckpt = false))
+    /** Interleaved A/B of one conf-switched query: a0, b0, a1, b1, …
+      * so session drift (page cache, JIT, GC) lands on both variants
+      * equally. Returns (A samples, B samples). */
+    def ab(dir: String, query: String, conf: String,
+        a: String, b: String): (Seq[Double], Seq[Double]) = {
+      def one(v: String): Double = {
+        spark.conf.set(conf, v)
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(query)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          spark.conf.unset(conf)
+          graft.ops.OpCache.release(spark)
+          spark.catalog.clearCache()
+        }
       }
-      val (cs, ns) = pairs.unzip
-      val line = s"""{"lpa_ab":{"dir":"$tag","runs":$runs,""" +
-        s""""ckpt":[${cs.map(fmt).mkString(",")}],""" +
-        s""""ckpt_median":${fmt(median(cs))},""" +
-        s""""nockpt":[${ns.map(fmt).mkString(",")}],""" +
-        s""""nockpt_median":${fmt(median(ns))}}}"""
-      println(line)
-      line
+      one(a) // warm codegen for this query outside the samples
+      (1 to runs).map(_ => (one(a), one(b))).unzip
+    }
+    val lines = Seq(("sf0.1", sf01), ("x10", x10)).flatMap {
+      case (tag, dir) =>
+        // build the edge artifact outside every timing
+        graft.ops.Graph.tradeGraph(spark, dir).count()
+        sample(dir, ckpt = true)
+        // interleaved: c0, n0, c1, n1, … so drift hits both variants
+        val pairs = (1 to runs).map { _ =>
+          (sample(dir, ckpt = true), sample(dir, ckpt = false))
+        }
+        val (cs, ns) = pairs.unzip
+        val lpaLine = s"""{"lpa_ab":{"dir":"$tag","runs":$runs,""" +
+          s""""ckpt":[${cs.map(fmt).mkString(",")}],""" +
+          s""""ckpt_median":${fmt(median(cs))},""" +
+          s""""nockpt":[${ns.map(fmt).mkString(",")}],""" +
+          s""""nockpt_median":${fmt(median(ns))}}}"""
+        println(lpaLine)
+        // lazy-vs-eager per-round checkpoint for the two loops where
+        // truncation itself is mandatory (state read twice per round)
+        // and only the materialization timing is elective
+        val eagerLines = Seq("graph_pagerank", "graph_shortest_path")
+          .map { query =>
+            val (lz, eg) = ab(dir, query,
+              "spark.graft.graphCheckpointEager", "false", "true")
+            val line = s"""{"eager_ab":{"dir":"$tag","query":"$query",""" +
+              s""""runs":$runs,"lazy":[${lz.map(fmt).mkString(",")}],""" +
+              s""""lazy_median":${fmt(median(lz))},""" +
+              s""""eager":[${eg.map(fmt).mkString(",")}],""" +
+              s""""eager_median":${fmt(median(eg))}}}"""
+            println(line)
+            line
+          }
+        lpaLine +: eagerLines
     }
     try {
       val w = new java.io.PrintWriter("/tmp/graft_lpa_ab.json")

@@ -150,13 +150,16 @@ object Graph {
       var ranks = nodes.select(col("src").as("node"),
         lit(1.0 / n).as("rank"))
       for (_ <- 1 to iters)
-        // LAZY localCheckpoint truncates lineage so 5 rounds don't
+        // localCheckpoint truncates lineage so 5 rounds don't
         // compound into one mega-plan (the dedup-cluster loop's
-        // 61 s→9 s lesson) without paying a separate materialization
-        // job per round — the checkpoint computes inside the next
-        // round's first action, the same discipline the CC loop uses
-        // (measured: 3.3 s vs 4.2 s eager at sf0.1)
-        ranks = iterate(ranks, oe, teleport).localCheckpoint(false)
+        // 61 s→9 s lesson). LAZY by default — the checkpoint computes
+        // inside the next round's first action instead of paying a
+        // separate materialization job per round; round-13 interleaved
+        // median-of-5 A/B (LpaAb, BENCH_LOG) confirmed the round-11
+        // single measurement (lazy wins at sf0.1 and ×10), with the
+        // conf as the deployment override.
+        ranks = iterate(ranks, oe, teleport)
+          .localCheckpoint(eagerCkpt(s))
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
@@ -175,10 +178,10 @@ object Graph {
           when(col("src") === SpSeed, lit(0L)).otherwise(lit(Inf))
             .as("dist"))
       for (_ <- 1 to spIters)
-        // lazy, like the pagerank loop above (dist is referenced twice
-        // per round, so truncation stays mandatory — only the eager
-        // per-round materialization job is dropped)
-        dist = spIterate(dist, oe).localCheckpoint(false)
+        // lazy by default, like the pagerank loop above (dist is
+        // referenced twice per round, so truncation stays MANDATORY —
+        // only the per-round materialization job is elective)
+        dist = spIterate(dist, oe).localCheckpoint(eagerCkpt(s))
       dist.where(col("dist") < Inf).orderBy(col("dist"), col("node"))
     }),
 
@@ -250,6 +253,16 @@ object Graph {
     * round-13 median-of-5 A/B (see `graft.LpaAb` + BENCH_LOG):
     * overridable per session via `spark.graft.lpaCheckpoint`. */
   private[graft] val LpaCheckpointDefault = true
+
+  /** Eager-vs-lazy switch for the pagerank/BFS per-round checkpoints
+    * (`spark.graft.graphCheckpointEager`): default LAZY, confirmed by
+    * the round-13 interleaved median A/B — kept as a conf so the A/B
+    * runs (and deployments with long idle gaps between rounds, where
+    * eager bounds executor-memory residency earlier) can flip it
+    * without a rebuild. */
+  private def eagerCkpt(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.graft.graphCheckpointEager")
+      .exists(_.toBoolean)
 
   /** BFS round bound / LPA round count / infinity sentinel — fixed so
     * the DuckDB oracle unrolls the same loops as plain CTEs. */
