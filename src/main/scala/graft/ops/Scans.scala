@@ -76,6 +76,48 @@ object Scans {
           md5(col("content")).as("digest"))
         .orderBy("doc_id")),
 
+    // JDBC dimension source (round 13; the genre's MySQL-dim ingest —
+    // Flink warehouses read dims over JDBC exactly like this): the
+    // nation dim is loaded into an embedded Derby database (the test
+    // stand-in for the external DB server; embedded Derby is driver-
+    // local by nature, which is why it lives under java.io.tmpdir and
+    // NOT the cluster-visible Artifacts root — on a real cluster the
+    // url points at the DB server and every executor connects), then
+    // read back through the JDBC source with (a) a pushed-down
+    // predicate (n_regionkey <= 2 — plan-asserted to reach the JDBC
+    // relation as a PushedFilter, i.e. it executes IN the database,
+    // the whole point of the source at scale) and (b) a PARTITIONED
+    // read (partitionColumn/bounds/numPartitions — the parallel-fetch
+    // shape that keeps one executor from owning the whole table).
+    // The dim write is coalesce(1): embedded Derby serializes writers,
+    // and a dim load is one tiny batch by definition.
+    "source_jdbc_dim" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val dbDir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_jdbc_$tag")
+      // derby.log otherwise lands in the process CWD
+      sys.props.getOrElseUpdate("derby.stream.error.file",
+        new java.io.File(sys.props("java.io.tmpdir"), "derby.log")
+          .toString)
+      val url = s"jdbc:derby:${dbDir.getPath}/nation;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, d, "nation")
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").jdbc(url, "nation_dim", props)
+      s.read
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .jdbc(url, "nation_dim", props)
+        .where(col("n_regionkey") <= 2)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ADS-layer file sink: write then read back (round-trip proves the sink).
     "sink_parquet" -> ((s, d) => {
       // Path derived from the input dir so each sf / concurrent run
@@ -396,6 +438,11 @@ object Scans {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "source_jdbc_dim" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <= 2
+        |ORDER BY n_nationkey""".stripMargin,
     "source_binary_files" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
         | md5(text) AS digest

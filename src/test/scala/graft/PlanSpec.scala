@@ -363,6 +363,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("source_jdbc_dim: predicate pushes into the database, read is " +
+      "partitioned") {
+    val p = plan(q("source_jdbc_dim"))
+    assert(p.contains("JDBCRelation"), p.take(2000))
+    // the filter must execute IN the database (PushedFilters on the
+    // JDBC scan), and the fetch must be split across partitions
+    assert(p.contains("numPartitions=4"), p.take(2000))
+    assert("PushedFilters:.*N_REGIONKEY|PushedFilters:.*n_regionkey".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("sql_pipe_board: pipe stages compile to the classic plan — " +
       "pushdown reaches the scan, aggregation is partial") {
     val p = plan(q("sql_pipe_board"))
