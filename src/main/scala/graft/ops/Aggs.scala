@@ -261,7 +261,30 @@ object Aggs {
         .agg(expr("listagg(DISTINCT event_type, ',') WITHIN GROUP " +
           "(ORDER BY event_type)").as("types"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // UNPIVOT / melt (round 13; the inverse of agg_pivot and the
+    // report-layer wide→long reshape every BI export needs): the
+    // per-priority board's three measure columns become (metric,
+    // value) rows via the native Dataset.unpivot — a map-side
+    // Expand (3 output rows per input row), no shuffle beyond the
+    // aggregate that builds the wide table. Measures pre-cast to one
+    // DOUBLE type (unpivot requires a common value type — same rule
+    // as SQL UNPIVOT); money sums in DECIMAL first, as everywhere.
+    "agg_unpivot" -> ((s, d) => {
+      val dec = "decimal(18,2)"
+      val wide = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          round(sum(col("o_totalprice").cast(dec)).cast("double"), 2)
+            .as("revenue"),
+          round(sum(col("o_totalprice").cast(dec)).cast("double") /
+            count(lit(1)), 2).as("avg_price"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("revenue"), col("avg_price")),
+          "metric", "value")
+        .orderBy("o_orderpriority", "metric")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -363,6 +386,21 @@ object Aggs {
         | string_agg(DISTINCT event_type, ',' ORDER BY event_type)
         |   AS types,
         | count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the unpivot as its portable UNION ALL form (byte-identical
+    // semantics; DuckDB's UNPIVOT sugar would work too)
+    "agg_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS revenue,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 2) AS avg_price
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS metric,
+        |       n_orders AS value FROM w
+        |UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM w
+        |UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM w
+        |ORDER BY o_orderpriority, metric""".stripMargin
   )
 }

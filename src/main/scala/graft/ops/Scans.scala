@@ -118,6 +118,43 @@ object Scans {
         .orderBy("n_nationkey")
     }),
 
+    // JDBC board sink (round 13; the §2.1 genre flagship OUTPUT —
+    // Flink实时数仓-style warehouses publish every ADS board to MySQL
+    // for the BI layer, exactly this write): the hourly revenue board
+    // written to the embedded-Derby stand-in and read back (round-trip
+    // proves the sink, like every sink key). Columns are JDBC-portable
+    // scalars by design — epoch-micros BIGINT instead of TIMESTAMP (a
+    // dialect-dependent precision trap), DOUBLE money only after the
+    // DECIMAL sum. coalesce(1): a board is one tiny batch, and a
+    // 1000-executor job writing a 24-row board must not open 1000
+    // connections.
+    "sink_jdbc_board" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val dbDir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_jdbc_$tag")
+      sys.props.getOrElseUpdate("derby.stream.error.file",
+        new java.io.File(sys.props("java.io.tmpdir"), "derby.log")
+          .toString)
+      val url = s"jdbc:derby:${dbDir.getPath}/board;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"))
+        .select(ep(col("h")).as("h_us"), col("n_purchases"),
+          col("revenue"))
+        .coalesce(1)
+        .write.mode("overwrite").jdbc(url, "ads_board", props)
+      s.read.jdbc(url, "ads_board", props)
+        .select(col("h_us").cast("long").as("h_us"),
+          col("n_purchases").cast("long").as("n_purchases"),
+          col("revenue"))
+        .orderBy("h_us")
+    }),
+
     // ADS-layer file sink: write then read back (round-trip proves the sink).
     "sink_parquet" -> ((s, d) => {
       // Path derived from the input dir so each sf / concurrent run
@@ -438,6 +475,13 @@ object Scans {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "sink_jdbc_board" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+        | count(*) AS n_purchases,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS revenue
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY date_trunc('hour', ts) ORDER BY h_us""".stripMargin,
     "source_jdbc_dim" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey

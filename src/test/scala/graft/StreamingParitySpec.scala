@@ -192,6 +192,15 @@ class StreamingParitySpec extends AnyFunSuite {
         .groupBy("user_id").agg(max("visit_no").as("n"))
       assert(vflat.count() === expected.count(), vstate.schema.treeString)
       assert(vflat.exceptAll(expected).count() === 0)
+      // the companion state-metadata source answers the prior ops
+      // question — WHICH operators/stores live in this checkpoint and
+      // over what batch range — without knowing the query's code
+      val meta = spark.read.format("state-metadata").load(ckpt)
+      val row = meta.select("operatorName", "stateStoreName",
+        "numPartitions").collect()
+      assert(row.nonEmpty, meta.schema.treeString)
+      assert(row.exists(_.getString(0).contains("transformWithState")),
+        row.mkString(";"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
