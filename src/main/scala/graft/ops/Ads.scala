@@ -243,6 +243,44 @@ object Ads {
         |> ORDER BY day""")
     }),
 
+    // SQL SCRIPTING (round 13; Spark 4's BEGIN…END multi-statement
+    // scripts with session variables — the stored-procedure-shaped
+    // surface migrations from warehouse SQL expect): DECLARE a
+    // threshold, SET it from one aggregate statement, use it in the
+    // final SELECT (the script's result). The threshold math stays in
+    // exact DECIMAL until one terminal cast so both engines compute
+    // the identical cutoff and the boundary rows can't flip.
+    "sql_script_vars" -> ((s, d) => {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      t(s, d, "events").createOrReplaceTempView("graft_script_events")
+      s.sql("""
+        BEGIN
+          DECLARE hot DOUBLE DEFAULT 0;
+          SET hot = (
+            SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*)
+                     AS DOUBLE)
+            FROM graft_script_events WHERE event_type = 'purchase');
+          SELECT event_id, user_id, round(value, 2) AS value
+          FROM graft_script_events
+          WHERE event_type = 'purchase' AND value >= hot
+          ORDER BY event_id;
+        END""")
+    }),
+
+    // NAMED PARAMETER MARKERS (round 13; Spark 4's parameterized SQL —
+    // the injection-safe API face every serving layer should use
+    // instead of string-splicing filters): the same plan as a literal
+    // query, bound at execution. Oracle inlines the constants.
+    "sql_named_params" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("graft_param_events")
+      s.sql(
+        """SELECT event_id, user_id, round(value, 2) AS value
+          |FROM graft_param_events
+          |WHERE event_type = :etype AND value >= :minv
+          |ORDER BY event_id""".stripMargin,
+        Map("etype" -> "purchase", "minv" -> 10))
+    }),
+
     // PATH ANALYSIS (the behavior-flow / sankey board): top-10 3-step
     // event-type paths over 30-min-gap sessions. Sessionization is the
     // standard gaps-and-islands running sum keyed by user; the two
@@ -586,6 +624,20 @@ object Ads {
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |   AS revenue
         |FROM purchases GROUP BY h ORDER BY h_us""".stripMargin,
+    "sql_script_vars" ->
+      """WITH hot AS (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*)
+        |           AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, round(value, 2) AS value
+        |FROM events, hot
+        |WHERE event_type = 'purchase' AND value >= hot.v
+        |ORDER BY event_id""".stripMargin,
+    "sql_named_params" ->
+      """SELECT event_id, user_id, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'purchase' AND value >= 10
+        |ORDER BY event_id""".stripMargin,
     "sql_pipe_board" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         | count(*) AS n_purchases,
