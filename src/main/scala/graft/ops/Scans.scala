@@ -409,6 +409,46 @@ object Scans {
         .select(col("user_id"), col("event_id"), col("event_type"),
           ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
         .orderBy("user_id")
+    }),
+
+    // TIME TRAVEL over the snapshot table (round 13; the reason ACID
+    // table formats keep version history at all — audit "what did the
+    // board say at commit k", reproduce a training run against the
+    // exact table version it read): a 3-version table is built ONCE
+    // per (root, corpus content) — the artifact materialize-once
+    // discipline, with retain=3 so no version is vacuumed and a
+    // re-invocation READS instead of appending versions 4..6 (version
+    // CONTENT must be a function of corpus content for the oracle,
+    // and a rebuilt-on-top table would break that) — then every
+    // version is read back by number and summarized. Version k holds
+    // the per-user latest image over batches 1..k (event_id mod 3),
+    // so the oracle reconstructs each snapshot with one window per k.
+    "table_time_travel" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val root = Artifacts.scratch(s, s"time_travel_${tag}_$snap")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      if (graft.streaming.SnapshotTable.latestVersion(s, root).isEmpty)
+        (0 until 3).foreach { i =>
+          val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
+          graft.streaming.SnapshotTable.commit(s, root, retain = 3)(
+            state => upsertMerge(state, batch))
+        }
+      // resolve the three physical versions RELATIVE to latest (the
+      // table numbers from v=0) and report them as logical 1..3
+      val latest = graft.streaming.SnapshotTable
+        .latestVersion(s, root).get
+      (0L to 2L).map { i =>
+        graft.streaming.SnapshotTable
+          .readVersion(s, root, latest - 2 + i)
+          .agg(count(lit(1)).as("n_users"),
+            sum(round(col("value"), 2).cast("decimal(18,2)"))
+              .cast("double").as("sum_value"))
+          .select(lit(i + 1).as("version"), col("n_users"),
+            col("sum_value"))
+      }.reduce(_.unionAll(_)).orderBy("version")
     })
   )
 
@@ -475,6 +515,22 @@ object Scans {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "table_time_travel" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, value, ts, event_id % 3 AS b
+        |  FROM events),
+        |img AS (
+        |  SELECT k.v AS version, user_id, value,
+        |    row_number() OVER (PARTITION BY k.v, user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM base JOIN (VALUES (1), (2), (3)) AS k(v)
+        |    ON base.b < k.v)
+        |SELECT CAST(version AS BIGINT) AS version,
+        | count(*) AS n_users,
+        | CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_value
+        |FROM img WHERE rn = 1
+        |GROUP BY version ORDER BY version""".stripMargin,
     "sink_jdbc_board" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
         | count(*) AS n_purchases,
