@@ -177,4 +177,36 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(a.count() === b.count())
     assert(a.exceptAll(b).count() === 0)
   }
+
+  test("table_time_travel builds its version history ONCE: a second " +
+      "invocation reads, never re-commits") {
+    import org.apache.spark.sql.functions.col
+    val first = q("table_time_travel").collect()
+    // the key's root is content-keyed; find it and pin its version set
+    val root = new java.io.File(
+      new java.net.URI(graft.ops.Artifacts.root(spark)))
+    def roots() = Option(new java.io.File(root, "scratch").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("time_travel_")).toSeq
+    assert(roots().nonEmpty)
+    def versions() = roots().map(r =>
+      Option(r.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq)
+    val vBefore = versions()
+    val second = q("table_time_travel").collect()
+    // identical results AND identical on-disk version dirs — the
+    // second run resolved the existing history instead of committing
+    // versions 4..6 on top (which would change every version's
+    // content and break the corpus-content determinism the oracle
+    // relies on)
+    assert(versions() === vBefore)
+    assert(first.toSeq === second.toSeq)
+    // and the versions observably differ — time travel reads history,
+    // not three copies of one snapshot (sum_value changes as later
+    // batches supersede per-user images; n_users alone can saturate
+    // when every user already appears in batch 1)
+    val sums = q("table_time_travel")
+      .select(col("sum_value")).collect().map(_.getDouble(0))
+    assert(sums.distinct.length >= 2, sums.mkString(","))
+  }
 }
