@@ -196,6 +196,46 @@ object Fns {
           expr("try_variant_get(v, '$.meta.missing', 'long')").as("missing"))
         .orderBy("event_id")),
 
+    // ANSI-safe arithmetic (round 13): Spark 4 runs ANSI mode by
+    // default, where overflow and division-by-zero THROW — the
+    // public-API answer for pipelines that must degrade to NULL
+    // instead of dying mid-job is the try_* family. div0 exercises
+    // x/0 → NULL (the oracle writes the literal NULL: DuckDB would
+    // error); ovf exercises guaranteed BIGINT overflow → NULL (same);
+    // per_qty is the well-defined arm proving try_* passes normal
+    // values through untouched.
+    "fn_try_arith" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_discount - l_discount)")
+            .as("div0"),
+          // raw IEEE division, NO rounding: both engines produce the
+          // bit-identical double, while round-to-4dp disagreed on a
+          // half-boundary row (HALF_UP vs HALF_EVEN)
+          expr("try_divide(l_extendedprice, l_quantity)").as("per_qty"),
+          expr("try_add(CAST('9223372036854775807' AS BIGINT), " +
+            "CAST(l_orderkey AS BIGINT) + 1)").as("ovf"),
+          expr("try_multiply(l_orderkey, 0)").as("times0"))
+        .orderBy("l_orderkey", "l_linenumber", "per_qty")),
+
+    // COLLATION-aware comparison (round 13; Spark 4's COLLATE —
+    // locale/case semantics as a TYPE property instead of lower()
+    // scattered through every predicate): a mixed-case segment column
+    // filtered under UTF8_LCASE matches both cases in one equality,
+    // and the collated ORDER BY interleaves cases (ties broken by key
+    // so both engines walk one deterministic order). Oracle via
+    // lower() equivalence.
+    "fn_collation" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("seg_mixed",
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            lower(col("c_mktsegment"))).otherwise(col("c_mktsegment")))
+        .where(expr("collate(seg_mixed, 'UTF8_LCASE')") ===
+          lit("building"))
+        .select(col("c_custkey"), col("seg_mixed"))
+        .orderBy(expr("collate(seg_mixed, 'UTF8_LCASE')"),
+          col("c_custkey"))),
+
     "fn_conditional" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -445,6 +485,22 @@ object Fns {
         | json_type(payload, '$.extra') = 'NULL' AS extra_is_null,
         | CAST(NULL AS BIGINT) AS missing
         |FROM p ORDER BY event_id""".stripMargin,
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(NULL AS DOUBLE) AS div0,
+        | l_extendedprice / l_quantity AS per_qty,
+        | CAST(NULL AS BIGINT) AS ovf,
+        | CAST(0 AS BIGINT) AS times0
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, per_qty""".stripMargin,
+    "fn_collation" ->
+      """WITH m AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |       ELSE c_mktsegment END AS seg_mixed
+        | FROM customer)
+        |SELECT c_custkey, seg_mixed FROM m
+        |WHERE lower(seg_mixed) = 'building'
+        |ORDER BY lower(seg_mixed), c_custkey""".stripMargin,
     "fn_conditional" ->
       """SELECT event_id,
         | CASE WHEN value < 1.0 THEN 'low' WHEN value < 5.0 THEN 'mid'
