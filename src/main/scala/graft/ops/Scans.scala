@@ -515,6 +515,19 @@ object Scans {
     }
 
   val oracleSql: Map[String, String] = Map(
+    // round 13: both long-exempt keys gain oracles — the rate key's
+    // batch emulation is a deterministic range, and the parquet
+    // round-trip's read-back content is a plain aggregate; neither
+    // needed the exemption it was carrying
+    "source_rate_stream" ->
+      """SELECT CAST(range AS BIGINT) AS value,
+        | CAST(1704067200 + range AS BIGINT) AS timestamp_s
+        |FROM range(0, 1000) ORDER BY value""".stripMargin,
+    "sink_parquet" ->
+      """SELECT event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "table_time_travel" ->
       """WITH base AS (
         |  SELECT user_id, event_id, value, ts, event_id % 3 AS b
