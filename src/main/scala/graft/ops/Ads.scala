@@ -250,6 +250,13 @@ object Ads {
     // final SELECT (the script's result). The threshold math stays in
     // exact DECIMAL until one terminal cast so both engines compute
     // the identical cutoff and the boundary rows can't flip.
+    // SCALE SEMANTICS (plan-asserted in PlanSpec): sql() EXECUTES the
+    // script eagerly and hands back the materialized last statement as
+    // a LOCAL relation — driver-resident rows. Each interior statement
+    // still runs distributed, but the FINAL select must be board-sized
+    // (a filtered/aggregated result, as here), never a full-table
+    // scan; a 100 TB tail SELECT belongs in an ordinary lazy query,
+    // with the script computing only its scalar inputs.
     "sql_script_vars" -> ((s, d) => {
       s.conf.set("spark.sql.scripting.enabled", "true")
       t(s, d, "events").createOrReplaceTempView("graft_script_events")

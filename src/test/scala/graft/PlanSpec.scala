@@ -374,6 +374,42 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("agg_unpivot: a map-side Expand above the one aggregate shuffle") {
+    val p = plan(q("agg_unpivot"))
+    assert(p.contains("Expand"), p.take(2000))
+    // exactly the wide-table agg exchange + the output sort — the
+    // unpivot itself must add no shuffle
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("fn_try_arith: map-side only — no exchange except output order") {
+    val p = plan(q("fn_try_arith"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("fn_collation: map-side filter + order, no keyed shuffle") {
+    val p = plan(q("fn_collation"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("parameterized SQL pushes its bound filter to the scan; " +
+      "scripted SQL returns an eagerly-executed LOCAL result") {
+    // named params bind into a normal lazy plan — pushdown intact
+    val p = plan(q("sql_named_params"))
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(2000))
+    // BEGIN…END scripts EXECUTE when sql() returns: the handed-back
+    // frame is the materialized last statement (LocalTableScan), i.e.
+    // driver-resident rows. That is the API's semantics, and the
+    // scale rule it implies — a script's final SELECT must be a
+    // board-sized aggregate, never a full-table scan — is documented
+    // on the key; this assertion pins the behavior so an upgrade that
+    // changes it gets noticed.
+    val ps = plan(q("sql_script_vars"))
+    assert(ps.contains("LocalTableScan"), ps.take(2000))
+  }
+
   test("sql_pipe_board: pipe stages compile to the classic plan — " +
       "pushdown reaches the scan, aggregation is partial") {
     val p = plan(q("sql_pipe_board"))
