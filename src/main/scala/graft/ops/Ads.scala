@@ -258,20 +258,27 @@ object Ads {
     // scan; a 100 TB tail SELECT belongs in an ordinary lazy query,
     // with the script computing only its scalar inputs.
     "sql_script_vars" -> ((s, d) => {
+      // scripting is enabled only around the eager sql() call and then
+      // restored: the flag is session-wide, and leaking it would change
+      // every later key executed on the shared bench/test session
+      val saved = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
-      t(s, d, "events").createOrReplaceTempView("graft_script_events")
-      s.sql("""
-        BEGIN
-          DECLARE hot DOUBLE DEFAULT 0;
-          SET hot = (
-            SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*)
-                     AS DOUBLE)
-            FROM graft_script_events WHERE event_type = 'purchase');
-          SELECT event_id, user_id, round(value, 2) AS value
-          FROM graft_script_events
-          WHERE event_type = 'purchase' AND value >= hot
-          ORDER BY event_id;
-        END""")
+      try {
+        t(s, d, "events").createOrReplaceTempView("graft_script_events")
+        s.sql("""
+          BEGIN
+            DECLARE hot DOUBLE DEFAULT 0;
+            SET hot = (
+              SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*)
+                       AS DOUBLE)
+              FROM graft_script_events WHERE event_type = 'purchase');
+            SELECT event_id, user_id, round(value, 2) AS value
+            FROM graft_script_events
+            WHERE event_type = 'purchase' AND value >= hot
+            ORDER BY event_id;
+          END""")
+      } finally saved.fold(s.conf.unset("spark.sql.scripting.enabled"))(
+        v => s.conf.set("spark.sql.scripting.enabled", v))
     }),
 
     // NAMED PARAMETER MARKERS (round 13; Spark 4's parameterized SQL —

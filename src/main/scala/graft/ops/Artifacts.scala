@@ -148,15 +148,24 @@ object Artifacts {
         } catch { case e: Throwable => fs.delete(tmp, true); throw e }
         fs.mkdirs(dir.getParent)
         if (fs.rename(tmp, dir)) {
-          // HDFS rename-into-existing-dir semantics: if a cross-JVM
-          // racer published `dir` between our check and the rename,
-          // `tmp` lands NESTED inside it — remove the junk, keep the
-          // winner's identical bytes.
+          // HDFS rename-into-existing-dir semantics: if a racer (a
+          // cross-JVM writer, or an in-JVM same-key builder admitted
+          // while a previous loser polled outside the stripe) published
+          // `dir` between our check and the rename, `tmp` lands NESTED
+          // inside it. That is a LOST race, not a win: on a copy-rename
+          // store the winner may still be mid-copy, so creating
+          // _SUCCESS here would expose its partial part files to
+          // marker-gated readers. Delete our nested junk and wait for
+          // the winner's own marker-last publish like any lost rename.
           val nested = new Path(dir, tmp.getName)
-          if (fs.exists(nested)) { fs.delete(nested, true); () }
-          if (!fs.exists(done)) fs.create(done).close()
-          require(fs.exists(done),
-            s"artifact publish for $dir failed — no _SUCCESS after rename")
+          if (fs.exists(nested)) {
+            fs.delete(nested, true)
+            lostPublish = true
+          } else {
+            if (!fs.exists(done)) fs.create(done).close()
+            require(fs.exists(done),
+              s"artifact publish for $dir failed — no _SUCCESS after rename")
+          }
         } else {
           // lost the publish to a cross-JVM racer: drop our temp; the
           // wait for the winner's marker happens outside the lock

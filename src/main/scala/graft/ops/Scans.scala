@@ -14,6 +14,22 @@ import org.apache.spark.sql.types.LongType
 object Scans {
   import Tables._
 
+  /** Embedded-Derby scratch root for the two JDBC keys. Embedded Derby
+    * permits ONE booting JVM per database directory, so the path must
+    * be disjoint PER JVM, not just per corpus: two concurrent graft
+    * JVMs on one box (an oracle sweep overlapping a bench) sharing a
+    * corpus-keyed dir would collide with XSDB6 at boot. A per-JVM
+    * nonce gives each process its own database; within the JVM the
+    * dir is reused, so the two keys and repeated runs share one boot. */
+  private val derbyNonce = java.util.UUID.randomUUID().toString.take(8)
+  private def derbyDbDir(tag: String): java.io.File = {
+    // derby.log otherwise lands in the process CWD
+    sys.props.getOrElseUpdate("derby.stream.error.file",
+      new java.io.File(sys.props("java.io.tmpdir"), "derby.log").toString)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_jdbc_${derbyNonce}_$tag")
+  }
+
   val queries: Map[String, Q] = Map(
     // Full table scan; shipdate emitted as epoch micros for engine-neutral
     // compare. (orderkey, linenumber) is NOT unique in the fixture, so the
@@ -93,12 +109,7 @@ object Scans {
     // and a dim load is one tiny batch by definition.
     "source_jdbc_dim" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val dbDir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_jdbc_$tag")
-      // derby.log otherwise lands in the process CWD
-      sys.props.getOrElseUpdate("derby.stream.error.file",
-        new java.io.File(sys.props("java.io.tmpdir"), "derby.log")
-          .toString)
+      val dbDir = derbyDbDir(tag)
       val url = s"jdbc:derby:${dbDir.getPath}/nation;create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -130,11 +141,7 @@ object Scans {
     // connections.
     "sink_jdbc_board" -> ((s, d) => {
       val tag = new java.io.File(d).getName
-      val dbDir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_jdbc_$tag")
-      sys.props.getOrElseUpdate("derby.stream.error.file",
-        new java.io.File(sys.props("java.io.tmpdir"), "derby.log")
-          .toString)
+      val dbDir = derbyDbDir(tag)
       val url = s"jdbc:derby:${dbDir.getPath}/board;create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -430,23 +437,33 @@ object Scans {
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
-      if (graft.streaming.SnapshotTable.latestVersion(s, root).isEmpty)
-        (0 until 3).foreach { i =>
+      // gate on the COUNT of committed versions, not mere existence: a
+      // prior process that died after 1-2 of the 3 commits would
+      // otherwise leave a root that skips the build forever and fails
+      // readVersion(latest-2) on an uncommitted version. Version k
+      // holds batches 0..k merged, so resuming at batch `have` on top
+      // of the existing state commits exactly the missing versions and
+      // converges to the identical content-keyed table.
+      val have = graft.streaming.SnapshotTable
+        .committedVersions(s, root).size
+      if (have < 3)
+        (have until 3).foreach { i =>
           val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
           graft.streaming.SnapshotTable.commit(s, root, retain = 3)(
             state => upsertMerge(state, batch))
         }
-      // resolve the three physical versions RELATIVE to latest (the
-      // table numbers from v=0) and report them as logical 1..3
-      val latest = graft.streaming.SnapshotTable
-        .latestVersion(s, root).get
-      (0L to 2L).map { i =>
+      // resolve the three PHYSICAL committed versions by listing (not
+      // latest-2..latest arithmetic — orphan-skip numbering can leave
+      // committed versions non-contiguous) and report them as 1..3
+      val vs = graft.streaming.SnapshotTable
+        .committedVersions(s, root).takeRight(3)
+      vs.zipWithIndex.map { case (v, i) =>
         graft.streaming.SnapshotTable
-          .readVersion(s, root, latest - 2 + i)
+          .readVersion(s, root, v)
           .agg(count(lit(1)).as("n_users"),
             sum(round(col("value"), 2).cast("decimal(18,2)"))
               .cast("double").as("sum_value"))
-          .select(lit(i + 1).as("version"), col("n_users"),
+          .select(lit(i + 1L).as("version"), col("n_users"),
             col("sum_value"))
       }.reduce(_.unionAll(_)).orderBy("version")
     })

@@ -52,6 +52,13 @@ object SnapshotTable {
   def latestVersion(s: SparkSession, root: String): Option[Long] =
     versionsOf(s, root).lastOption
 
+  /** All committed versions, ascending. Public so fixed-length builders
+    * (table_time_travel's 3-commit table) can gate on HOW MANY commits
+    * landed, not just whether any did — a prior process that died after
+    * 1-2 of N commits must be resumed, not skipped. */
+  def committedVersions(s: SparkSession, root: String): Seq[Long] =
+    versionsOf(s, root)
+
   /** Resolve-once snapshot read: the returned frame is pinned to the
     * version current at call time and is immune to later commits. */
   def read(s: SparkSession, root: String): Option[DataFrame] =

@@ -292,6 +292,55 @@ class ArtifactStoreSpec extends AnyFunSuite {
     } finally CopyFsControl.reset()
   }
 
+  test("a rename that NESTS into a half-published winner dir is a " +
+      "lost race: the loser must wait for the winner's marker, never " +
+      "mark the winner's partial data complete itself") {
+    val bare = freshRoot()
+    val s = sessionWithRoot(bare)
+    // simulate a cross-JVM copy-rename winner mid-copy: the final dir
+    // exists with one partial part file and NO _SUCCESS yet
+    val dir = new java.io.File(bare, "spec/nestedkey")
+    assert(dir.mkdirs())
+    val partial = new java.io.File(dir, "part-00000-partial.parquet")
+    java.nio.file.Files.write(partial.toPath, Array[Byte](1, 2, 3))
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val before = Artifacts.buildsPerformed.get()
+    val loserRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // the loser: builds its temp, renames — on a local/HDFS-semantics
+    // store a rename onto an existing dir "succeeds" by NESTING the
+    // temp inside it — and must then treat the nest as a lost publish
+    val loser = new Thread(() =>
+      try loserRows.set(Artifacts.parquet(s, "spec", "nestedkey")(
+        s.range(7).toDF("id")).count())
+      catch { case t: Throwable => err.set(t) })
+    loser.start()
+    // wait until the loser's build ran and its temp sibling is gone
+    // (post-rename, post-nested-cleanup) — it is now in the wait loop
+    val fam = new java.io.File(bare, "spec")
+    val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def tempGone = !fam.listFiles().exists(_.getName.contains(".build-"))
+    while ((Artifacts.buildsPerformed.get() == before || !tempGone) &&
+        System.nanoTime() < dl)
+      Thread.sleep(10)
+    assert(Artifacts.buildsPerformed.get() > before)
+    // THE defect the round-13 review flagged: the old loser created
+    // _SUCCESS here, exposing the winner's partial part files to every
+    // marker-gated reader. The fixed loser must still be waiting.
+    Thread.sleep(300)
+    assert(!marker.isFile,
+      "loser marked a half-published winner dir complete")
+    assert(loser.isAlive, "loser should be waiting for the winner")
+    // nested junk from the loser's rename must have been removed
+    assert(!dir.listFiles().exists(_.getName.contains(".build-")))
+    // the winner finishes its copy: complete data lands, marker last
+    // (Spark's committer writes _SUCCESS after the part files)
+    s.range(7).toDF("id").write.mode("overwrite").parquet(dir.toString)
+    loser.join(30000)
+    assert(err.get() == null, String.valueOf(err.get()))
+    assert(loserRows.get() === 7L)
+  }
+
   test("tradeGraph and the dedup cluster pipeline build under the " +
       "configured shared root") {
     val root = freshRoot()

@@ -432,8 +432,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("agg_listagg: partial aggregation, one keyed shuffle") {
     val p = plan(q("agg_listagg"))
-    assert(p.contains("partial_listagg") || p.contains("partial"),
-      p.take(2000))
+    // assert on the listagg partial SPECIFICALLY — a bare "partial"
+    // fallback is satisfied by the companion count's partial_count and
+    // could never fail even if listagg lost partial aggregation
+    assert(p.contains("partial_listagg"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
 
