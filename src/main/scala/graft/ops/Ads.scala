@@ -558,8 +558,8 @@ object Ads {
         | round(CAST(sum(CASE WHEN rk = 1 THEN CAST(p_val AS DECIMAL(18,2))
         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
         |   AS last_touch_rev,
-        | round(CAST(sum(CAST(round(p_val / n_touch, 6) AS DECIMAL(28,6)))
-        |   AS DOUBLE), 2) AS linear_rev,
+        | CAST(round(sum(CAST(round(p_val / n_touch, 6) AS DECIMAL(28,6))),
+        |   2) AS DOUBLE) AS linear_rev,
         | count(*) AS n_touches
         |FROM touches GROUP BY c_day ORDER BY day""".stripMargin,
     "ads_retention_daily" ->

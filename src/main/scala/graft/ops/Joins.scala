@@ -314,6 +314,38 @@ object Joins {
       }
     }),
 
+    // DYNAMIC PARTITION PRUNING (round 14; the highest-leverage scan
+    // feature for a date-partitioned 100 TB lakehouse fact): the fact
+    // is materialized ONCE per corpus as a Hive-partitioned parquet
+    // table (day=… directories — the sink_partitioned layout), and the
+    // per-day dim is materialized as its OWN parquet artifact so its
+    // filter column is opaque to static optimization — a dim derived
+    // in-plan from the same scan would let constraint propagation push
+    // the filter onto the fact statically, which is exactly not the
+    // feature. At planning time Catalyst attaches a dynamicpruning
+    // subquery to the fact scan's PartitionFilters: the broadcast of
+    // the filtered dim feeds the day values, so only the dim-selected
+    // partitions are ever listed or read. On a 1000-partition fact
+    // with a 30-day campaign dim that is a ~97% scan elimination no
+    // static plan could see. PlanSpec asserts the dynamicpruning
+    // filter AND, via scan metrics, pruned partitions < total, with a
+    // DPP-off falsifiability control reading all partitions.
+    "join_dpp_pruned" -> ((s, d) => {
+      val (factDir, dimDir) = dppTables(s, d)
+      val fact = s.read.parquet(factDir)
+      // the dim filter (odd event-count days — a deterministic stand-in
+      // for any dim attribute, e.g. campaign days) keeps ~half the
+      // partitions; broadcast also lets DPP reuse the exchange for free
+      val dim = broadcast(s.read.parquet(dimDir)
+        .where(col("n_events") % 2 === 1))
+      fact.join(dim, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("total"))
+        .orderBy("day")
+    }),
+
     // Skew-mitigation pattern: salt the fact side deterministically and
     // replicate the (small) dim across salts so one hot key spreads over
     // N reducers. Result is identical to the plain join (the oracle);
@@ -369,11 +401,46 @@ object Joins {
     })
   )
 
+  /** The two materialized tables behind `join_dpp_pruned`, shared with
+    * PlanSpec's metric assertions: a day-partitioned fact (event_id,
+    * value) and a tiny per-day dim (day, n_events), both content-keyed
+    * under the artifact root. Returns (factDir, dimDir). */
+  private[graft] def dppTables(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val factDir = Artifacts.materialize(s, "dppfact", s"${tag}_$snap") {
+      tmp =>
+        t(s, d, "events")
+          .select(col("event_id"), col("value"),
+            to_date(col("ts")).as("day"))
+          .write.partitionBy("day").parquet(tmp.toString)
+    }
+    val dimDir = Artifacts.materialize(s, "dppdim", s"${tag}_$snap") {
+      tmp =>
+        t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .coalesce(1)
+          .write.parquet(tmp.toString)
+    }
+    (factDir, dimDir)
+  }
+
   val oracleSql: Map[String, String] = Map(
     "join_inner_hash" ->
       """SELECT o_orderkey, c_name, round(o_totalprice,2) AS o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "join_dpp_pruned" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+        |dim AS (SELECT day, count(*) AS n_events FROM ev GROUP BY day)
+        |SELECT strftime(e.day, '%Y-%m-%d') AS day, count(*) AS n,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |   AS total
+        |FROM ev e JOIN dim di USING (day)
+        |WHERE di.n_events % 2 = 1
+        |GROUP BY e.day ORDER BY day""".stripMargin,
     "join_broadcast_dim" ->
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
