@@ -482,6 +482,45 @@ class PlanSpec extends AnyFunSuite {
     assert(on < total, s"DPP on still read $on of $total — nothing pruned")
   }
 
+  test("runtime bloom-filter join pruning: might_contain on the fact " +
+      "key feeds the fact scan of a selective dim SMJ (falsifiability: " +
+      "disabled leaves no runtime filter)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the row-level companion to DPP for UNpartitioned join keys: the
+    // filtered dim builds a bloom filter at runtime and the fact side
+    // is pre-filtered before its shuffle. Thresholds: the application-
+    // side scan must look big enough (100 TB facts always do; the
+    // fixture needs the floor dropped) and broadcast must not
+    // short-circuit the shuffle join under test.
+    def planWith(enabled: Boolean): String = {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+          -> enabled.toString)
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        val pt = spark.read.parquet(s"$sf/part.parquet")
+        plan(li.join(pt.where(col("p_size") === 1),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_size").agg(count(lit(1)).as("n")))
+      } finally saved.foreach { case (k, ov) =>
+        ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+    }
+    val on = planWith(enabled = true)
+    assert(on.contains("might_contain"), on.take(3000))
+    assert(on.contains("bloom_filter_agg"), on.take(3000))
+    // the runtime filter must test the FACT key, i.e. hash(l_partkey)
+    assert("might_contain\\(.*xxhash64\\(l_partkey".r.findFirstIn(on)
+      .isDefined || "xxhash64\\(l_partkey".r.findFirstIn(on).isDefined,
+      on.take(3000))
+    val off = planWith(enabled = false)
+    assert(!off.contains("might_contain"), off.take(2000))
+  }
+
   test("AQE skew-join splits the hot-key partition at runtime — the " +
       "100× answer the manual salt backstops") {
     // join_skew_salted is the MANUAL fallback; at production scale the
