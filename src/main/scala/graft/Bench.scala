@@ -142,6 +142,37 @@ object Bench {
         .foreach(k =>
           SparkEntry.queries.get(k).foreach(f => f(spark, sfDir).count()))
     } catch { case _: Throwable => () }
+    // Drift-calibration probe (round-14): a FIXED deterministic
+    // workload — corpus-independent CPU-bound expression chain plus one
+    // small fixed shuffle — timed at sweep start AND end. Host drift
+    // (thermal, co-tenant, page-cache state) moves the probe exactly
+    // like it moves the queries, so round-over-round comparisons can
+    // quote drift-normalized rates (rate × probe_ref/probe_run) instead
+    // of re-deriving medians across sample archaeology. Median-of-3
+    // after one untimed warm call (codegen compile lands there; later
+    // calls reuse the cached plan).
+    def probeOnce(): Double = {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1L, 8)
+        .selectExpr("id",
+          // hm bounded to 1e6 so 4M-row sums stay far from Long.Max
+          // (ANSI mode makes a full-range xxhash64 sum overflow loudly)
+          "pmod(xxhash64(concat('p', cast(id % 100000 as string))), " +
+            "1000003) AS hm",
+          "sqrt(abs(sin(cast(id as double)))) AS x")
+        .selectExpr("pmod(hm, 1024) AS k", "hm", "x")
+        .groupBy("k")
+        .agg(sum("hm").as("s"), sum("x").as("sx"), count(lit(1)).as("n"))
+        .agg(sum("s"), sum("sx"), sum("n"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeMedian(): Double = {
+      val xs = (1 to 3).map(_ => probeOnce()).sorted; xs(1)
+    }
+    probeOnce() // untimed: codegen + JIT for the probe plan itself
+    val probeStart = probeMedian()
     // Optional comma-separated subset for local iteration (the driver
     // never sets this, so round benches always cover the full inventory).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -248,8 +279,11 @@ object Bench {
         } else dt1
         (name, dt)
       }
+    val probeEnd = probeMedian()
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val probeJson = s""""probe":{"start_sec":${fmt(probeStart)},""" +
+      s""""end_sec":${fmt(probeEnd)}}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -257,7 +291,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$errs,"reruns":$reruns,""" +
+        s""""queries":$qs,"errors":$errs,"reruns":$reruns,$probeJson,""" +
         s""""sf":"$sfDir"}"""
     // The full per-query line is ~5 KB at 139 keys, but the round
     // artifact captures only the LAST 2000 chars of the run log — a
@@ -273,7 +307,8 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"queries":$slow,"errors":$errs,""" +
-        s""""reruns":$reruns,"full":"/tmp/graft_bench.json","sf":"$sfDir"}"""
+        s""""reruns":$reruns,$probeJson,""" +
+        s""""full":"/tmp/graft_bench.json","sf":"$sfDir"}"""
     println(shortLine)
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
