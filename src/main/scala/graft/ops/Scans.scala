@@ -466,6 +466,56 @@ object Scans {
           .select(lit(i + 1L).as("version"), col("n_users"),
             col("sum_value"))
       }.reduce(_.unionAll(_)).orderBy("version")
+    }),
+
+    // SCHEMA EVOLUTION over the snapshot table (round 14; the second
+    // table-format property users actually rely on, after time
+    // travel — ADD COLUMN without rewriting history): version 1
+    // commits the pre-evolution projection, version 2 appends the
+    // remaining rows WITH a new `day` column via
+    // unionByName(allowMissingColumns) — pre-evolution rows take NULL
+    // under the merged schema, no historical file is rewritten, and
+    // each committed version keeps serving its OWN schema
+    // (SnapshotTableSpec pins the per-version read-back, null
+    // accounting, and that compaction preserves the evolved schema).
+    // Same content-keyed root + version-count resume gate as
+    // table_time_travel. Output: one row per version with its column
+    // count, row count, and added-column null count (NULL for the
+    // pre-evolution version, where the column doesn't exist at all) —
+    // reconstructable by the oracle from events + the build rule.
+    "table_schema_evolution" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val root = Artifacts.scratch(s, s"schema_evo_${tag}_$snap")
+      val ev = t(s, d, "events")
+      def batch(i: Int): org.apache.spark.sql.DataFrame = {
+        val half = ev.where(pmod(col("event_id"), lit(2)) === i)
+        if (i == 0) half.select(col("user_id"), col("event_id"),
+          col("value"))
+        else half.select(col("user_id"), col("event_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      }
+      val have = graft.streaming.SnapshotTable
+        .committedVersions(s, root).size
+      if (have < 2)
+        (have until 2).foreach { i =>
+          graft.streaming.SnapshotTable.commit(s, root, retain = 2)(
+            state => state.fold(batch(i))(st =>
+              st.unionByName(batch(i), allowMissingColumns = true)))
+        }
+      val vs = graft.streaming.SnapshotTable
+        .committedVersions(s, root).takeRight(2)
+      vs.zipWithIndex.map { case (v, i) =>
+        val df = graft.streaming.SnapshotTable.readVersion(s, root, v)
+        val nullAgg =
+          if (df.columns.contains("day"))
+            sum(when(col("day").isNull, 1L).otherwise(0L))
+          else sum(lit(null).cast("long"))
+        df.agg(count(lit(1)).as("n_rows"), nullAgg.as("n_null_day"))
+          .select(lit(i + 1L).as("version"),
+            lit(df.columns.length.toLong).as("n_cols"),
+            col("n_rows"), col("n_null_day"))
+      }.reduce(_.unionAll(_)).orderBy("version")
     })
   )
 
@@ -561,6 +611,23 @@ object Scans {
         |   AS sum_value
         |FROM img WHERE rn = 1
         |GROUP BY version ORDER BY version""".stripMargin,
+    // version 1 = even event_ids under the 3-column pre-evolution
+    // schema (the added column doesn't exist → NULL count is NULL);
+    // version 2 = all rows under the 4-column evolved schema, where
+    // exactly the pre-evolution rows carry NULL in the added column
+    "table_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_cols,
+        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_rows,
+        | CAST(NULL AS BIGINT) AS n_null_day
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        | count(*),
+        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT)
+        |FROM events
+        |ORDER BY version""".stripMargin,
     "sink_jdbc_board" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
         | count(*) AS n_purchases,
