@@ -431,6 +431,52 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[VisitCounterProcessor]] with PER-STATE TTL — the third leg of
+    * the transformWithState surface after named state (visitCounterTws)
+    * and timers (absenceTws): Flink's `StateTtlConfig` analog and THE
+    * state-size control at 100 TB (state bounded by keys active within
+    * the TTL horizon, not keys-ever). `TTLConfig(ttl)` on the count
+    * ValueState makes RocksDB expire a user's counter `ttl` after its
+    * last update — Spark 4's TTL clock is PROCESSING time, so the
+    * query runs in TimeMode.ProcessingTime (the EVENT-time analog is
+    * [[visitCounterTtl]] on the classic API, whose timeout rides the
+    * watermark instead). An expired read comes back as exists()=false,
+    * so a user returning after expiry counts as "new" with a reset
+    * counter — StreamingParitySpec pins exactly that between two
+    * micro-batches, plus long-TTL parity with the untimed counter.
+    *
+    * Operational note: in TimeMode.ProcessingTime the operator always
+    * reports another batch pending (a timer/TTL can fire any instant),
+    * so the engine runs empty micro-batches every trigger and
+    * `processAllAvailable()` NEVER returns — drive tests by polling
+    * the sink, and give production queries a real trigger interval so
+    * the empty batches don't busy-spin the cluster. */
+  class VisitCounterTtlProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Ev, Visit] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[Visit] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        n += 1
+        Visit(e.event_id, uid, if (n == 1) "new" else "returning", n)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  def visitCounterTwsTtl(events: Dataset[Ev],
+      ttl: java.time.Duration): Dataset[Visit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new VisitCounterTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** [[cepAbsence]] on transformWithState — the TIMER half of the new
     * API (visitCounterTws shows named state; this shows
     * `registerTimer`/`handleExpiredTimer`, Flink's

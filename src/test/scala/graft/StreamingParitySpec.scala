@@ -96,6 +96,72 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("visitCounterTwsTtl (per-state TTLConfig + RocksDB): a TTL'd " +
+      "ValueState expires between micro-batches — the returning user " +
+      "counts as new; a long TTL matches the untimed counter") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def ev(id: Long, uid: Long, us: Long) =
+        Ev(id, uid, new java.sql.Timestamp(us / 1000), us, "view", 0.0)
+      def run(name: String, ttl: java.time.Duration,
+          sleepMs: Long): Seq[(Long, String, Long)] = {
+        val input = MemoryStream[Ev]
+        // NO processAllAvailable here: in TimeMode.ProcessingTime the
+        // stateful operator always reports work pending (a processing-
+        // time timer/TTL can fire any instant), so the engine never
+        // signals noNewData and processAllAvailable blocks FOREVER.
+        // Poll the sink row count under a deadline instead, and
+        // throttle the trigger so the perpetual empty batches (each a
+        // 4-store RocksDB commit) don't busy-spin the suite.
+        val query = Streams.visitCounterTwsTtl(input.toDS(), ttl)
+          .writeStream.format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"))
+          .outputMode("append").start()
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000L * 1000000L
+          while (spark.table(name).count() < n) {
+            query.exception.foreach(throw _)
+            assert(System.nanoTime() < deadline,
+              s"sink $name still below $n rows after 120 s")
+            Thread.sleep(50)
+          }
+        }
+        // user 42 visits in two separate micro-batches, sleepMs of
+        // processing time apart (the TTL clock is processing time)
+        input.addData(ev(1L, 42L, 1000000L))
+        awaitRows(1)
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        input.addData(ev(2L, 42L, 2000000L))
+        awaitRows(2)
+        query.stop()
+        spark.table(name).orderBy("event_id")
+          .collect().map(r => (r.getAs[Long]("event_id"),
+            r.getAs[String]("visit_kind"), r.getAs[Long]("visit_no")))
+          .toSeq
+      }
+      // TTL 500 ms, 2.5 s between batches: the counter EXPIRED, so the
+      // second visit is "new" with a reset count — the time-bounded
+      // batch form (each visit its own TTL window) on this input
+      assert(run("tws_ttl_expired", java.time.Duration.ofMillis(500),
+        2500L) === Seq((1L, "new", 1L), (2L, "new", 1L)))
+      // TTL 10 min, no sleep: nothing expires — identical to the
+      // untimed counter's output on the same input
+      assert(run("tws_ttl_kept", java.time.Duration.ofMinutes(10), 0L)
+        === Seq((1L, "new", 1L), (2L, "returning", 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupTws (transformWithState MapState + RocksDB) == " +
       "stream_dedup_keys batch") {
     val key = "spark.sql.streaming.stateStore.providerClass"
