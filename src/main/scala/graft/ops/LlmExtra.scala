@@ -475,6 +475,98 @@ object LlmExtra {
     out
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * the two-phase large-star/small-star algorithm; same (doc_id,
+    * label=component min) contract as [[connectedComponents]]).
+    * Round-14 A/B candidate against the min-hook + 3-jump loop, whose
+    * ×30 segment scales super-linearly on the dense trade graph
+    * (round-13 watch item).
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(N(u) ∪ {u}) — edges (v→m) for v > u.
+    *  - small-star: every node u links its SMALLER neighbors and
+    *    itself to m = min of that set — the forest edges.
+    *
+    * Alternating the two converges to one star per component centered
+    * at the component MINIMUM in O(log² n) rounds; unlike the
+    * contraction loop the edge set never drains — convergence is
+    * detected by a stable (count, dual-modulus hash sum) signature,
+    * two independent 61-bit-range sums making a false fixed point
+    * astronomically unlikely (and the equivalence spec + oracle pin
+    * semantics). Each round's edge set is distinct()-collapsed — the
+    * algorithm's own dedup discipline — and lazily localCheckpointed
+    * with the previous round freed, the same block-residency hygiene
+    * the hook loop needed at ×30. */
+  private[graft] def connectedComponentsStar(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val vertices = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint(false)
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    def signature(e: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))),
+        sum(pmod(xxhash64(col("dst"), col("src")), lit(998244353L))))
+        .first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    def largeStar(e: org.apache.spark.sql.DataFrame) = {
+      val bidir = e.union(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val mins = bidir.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      bidir.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: org.apache.spark.sql.DataFrame) = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    var prev: org.apache.spark.sql.DataFrame = null
+    while (!converged && round < 40) {
+      round += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = signature(next)
+      if (prev != null) freeLocalCheckpoint(prev)
+      prev = edges
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    require(converged,
+      s"connectedComponentsStar: no fixed point after $round rounds")
+    lastCcRounds = round
+    // at the fixed point every edge is (v → component min); centers
+    // have no outgoing edge and label themselves
+    val out = vertices
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(vertices)
+    if (prev != null) freeLocalCheckpoint(prev)
+    freeLocalCheckpoint(edges)
+    out
+  }
+
   /** The cluster table is built ONCE per (root, input snapshot) and
     * shared: `llm_dedup_clusters` and `llm_dedup_prune` are independent
     * contract keys over the same table, and rebuilding the

@@ -65,4 +65,44 @@ class ComponentsSpec extends AnyFunSuite {
       assert(cc(pairs) === expected, s"trial $trial")
     }
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.LlmExtra.connectedComponentsStar(
+        pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction (Kiveris alternating large/small-star) " +
+      "labels every shape identically to the hook loop") {
+    // the same adversarial shapes: long path (diameter ≫ rounds of
+    // naive hooking), descending chain + clique, random graphs
+    val path = (1L to 39L).map(i => (i, i + 1))
+    assert(ccStar(path) === cc(path))
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 5L) yield (a, b)
+    assert(ccStar(chain ++ clique) === cc(chain ++ clique))
+    assert(ccStar(Seq.empty).isEmpty)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(150) { _ =>
+      val a = rnd.nextInt(200).toLong
+      val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    assert(ccStar(pairs) === cc(pairs))
+  }
+
+  test("star contraction matches the hook loop on the real trade " +
+      "graph (string vertex ids, dense bipartite shape)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.ops.Graph.tradeGraph(spark, sf)
+      .where(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val hook = graft.ops.LlmExtra
+      .connectedComponents(pairs, dedupePerRound = true)
+    val star = graft.ops.LlmExtra.connectedComponentsStar(pairs)
+    assert(hook.count() === star.count())
+    assert(hook.exceptAll(star).count() === 0)
+    assert(star.exceptAll(hook).count() === 0)
+  }
 }
