@@ -103,7 +103,9 @@ object Bench {
     "agg_unpivot" -> 0.50, "sql_script_vars" -> 0.80,
     "sql_named_params" -> 0.50, "table_time_travel" -> 1.50,
     "fn_try_arith" -> 1.50, "fn_collation" -> 0.40,
-    "table_schema_evolution" -> 1.20)
+    "table_schema_evolution" -> 1.20,
+    // round-14 additions
+    "join_dpp_pruned" -> 1.20, "table_stats_pruning" -> 1.20)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -516,6 +516,53 @@ object Scans {
             lit(df.columns.length.toLong).as("n_cols"),
             col("n_rows"), col("n_null_day"))
       }.reduce(_.unionAll(_)).orderBy("version")
+    }),
+
+    // FILE-LEVEL DATA SKIPPING off the snapshot table's stats manifest
+    // (round 14; the third table-format property after time travel and
+    // schema evolution — Iceberg manifests / Delta file stats): the
+    // table is committed ONCE as orders RANGE-CLUSTERED on o_orderdate
+    // into 8 part files with a per-file (min, max, rows) manifest
+    // written atomically inside the version; the read resolves a
+    // 6-month predicate against the manifest and scans ONLY the 1-2
+    // overlapping files — no skipped file's footer is ever opened. The
+    // pruned scan is conservative, so the exact predicate still runs
+    // on top (and parquet row-group min/max prunes within kept files).
+    // SnapshotTableSpec pins the exact file accounting (read < total,
+    // pruned rows ≡ full-scan rows, no-manifest fallback); the key
+    // reports the board PLUS a `pruned` boolean (files_read <
+    // files_total) rather than raw counts — range-sampling boundaries
+    // depend on the session's RDD-id history, so whether a mid-table
+    // 6-month window overlaps 1 or 2 of the 8 ~10-month files can vary
+    // across the session that first built the table, but it can never
+    // overlap all 8, so the boolean is deterministic where the counts
+    // are not. At 100 TB the manifest is the difference between
+    // touching 800k file footers and reading one driver-side table of
+    // ranges.
+    "table_stats_pruning" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
+      val root = Artifacts.scratch(s, s"stats_prune_${tag}_$snap")
+      if (graft.streaming.SnapshotTable
+          .committedVersions(s, root).isEmpty)
+        graft.streaming.SnapshotTable.commitWithStats(
+          s, root, "o_orderdate")(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            t(s, d, "orders").select(col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"),
+              col("o_orderdate")),
+            "o_orderdate", 8))
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-06-30").cast("timestamp")
+      val pruned = graft.streaming.SnapshotTable.readPruned(s, root, lo, hi)
+      pruned.df
+        .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("pruned",
+          lit(pruned.filesRead < pruned.filesTotal))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -628,6 +675,18 @@ object Scans {
         |   AS BIGINT)
         |FROM events
         |ORDER BY version""".stripMargin,
+    // the board over the pruned snapshot must equal the plain filtered
+    // aggregate over orders (skipping is metadata-only); `pruned` is
+    // the structural assertion that the manifest skipped ≥1 file
+    "table_stats_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   AS DOUBLE), 2) AS revenue,
+        | TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-06-30'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_jdbc_board" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
         | count(*) AS n_purchases,

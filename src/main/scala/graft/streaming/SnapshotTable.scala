@@ -100,7 +100,8 @@ object SnapshotTable {
     * it died between rename and marker, which later commits SKIP past
     * when numbering (so the table stays commitable) and DELETE once
     * it is older than the orphan gate. */
-  def commit(s: SparkSession, root: String, retain: Int = 2)(
+  def commit(s: SparkSession, root: String, retain: Int = 2,
+      afterStage: String => Unit = _ => ())(
       transform: Option[DataFrame] => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
     val fs = fsOf(s, root)
@@ -108,6 +109,10 @@ object SnapshotTable {
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
     transform(base.map(v => s.read.parquet(s"$root/v=$v")))
       .write.mode("overwrite").parquet(stage)
+    // stage-enrichment hook (commitWithStats writes the `_stats`
+    // manifest here) — runs while the stage is still invisible, so
+    // whatever it adds is atomic with the version
+    afterStage(stage)
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
       fs.delete(cleanup, true)
@@ -164,6 +169,87 @@ object SnapshotTable {
       // dir untouched and fail as a conflict
       throw new IllegalStateException(
         s"snapshot commit conflict at $root: marker for v=$next taken")
+    }
+  }
+
+  /** A pruned snapshot read: the frame, how many part files the stats
+    * manifest let the scan SKIP, and how many the version holds. */
+  case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+
+  /** Name of the per-version file-stats manifest dir. Underscore-
+    * prefixed so every parquet reader's hidden-path filter ignores it
+    * when scanning the version dir itself. */
+  private val statsDir = "_stats"
+
+  /** Commit with a FILE-LEVEL MIN/MAX STATS MANIFEST on `statsCol`
+    * (the data-skipping metadata every table format keeps — Iceberg
+    * manifests / Delta file stats): after the snapshot is staged, one
+    * distributed pass groups it by `input_file_name()` and records
+    * each part file's (min, max, rows) for the column as parquet under
+    * `v=N/_stats` — typed exactly as the column is, so pruning
+    * predicates compare natively, never through strings. The manifest
+    * is written INSIDE the stage before the rename, so it is atomic
+    * with the version: committed with it, time-traveled with it,
+    * vacuumed with it.
+    *
+    * Skipping only pays if files have tight disjoint ranges, so pair
+    * this with [[clusterBy]] in the transform. At 100 TB this is the
+    * difference between listing 800k file footers and reading a
+    * driver-side manifest: a selective predicate touches only the
+    * files whose range overlaps, without opening the rest at all. */
+  def commitWithStats(s: SparkSession, root: String, statsCol: String,
+      retain: Int = 2)(
+      transform: Option[DataFrame] => DataFrame): Long =
+    commit(s, root, retain, afterStage = { stage =>
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stage)
+        // basename only: the stage dir is renamed to v=N at publish
+        .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+        .agg(min(col(statsCol)).as("min"), max(col(statsCol)).as("max"),
+          count(lit(1)).as("rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/$statsDir")
+    })(transform)
+
+  /** RANGE-CLUSTER an image on `c` so part files carry tight disjoint
+    * ranges and the stats manifest can actually skip: a sampled range
+    * shuffle into `partitions` files, sorted within each. This is the
+    * 1-D form of the clustering write (Delta OPTIMIZE ZORDER / Iceberg
+    * sort orders) — at scale, pick `partitions` from bytes/128 MB. */
+  def clusterBy(df: DataFrame, c: String, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions,
+      org.apache.spark.sql.functions.col(c)).sortWithinPartitions(c)
+
+  /** Read the latest version PRUNED to part files whose [min, max]
+    * range on the manifest column overlaps [lo, hi] — file-level data
+    * skipping off the `_stats` manifest, no footer of a skipped file
+    * is ever opened. Conservative by construction (a kept file may
+    * still hold non-matching rows — callers apply the exact predicate
+    * on top, and Spark then prunes row groups inside kept files via
+    * parquet's own min/max); a version with NO manifest (e.g. one
+    * produced by a plain commit or [[compact]]) falls back to the full
+    * scan, still correct. Bounds are Columns so callers pass natively
+    * typed literals (`lit("1994-01-01").cast("timestamp")`). */
+  def readPruned(s: SparkSession, root: String,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): PrunedScan = {
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dir = s"$root/v=$v"
+    val total = fileCount(s, root, v)
+    val fs = fsOf(s, root)
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/$statsDir")
+    if (!fs.exists(manifest))
+      PrunedScan(s.read.parquet(dir), total, total)
+    else {
+      import org.apache.spark.sql.functions._
+      val keep = s.read.parquet(manifest.toString)
+        .where(col("max") >= lo && col("min") <= hi)
+        .select("file").collect().map(r => s"$dir/${r.getString(0)}")
+      val df =
+        if (keep.isEmpty) s.read.parquet(dir).where(lit(false))
+        else s.read.parquet(keep.toIndexedSeq: _*)
+      PrunedScan(df, keep.length, total)
     }
   }
 

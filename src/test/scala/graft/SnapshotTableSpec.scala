@@ -170,6 +170,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("file-level data skipping: a range-clustered commitWithStats " +
+      "prunes non-overlapping part files off the manifest, stays " +
+      "exact, and falls back to a full scan where no manifest exists") {
+    withRoot { root =>
+      // 80 rows range-clustered on k into 8 files → ~10 k-values each
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 80L).map(k => (k, s"v$k")): _*), "k", 8))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.fileCount(spark, root, v1) === 8)
+      // a 10-value mid-table window overlaps at most 2 of the 8 files
+      val hit = SnapshotTable.readPruned(spark, root, lit(25L), lit(34L))
+      assert(hit.filesTotal === 8)
+      assert(hit.filesRead < hit.filesTotal, "manifest skipped nothing")
+      assert(hit.filesRead >= 1 && hit.filesRead <= 2)
+      // conservative scan + exact predicate ≡ the unpruned filter
+      assert(hit.df.where(col("k").between(25L, 34L))
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+        === (25L to 34L))
+      // a range past every file's max reads zero files, keeps schema
+      val miss = SnapshotTable.readPruned(spark, root, lit(1000L),
+        lit(2000L))
+      assert(miss.filesRead === 0)
+      assert(miss.df.count() === 0)
+      assert(miss.df.columns.toSeq === Seq("k", "v"))
+      // compact() commits WITHOUT a manifest — readPruned must fall
+      // back to the full scan (correct, just unpruned) rather than
+      // prune against stale or missing stats
+      SnapshotTable.compact(spark, root)
+      val fallback = SnapshotTable.readPruned(spark, root, lit(25L),
+        lit(34L))
+      assert(fallback.filesRead === fallback.filesTotal)
+      assert(fallback.df.where(col("k").between(25L, 34L)).count() === 10)
+      // the clustered version's manifest is still intact for time
+      // travel readers of v1 (it lives inside the version dir)
+      assert(spark.read.parquet(s"$root/v=$v1/_stats").count() === 8)
+    }
+  }
+
   test("schema evolution: a commit that ADDS a column serves the " +
       "merged schema, old versions keep their own schema (nulls only " +
       "under an explicit merged read), compaction preserves it") {
