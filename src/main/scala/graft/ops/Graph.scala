@@ -238,16 +238,12 @@ object Graph {
       val pairs = tradeGraph(s, d)
         .where(col("src") < col("dst"))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      // `spark.graft.ccAlgo`: "hook" (min-hook + 3-jump contraction,
-      // default) or "star" (Kiveris alternating star contraction) —
-      // both exact at any diameter, both label = component min;
-      // CcAb + BENCH_LOG round-14 carry the medians behind the default
-      val labels = s.conf.getOption("spark.graft.ccAlgo") match {
-        case Some("star") => LlmExtra.connectedComponentsStar(pairs)
-        case _ => LlmExtra.connectedComponents(pairs,
-          dedupePerRound = true)
-      }
-      labels
+      // `spark.graft.ccAlgo`: auto (default — hook below
+      // spark.graft.ccAutoEdges, star above; the three-session A/B in
+      // BENCH_LOG round-14 put the crossover between ×10 and ×30 of
+      // this fixture), or "hook"/"star" to force. Both exact at any
+      // diameter, both label = component min.
+      LlmExtra.componentsAuto(s, pairs, dedupePerRound = true)
         .groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("size"),
           count(when(substring(col("doc_id"), 1, 1) === "c", 1))

@@ -475,6 +475,36 @@ object LlmExtra {
     out
   }
 
+  /** Connected-components algorithm dispatch, settled by the round-14
+    * three-session interleaved median-of-5 A/B (BENCH_LOG round-14):
+    * the min-hook + 3-jump loop wins at sf0.1 (medians 5.8/6.1/6.1 s
+    * vs star 6.6/18.6/6.5 — its 2 contraction rounds beat star's
+    * constant 4), the two tie at ×10 (19.8 vs 19.8), and STAR wins
+    * ×30 in BOTH 64 GiB sessions (31.2/33.0 vs 41.4/51.9 medians,
+    * with star's non-outlier samples clustered at 29-34 s while hook
+    * spreads 32-108 s) — the hook's contraction rewrite cost grows
+    * with edge multiplicity on dense graphs while star's
+    * distinct()-collapsed rounds stay ~linear in |E|. So: `auto`
+    * (default) takes one count of `pairs` and picks hook below
+    * `spark.graft.ccAutoEdges` (default 20M — between the ×10 tie at
+    * 12M and the ×30 star win at 36M), star above; `spark.graft
+    * .ccAlgo=hook|star` forces either. Callers pass a materialized or
+    * cheap-to-rescan `pairs` (both call sites do: the persisted dedup
+    * pair list, the parquet-artifact-backed trade graph), so the
+    * dispatch count never re-runs an expensive pipeline. */
+  private[graft] def componentsAuto(s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame,
+      dedupePerRound: Boolean = false): org.apache.spark.sql.DataFrame =
+    s.conf.getOption("spark.graft.ccAlgo") match {
+      case Some("star") => connectedComponentsStar(pairs)
+      case Some("hook") => connectedComponents(pairs, dedupePerRound)
+      case _ =>
+        val thresh = s.conf.getOption("spark.graft.ccAutoEdges")
+          .map(_.toLong).getOrElse(20000000L)
+        if (pairs.count() > thresh) connectedComponentsStar(pairs)
+        else connectedComponents(pairs, dedupePerRound)
+    }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
     * the two-phase large-star/small-star algorithm; same (doc_id,
@@ -642,7 +672,11 @@ object LlmExtra {
     // exception) and the CC loop references it repeatedly — persist so
     // the shingle/index pipeline above runs once.
     val pairs = pairs0.persist()
-    val lab = connectedComponents(pairs)
+    // auto dispatch: the dispatch count doubles as the persist's
+    // materializing action; tiny LSH pair lists take the hook loop,
+    // a 100 TB corpus whose candidate graph crosses ccAutoEdges takes
+    // star contraction (see componentsAuto)
+    val lab = componentsAuto(s, pairs)
     // the CC loop's first action has materialized the edge list (and
     // connectedComponents returns with no lineage to it — its contract),
     // so the whole index pipeline can release its blocks here

@@ -92,6 +92,44 @@ class ComponentsSpec extends AnyFunSuite {
     assert(ccStar(pairs) === cc(pairs))
   }
 
+  test("componentsAuto dispatches by edge count: hook below the " +
+      "threshold, star above, and an explicit ccAlgo overrides both") {
+    import spark.implicits._
+    import graft.ops.LlmExtra
+    // a shape where the two algorithms take a DIFFERENT number of
+    // rounds, so lastCcRounds identifies which one actually ran
+    val path = (1L to 20L).map(i => (i, i + 1))
+    def rounds(run: => Unit): Int = {
+      LlmExtra.lastCcRounds = -1; run; LlmExtra.lastCcRounds
+    }
+    val df = path.toDF("doc_a", "doc_b")
+    val hookRounds = rounds(LlmExtra.connectedComponents(df).collect())
+    val starRounds = rounds(LlmExtra.connectedComponentsStar(df).collect())
+    assert(hookRounds != starRounds,
+      s"fixture can't distinguish the algorithms ($hookRounds rounds)")
+    def withConf(kvs: (String, String)*)(f: => Int): Int = {
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+      finally saved.foreach { case (k, ov) =>
+        ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+    }
+    // default threshold (20M) keeps this 20-edge graph on the hook
+    assert(rounds(LlmExtra.componentsAuto(spark, df).collect())
+      === hookRounds)
+    // threshold 0: auto must pick star
+    assert(withConf("spark.graft.ccAutoEdges" -> "0")(
+      rounds(LlmExtra.componentsAuto(spark, df).collect()))
+      === starRounds)
+    // explicit algo beats any threshold
+    assert(withConf("spark.graft.ccAutoEdges" -> "0",
+      "spark.graft.ccAlgo" -> "hook")(
+      rounds(LlmExtra.componentsAuto(spark, df).collect()))
+      === hookRounds)
+    assert(withConf("spark.graft.ccAlgo" -> "star")(
+      rounds(LlmExtra.componentsAuto(spark, df).collect()))
+      === starRounds)
+  }
+
   test("star contraction matches the hook loop on the real trade " +
       "graph (string vertex ids, dense bipartite shape)") {
     import org.apache.spark.sql.functions.col
