@@ -105,7 +105,8 @@ object Bench {
     "fn_try_arith" -> 1.50, "fn_collation" -> 0.40,
     "table_schema_evolution" -> 1.20,
     // round-14 additions
-    "join_dpp_pruned" -> 1.20, "table_stats_pruning" -> 1.20)
+    "join_dpp_pruned" -> 1.20, "table_stats_pruning" -> 1.20,
+    "table_zorder_skipping" -> 1.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -486,8 +486,11 @@ object LlmExtra {
     * with edge multiplicity on dense graphs while star's
     * distinct()-collapsed rounds stay ~linear in |E|. So: `auto`
     * (default) takes one count of `pairs` and picks hook below
-    * `spark.graft.ccAutoEdges` (default 20M — between the ×10 tie at
-    * 12M and the ×30 star win at 36M), star above; `spark.graft
+    * `spark.graft.ccAutoEdges`, star above. THE UNIT IS ROWS OF
+    * `pairs` (undirected candidate pairs, half the directed edge
+    * count): the A/B tied at ×10 = 6M pairs and star won at ×30 =
+    * 18M pairs, so the default threshold is 12M — the midpoint of the
+    * measured crossover band in pair units. `spark.graft
     * .ccAlgo=hook|star` forces either. Callers pass a materialized or
     * cheap-to-rescan `pairs` (both call sites do: the persisted dedup
     * pair list, the parquet-artifact-backed trade graph), so the
@@ -500,7 +503,7 @@ object LlmExtra {
       case Some("hook") => connectedComponents(pairs, dedupePerRound)
       case _ =>
         val thresh = s.conf.getOption("spark.graft.ccAutoEdges")
-          .map(_.toLong).getOrElse(20000000L)
+          .map(_.toLong).getOrElse(12000000L)
         if (pairs.count() > thresh) connectedComponentsStar(pairs)
         else connectedComponents(pairs, dedupePerRound)
     }

@@ -563,6 +563,53 @@ object Scans {
         .withColumn("pruned",
           lit(pruned.filesRead < pruned.filesTotal))
         .orderBy("o_orderstatus")
+    }),
+
+    // 2-D Z-ORDER DATA SKIPPING (round 14; the multi-dimensional
+    // companion to table_stats_pruning — Delta OPTIMIZE ZORDER): the
+    // table is committed ONCE as orders Morton-clustered on
+    // (o_orderdate, o_custkey) into 16 files with a per-column
+    // manifest; the read intersects a conjunctive box predicate (one
+    // year × the bottom eighth of customers, ~2% of the 2-D space)
+    // against BOTH manifests and scans only the files whose range
+    // overlaps on EVERY dimension — Z-locality keeps each file tight
+    // in both columns, which 1-D clustering structurally cannot give
+    // its secondary column. The custkey bound is computed from the
+    // corpus (max/8) so the key is scale-neutral; `pruned` boolean as
+    // in table_stats_pruning (range boundaries are session-dependent;
+    // a 2% box can never overlap all 16 files). At 100 TB this is the
+    // layout that serves BOTH "this month" and "this customer segment"
+    // slices from one copy of the data.
+    "table_zorder_skipping" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
+      val root = Artifacts.scratch(s, s"zorder_${tag}_$snap")
+      if (graft.streaming.SnapshotTable
+          .committedVersions(s, root).isEmpty)
+        graft.streaming.SnapshotTable.commitWithStatsCols(
+          s, root, Seq("o_orderdate", "o_custkey"))(_ =>
+          graft.streaming.SnapshotTable.clusterByZ(
+            t(s, d, "orders").select(col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"),
+              col("o_orderdate"), col("o_custkey")),
+            "o_orderdate", "o_custkey", 16))
+      val dLo = lit("1996-01-01").cast("timestamp")
+      val dHi = lit("1996-12-31").cast("timestamp")
+      val cMax = t(s, d, "orders")
+        .agg(floor(max(col("o_custkey")) / 8.0).cast("long")).first()
+        .getLong(0)
+      val pruned = graft.streaming.SnapshotTable.readPrunedBox(s, root,
+        Seq(("o_orderdate", dLo, dHi),
+          ("o_custkey", lit(0L), lit(cMax))))
+      pruned.df
+        .where(col("o_orderdate") >= dLo && col("o_orderdate") <= dHi &&
+          col("o_custkey") >= 0L && col("o_custkey") <= cMax)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("pruned",
+          lit(pruned.filesRead < pruned.filesTotal))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -686,6 +733,21 @@ object Scans {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <= TIMESTAMP '1996-06-30'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // 2-D box over the z-ordered snapshot ≡ the plain conjunctive
+    // filter (skipping is metadata-only); custkey bound computed from
+    // the corpus so one SQL text serves every scale factor
+    "table_zorder_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   AS DOUBLE), 2) AS revenue,
+        | TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |  AND o_custkey >= 0
+        |  AND o_custkey <= (SELECT CAST(floor(max(o_custkey) / 8.0)
+        |    AS BIGINT) FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_jdbc_board" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,

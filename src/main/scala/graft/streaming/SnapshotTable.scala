@@ -211,6 +211,118 @@ object SnapshotTable {
         .write.mode("overwrite").parquet(s"$stage/$statsDir")
     })(transform)
 
+  /** Multi-column manifests live one parquet dataset per column under
+    * `v=N/_stats_cols/<col>` (each typed as its own column, which one
+    * mixed-type dataset could not be); the flat single-column layout
+    * above stays as-is so existing tables keep pruning. */
+  private val statsColsDir = "_stats_cols"
+
+  /** [[commitWithStats]] for SEVERAL columns — the manifest shape
+    * multi-dimensional skipping needs (each predicate dimension prunes
+    * independently; [[readPrunedBox]] intersects the survivors). One
+    * distributed pass per column over the staged snapshot; pair with
+    * [[clusterByZ]] so BOTH dimensions have file-local ranges. */
+  def commitWithStatsCols(s: SparkSession, root: String,
+      statsCols: Seq[String], retain: Int = 2)(
+      transform: Option[DataFrame] => DataFrame): Long =
+    commit(s, root, retain, afterStage = { stage =>
+      import org.apache.spark.sql.functions._
+      val df = s.read.parquet(stage)
+      statsCols.foreach { c =>
+        df.groupBy(element_at(split(input_file_name(), "/"), -1)
+            .as("file"))
+          .agg(min(col(c)).as("min"), max(col(c)).as("max"),
+            count(lit(1)).as("rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/$statsColsDir/$c")
+      }
+    })(transform)
+
+  /** Read the latest version pruned by a conjunctive BOX predicate:
+    * for each (column, lo, hi) a file survives only if its manifest
+    * range overlaps [lo, hi] — the per-column keep sets intersect, so
+    * one excluding dimension is enough to skip a file (exactly how
+    * Delta/Iceberg evaluate data-skipping conjuncts). Columns with no
+    * manifest under this version prune nothing (conservative); a
+    * version with NO manifests at all falls back to the full scan. */
+  def readPrunedBox(s: SparkSession, root: String,
+      preds: Seq[(String, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)]): PrunedScan = {
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dir = s"$root/v=$v"
+    val total = fileCount(s, root, v)
+    val fs = fsOf(s, root)
+    import org.apache.spark.sql.functions._
+    val keepSets = preds.flatMap { case (c, lo, hi) =>
+      val m = new org.apache.hadoop.fs.Path(s"$dir/$statsColsDir/$c")
+      if (!fs.exists(m)) None
+      else Some(s.read.parquet(m.toString)
+        .where(col("max") >= lo && col("min") <= hi)
+        .select("file").collect().map(_.getString(0)).toSet)
+    }
+    if (keepSets.isEmpty) PrunedScan(s.read.parquet(dir), total, total)
+    else {
+      val keep = keepSets.reduce(_ intersect _)
+        .toSeq.sorted.map(f => s"$dir/$f")
+      val df =
+        if (keep.isEmpty) s.read.parquet(dir).where(lit(false))
+        else s.read.parquet(keep: _*)
+      PrunedScan(df, keep.length, total)
+    }
+  }
+
+  /** Z-ORDER-cluster an image on two columns (Delta's OPTIMIZE ZORDER
+    * BY for the 2-D case): each column is normalized to a 16-bit grid
+    * coordinate against its own min/max (one 4-scalar driver agg — at
+    * production scale these come from table stats), the coordinates
+    * are bit-interleaved into a Morton code, and the image is
+    * range-shuffled on that code into `partitions` files. Because the
+    * Z-curve preserves 2-D locality, every file's [min, max] range is
+    * tight on BOTH columns, so a [[readPrunedBox]] box predicate skips
+    * on either dimension — the property 1-D [[clusterBy]] gives only
+    * its sort column. The Morton spread is plain long arithmetic
+    * (shifts + masks), fully codegen-friendly. */
+  def clusterByZ(df: DataFrame, c1: String, c2: String,
+      partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType,
+      TimestampType}
+    // temporal columns go through epoch micros (TIMESTAMP_NTZ has no
+    // direct double cast); everything numeric casts straight
+    def asNum(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType | DateType =>
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        case _ => col(c).cast("double")
+      }
+    val r = df.agg(min(asNum(c1)), max(asNum(c1)),
+      min(asNum(c2)), max(asNum(c2))).first()
+    def grid(c: String, lo: Double, hi: Double):
+        org.apache.spark.sql.Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(floor((asNum(c) - lit(lo)) / lit(span)
+        * 65535.0), lit(0.0)), lit(65535.0)).cast("long")
+    }
+    // spread 16 bits to the even positions of 32 (standard Morton
+    // magic-mask spreading), interleave x into the odd bits
+    def spread(v0: org.apache.spark.sql.Column):
+        org.apache.spark.sql.Column = {
+      var v = v0
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+      v
+    }
+    val z = spread(grid(c1, r.getDouble(0), r.getDouble(1))) * 2 +
+      spread(grid(c2, r.getDouble(2), r.getDouble(3)))
+    df.withColumn("_graft_z", z)
+      .repartitionByRange(partitions, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+  }
+
   /** RANGE-CLUSTER an image on `c` so part files carry tight disjoint
     * ranges and the stats manifest can actually skip: a sampled range
     * shuffle into `partitions` files, sorted within each. This is the

@@ -209,6 +209,57 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("2-D z-order skipping: a Morton-clustered commitWithStatsCols " +
+      "prunes a box predicate on BOTH dimensions, beats 1-D clustering " +
+      "on the secondary column, and missing manifests stay conservative") {
+    withRoot { root =>
+      import spark.implicits._
+      // a 32×32 grid of (x, y) points — every (x, y) in [0, 31]²
+      val grid = for (x <- 0L until 32L; y <- 0L until 32L)
+        yield (x, y, x * 32 + y)
+      def img3(rows: Seq[(Long, Long, Long)]) = rows.toDF("x", "y", "id")
+      SnapshotTable.commitWithStatsCols(spark, root, Seq("x", "y"),
+        retain = 10)(_ =>
+        SnapshotTable.clusterByZ(img3(grid), "x", "y", 16))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.fileCount(spark, root, v1) === 16)
+      // an 8×8 box = 1/16 of the plane: z-locality must confine it to
+      // a small minority of the 16 files (perfect z-split: 1-4 files)
+      val box = SnapshotTable.readPrunedBox(spark, root,
+        Seq(("x", lit(8L), lit(15L)), ("y", lit(16L), lit(23L))))
+      assert(box.filesTotal === 16)
+      assert(box.filesRead <= 6,
+        s"z-order read ${box.filesRead}/16 files for a 1/16 box")
+      // conservative scan + exact predicate ≡ the full filter
+      assert(box.df.where(col("x").between(8L, 15L) &&
+        col("y").between(16L, 23L)).count() === 64)
+      // the SAME box against a 1-D clustering on x: the y-dimension
+      // manifest is file-spanning, so pruning comes only from x —
+      // z-order must read strictly fewer files
+      withRoot { flat =>
+        SnapshotTable.commitWithStatsCols(spark, flat, Seq("x", "y"),
+          retain = 10)(_ =>
+          SnapshotTable.clusterBy(img3(grid), "x", 16))
+        val b1 = SnapshotTable.readPrunedBox(spark, flat,
+          Seq(("x", lit(8L), lit(15L)), ("y", lit(16L), lit(23L))))
+        assert(b1.df.where(col("x").between(8L, 15L) &&
+          col("y").between(16L, 23L)).count() === 64)
+        assert(box.filesRead < b1.filesRead,
+          s"z ${box.filesRead} !< 1-D ${b1.filesRead}")
+      }
+      // a predicate on a column with NO manifest prunes nothing but
+      // stays correct; an all-manifest-less version full-scans
+      val noCol = SnapshotTable.readPrunedBox(spark, root,
+        Seq(("id", lit(0L), lit(0L))))
+      assert(noCol.filesRead === noCol.filesTotal)
+      SnapshotTable.compact(spark, root)
+      val fb = SnapshotTable.readPrunedBox(spark, root,
+        Seq(("x", lit(8L), lit(15L))))
+      assert(fb.filesRead === fb.filesTotal)
+      assert(fb.df.count() === 1024)
+    }
+  }
+
   test("schema evolution: a commit that ADDS a column serves the " +
       "merged schema, old versions keep their own schema (nulls only " +
       "under an explicit merged read), compaction preserves it") {
