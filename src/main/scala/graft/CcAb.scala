@@ -44,7 +44,11 @@ object CcAb {
     }
 
     def one(dir: String, algo: String): (Double, Int) = {
-      spark.conf.set("spark.graft.ccAlgo", algo)
+      // "auto" exercises the default dispatcher (unset conf); the
+      // reported round count identifies which algorithm it chose
+      // (hook: 2-3 rounds on these fixtures, star: constant 4)
+      if (algo == "auto") spark.conf.unset("spark.graft.ccAlgo")
+      else spark.conf.set("spark.graft.ccAlgo", algo)
       try {
         graft.ops.LlmExtra.lastCcRounds = -1
         val t0 = System.nanoTime()
@@ -64,17 +68,22 @@ object CcAb {
       // edge artifact builds outside every timing; one warm run per
       // variant lands codegen/JIT outside the samples
       val edges = graft.ops.Graph.tradeGraph(spark, dir).count()
-      one(dir, "hook"); one(dir, "star")
-      // interleaved: h0, s0, h1, s1, …
-      val samples = (1 to runs).map(_ => (one(dir, "hook"), one(dir, "star")))
-      val (hs, ss) = samples.unzip
-      val line = s"""{"cc_ab":{"dir":"$tag","edges":$edges,"runs":$runs,""" +
-        s""""hook":[${hs.map(t => fmt(t._1)).mkString(",")}],""" +
-        s""""hook_median":${fmt(median(hs.map(_._1)))},""" +
-        s""""hook_rounds":${hs.map(_._2).max},""" +
-        s""""star":[${ss.map(t => fmt(t._1)).mkString(",")}],""" +
-        s""""star_median":${fmt(median(ss.map(_._1)))},""" +
-        s""""star_rounds":${ss.map(_._2).max}}}"""
+      // SPARK_GRAFT_CC_ALGOS overrides the variant pair (e.g. "auto"
+      // alone confirms what the dispatcher picks at a given scale)
+      val algos = sys.env.get("SPARK_GRAFT_CC_ALGOS")
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq("hook", "star"))
+      algos.foreach(a => one(dir, a))
+      // interleaved: a0-b0, a1-b1, … (one warm pass per variant above)
+      val samples = (1 to runs).map(_ => algos.map(a => one(dir, a)))
+      val perAlgo = algos.zipWithIndex.map { case (a, i) =>
+        val xs = samples.map(_(i))
+        s""""$a":[${xs.map(t => fmt(t._1)).mkString(",")}],""" +
+          s""""${a}_median":${fmt(median(xs.map(_._1)))},""" +
+          s""""${a}_rounds":${xs.map(_._2).max}"""
+      }.mkString(",")
+      val line = s"""{"cc_ab":{"dir":"$tag","edges":$edges,""" +
+        s""""runs":$runs,$perAlgo}}"""
       println(line)
       line
     }
