@@ -104,6 +104,12 @@ object Artifacts {
     * under a waiter. The cost is occasional false sharing (unrelated
     * builds on one stripe serialize), invisible at any realistic
     * concurrent-build count. */
+  /** A marker-less published dir older than this is an abandoned
+    * publish (winner died between rename and marker) — deletable.
+    * Package-visible so the spec can exercise the self-heal without a
+    * 15-minute sleep (it back-dates the dir's mtime instead). */
+  private[graft] val orphanGateMs = 15L * 60 * 1000
+
   private val lockStripes = Array.fill(1024)(new Object)
   private def lockFor(path: String): Object =
     lockStripes(math.floorMod(path.hashCode, lockStripes.length))
@@ -128,6 +134,21 @@ object Artifacts {
     var lostPublish = false
     lockFor(dir.toString).synchronized {
       if (!fs.exists(done)) {
+        // Self-heal an ABANDONED publish (the counterpart of the
+        // lost-race wait below): a `dir` with no marker whose mtime is
+        // older than the orphan gate has no live owner — a winner died
+        // between its rename and its marker create. Without this,
+        // every later builder nests into the corpse, waits, and fails
+        // forever (the SnapshotTable orphan-gate discipline, applied
+        // here). A LIVE slow winner keeps the gate at bay: dir mtime
+        // advances as its copy lands children, and the gate is far
+        // above any realistic marker-create latency. A FRESH
+        // marker-less dir is left alone — the nested-rename path below
+        // treats it as a live winner and waits.
+        if (fs.exists(dir) && System.currentTimeMillis() -
+            fs.getFileStatus(dir).getModificationTime > orphanGateMs) {
+          fs.delete(dir, true); ()
+        }
         val tmp = new Path(dir.getParent,
           s"${dir.getName}.build-$jvmNonce-${tmpSeq.incrementAndGet()}")
         fs.delete(tmp, true)

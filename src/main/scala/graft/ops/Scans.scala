@@ -22,12 +22,24 @@ object Scans {
     * nonce gives each process its own database; within the JVM the
     * dir is reused, so the two keys and repeated runs share one boot. */
   private val derbyNonce = java.util.UUID.randomUUID().toString.take(8)
+  private lazy val derbyRoot: java.io.File = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_jdbc_$derbyNonce")
+    dir.mkdirs()
+    // per-JVM nonce dirs accumulate forever without this (the same
+    // leak Artifacts.defaultRoot plugs with its own shutdown hook)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    dir
+  }
   private def derbyDbDir(tag: String): java.io.File = {
     // derby.log otherwise lands in the process CWD
     sys.props.getOrElseUpdate("derby.stream.error.file",
       new java.io.File(sys.props("java.io.tmpdir"), "derby.log").toString)
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_jdbc_${derbyNonce}_$tag")
+    new java.io.File(derbyRoot, tag)
   }
 
   val queries: Map[String, Q] = Map(
@@ -444,14 +456,12 @@ object Scans {
       // holds batches 0..k merged, so resuming at batch `have` on top
       // of the existing state commits exactly the missing versions and
       // converges to the identical content-keyed table.
-      val have = graft.streaming.SnapshotTable
-        .committedVersions(s, root).size
-      if (have < 3)
-        (have until 3).foreach { i =>
-          val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
-          graft.streaming.SnapshotTable.commit(s, root, retain = 3)(
-            state => upsertMerge(state, batch))
-        }
+      buildVersionsOnce(s, root, 3) { i =>
+        val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
+        graft.streaming.SnapshotTable.commit(s, root, retain = 3)(
+          state => upsertMerge(state, batch))
+        ()
+      }
       // resolve the three PHYSICAL committed versions by listing (not
       // latest-2..latest arithmetic — orphan-skip numbering can leave
       // committed versions non-contiguous) and report them as 1..3
@@ -495,14 +505,12 @@ object Scans {
         else half.select(col("user_id"), col("event_id"), col("value"),
           to_date(col("ts")).as("day"))
       }
-      val have = graft.streaming.SnapshotTable
-        .committedVersions(s, root).size
-      if (have < 2)
-        (have until 2).foreach { i =>
-          graft.streaming.SnapshotTable.commit(s, root, retain = 2)(
-            state => state.fold(batch(i))(st =>
-              st.unionByName(batch(i), allowMissingColumns = true)))
-        }
+      buildVersionsOnce(s, root, 2) { i =>
+        graft.streaming.SnapshotTable.commit(s, root, retain = 2)(
+          state => state.fold(batch(i))(st =>
+            st.unionByName(batch(i), allowMissingColumns = true)))
+        ()
+      }
       val vs = graft.streaming.SnapshotTable
         .committedVersions(s, root).takeRight(2)
       vs.zipWithIndex.map { case (v, i) =>
@@ -543,8 +551,7 @@ object Scans {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
       val root = Artifacts.scratch(s, s"stats_prune_${tag}_$snap")
-      if (graft.streaming.SnapshotTable
-          .committedVersions(s, root).isEmpty)
+      buildVersionsOnce(s, root, 1) { _ =>
         graft.streaming.SnapshotTable.commitWithStats(
           s, root, "o_orderdate")(_ =>
           graft.streaming.SnapshotTable.clusterBy(
@@ -552,6 +559,8 @@ object Scans {
               col("o_orderstatus"), col("o_totalprice"),
               col("o_orderdate")),
             "o_orderdate", 8))
+        ()
+      }
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-06-30").cast("timestamp")
       val pruned = graft.streaming.SnapshotTable.readPruned(s, root, lo, hi)
@@ -584,8 +593,7 @@ object Scans {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
       val root = Artifacts.scratch(s, s"zorder_${tag}_$snap")
-      if (graft.streaming.SnapshotTable
-          .committedVersions(s, root).isEmpty)
+      buildVersionsOnce(s, root, 1) { _ =>
         graft.streaming.SnapshotTable.commitWithStatsCols(
           s, root, Seq("o_orderdate", "o_custkey"))(_ =>
           graft.streaming.SnapshotTable.clusterByZ(
@@ -593,11 +601,20 @@ object Scans {
               col("o_orderstatus"), col("o_totalprice"),
               col("o_orderdate"), col("o_custkey")),
             "o_orderdate", "o_custkey", 16))
+        ()
+      }
       val dLo = lit("1996-01-01").cast("timestamp")
       val dHi = lit("1996-12-31").cast("timestamp")
-      val cMax = t(s, d, "orders")
-        .agg(floor(max(col("o_custkey")) / 8.0).cast("long")).first()
-        .getLong(0)
+      // the box bound comes from the o_custkey MANIFEST (max-of-max ≡
+      // max over orders, since the snapshot holds every row) — the
+      // manifest-as-table-stats read; no data file is touched for it
+      val cMax = graft.streaming.SnapshotTable
+        .colStats(s, root, "o_custkey")
+        .map(_.agg(floor(max(col("max")) / 8.0).cast("long"))
+          .first().getLong(0))
+        .getOrElse(t(s, d, "orders")
+          .agg(floor(max(col("o_custkey")) / 8.0).cast("long"))
+          .first().getLong(0))
       val pruned = graft.streaming.SnapshotTable.readPrunedBox(s, root,
         Seq(("o_orderdate", dLo, dHi),
           ("o_custkey", lit(0L), lit(cMax))))
@@ -612,6 +629,37 @@ object Scans {
         .orderBy("o_orderstatus")
     })
   )
+
+  /** Build a fixed-length snapshot table ONCE per content-keyed root,
+    * surviving a lost first-build race: on a SHARED artifact root two
+    * JVMs can both see fewer than `n` committed versions and both
+    * start committing — exactly one wins each version and the loser's
+    * SnapshotTable.commit throws its loud conflict. Because the root
+    * is content-keyed, the winner is committing the IDENTICAL batches
+    * (each a pure function of corpus content), so the right response
+    * is not to fail the key but to wait for the winner to finish —
+    * the same adopt-the-winner discipline Artifacts.materialize
+    * applies to its lost publishes. A winner that dies mid-build
+    * leaves the wait to time out loudly (retry resumes at the
+    * version-count gate and commits only the missing batches). */
+  private def buildVersionsOnce(s: org.apache.spark.sql.SparkSession,
+      root: String, n: Int)(commitBatch: Int => Unit): Unit = {
+    def have: Int =
+      graft.streaming.SnapshotTable.committedVersions(s, root).size
+    val h = have
+    if (h >= n) return
+    try (h until n).foreach(commitBatch)
+    catch {
+      case e: IllegalStateException
+          if e.getMessage.contains("conflict") =>
+        val deadline = System.nanoTime() + 120L * 1000L * 1000000L
+        while (have < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        require(have >= n,
+          s"lost the first-build race at $root but the winner never " +
+            s"reached $n committed versions: ${e.getMessage}")
+    }
+  }
 
   /** The keyed latest-image merge every upsert sink folds batches
     * through (`sink_foreach_upsert`, `sink_snapshot_merge`): union the

@@ -227,16 +227,42 @@ object SnapshotTable {
       transform: Option[DataFrame] => DataFrame): Long =
     commit(s, root, retain, afterStage = { stage =>
       import org.apache.spark.sql.functions._
-      val df = s.read.parquet(stage)
-      statsCols.foreach { c =>
-        df.groupBy(element_at(split(input_file_name(), "/"), -1)
-            .as("file"))
-          .agg(min(col(c)).as("min"), max(col(c)).as("max"),
-            count(lit(1)).as("rows"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$stage/$statsColsDir/$c")
-      }
+      // ONE distributed pass computes every column's per-file stats
+      // (re-scanning the fresh snapshot once per column would be N
+      // full passes at 100 TB); the per-column manifests — each typed
+      // as its own column — are then tiny driver-side projections of
+      // the files_total-row result
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
+        count(lit(1)).as("rows")
+      val stats = s.read.parquet(stage)
+        .groupBy(element_at(split(input_file_name(), "/"), -1)
+          .as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .persist()
+      try {
+        statsCols.foreach { c =>
+          stats.select(col("file"), col(s"min__$c").as("min"),
+              col(s"max__$c").as("max"), col("rows"))
+            .write.mode("overwrite").parquet(s"$stage/$statsColsDir/$c")
+        }
+      } finally { stats.unpersist(blocking = false); () }
     })(transform)
+
+  /** The per-file stats manifest for column `c` on the latest version,
+    * if that version carries one — the manifest doubles as lightweight
+    * TABLE STATS (global min/max = min-of-mins/max-of-maxes over its
+    * files_total rows, driver-cheap) so callers never re-scan the data
+    * files for a bound the metadata already knows. */
+  def colStats(s: SparkSession, root: String,
+      c: String): Option[DataFrame] =
+    latestVersion(s, root).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/v=$v/$statsColsDir/$c")
+      if (fsOf(s, root).exists(p)) Some(s.read.parquet(p.toString))
+      else None
+    }
 
   /** Read the latest version pruned by a conjunctive BOX predicate:
     * for each (column, lo, hi) a file survives only if its manifest

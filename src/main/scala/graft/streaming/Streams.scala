@@ -406,12 +406,12 @@ object Streams {
     * rejects the default HDFS-backed store, and that requirement IS
     * the deployment guidance: arbitrary per-key state at 100 TB wants
     * the out-of-heap incremental-checkpoint store anyway. */
-  class VisitCounterProcessor
+  class VisitCounterProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, Ev, Visit] {
     @transient private var count: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       count = getHandle.getValueState[Long]("count",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
     override def handleInputRows(uid: Long, evs: Iterator[Ev],
         timers: TimerValues): Iterator[Visit] = {
       var n = if (count.exists()) count.get() else 0L
@@ -450,30 +450,16 @@ object Streams {
     * so the engine runs empty micro-batches every trigger and
     * `processAllAvailable()` NEVER returns — drive tests by polling
     * the sink, and give production queries a real trigger interval so
-    * the empty batches don't busy-spin the cluster. */
-  class VisitCounterTtlProcessor(ttl: java.time.Duration)
-      extends StatefulProcessor[Long, Ev, Visit] {
-    @transient private var count: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      count = getHandle.getValueState[Long]("count",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
-    override def handleInputRows(uid: Long, evs: Iterator[Ev],
-        timers: TimerValues): Iterator[Visit] = {
-      var n = if (count.exists()) count.get() else 0L
-      val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-        n += 1
-        Visit(e.event_id, uid, if (n == 1) "new" else "returning", n)
-      }
-      count.update(n)
-      out.iterator
-    }
-  }
-
+    * the empty batches don't busy-spin the cluster. The processor is
+    * [[VisitCounterProcessor]] itself, parameterized by TTLConfig —
+    * TTL is a property of the STATE declaration, not new operator
+    * logic, and sharing the class keeps the two forms from silently
+    * diverging. */
   def visitCounterTwsTtl(events: Dataset[Ev],
       ttl: java.time.Duration): Dataset[Visit] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new VisitCounterTtlProcessor(ttl),
+      .transformWithState(new VisitCounterProcessor(TTLConfig(ttl)),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

@@ -341,6 +341,29 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(loserRows.get() === 7L)
   }
 
+  test("an ABANDONED publish (marker-less dir past the orphan gate) " +
+      "self-heals: the next builder deletes the corpse and publishes, " +
+      "while a FRESH marker-less dir is still treated as a live winner") {
+    val bare = freshRoot()
+    val s = sessionWithRoot(bare)
+    // a winner died between rename and marker: complete-looking bytes,
+    // no _SUCCESS, mtime past the orphan gate
+    val dir = new java.io.File(bare, "spec/abandoned")
+    assert(dir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-dead.parquet").toPath,
+      Array[Byte](9, 9, 9))
+    assert(dir.setLastModified(
+      System.currentTimeMillis() - Artifacts.orphanGateMs - 60000))
+    // the next materialize must clear the corpse and publish its own
+    val rows = Artifacts.parquet(s, "spec", "abandoned")(
+      s.range(5).toDF("id")).count()
+    assert(rows === 5L)
+    assert(new java.io.File(dir, "_SUCCESS").isFile)
+    assert(!new java.io.File(dir, "part-00000-dead.parquet").exists(),
+      "the corpse's partial file survived the self-heal")
+  }
+
   test("tradeGraph and the dedup cluster pipeline build under the " +
       "configured shared root") {
     val root = freshRoot()

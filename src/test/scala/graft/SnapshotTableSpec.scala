@@ -260,6 +260,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("box pruning is exact on random skewed data and random boxes " +
+      "(property trials): pruned scan + predicate == full scan + " +
+      "predicate under both z-order and 1-D clustering") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      withRoot { root =>
+        // skewed, duplicated, non-grid data: x zipf-ish, y uniform
+        val rows = Seq.tabulate(600) { i =>
+          val x = (math.pow(rnd.nextDouble(), 3) * 1000).toLong
+          val y = rnd.nextInt(1000).toLong
+          (x, y, i.toLong)
+        }
+        val cluster: org.apache.spark.sql.DataFrame =
+          if (trial % 2 == 1)
+            SnapshotTable.clusterByZ(rows.toDF("x", "y", "id"), "x", "y", 7)
+          else SnapshotTable.clusterBy(rows.toDF("x", "y", "id"), "x", 7)
+        SnapshotTable.commitWithStatsCols(spark, root, Seq("x", "y"),
+          retain = 5)(_ => cluster)
+        for (_ <- 1 to 4) {
+          val (xl, yl) = (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+          val (xh, yh) = (xl + rnd.nextInt(300), yl + rnd.nextInt(300))
+          val scan = SnapshotTable.readPrunedBox(spark, root,
+            Seq(("x", lit(xl), lit(xh)), ("y", lit(yl), lit(yh))))
+          val got = scan.df.where(col("x").between(xl, xh) &&
+              col("y").between(yl, yh))
+            .select("id").collect().map(_.getLong(0)).toSet
+          val want = rows.collect { case (x, y, id)
+            if x >= xl && x <= xh && y >= yl && y <= yh => id }.toSet
+          assert(got === want,
+            s"trial $trial box [$xl,$xh]x[$yl,$yh] " +
+              s"(read ${scan.filesRead}/${scan.filesTotal})")
+        }
+      }
+    }
+  }
+
   test("schema evolution: a commit that ADDS a column serves the " +
       "merged schema, old versions keep their own schema (nulls only " +
       "under an explicit merged read), compaction preserves it") {
