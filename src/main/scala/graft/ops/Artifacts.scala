@@ -125,14 +125,24 @@ object Artifacts {
     val dir = dirFor(s, family, key)
     val fs = fsFor(s, dir)
     val done = new Path(dir, "_SUCCESS")
-    // set inside the monitor when this JVM lost the publish rename to a
-    // cross-JVM racer; the bounded wait for the winner's marker then
-    // runs OUTSIDE the stripe lock — the wait only reads, so holding
-    // the monitor through up to 120 s of polling would block unrelated
-    // artifact builds that hash to the same of 1024 stripes for no
-    // mutual-exclusion benefit
-    var lostPublish = false
-    lockFor(dir.toString).synchronized {
+    // Up to two attempts: the second fires only when a lost publish
+    // timed out AND the corpse made no progress since our own nested
+    // cleanup — i.e. the winner died mid-publish AFTER we refreshed
+    // the dir's mtime (our cleanup resets the age-gate clock, so the
+    // pre-build self-heal alone would defer the heal by a full gate
+    // per retry; the progress check heals it on the spot instead).
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      // set inside the monitor when this JVM lost the publish rename
+      // to a cross-JVM racer; the bounded wait for the winner's marker
+      // then runs OUTSIDE the stripe lock — the wait only reads, so
+      // holding the monitor through up to 120 s of polling would block
+      // unrelated artifact builds that hash to the same of 1024
+      // stripes for no mutual-exclusion benefit
+      var lostPublish = false
+      var cleanupAt = 0L
+      lockFor(dir.toString).synchronized {
       if (!fs.exists(done)) {
         // Self-heal an ABANDONED publish (the counterpart of the
         // lost-race wait below): a `dir` with no marker whose mtime is
@@ -144,10 +154,18 @@ object Artifacts {
         // advances as its copy lands children, and the gate is far
         // above any realistic marker-create latency. A FRESH
         // marker-less dir is left alone — the nested-rename path below
-        // treats it as a live winner and waits.
-        if (fs.exists(dir) && System.currentTimeMillis() -
-            fs.getFileStatus(dir).getModificationTime > orphanGateMs) {
-          fs.delete(dir, true); ()
+        // treats it as a live winner and waits. Guards: mtime must be
+        // usable (>0 — synthetic object-store dirs report 0, which
+        // would read as infinitely old and delete a LIVE publish;
+        // there the heal disables itself and the timeout below stays
+        // the loud manual-cleanup signal), and the stat is Try-wrapped
+        // (a concurrent healer may delete the corpse between our
+        // exists and getFileStatus — vanished means already healed).
+        scala.util.Try(fs.getFileStatus(dir)).foreach { st =>
+          if (st.getModificationTime > 0 && System.currentTimeMillis() -
+              st.getModificationTime > orphanGateMs) {
+            fs.delete(dir, true); ()
+          }
         }
         val tmp = new Path(dir.getParent,
           s"${dir.getName}.build-$jvmNonce-${tmpSeq.incrementAndGet()}")
@@ -182,20 +200,22 @@ object Artifacts {
           if (fs.exists(nested)) {
             fs.delete(nested, true)
             lostPublish = true
+            cleanupAt = System.currentTimeMillis()
           } else {
             if (!fs.exists(done)) fs.create(done).close()
             require(fs.exists(done),
               s"artifact publish for $dir failed — no _SUCCESS after rename")
           }
-        } else {
-          // lost the publish to a cross-JVM racer: drop our temp; the
-          // wait for the winner's marker happens outside the lock
-          fs.delete(tmp, true)
-          lostPublish = true
+          } else {
+            // lost the publish to a cross-JVM racer: drop our temp; the
+            // wait for the winner's marker happens outside the lock
+            fs.delete(tmp, true)
+            lostPublish = true
+            cleanupAt = System.currentTimeMillis()
+          }
         }
       }
-    }
-    if (lostPublish) {
+      if (!lostPublish) return dir.toString
       // on copy-rename stores the winner may still be copying part
       // files — poll (bounded) for its marker-last _SUCCESS. Releasing
       // the stripe first can at worst let an in-JVM same-key racer
@@ -204,15 +224,32 @@ object Artifacts {
       // permits (content-keyed deterministic bytes; its rename loses
       // or nests) — and never a torn read, since readers still gate
       // on the marker.
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + lostPublishWaitMs * 1000000L
       while (!fs.exists(done) && System.nanoTime() < deadline)
-        Thread.sleep(500)
-      require(fs.exists(done),
+        Thread.sleep(50)
+      if (fs.exists(done)) return dir.toString
+      // timeout. If the dir made NO progress since our own cleanup
+      // refreshed its mtime, the winner is dead — delete the corpse
+      // and retry the build once (the pre-build age gate can't help
+      // here: our cleanup just reset its clock). Any progress, or an
+      // unusable mtime, keeps the loud failure — never delete under a
+      // possibly-live winner.
+      val stale = scala.util.Try(fs.getFileStatus(dir)).toOption
+        .exists(st => st.getModificationTime > 0 &&
+          st.getModificationTime <= cleanupAt)
+      require(attempt < 2 && stale,
         s"artifact publish for $dir failed — lost the rename race and " +
-          "the winner's _SUCCESS never appeared within 120 s")
+          s"the winner's _SUCCESS never appeared within " +
+          s"$lostPublishWaitMs ms")
+      fs.delete(dir, true)
     }
-    dir.toString
+    dir.toString // unreachable: every path above returns or throws
   }
+
+  /** Bounded wait for a lost publish's winner (ms). Package-visible
+    * var so the crash/race specs exercise the timeout + retry-heal
+    * path without real two-minute sleeps. */
+  private[graft] var lostPublishWaitMs = 120000L
 
   /** Parquet-table artifact: the common case (edge table, cluster
     * table, shingle index, centroids). The build plan executes through

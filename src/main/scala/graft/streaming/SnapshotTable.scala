@@ -36,13 +36,20 @@ object SnapshotTable {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Parse a `v=N` dir name, skipping foreign names (an ops copy
+    * `v=3.bak`, a partial `v=`): one stray non-numeric dir must never
+    * wedge every read and commit on the root with a
+    * NumberFormatException. */
+  private def versionOfName(name: String): Option[Long] =
+    scala.util.Try(name.stripPrefix("v=").toLong).toOption
+
   private def versionsOf(s: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(s, root)
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .flatMap(st => versionOfName(st.getPath.getName))
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
         s"$root/v=$v/_COMMITTED")))
       .sorted
@@ -107,32 +114,58 @@ object SnapshotTable {
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
-    transform(base.map(v => s.read.parquet(s"$root/v=$v")))
-      .write.mode("overwrite").parquet(stage)
-    // stage-enrichment hook (commitWithStats writes the `_stats`
-    // manifest here) — runs while the stage is still invisible, so
-    // whatever it adds is atomic with the version
-    afterStage(stage)
     val stagePath = new org.apache.hadoop.fs.Path(stage)
+    // a failed build must not leak a full-size stage copy of the
+    // table (the orphan sweep only matches v=* names; nothing else
+    // would ever reclaim a .stage dir on a shared root) — same
+    // discipline as Artifacts.materialize's tmp cleanup
+    try {
+      transform(base.map(v => s.read.parquet(s"$root/v=$v")))
+        .write.mode("overwrite").parquet(stage)
+      // stage-enrichment hook (commitWithStats writes the `_stats`
+      // manifest here) — runs while the stage is still invisible, so
+      // whatever it adds is atomic with the version
+      afterStage(stage)
+    } catch { case e: Throwable => fs.delete(stagePath, true); throw e }
     def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
       fs.delete(cleanup, true)
       throw new IllegalStateException(
         s"snapshot commit conflict at $root: base $base superseded")
     }
-    if (latestVersion(s, root) != base) conflict(stagePath)
-    // orphan handling: delete marker-less dirs past the age gate, and
-    // number the new version past every v= dir still on disk — an
-    // orphaned v=N must never be the rename target (the rename would
-    // nest into it and every retry would conflict forever)
-    val committed = versionsOf(s, root).toSet
+    // one fresh listing serves both the race re-check and the orphan
+    // sweep's committed set (each versionsOf is a listing + one RPC
+    // per version — metadata latency worth halving on object stores;
+    // a production deployment replaces this whole resolution path
+    // with a metastore CAS anyway)
+    val nowCommitted = versionsOf(s, root)
+    if (nowCommitted.lastOption != base) conflict(stagePath)
+    // orphan handling: delete marker-less dirs past the age gate
+    // (skip the deletion when the store reports no usable dir mtime —
+    // epoch-0 on synthetic object-store dirs would read as infinitely
+    // old and delete a LIVE publish), clean aged .stage-* leftovers
+    // from crashed commits, and number the new version past every v=
+    // dir still on disk — an orphaned v=N must never be the rename
+    // target (the rename would nest into it and every retry would
+    // conflict forever)
+    val committed = nowCommitted.toSet
     val now = System.currentTimeMillis()
-    val live = allVersionDirs(fs, root).filter { st =>
-      val v = st.getPath.getName.stripPrefix("v=").toLong
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".stage-") &&
+        st.getPath.getName != stagePath.getName &&
+        st.getModificationTime > 0 &&
+        now - st.getModificationTime > orphanGateMs)
+      .foreach(st => fs.delete(st.getPath, true))
+    val live = allVersionDirs(fs, root).flatMap { st =>
+      versionOfName(st.getPath.getName).map(v => (st, v))
+    }.filter { case (st, v) =>
       if (committed.contains(v)) true
-      else if (now - st.getModificationTime > orphanGateMs) {
+      else if (st.getModificationTime > 0 &&
+          now - st.getModificationTime > orphanGateMs) {
         fs.delete(st.getPath, true); false
       } else true
-    }.map(_.getPath.getName.stripPrefix("v=").toLong)
+    }.map(_._2)
     val next = (live :+ base.getOrElse(-1L)).max + 1
     publish(fs, root, stagePath, next)
     // vacuum past the retention horizon (never the newest `retain`)
@@ -160,15 +193,32 @@ object SnapshotTable {
     if (!fs.rename(stagePath, dest)) conflict(stagePath)
     val nested = new org.apache.hadoop.fs.Path(dest, stagePath.getName)
     if (fs.exists(nested)) conflict(nested)
-    try fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/v=$next/_COMMITTED"), false).close()
+    // a rename keeps the STAGE's mtime, which can already be past the
+    // orphan gate when the build + afterStage (a distributed stats
+    // pass) ran long — refresh it so a concurrent commit's orphan
+    // sweep can never read the just-renamed dir as an aged corpse in
+    // the window before the marker lands (best-effort: some stores
+    // reject setTimes on dirs)
+    try fs.setTimes(dest, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+    // createNonRecursive: a plain create() would re-create missing
+    // parents, so if a racer deleted dest in this window the marker
+    // would RESURRECT v=next as an empty committed version that then
+    // serves as latest; non-recursive create fails instead and the
+    // commit conflicts loudly
+    try fs.createNonRecursive(new org.apache.hadoop.fs.Path(
+        s"$root/v=$next/_COMMITTED"), false, 4096,
+        fs.getDefaultReplication(dest), fs.getDefaultBlockSize(dest),
+        null).close()
     catch { case _: java.io.IOException =>
       // marker taken ⇒ v=next was committed by someone else and the
       // landing check somehow passed (e.g. object stores where rename
-      // is copy-like); our image is unreferenced — leave the winner's
-      // dir untouched and fail as a conflict
+      // is copy-like) — or the dir vanished under us; either way our
+      // image is unreferenced — leave whatever exists untouched and
+      // fail as a conflict
       throw new IllegalStateException(
-        s"snapshot commit conflict at $root: marker for v=$next taken")
+        s"snapshot commit conflict at $root: marker for v=$next " +
+          "not creatable (taken, or the dir vanished)")
     }
   }
 
@@ -324,6 +374,11 @@ object SnapshotTable {
       }
     val r = df.agg(min(asNum(c1)), max(asNum(c1)),
       min(asNum(c2)), max(asNum(c2))).first()
+    // empty input or an all-null/uncastable cluster column has no
+    // ranges to normalize against — clustering is meaningless there,
+    // so degrade to a plain fixed-width shuffle instead of an NPE on
+    // the null agg row (the 1-D clusterBy handles the same input fine)
+    if ((0 to 3).exists(r.isNullAt)) return df.repartition(partitions)
     def grid(c: String, lo: Double, hi: Double):
         org.apache.spark.sql.Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)

@@ -364,6 +364,30 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "the corpse's partial file survived the self-heal")
   }
 
+  test("a FRESH corpse (winner died after our age-gate clock reset) " +
+      "heals via the post-timeout progress check: no marker appeared " +
+      "and the dir made no progress since our cleanup, so the loser " +
+      "deletes it and its retry publishes") {
+    val bare = freshRoot()
+    val s = sessionWithRoot(bare)
+    val dir = new java.io.File(bare, "spec/freshcorpse")
+    assert(dir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-dead.parquet").toPath,
+      Array[Byte](7))
+    // mtime NOW: the pre-build age gate must NOT fire (it would on an
+    // aged corpse — previous test); only the timeout path can heal
+    val savedWait = Artifacts.lostPublishWaitMs
+    Artifacts.lostPublishWaitMs = 1500L
+    try {
+      val rows = Artifacts.parquet(s, "spec", "freshcorpse")(
+        s.range(4).toDF("id")).count()
+      assert(rows === 4L)
+      assert(new java.io.File(dir, "_SUCCESS").isFile)
+      assert(!new java.io.File(dir, "part-00000-dead.parquet").exists())
+    } finally Artifacts.lostPublishWaitMs = savedWait
+  }
+
   test("tradeGraph and the dedup cluster pipeline build under the " +
       "configured shared root") {
     val root = freshRoot()

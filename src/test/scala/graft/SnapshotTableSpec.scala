@@ -297,6 +297,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("hardening: foreign v= names are skipped, a failed build leaks " +
+      "no stage dir, and clusterByZ degrades gracefully on empty input") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root)(_ => img(1L -> "a"))
+      // a stray non-numeric v= dir (ops copy) must not wedge the root
+      assert(new java.io.File(root, "v=3.bak").mkdirs())
+      assert(SnapshotTable.latestVersion(spark, root).isDefined)
+      SnapshotTable.commit(spark, root)(st =>
+        st.get.unionByName(img(2L -> "b")))
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+      // a commit whose afterStage fails must clean its stage up
+      intercept[RuntimeException] {
+        SnapshotTable.commit(spark, root, 2,
+          afterStage = _ => throw new RuntimeException("stats died"))(
+          st => st.get)
+      }
+      val stages = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith(".stage-"))
+      assert(stages.isEmpty, stages.mkString(","))
+      // version count unchanged by the failed commit
+      assert(SnapshotTable.committedVersions(spark, root).size === 2)
+    }
+    withRoot { empty =>
+      // clusterByZ on an empty image: no NPE, a plain fixed-width
+      // shuffle, and the committed version reads back empty
+      import spark.implicits._
+      SnapshotTable.commitWithStatsCols(spark, empty, Seq("x", "y"))(_ =>
+        SnapshotTable.clusterByZ(
+          Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y", 4))
+      assert(SnapshotTable.read(spark, empty).get.count() === 0)
+    }
+  }
+
   test("schema evolution: a commit that ADDS a column serves the " +
       "merged schema, old versions keep their own schema (nulls only " +
       "under an explicit merged read), compaction preserves it") {
