@@ -1,112 +1,107 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Recorded warm per-query medians (seconds, sf0.1 noop action) from
-    * the round-10 sample runs plus a fresh round-11 warm pass — the
+  /** Recorded warm per-query medians (seconds, sf0.1 noop action):
+    * the round-14 cross-sample medians over the five noop samples
+    * (refreshed per the round-14 verdict — stale round-10/11 entries
+    * let a 5x-median artifact line through the guard) — the
     * reference the cold-run guard compares a first timing against.
     * These are NOT reported numbers; they only decide whether a query
     * earns a second, warm measurement. Stale entries are safe: a key
     * that genuinely got slower reruns once per session (a few wasted
     * seconds), a key that got faster just never triggers the guard. */
   private val RefMedians: Map[String, Double] = Map(
-    "ads_attribution" -> 2.47, "ads_cohort_matrix" -> 1.18,
-    "ads_funnel_steps" -> 1.58, "ads_gmv_cumulative" -> 0.47,
-    "ads_retention_daily" -> 0.97, "ads_wau_rolling" -> 0.99,
-    "agg_approx_distinct" -> 0.72, "agg_approx_percentile" -> 0.61,
-    "agg_bitmap_uv" -> 0.54, "agg_bool_countif" -> 0.32,
-    "agg_collect_state" -> 0.47, "agg_cube" -> 1.81,
-    "agg_distinct_count" -> 0.36, "agg_group_multi" -> 1.12,
-    "agg_grouping_sets" -> 0.57, "agg_hash_global" -> 1.34,
-    "agg_hist" -> 0.29, "agg_mode" -> 0.46, "agg_percentile" -> 1.31,
-    "agg_pivot" -> 0.41, "agg_sketch_merge" -> 0.59, "agg_stats" -> 0.43,
-    "agg_udaf_typed" -> 0.54, "cdc_ingest" -> 0.52, "cdc_scd2" -> 0.51,
-    "cep_absence_timeout" -> 0.61, "cep_followed_within" -> 0.51,
-    "cep_pattern_match" -> 1.50, "cep_pattern_optional" -> 1.24,
-    "cep_pattern_times" -> 1.14, "dedup_exact" -> 0.39,
-    "filter_predicate" -> 0.58, "flatmap_explode" -> 0.77,
-    "fn_array" -> 1.69, "fn_bitwise" -> 0.31, "fn_conditional" -> 0.38,
-    "fn_date" -> 0.55, "fn_hash" -> 0.23, "fn_json" -> 2.05,
-    "fn_json_malformed" -> 0.91, "fn_map" -> 0.49, "fn_math" -> 2.66,
-    "fn_regex" -> 0.48, "fn_rules_apply" -> 0.39, "fn_string" -> 0.32,
-    "fn_string2" -> 0.28, "fn_url" -> 0.23, "graph_pagerank" -> 4.50,
-    "join_anti" -> 0.31, "join_asof_dim" -> 0.65,
-    "join_asof_temporal" -> 0.53, "join_broadcast_dim" -> 0.34,
-    "join_bucketed_colocated" -> 2.02, "join_full_outer" -> 0.64,
-    "join_inner_hash" -> 0.52, "join_interval" -> 0.42,
-    "join_interval_bucketed" -> 0.40, "join_interval_left" -> 0.39,
-    "join_interval_left_bucketed" -> 0.49, "join_left_outer" -> 0.47,
-    "join_lookup_async" -> 0.67, "join_semi" -> 0.32,
-    "join_skew_salted" -> 0.54, "join_theta" -> 0.44,
-    "join_windowed" -> 0.41, "llm_chunk_overlap" -> 0.36,
-    "llm_decontaminate" -> 0.65, "llm_dedup_canonical" -> 0.89,
-    "llm_dedup_clusters" -> 4.78, "llm_dedup_embcos" -> 1.75,
-    "llm_dedup_exact" -> 0.32, "llm_dedup_incremental" -> 2.08,
-    "llm_dedup_minhash" -> 0.63, "llm_dedup_minhash_score" -> 0.59,
-    "llm_dedup_ngram_jaccard" -> 1.82, "llm_dedup_paragraph" -> 0.80,
-    "llm_dedup_prune" -> 0.18, "llm_dedup_simhash" -> 0.82,
-    "llm_dedup_substring" -> 1.26, "llm_dedup_substring_prune" -> 1.71,
-    "llm_dedup_weighted" -> 0.30, "llm_domain_balance" -> 0.47,
-    "llm_embed_norm" -> 0.20, "llm_embed_quantize" -> 1.57,
-    "llm_fingerprint" -> 0.40, "llm_knn_ivf" -> 1.57,
-    "llm_lang_id" -> 0.60, "llm_mixture_weights" -> 0.43,
-    "llm_multimodal_audio" -> 1.27, "llm_multimodal_binary" -> 0.25,
-    "llm_multimodal_cols" -> 0.27, "llm_multimodal_frames" -> 0.31,
-    "llm_multimodal_image" -> 1.56, "llm_ngram_counts" -> 0.55,
-    "llm_pack_sequences" -> 0.37, "llm_perplexity_proxy" -> 1.06,
-    "llm_pii_scrub" -> 0.84, "llm_quality_gopher" -> 0.59,
-    "llm_quality_score" -> 0.59, "llm_repetition_filter" -> 0.71,
-    "llm_sample_split" -> 0.16, "llm_similarity_knn" -> 0.35,
-    "llm_text_stats" -> 0.38, "llm_tfidf" -> 1.18,
-    "llm_token_bpe" -> 0.82, "llm_token_count" -> 0.41,
-    "merge_upsert" -> 0.42, "project_compute" -> 1.39,
-    "scan_parquet" -> 1.22, "scan_projected" -> 0.43,
-    "set_except" -> 0.40, "set_except_all" -> 0.59,
-    "set_intersect" -> 0.32, "set_intersect_all" -> 0.34,
-    "set_union_all" -> 0.27, "set_union" -> 0.30, "side_output_split" -> 0.44,
-    "sink_csv_roundtrip" -> 0.38, "sink_foreach_upsert" -> 0.55,
-    "sink_json_roundtrip" -> 0.32, "sink_orc_roundtrip" -> 0.48,
-    "sink_parquet" -> 0.53, "sink_partitioned" -> 0.65,
-    "sink_snapshot_merge" -> 1.10, "sort_limit_topk" -> 0.16,
-    "source_kafka_shape" -> 0.77, "source_rate_stream" -> 0.04,
-    "sql_ads_board" -> 0.52, "stream_cep_pattern" -> 0.51,
-    "stream_cep_timeout" -> 0.60, "stream_dedup_keys" -> 0.46,
-    "stream_stateful_counter" -> 0.51, "stream_topn_windowed" -> 0.43,
-    "stream_upsert_latest" -> 0.35, "stream_watermark_late" -> 0.72,
-    "stream_window_cumulate" -> 0.49, "stream_window_session" -> 0.67,
-    "stream_window_sliding" -> 0.57, "stream_window_tumbling" -> 0.38,
-    "udf_scalar" -> 0.30, "udtf_generator" -> 0.37, "win_dist" -> 1.33,
-    "win_first_last" -> 0.53, "win_gapfill" -> 0.64,
-    "win_lag_lead" -> 0.48, "win_rank_dense" -> 1.58,
-    "win_rank_topn" -> 0.47, "win_running_frame" -> 1.27,
-    "win_session_dynamic" -> 0.70, "win_sessionize" -> 0.56,
-    "win_share_of_total" -> 0.81, "win_time_range" -> 0.64,
-    // round-11 additions (warm medians of the closing 169-key runs;
-    // the two graph iteratives re-measured after the LPA lineage fix)
-    "ads_ab_lift" -> 1.57, "ads_anomaly_zscore" -> 1.14,
-    "ads_path_topn" -> 0.86, "ads_province_board" -> 0.93,
-    "ads_rfm_segments" -> 1.46, "ads_traffic_board" -> 1.25,
-    "cdc_retract_agg" -> 0.93, "cep_iterative_condition" -> 0.82,
-    "cep_pattern_until" -> 1.11, "graph_label_propagation" -> 2.70,
-    "graph_shortest_path" -> 2.30, "llm_bloom_dedup" -> 0.47,
-    "llm_semdedup" -> 1.33, "llm_shard_manifest" -> 0.45,
-    "llm_source_report" -> 0.43, "llm_tokenizer_train" -> 1.92,
-    // round-12 additions (median of 3 fresh-JVM runs each; both pay
-    // their artifact build — CC runs alphabetically FIRST of the graph
-    // family so it owns the tradeGraph build in full sessions too)
-    "graph_connected_components" -> 5.00, "source_binary_files" -> 1.03,
-    "fn_xml" -> 1.18, "sink_xml_roundtrip" -> 0.79,
-    // round-13 additions (first full-session run; CC is query-only now
-    // that graph_artifact_build owns the edge-table build)
-    "fn_json_variant" -> 2.02, "join_lateral_topn" -> 0.85,
-    "agg_listagg" -> 0.45, "sql_pipe_board" -> 0.60,
-    "source_jdbc_dim" -> 1.20, "sink_jdbc_board" -> 1.20,
-    "agg_unpivot" -> 0.50, "sql_script_vars" -> 0.80,
-    "sql_named_params" -> 0.50, "table_time_travel" -> 1.50,
-    "fn_try_arith" -> 1.50, "fn_collation" -> 0.40,
-    "table_schema_evolution" -> 1.20,
-    // round-14 additions
-    "join_dpp_pruned" -> 1.20, "table_stats_pruning" -> 1.20,
-    "table_zorder_skipping" -> 1.50)
+    "ads_ab_lift" -> 1.15, "ads_anomaly_zscore" -> 1.01,
+    "ads_attribution" -> 1.39, "ads_cohort_matrix" -> 1.17,
+    "ads_funnel_steps" -> 1.73, "ads_gmv_cumulative" -> 0.46,
+    "ads_path_topn" -> 1.09, "ads_province_board" -> 0.94,
+    "ads_retention_daily" -> 1.11, "ads_rfm_segments" -> 1.71,
+    "ads_traffic_board" -> 1.44, "ads_wau_rolling" -> 1.1,
+    "agg_approx_distinct" -> 0.76, "agg_approx_percentile" -> 0.61,
+    "agg_bitmap_uv" -> 0.59, "agg_bool_countif" -> 0.33,
+    "agg_collect_state" -> 0.51, "agg_cube" -> 1.7,
+    "agg_distinct_count" -> 0.41, "agg_group_multi" -> 0.97,
+    "agg_grouping_sets" -> 0.61, "agg_hash_global" -> 1.17,
+    "agg_hist" -> 0.32, "agg_listagg" -> 0.53, "agg_mode" -> 0.61,
+    "agg_percentile" -> 1.27, "agg_pivot" -> 0.47,
+    "agg_sketch_merge" -> 0.64, "agg_stats" -> 0.44,
+    "agg_udaf_typed" -> 0.48, "agg_unpivot" -> 0.45,
+    "cdc_ingest" -> 0.57, "cdc_retract_agg" -> 1.03, "cdc_scd2" -> 0.5,
+    "cep_absence_timeout" -> 0.59, "cep_followed_within" -> 0.53,
+    "cep_iterative_condition" -> 1.01, "cep_pattern_match" -> 1.35,
+    "cep_pattern_not_next" -> 0.7, "cep_pattern_optional" -> 1.12,
+    "cep_pattern_times" -> 1.31, "cep_pattern_until" -> 1.41,
+    "dedup_exact" -> 0.44, "filter_predicate" -> 0.65,
+    "flatmap_explode" -> 0.87, "fn_array" -> 2.02, "fn_bitwise" -> 0.32,
+    "fn_collation" -> 0.28, "fn_conditional" -> 0.34, "fn_date" -> 0.5,
+    "fn_hash" -> 0.26, "fn_json" -> 2.0, "fn_json_malformed" -> 0.96,
+    "fn_json_variant" -> 2.11, "fn_map" -> 0.47, "fn_math" -> 2.57,
+    "fn_regex" -> 0.54, "fn_rules_apply" -> 0.45, "fn_string" -> 0.37,
+    "fn_string2" -> 0.32, "fn_try_arith" -> 0.8, "fn_url" -> 0.24,
+    "fn_xml" -> 0.43, "graph_connected_components" -> 7.6,
+    "graph_label_propagation" -> 5.62, "graph_pagerank" -> 6.92,
+    "graph_shortest_path" -> 3.54, "join_anti" -> 0.38,
+    "join_asof_dim" -> 0.83, "join_asof_temporal" -> 0.51,
+    "join_broadcast_dim" -> 0.34, "join_bucketed_colocated" -> 2.13,
+    "join_dpp_pruned" -> 1.85, "join_full_outer" -> 0.67,
+    "join_inner_hash" -> 0.56, "join_interval" -> 0.41,
+    "join_interval_bucketed" -> 0.39, "join_interval_left" -> 0.39,
+    "join_interval_left_bucketed" -> 0.59, "join_lateral_topn" -> 0.98,
+    "join_left_outer" -> 0.55, "join_lookup_async" -> 0.54,
+    "join_semi" -> 0.33, "join_skew_salted" -> 0.57, "join_theta" -> 0.5,
+    "join_windowed" -> 0.43, "llm_bloom_dedup" -> 0.53,
+    "llm_chunk_overlap" -> 0.36, "llm_decontaminate" -> 0.7,
+    "llm_dedup_canonical" -> 0.93, "llm_dedup_clusters" -> 6.24,
+    "llm_dedup_embcos" -> 2.12, "llm_dedup_exact" -> 0.32,
+    "llm_dedup_incremental" -> 1.45, "llm_dedup_minhash" -> 0.68,
+    "llm_dedup_minhash_score" -> 0.72, "llm_dedup_ngram_jaccard" -> 1.19,
+    "llm_dedup_paragraph" -> 0.8, "llm_dedup_prune" -> 0.2,
+    "llm_dedup_simhash" -> 0.95, "llm_dedup_substring" -> 1.44,
+    "llm_dedup_substring_prune" -> 1.82, "llm_dedup_weighted" -> 0.32,
+    "llm_domain_balance" -> 0.51, "llm_embed_norm" -> 0.21,
+    "llm_embed_quantize" -> 1.48, "llm_fingerprint" -> 0.35,
+    "llm_knn_ivf" -> 0.76, "llm_lang_id" -> 0.55,
+    "llm_mixture_weights" -> 0.51, "llm_multimodal_audio" -> 1.34,
+    "llm_multimodal_binary" -> 0.29, "llm_multimodal_cols" -> 0.3,
+    "llm_multimodal_frames" -> 0.34, "llm_multimodal_image" -> 2.05,
+    "llm_ngram_counts" -> 0.6, "llm_pack_sequences" -> 0.42,
+    "llm_perplexity_proxy" -> 1.09, "llm_pii_scrub" -> 0.94,
+    "llm_quality_classifier" -> 0.79, "llm_quality_gopher" -> 0.62,
+    "llm_quality_score" -> 0.61, "llm_repetition_filter" -> 0.7,
+    "llm_sample_split" -> 0.17, "llm_semdedup" -> 0.86,
+    "llm_shard_manifest" -> 0.52, "llm_similarity_knn" -> 0.44,
+    "llm_source_report" -> 0.55, "llm_text_stats" -> 0.4,
+    "llm_tfidf" -> 1.31, "llm_token_bpe" -> 0.82,
+    "llm_token_count" -> 0.41, "llm_tokenizer_train" -> 2.24,
+    "merge_upsert" -> 0.55, "project_compute" -> 1.38,
+    "scan_parquet" -> 1.22, "scan_projected" -> 0.5,
+    "set_except" -> 0.47, "set_except_all" -> 0.66,
+    "set_intersect" -> 0.34, "set_intersect_all" -> 0.42,
+    "set_union" -> 0.32, "set_union_all" -> 0.33,
+    "side_output_split" -> 0.51, "sink_csv_roundtrip" -> 0.43,
+    "sink_foreach_upsert" -> 0.76, "sink_jdbc_board" -> 1.8,
+    "sink_json_roundtrip" -> 0.38, "sink_orc_roundtrip" -> 0.62,
+    "sink_parquet" -> 0.61, "sink_partitioned" -> 0.69,
+    "sink_snapshot_merge" -> 1.2, "sink_xml_roundtrip" -> 0.35,
+    "sort_limit_topk" -> 0.18, "source_binary_files" -> 1.06,
+    "source_jdbc_dim" -> 0.65, "source_kafka_shape" -> 0.77,
+    "source_rate_stream" -> 0.06, "sql_ads_board" -> 0.55,
+    "sql_named_params" -> 0.3, "sql_pipe_board" -> 0.56,
+    "sql_script_vars" -> 0.68, "stream_cep_pattern" -> 0.66,
+    "stream_cep_timeout" -> 0.67, "stream_dedup_keys" -> 0.49,
+    "stream_stateful_counter" -> 0.59, "stream_topn_windowed" -> 0.55,
+    "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
+    "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
+    "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
+    "table_incremental_append" -> 1.5, "table_schema_evolution" -> 0.91,
+    "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
+    "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,
+    "udtf_generator" -> 0.4, "win_dist" -> 1.45,
+    "win_first_last" -> 0.64, "win_gapfill" -> 0.86,
+    "win_lag_lead" -> 0.53, "win_rank_dense" -> 1.72,
+    "win_rank_topn" -> 0.56, "win_running_frame" -> 1.33,
+    "win_session_dynamic" -> 0.79, "win_sessionize" -> 0.62,
+    "win_share_of_total" -> 0.82, "win_time_range" -> 0.72)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -279,7 +274,19 @@ object Bench {
         val dt = if (dt1 >= 0 && dt1 > limit) {
           reruns += 1
           val dt2 = runOnce(name, fn)
-          if (dt2 >= 0) math.min(dt1, dt2) else dt1
+          if (dt2 < 0) dt1
+          else if (math.min(dt1, dt2) > limit) {
+            // min-of-2 can't survive a bad SESSION (round-14 driver
+            // artifact: LPA 30.3 s vs a 5.6 s cross-sample median,
+            // both passes inflated by box state) — take a third
+            // sample and report the MEDIAN: a genuine regression
+            // still shows (all three high), a drifting box stops
+            // polluting the round artifact with one outlier
+            reruns += 1
+            val dt3 = runOnce(name, fn)
+            if (dt3 < 0) math.min(dt1, dt2)
+            else Seq(dt1, dt2, dt3).sorted.apply(1)
+          } else math.min(dt1, dt2)
         } else dt1
         (name, dt)
       }

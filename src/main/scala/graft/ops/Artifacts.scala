@@ -202,7 +202,22 @@ object Artifacts {
             lostPublish = true
             cleanupAt = System.currentTimeMillis()
           } else {
-            if (!fs.exists(done)) fs.create(done).close()
+            // non-recursive marker create (round-14 ADVICE): this file
+            // introduced self-heal paths that DELETE `dir` when they
+            // judge its publisher dead — if that judgment was wrong (a
+            // stalled-but-live winner reaching this line after a healer
+            // removed its dir), a recursive create would re-create the
+            // dir and publish an empty _SUCCESS-gated artifact. The
+            // non-recursive create fails loudly instead (same guard
+            // SnapshotTable.publish carries); a concurrent racer's
+            // already-published marker still satisfies the gate.
+            if (!fs.exists(done)) {
+              try graft.ops.FsAtomic.createMarkerExclusive(fs, done,
+                s"artifact publish for $dir")
+              catch {
+                case _: IllegalStateException if fs.exists(done) => ()
+              }
+            }
             require(fs.exists(done),
               s"artifact publish for $dir failed — no _SUCCESS after rename")
           }

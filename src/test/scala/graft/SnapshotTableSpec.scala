@@ -195,17 +195,22 @@ class SnapshotTableSpec extends AnyFunSuite {
       assert(miss.filesRead === 0)
       assert(miss.df.count() === 0)
       assert(miss.df.columns.toSeq === Seq("k", "v"))
-      // compact() commits WITHOUT a manifest — readPruned must fall
-      // back to the full scan (correct, just unpruned) rather than
-      // prune against stale or missing stats
-      SnapshotTable.compact(spark, root)
-      val fallback = SnapshotTable.readPruned(spark, root, lit(25L),
+      // compact() INHERITS the stats columns and recomputes them for
+      // the rewritten files (round-14 verdict item 2: compaction must
+      // not silently drop data skipping) — coalesce concatenates
+      // adjacent partitions, so the range-clustered table keeps
+      // contiguous prunable ranges at the coarser granularity
+      SnapshotTable.compact(spark, root, targetFiles = 4)
+      val afterCompact = SnapshotTable.readPruned(spark, root, lit(25L),
         lit(34L))
-      assert(fallback.filesRead === fallback.filesTotal)
-      assert(fallback.df.where(col("k").between(25L, 34L)).count() === 10)
+      assert(afterCompact.filesTotal === 4)
+      assert(afterCompact.filesRead < afterCompact.filesTotal,
+        "compaction dropped the stats manifest — pruning went dark")
+      assert(afterCompact.df.where(col("k").between(25L, 34L))
+        .count() === 10)
       // the clustered version's manifest is still intact for time
       // travel readers of v1 (it lives inside the version dir)
-      assert(spark.read.parquet(s"$root/v=$v1/_stats").count() === 8)
+      assert(spark.read.parquet(s"$root/v=$v1/_manifest").count() === 8)
     }
   }
 
@@ -247,15 +252,16 @@ class SnapshotTableSpec extends AnyFunSuite {
         assert(box.filesRead < b1.filesRead,
           s"z ${box.filesRead} !< 1-D ${b1.filesRead}")
       }
-      // a predicate on a column with NO manifest prunes nothing but
-      // stays correct; an all-manifest-less version full-scans
+      // a predicate on a column with NO manifest stats prunes nothing
+      // but stays correct; a single-file compaction leaves nothing TO
+      // skip (1 of 1 read) while staying exact
       val noCol = SnapshotTable.readPrunedBox(spark, root,
         Seq(("id", lit(0L), lit(0L))))
       assert(noCol.filesRead === noCol.filesTotal)
       SnapshotTable.compact(spark, root)
       val fb = SnapshotTable.readPrunedBox(spark, root,
         Seq(("x", lit(8L), lit(15L))))
-      assert(fb.filesRead === fb.filesTotal)
+      assert(fb.filesRead === fb.filesTotal && fb.filesTotal === 1)
       assert(fb.df.count() === 1024)
     }
   }
@@ -307,7 +313,10 @@ class SnapshotTableSpec extends AnyFunSuite {
       SnapshotTable.commit(spark, root)(st =>
         st.get.unionByName(img(2L -> "b")))
       assert(SnapshotTable.read(spark, root).get.count() === 2)
-      // a commit whose afterStage fails must clean its stage up
+      // a commit whose afterStage fails must clean BOTH its staging
+      // dir and its freshly written (unreferenced) data segment
+      val segsBefore = new java.io.File(root).listFiles()
+        .count(_.getName.startsWith("seg-"))
       intercept[RuntimeException] {
         SnapshotTable.commit(spark, root, 2,
           afterStage = _ => throw new RuntimeException("stats died"))(
@@ -316,6 +325,9 @@ class SnapshotTableSpec extends AnyFunSuite {
       val stages = new java.io.File(root).listFiles()
         .filter(_.getName.startsWith(".stage-"))
       assert(stages.isEmpty, stages.mkString(","))
+      assert(new java.io.File(root).listFiles()
+        .count(_.getName.startsWith("seg-")) === segsBefore,
+        "failed commit leaked a data segment")
       // version count unchanged by the failed commit
       assert(SnapshotTable.committedVersions(spark, root).size === 2)
     }
@@ -357,8 +369,11 @@ class SnapshotTableSpec extends AnyFunSuite {
       assert(SnapshotTable.readVersion(spark, root, v2).columns.toSeq
         === Seq("k", "v", "score"))
       // an old version read under the merged schema: readable, score
-      // is NULL for every pre-evolution row
-      val mergedOld = spark.read.schema(cur.schema).parquet(s"$root/v=$v1")
+      // is NULL for every pre-evolution row (read via the version's
+      // manifest-listed files — the version dir holds metadata only)
+      val v1Files = SnapshotTable.dataFiles(spark, root, v1)
+        .map(f => s"$root/$f")
+      val mergedOld = spark.read.schema(cur.schema).parquet(v1Files: _*)
       assert(mergedOld.count() === 2)
       assert(mergedOld.select("score").collect().forall(_.isNullAt(0)))
       // compaction (a plain commit) preserves the evolved schema
@@ -390,6 +405,248 @@ class SnapshotTableSpec extends AnyFunSuite {
       // 3-commit build
       assert(vs.map(v =>
         SnapshotTable.readVersion(spark, root, v).count()) === Seq(1L, 2L, 3L))
+    }
+  }
+
+  private def fsFor(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("commitAppend is O(delta): each append writes only its own " +
+      "files, carries history by reference, and never rewrites a " +
+      "committed byte") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      def batch(i: Int) = img((1 to 3).map(j =>
+        (i * 10L + j, s"b$i-$j")): _*).repartition(2)
+      (1 to 4).foreach(i =>
+        graft.streaming.SnapshotTable.commitAppend(spark, root, batch(i),
+          retain = 10))
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(vs.size === 4)
+      // O(delta) accounting: files_total grows by exactly the delta's
+      // files; files_new stays flat at the delta size — version K
+      // never rewrites versions 1..K-1
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(SnapshotTable.fileCount(spark, root, v) === 2 * (i + 1))
+        assert(SnapshotTable.newFiles(spark, root, v).size === 2,
+          s"v=$v wrote more than its delta")
+      }
+      // the file chain is strictly cumulative: v_k ⊇ v_{k-1}
+      vs.sliding(2).foreach { case Seq(a, b) =>
+        val fa = SnapshotTable.dataFiles(spark, root, a).toSet
+        val fb = SnapshotTable.dataFiles(spark, root, b).toSet
+        assert(fa.subsetOf(fb))
+      }
+      // physical immutability: v1's data files keep byte length AND
+      // mtime across three later appends — nothing touched them
+      val v1Stats = SnapshotTable.dataFiles(spark, root, vs.head).map {
+        f =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            s"$root/$f"))
+          (f, st.getLen, st.getModificationTime)
+      }
+      graft.streaming.SnapshotTable.commitAppend(spark, root, batch(5),
+        retain = 10)
+      v1Stats.foreach { case (f, len, mtime) =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/$f"))
+        assert((st.getLen, st.getModificationTime) === ((len, mtime)),
+          s"append rewrote committed file $f")
+      }
+      // content: version k is the union of batches 1..k
+      assert(vs.map(v =>
+        SnapshotTable.readVersion(spark, root, v).count())
+        === Seq(3L, 6L, 9L, 12L))
+      assert(SnapshotTable.read(spark, root).get
+        .where(col("k") === 21L).select("v").first().getString(0)
+        === "b2-1")
+    }
+  }
+
+  test("readSince serves exactly the rows appended after a version; a " +
+      "full-image rewrite makes every file new (documented)") {
+    withRoot { root =>
+      def batch(i: Int) = img((1 to 4).map(j =>
+        (i * 10L + j, s"b$i")): _*)
+      (1 to 3).foreach(i =>
+        graft.streaming.SnapshotTable.commitAppend(spark, root, batch(i),
+          retain = 10))
+      val vs = SnapshotTable.committedVersions(spark, root)
+      // since v1 as of v3: batches 2 and 3, nothing else
+      val delta = graft.streaming.SnapshotTable.readSince(spark, root,
+        Some(vs(0)), Some(vs(2)))
+      assert(delta.count() === 8)
+      assert(delta.select("v").distinct().collect().map(_.getString(0))
+        .toSet === Set("b2", "b3"))
+      // since v2 as of v2: empty, schema preserved
+      val none = graft.streaming.SnapshotTable.readSince(spark, root,
+        Some(vs(1)), Some(vs(1)))
+      assert(none.count() === 0)
+      assert(none.columns.toSeq === Seq("k", "v"))
+      // sinceV = None reads everything
+      assert(graft.streaming.SnapshotTable.readSince(spark, root, None)
+        .count() === 12)
+      // a compaction rewrites the image into fresh files — incremental
+      // consumers see everything as new (the documented limit; row-level
+      // change capture is the cdc_* keys' territory)
+      val preCompact = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.compact(spark, root)
+      assert(graft.streaming.SnapshotTable.readSince(spark, root,
+        Some(preCompact)).count() === 12)
+    }
+  }
+
+  test("append-chain schema evolution: ADD COLUMN without rewriting " +
+      "history — per-version schema, nulls only under the merged " +
+      "schema, type changes rejected loudly") {
+    withRoot { root =>
+      import spark.implicits._
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        img(1L -> "a", 2L -> "b"), retain = 10)
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val v1Files = SnapshotTable.dataFiles(spark, root, v1).toSet
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        Seq((3L, "c", 7.5)).toDF("k", "v", "score"), retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // no history rewrite: v2 references v1's files as-is
+      assert(v1Files.subsetOf(
+        SnapshotTable.dataFiles(spark, root, v2).toSet))
+      // per-version schema
+      assert(SnapshotTable.readVersion(spark, root, v1).columns.toSeq
+        === Seq("k", "v"))
+      val cur = SnapshotTable.readVersion(spark, root, v2)
+      assert(cur.columns.toSeq === Seq("k", "v", "score"))
+      assert(cur.where(col("k") === 1L).select("score")
+        .first().isNullAt(0))
+      assert(cur.where(col("k") === 3L).select("score")
+        .first().getDouble(0) === 7.5)
+      // a type CHANGE on a shared column is silent-corruption fuel —
+      // the merge refuses it
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.SnapshotTable.commitAppend(spark, root,
+          Seq(("4", "d")).toDF("k", "v"), retain = 10)
+      }
+      assert(e.getMessage.contains("ADD COLUMN only"))
+    }
+  }
+
+  test("appends carry per-file stats by REFERENCE: historical files " +
+      "keep their recorded pruning ranges un-re-read, fresh files get " +
+      "fresh stats, stats-less deltas stay conservative") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 40L).map(k => (k, s"v$k")): _*), "k", 4))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val statsV1 = spark.read.parquet(s"$root/v=$v1/_manifest")
+        .orderBy("file").collect().map(_.toSeq)
+      // append WITHOUT restating statsCols — inherited from the base
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        SnapshotTable.clusterBy(
+          img((41L to 80L).map(k => (k, s"v$k")): _*), "k", 4),
+        retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val manifestV2 = spark.read.parquet(s"$root/v=$v2/_manifest")
+      assert(manifestV2.count() === 8)
+      // the carried rows are BYTE-IDENTICAL to v1's manifest — history
+      // was referenced, never recomputed
+      val carried = manifestV2
+        .where(col("file").isin(statsV1.map(_.head.toString): _*))
+        .orderBy("file").collect().map(_.toSeq)
+      assert(carried === statsV1)
+      // pruning spans the whole chain: an old-range window touches only
+      // old files, a new-range window only new ones
+      val oldHit = SnapshotTable.readPruned(spark, root, lit(5L), lit(14L))
+      assert(oldHit.filesTotal === 8 && oldHit.filesRead <= 2)
+      assert(oldHit.df.where(col("k").between(5L, 14L)).count() === 10)
+      val newHit = SnapshotTable.readPruned(spark, root, lit(45L),
+        lit(54L))
+      assert(newHit.filesRead <= 2)
+      assert(newHit.df.where(col("k").between(45L, 54L)).count() === 10)
+      // a delta MISSING the stats column records NULL ranges — its
+      // files are always read (conservative), never silently skipped
+      import spark.implicits._
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        Seq(Tuple1("statless")).toDF("v"), retain = 10)
+      val anyHit = SnapshotTable.readPruned(spark, root, lit(1000L),
+        lit(2000L))
+      assert(anyHit.filesRead === 1, "null-stats file must survive " +
+        "every prune")
+      assert(anyHit.df.where(col("v") === "statless").count() === 1)
+    }
+  }
+
+  test("refcounted vacuum: segments shared with retained versions " +
+      "survive version-dir retention; aged unreferenced segments are " +
+      "reclaimed") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      def segs() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .toSeq.map(_.getPath.getName).filter(_.startsWith("seg-")).sorted
+      def batch(i: Int) = img((i * 10L) -> s"b$i")
+      (1 to 3).foreach(i =>
+        graft.streaming.SnapshotTable.commitAppend(spark, root, batch(i),
+          retain = 2))
+      // v1's DIR is vacuumed (retain=2), but its SEGMENT is still
+      // referenced by v2 and v3's manifests — both read their full image
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(vs.size === 2)
+      assert(SnapshotTable.readVersion(spark, root, vs.head).count() === 2)
+      assert(SnapshotTable.readVersion(spark, root, vs.last).count() === 3)
+      assert(segs().size === 3)
+      // a full-image rewrite drops every reference to the append
+      // chain's segments; they linger inside the age gate (an in-flight
+      // commit protection), and are reclaimed once aged
+      SnapshotTable.commit(spark, root, retain = 1)(_ => img(99L -> "z"))
+      val keep = segs().toSet -- SnapshotTable.dataFiles(spark, root,
+        SnapshotTable.latestVersion(spark, root).get)
+        .map(_.takeWhile(_ != '/')).toSet
+      assert(keep.nonEmpty)
+      assert(segs().size === 4, "fresh unreferenced segments must " +
+        "survive the gate")
+      keep.foreach(n => fs.setTimes(new org.apache.hadoop.fs.Path(
+        s"$root/$n"), System.currentTimeMillis() - 16 * 60 * 1000L, -1))
+      SnapshotTable.commit(spark, root, retain = 1)(st =>
+        st.get.unionByName(img(100L -> "zz")))
+      val after = segs()
+      assert(keep.forall(n => !after.contains(n)),
+        s"aged unreferenced segments not reclaimed: $after")
+      // the live image is intact
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+    }
+  }
+
+  test("legacy self-contained versions interop: readable, and the " +
+      "first commitAppend migrates them with one full commit") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      // hand-build a pre-round-15 version: data directly in v=1 plus
+      // the marker — exactly what an existing table on disk looks like
+      img(1L -> "a", 2L -> "b").write.parquet(s"$root/v=1")
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/v=1/_COMMITTED"),
+        false).close()
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+      assert(SnapshotTable.fileCount(spark, root, 1L) >= 1)
+      // append on the legacy base: migrated via one full commit (its
+      // files can't be referenced in place — legacy retention deletes
+      // version dirs WITH their data); the result is manifest-backed
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        img(3L -> "c"), retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.readVersion(spark, root, v2)
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L))
+      assert(SnapshotTable.dataFiles(spark, root, v2)
+        .forall(_.startsWith("seg-")))
+      // the legacy version itself is still time-travelable
+      assert(SnapshotTable.readVersion(spark, root, 1L).count() === 2)
+      // and a SECOND append is O(delta) against the migrated base
+      graft.streaming.SnapshotTable.commitAppend(spark, root,
+        img(4L -> "d"), retain = 10)
+      val v3 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.dataFiles(spark, root, v2).toSet.subsetOf(
+        SnapshotTable.dataFiles(spark, root, v3).toSet))
+      assert(SnapshotTable.readVersion(spark, root, v3).count() === 4)
     }
   }
 
