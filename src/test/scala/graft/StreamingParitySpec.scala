@@ -162,6 +162,119 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("TTL'd MapState and ListState expire between micro-batches " +
+      "under RocksDB (round-15: the non-Value state shapes' TTL story); " +
+      "long TTLs retain everything") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def ev(id: Long, uid: Long, typ: String) =
+        Ev(id, uid, new java.sql.Timestamp(id), id * 1000L, typ, 0.0)
+      // same polling discipline as the ValueState TTL case: in
+      // TimeMode.ProcessingTime the operator always reports work
+      // pending, so processAllAvailable would block forever
+      def poll[T](name: String, input: MemoryStream[Ev],
+          query: org.apache.spark.sql.streaming.StreamingQuery,
+          batches: Seq[(Seq[Ev], Long)]): Unit = {
+        // start from the rows already sunk — a zero base would let the
+        // wait satisfy itself on the pre-batch rows and assert early
+        var want = spark.table(name).count()
+        batches.foreach { case (evs, expectRows) =>
+          input.addData(evs: _*)
+          want += expectRows
+          val deadline = System.nanoTime() + 120L * 1000L * 1000000L
+          while (spark.table(name).count() < want) {
+            query.exception.foreach(throw _)
+            assert(System.nanoTime() < deadline,
+              s"sink $name still below $want rows after 120 s")
+            Thread.sleep(50)
+          }
+        }
+        query.stop()
+      }
+      def start[T](name: String)(mk: MemoryStream[Ev] =>
+          org.apache.spark.sql.Dataset[T]):
+          (MemoryStream[Ev],
+            org.apache.spark.sql.streaming.StreamingQuery) = {
+        val input = MemoryStream[Ev]
+        val query = mk(input).writeStream.format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"))
+          .outputMode("append").start()
+        (input, query)
+      }
+      // --- MapState TTL: an expired (user, type) entry re-admits the
+      // type; batch 2 pairs the duplicate with a fresh type so the
+      // kept-TTL run still lands a row to synchronize on
+      def runDedup(name: String, ttl: java.time.Duration,
+          sleepMs: Long, dupPasses: Boolean): Unit = {
+        val (input, query) = start(name)(in =>
+          Streams.dedupTwsTtl(in.toDS(), ttl))
+        input.addData(ev(1L, 42L, "view"))
+        val deadline = System.nanoTime() + 120L * 1000L * 1000000L
+        while (spark.table(name).count() < 1) {
+          query.exception.foreach(throw _)
+          assert(System.nanoTime() < deadline, "first row never landed")
+          Thread.sleep(50)
+        }
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        poll(name, input, query,
+          Seq((Seq(ev(2L, 42L, "view"), ev(3L, 42L, "click")),
+            if (dupPasses) 2L else 1L)))
+        val got = spark.table(name).orderBy("event_id")
+          .collect().map(r => (r.getAs[String]("event_type"),
+            r.getAs[Long]("event_id"))).toSeq
+        if (dupPasses)
+          assert(got === Seq(("view", 1L), ("view", 2L), ("click", 3L)),
+            s"$name: expired view entry must re-admit the type")
+        else
+          assert(got === Seq(("view", 1L), ("click", 3L)),
+            s"$name: live view entry must still dedup")
+      }
+      runDedup("map_ttl_expired", java.time.Duration.ofMillis(500),
+        2500L, dupPasses = true)
+      runDedup("map_ttl_kept", java.time.Duration.ofMinutes(10), 0L,
+        dupPasses = false)
+      // --- ListState TTL: elements expire INDIVIDUALLY, so the live
+      // buffer count resets after the horizon and accumulates inside it
+      def runBuf(name: String, ttl: java.time.Duration,
+          sleepMs: Long): Seq[(Long, Long)] = {
+        val (input, query) = start(name)(in =>
+          Streams.recentBufferTws(in.toDS(), ttl))
+        input.addData(ev(1L, 7L, "view"))
+        val deadline = System.nanoTime() + 120L * 1000L * 1000000L
+        while (spark.table(name).count() < 1) {
+          query.exception.foreach(throw _)
+          assert(System.nanoTime() < deadline, "first row never landed")
+          Thread.sleep(50)
+        }
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        poll(name, input, query, Seq((Seq(ev(2L, 7L, "view")), 1L)))
+        spark.table(name).orderBy("event_id")
+          .collect().map(r => (r.getAs[Long]("event_id"),
+            r.getAs[Long]("buffered"))).toSeq
+      }
+      assert(runBuf("list_ttl_expired",
+        java.time.Duration.ofMillis(500), 2500L)
+        === Seq((1L, 1L), (2L, 1L)),
+        "batch-1 element must have expired out of the list")
+      assert(runBuf("list_ttl_kept",
+        java.time.Duration.ofMinutes(10), 0L)
+        === Seq((1L, 1L), (2L, 2L)),
+        "long TTL must retain the batch-1 element")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupTws (transformWithState MapState + RocksDB) == " +
       "stream_dedup_keys batch") {
     val key = "spark.sql.streaming.stateStore.providerClass"
