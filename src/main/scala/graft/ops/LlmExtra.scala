@@ -488,9 +488,12 @@ object LlmExtra {
     * (default) takes one count of `pairs` and picks hook below
     * `spark.graft.ccAutoEdges`, star above. THE UNIT IS ROWS OF
     * `pairs` (undirected candidate pairs, half the directed edge
-    * count): the A/B tied at ×10 = 6M pairs and star won at ×30 =
-    * 18M pairs, so the default threshold is 12M — the midpoint of the
-    * measured crossover band in pair units. `spark.graft
+    * count): the round-14 A/B tied at ×10 = 6M pairs and star won at
+    * ×30 = 18M pairs; the round-15 probe AT the old 12M midpoint
+    * (×20 = 12.0M pairs, interleaved median-of-5 under 64 GiB) came
+    * back hook 24.1 s vs star 32.3 s — a clear hook win, so the
+    * crossover lies in (12M, 18M] and the default threshold is 15M,
+    * the midpoint of the TIGHTENED band in pair units. `spark.graft
     * .ccAlgo=hook|star` forces either. Callers pass a materialized or
     * cheap-to-rescan `pairs` (both call sites do: the persisted dedup
     * pair list, the parquet-artifact-backed trade graph), so the
@@ -503,7 +506,7 @@ object LlmExtra {
       case Some("hook") => connectedComponents(pairs, dedupePerRound)
       case _ =>
         val thresh = s.conf.getOption("spark.graft.ccAutoEdges")
-          .map(_.toLong).getOrElse(12000000L)
+          .map(_.toLong).getOrElse(15000000L)
         if (pairs.count() > thresh) connectedComponentsStar(pairs)
         else connectedComponents(pairs, dedupePerRound)
     }

@@ -685,6 +685,57 @@ object Scans {
             col("n_new_rows"), col("sum_value"),
             lit(incr).as("incremental"))
       }.reduce(_.unionAll(_)).orderBy("version")
+    }),
+
+    // FILE-GRANULAR MERGE over the snapshot table (round 15; the
+    // second half of the O(delta) story — commitAppend covers appends,
+    // this covers the genre's bread-and-butter KEYED UPSERT): the
+    // table is committed once as the per-user latest image of the
+    // even-event_id batch, range-clustered on user_id into 8 files
+    // with a stats manifest; the merge batch is the odd-event_id
+    // events of the BOTTOM QUARTER of the user range (localized — the
+    // production shape: today's updates touch recent/segmented keys),
+    // and commitMerge rewrites ONLY the files that actually contain a
+    // batch user: stats-manifest range pruning finds candidates, an
+    // exact content semi-join picks the touched files, untouched
+    // files carry by reference. Output: the merged latest image plus a
+    // structural `file_merge` boolean (files_new < files_total — the
+    // merge provably did NOT rewrite the table). At 100 TB a localized
+    // daily upsert costs the overlapping files, not the table; a
+    // pure-insert batch costs an append.
+    "table_merge_pruned" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val root = Artifacts.scratch(s, s"merge_pruned_${tag}_$snap")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      val uCap = ev.agg(floor(max(col("user_id")) / 4.0).cast("long"))
+        .first().getLong(0)
+      buildVersionsOnce(s, root, 2) { i =>
+        if (i == 0)
+          graft.streaming.SnapshotTable.commitWithStats(
+            s, root, "user_id", retain = 2)(_ =>
+            graft.streaming.SnapshotTable.clusterBy(
+              upsertMerge(None,
+                ev.where(pmod(col("event_id"), lit(2)) === 0)),
+              "user_id", 8))
+        else
+          graft.streaming.SnapshotTable.commitMerge(s, root,
+            ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+              col("user_id") <= uCap),
+            "user_id", retain = 2)(upsertMerge)
+        ()
+      }
+      val v = graft.streaming.SnapshotTable.latestVersion(s, root).get
+      val merged =
+        graft.streaming.SnapshotTable.newFiles(s, root, v).size <
+          graft.streaming.SnapshotTable.fileCount(s, root, v)
+      graft.streaming.SnapshotTable.read(s, root).get
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+        .withColumn("file_merge", lit(merged))
+        .orderBy("user_id")
     })
   )
 
@@ -859,6 +910,23 @@ object Scans {
         |FROM events JOIN (VALUES (1), (2), (3), (4)) AS k(v)
         |  ON event_id % 4 < k.v
         |GROUP BY k.v ORDER BY version""".stripMargin,
+    // the merged latest image ≡ argmax over batch-0 events plus the
+    // localized batch-1 events; `file_merge` is the structural
+    // assertion that the merge carried ≥1 file by reference
+    "table_merge_pruned" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, event_type, ts, value FROM events
+        |  WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_type, ts, value FROM events
+        |  WHERE event_id % 2 = 1 AND user_id <=
+        |    (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |     FROM events))
+        |SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        | round(value, 2) AS value, TRUE AS file_merge
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM src)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the board over the pruned snapshot must equal the plain filtered
     // aggregate over orders (skipping is metadata-only); `pruned` is
     // the structural assertion that the manifest skipped ≥1 file

@@ -245,6 +245,16 @@ object SnapshotTable {
       .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
   }
 
+  /** Root-relative path of the file a row came from (the last two URI
+    * components: `seg-x/part-y.parquet`, or `v=N/part-y.parquet` for
+    * legacy dirs) — the manifest's `file` naming, derivable inside any
+    * scan via input_file_name. */
+  private def relFile: Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("/", element_at(split(input_file_name(), "/"), -2),
+      element_at(split(input_file_name(), "/"), -1))
+  }
+
   /** Manifest rows for the new segment's files: (file, rows,
     * min__c/max__c per requested column present in the segment). With
     * stats columns this is ONE distributed pass over the segment (the
@@ -271,9 +281,7 @@ object SnapshotTable {
         min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
         count(lit(1)).as("rows")
       s.read.parquet(s"$root/$segName")
-        .groupBy(concat_ws("/",
-          element_at(split(input_file_name(), "/"), -2),
-          element_at(split(input_file_name(), "/"), -1)).as("file"))
+        .groupBy(relFile.as("file"))
         .agg(aggs.head, aggs.tail: _*)
     }
   }
@@ -369,9 +377,102 @@ object SnapshotTable {
     }
   }
 
+  /** FILE-GRANULAR MERGE — the O(affected-files) write path for keyed
+    * upserts (Delta/Iceberg merge-on-write shape; round 15, closing
+    * the second half of the round-14 `weak`: [[commitAppend]] fixed
+    * appends, but a merge still rewrote the whole image): only the
+    * data files that ACTUALLY CONTAIN a batch key are rewritten;
+    * every other file carries forward by reference in the manifest.
+    *
+    * Protocol: (1) CANDIDATE files by stats-manifest range pruning on
+    * `mergeKey` (optimization only — no-stats files stay candidates);
+    * (2) TOUCHED files exactly, by semi-joining candidate rows against
+    * the batch's distinct keys and collecting their file names —
+    * content-based, so correctness never depends on files having
+    * disjoint key ranges; (3) the new segment holds the touched files'
+    * non-batch-key rows COPIED VERBATIM plus
+    * `resolve(existingBatchKeyRows, batch)` — the resolver only ever
+    * decides batch keys' final rows (`existing` is None when the table
+    * is empty or no batch key is present), so a key cohabiting a
+    * touched file is passed through byte-for-byte and can never be
+    * collapsed against one file while surviving in another;
+    * (4) untouched manifest rows carry, stats included, and the fresh
+    * segment gets stats on `mergeKey` (inherited columns kept) so the
+    * NEXT merge prunes too. A localized daily upsert against a
+    * key-clustered 100 TB table rewrites the handful of overlapping
+    * files instead of the table; a pure-insert batch touches ZERO
+    * files — it degenerates to [[commitAppend]]'s cost. A legacy base
+    * takes one full rewriting merge (migration, as commitAppend).
+    * Batch plans are evaluated a few times (key-range agg, touched
+    * probe, resolve) — persist a costly batch before calling. */
+  def commitMerge(s: SparkSession, root: String, batch: DataFrame,
+      mergeKey: String, retain: Int = 2)(
+      resolve: (Option[DataFrame], DataFrame) => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(s, root)
+    val base = latestVersion(s, root)
+    val inherited = base.map(v => statsColsOf(s, root, v)).getOrElse(Nil)
+    val statsCols = (inherited :+ mergeKey).distinct
+    def fullMerge(cur: DataFrame): DataFrame = {
+      val keys = batch.select(col(mergeKey)).distinct()
+      cur.join(keys, Seq(mergeKey), "left_anti")
+        .unionByName(
+          resolve(Some(cur.join(keys, Seq(mergeKey), "left_semi")),
+            batch),
+          allowMissingColumns = true)
+    }
+    base match {
+      case None =>
+        commitCore(s, root, retain, statsCols, carriedFrom = None)(_ =>
+          resolve(None, batch))
+      case Some(v) if !isManifestVersion(fs, root, v) =>
+        // legacy self-contained base: one full rewriting merge migrates
+        // to the manifest layout (same reasoning as commitAppend)
+        commitCore(s, root, retain, statsCols, carriedFrom = None)(cur =>
+          fullMerge(cur.get))
+      case Some(v) =>
+        val schema = schemaOfVersion(s, root, v)
+        require(schema.fieldNames.contains(mergeKey),
+          s"merge key '$mergeKey' not in table schema")
+        val all = dataFiles(s, root, v)
+        val candidates: Seq[String] =
+          if (!statsColsOf(s, root, v).contains(mergeKey)) all
+          else {
+            val b = batch.agg(min(col(mergeKey)), max(col(mergeKey)))
+              .first()
+            if (b.isNullAt(0)) Seq.empty // empty/all-null-key batch
+            else manifestDf(s, root, v)
+              .where(col(s"min__$mergeKey").isNull ||
+                col(s"max__$mergeKey").isNull ||
+                (col(s"max__$mergeKey") >= lit(b.get(0)) &&
+                  col(s"min__$mergeKey") <= lit(b.get(1))))
+              .select("file").collect().map(_.getString(0)).toSeq
+          }
+        val touched: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else {
+            val keys = batch.select(col(mergeKey).as("_graft_k"))
+              .distinct()
+            s.read.schema(schema)
+              .parquet(candidates.map(f => s"$root/$f"): _*)
+              .select(col(mergeKey), relFile.as("_graft_file"))
+              .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
+              .select("_graft_file").distinct()
+              .collect().map(_.getString(0)).toSet
+          }
+        commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
+          carryOnly = Some(all.toSet -- touched)) { _ =>
+          if (touched.isEmpty) resolve(None, batch)
+          else fullMerge(s.read.schema(schema)
+            .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
+        }
+    }
+  }
+
   private def commitCore(s: SparkSession, root: String, retain: Int,
       statsCols: Seq[String], carriedFrom: Option[Long],
-      afterStage: String => Unit = _ => ())(
+      afterStage: String => Unit = _ => (),
+      carryOnly: Option[Set[String]] = None)(
       transform: Option[DataFrame] => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
     val fs = fsOf(s, root)
@@ -401,7 +502,14 @@ object SnapshotTable {
       // (conservatively unprunable) instead of failing the commit
       val usable = statsCols.filter(image.schema.fieldNames.contains)
       val fresh = segmentManifest(s, root, segName, usable)
-      val carried = carriedFrom.map(v => manifestDf(s, root, v))
+      val carried = carriedFrom.map { v =>
+        val all = manifestDf(s, root, v)
+        carryOnly.fold(all)(keep =>
+          if (keep.isEmpty) all.where(org.apache.spark.sql.functions
+            .lit(false))
+          else all.where(org.apache.spark.sql.functions.col("file")
+            .isin(keep.toSeq: _*)))
+      }
       val manifest = carried.fold(fresh)(c =>
         c.unionByName(fresh, allowMissingColumns = true))
       manifest.coalesce(1).write.mode("overwrite")

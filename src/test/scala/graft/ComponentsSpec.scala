@@ -113,7 +113,7 @@ class ComponentsSpec extends AnyFunSuite {
       finally saved.foreach { case (k, ov) =>
         ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
     }
-    // default threshold (12M pairs) keeps this 20-edge graph on the hook
+    // default threshold (15M pairs) keeps this 20-edge graph on the hook
     assert(rounds(LlmExtra.componentsAuto(spark, df).collect())
       === hookRounds)
     // threshold 0: auto must pick star

@@ -616,6 +616,95 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("commitMerge rewrites ONLY files containing batch keys: " +
+      "untouched files carry by reference un-rewritten, pass-through " +
+      "rows survive verbatim, and a pure-insert batch touches zero " +
+      "files") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      // 80 keys range-clustered into 8 files (~10 keys each), stats on k
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 80L).map(k => (k, s"old$k")): _*), "k", 8))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val v1Stat = SnapshotTable.dataFiles(spark, root, v1).map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/$f"))
+        (f, st.getLen, st.getModificationTime)
+      }
+      // a LOCALIZED batch: keys 5-7 live in one of the 8 files
+      SnapshotTable.commitMerge(spark, root,
+        img(5L -> "new5", 6L -> "new6", 7L -> "new7"), "k",
+        retain = 10)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val newF = SnapshotTable.newFiles(spark, root, v2)
+      val carried = SnapshotTable.dataFiles(spark, root, v2).toSet --
+        newF.toSet
+      // 7 of the 8 clustered files carried by reference; only the one
+      // file whose range holds 5-7 was dropped and rewritten
+      assert(carried.size === 7, s"carried $carried")
+      // the carried files are PHYSICALLY untouched
+      v1Stat.filter(s => carried.contains(s._1)).foreach {
+        case (f, len, mtime) =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            s"$root/$f"))
+          assert((st.getLen, st.getModificationTime) === ((len, mtime)),
+            s"merge rewrote untouched file $f")
+      }
+      // content: batch keys replaced, pass-through keys of the touched
+      // file verbatim, everything else intact — 80 rows exactly
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.count() === 80)
+      assert(cur.where(col("k").isin(5L, 6L, 7L)).orderBy("k")
+        .collect().map(_.getString(1)).toSeq
+        === Seq("new5", "new6", "new7"))
+      assert(cur.where(!col("k").isin(5L, 6L, 7L))
+        .collect().forall(_.getString(1).startsWith("old")))
+      // the fresh segment carries stats on k: a pruned read for the
+      // merged range skips the carried files
+      val hit = SnapshotTable.readPruned(spark, root, lit(5L), lit(7L))
+      assert(hit.filesRead < hit.filesTotal)
+      assert(hit.df.where(col("k").between(5L, 7L)).count() === 3)
+      // PURE INSERT: keys 100-101 exist in no file — zero files
+      // rewritten, the merge degenerates to an append
+      SnapshotTable.commitMerge(spark, root,
+        img(100L -> "ins100", 101L -> "ins101"), "k",
+        retain = 10)((ex, b) => {
+          assert(ex.forall(_.isEmpty), "insert batch matched rows")
+          b
+        })
+      val v3 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.dataFiles(spark, root, v2).toSet.subsetOf(
+        SnapshotTable.dataFiles(spark, root, v3).toSet),
+        "pure insert must carry every existing file")
+      assert(SnapshotTable.read(spark, root).get.count() === 82)
+    }
+  }
+
+  test("commitMerge stays exact when a key's rows span files with " +
+      "overlapping ranges: touch detection is content-based, " +
+      "pass-through rows are never collapsed") {
+    withRoot { root =>
+      import spark.implicits._
+      // two rows per key, HASH-spread over 4 files — a key's rows land
+      // in different files and every file's [min,max] overlaps
+      val rows = (1L to 40L).flatMap(k => Seq((k, s"a$k"), (k, s"b$k")))
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        rows.toDF("k", "v").repartition(4))
+      // replace key 5's rows with ONE batch row; every file containing
+      // key 5 must be rewritten, and keys cohabiting those files keep
+      // BOTH their rows (copied verbatim, never argmax'd away)
+      SnapshotTable.commitMerge(spark, root, img(5L -> "merged5"), "k",
+        retain = 10)((_, b) => b)
+      val cur = SnapshotTable.read(spark, root).get
+      val expected = rows.filterNot(_._1 == 5L) :+ (5L -> "merged5")
+      val exp = expected.toDF("k", "v")
+      assert(cur.count() === exp.count())
+      assert(cur.exceptAll(exp).count() === 0)
+      assert(exp.exceptAll(cur).count() === 0)
+    }
+  }
+
   test("legacy self-contained versions interop: readable, and the " +
       "first commitAppend migrates them with one full commit") {
     withRoot { root =>
