@@ -93,7 +93,8 @@ object Bench {
     "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
-    "table_incremental_append" -> 1.5, "table_schema_evolution" -> 0.91,
+    "table_incremental_append" -> 1.5, "table_merge_pruned" -> 1.5,
+    "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
     "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,
     "udtf_generator" -> 0.4, "win_dist" -> 1.45,

@@ -88,6 +88,16 @@ object SnapshotTable {
 
   private val manifestDir = "_manifest"
   private val schemaFile = "_schema.ddl"
+  /** Driver-side FILE-LIST sidecar (one root-relative path per line),
+    * written atomically with the manifest: the metadata reads that only
+    * need the file list (version resolution, readVersion, readSince,
+    * newFiles, fileCount, the vacuum refcount) cost a text read instead
+    * of a Spark job each — at local[32] micro-commit latencies that is
+    * the difference between a table build costing its data writes and
+    * costing a dozen 100 ms job launches; the typed parquet manifest
+    * stays the source for per-file STATS (pruning needs native-typed
+    * min/max). */
+  private val filesSidecar = "_files"
   private val segPrefix = "seg-"
   /** Legacy (pre-round-15) per-version stats manifests — still read so
     * tables committed under the old layout keep pruning. */
@@ -133,7 +143,12 @@ object SnapshotTable {
     * files). Sorted for determinism. */
   def dataFiles(s: SparkSession, root: String, v: Long): Seq[String] = {
     val fs = fsOf(s, root)
-    if (isManifestVersion(fs, root, v))
+    val sidecar = new Path(s"$root/v=$v/$filesSidecar")
+    if (fs.exists(sidecar))
+      readText(fs, sidecar).split("\n").toSeq
+        .filter(_.nonEmpty).sorted
+    else if (isManifestVersion(fs, root, v))
+      // manifest versions written before the sidecar existed
       manifestDf(s, root, v).select("file").collect()
         .map(_.getString(0)).toSeq.sorted
     else fs.listStatus(new Path(s"$root/v=$v")).toSeq
@@ -256,13 +271,17 @@ object SnapshotTable {
   }
 
   /** Manifest rows for the new segment's files: (file, rows,
-    * min__c/max__c per requested column present in the segment). With
-    * stats columns this is ONE distributed pass over the segment (the
-    * delta only — never the table); without, a pure driver-side
-    * listing — a plain commit re-reads ZERO bytes of what it just
-    * wrote. */
+    * min__c/max__c per requested column present in the segment),
+    * returned with the segment's file list. With stats columns this is
+    * ONE distributed pass over the segment (the delta only — never the
+    * table), collected driver-side (files_total rows — manifest-scale
+    * by definition) and left-merged with the LISTING so a 0-row part
+    * file still appears (null stats, conservatively unprunable);
+    * without, a pure driver-side listing — a plain commit re-reads
+    * ZERO bytes of what it just wrote. */
   private def segmentManifest(s: SparkSession, root: String,
-      segName: String, statsCols: Seq[String]): DataFrame = {
+      segName: String,
+      statsCols: Seq[String]): (Seq[String], DataFrame) = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)
     val files = fs.listStatus(new Path(s"$root/$segName")).toSeq
@@ -271,18 +290,25 @@ object SnapshotTable {
     if (statsCols.isEmpty || files.isEmpty) {
       val rows: java.util.List[Row] =
         java.util.Arrays.asList(files.map(f => Row(f, null)): _*)
-      s.createDataFrame(rows, StructType(Seq(
+      (files, s.createDataFrame(rows, StructType(Seq(
         StructField("file", StringType, nullable = false),
-        StructField("rows", LongType, nullable = true))))
+        StructField("rows", LongType, nullable = true)))))
     } else {
       // ONE pass computes every column's per-file stats (re-scanning
       // the fresh segment once per column would be N delta passes)
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
         count(lit(1)).as("rows")
-      s.read.parquet(s"$root/$segName")
+      val agg = s.read.parquet(s"$root/$segName")
         .groupBy(relFile.as("file"))
         .agg(aggs.head, aggs.tail: _*)
+      val outSchema = StructType(agg.schema.fields.map(
+        _.copy(nullable = true)))
+      val byFile = agg.collect().map(r => r.getString(0) -> r).toMap
+      val rows = files.map(f => byFile.getOrElse(f,
+        Row.fromSeq(f +: Seq.fill(outSchema.size - 1)(null))))
+      (files, s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), outSchema))
     }
   }
 
@@ -477,8 +503,14 @@ object SnapshotTable {
     require(retain >= 1, "retain must keep at least the new version")
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
-    require(carriedFrom.forall(base.contains),
-      s"append base $carriedFrom is not the current version $base")
+    // a superseded append/merge base is a lost RACE, not a caller bug —
+    // it must carry the same loud "conflict" IllegalStateException the
+    // base re-check below throws, so adopt-the-winner retry loops
+    // (buildVersionsOnce) recognize it
+    if (!carriedFrom.forall(base.contains))
+      throw new IllegalStateException(
+        s"snapshot commit conflict at $root: base $carriedFrom " +
+          s"superseded by $base before the commit started")
     val segName = s"$segPrefix${java.util.UUID.randomUUID()}"
     val segAbs = s"$root/$segName"
     val segPath = new Path(segAbs)
@@ -501,7 +533,11 @@ object SnapshotTable {
       // stats column absent from an evolved delta records NULL ranges
       // (conservatively unprunable) instead of failing the commit
       val usable = statsCols.filter(image.schema.fieldNames.contains)
-      val fresh = segmentManifest(s, root, segName, usable)
+      val (freshFiles, fresh) = segmentManifest(s, root, segName, usable)
+      val carriedFiles = carriedFrom.map { v =>
+        val all = dataFiles(s, root, v)
+        carryOnly.fold(all)(keep => all.filter(keep.contains))
+      }.getOrElse(Seq.empty)
       val carried = carriedFrom.map { v =>
         val all = manifestDf(s, root, v)
         carryOnly.fold(all)(keep =>
@@ -514,6 +550,8 @@ object SnapshotTable {
         c.unionByName(fresh, allowMissingColumns = true))
       manifest.coalesce(1).write.mode("overwrite")
         .parquet(s"$stage/$manifestDir")
+      writeText(fs, new Path(s"$stage/$filesSidecar"),
+        (carriedFiles ++ freshFiles).mkString("\n"))
       val schema = carriedFrom match {
         case Some(v) => mergeSchemas(schemaOfVersion(s, root, v),
           image.schema)

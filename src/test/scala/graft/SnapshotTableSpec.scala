@@ -640,9 +640,10 @@ class SnapshotTableSpec extends AnyFunSuite {
       val newF = SnapshotTable.newFiles(spark, root, v2)
       val carried = SnapshotTable.dataFiles(spark, root, v2).toSet --
         newF.toSet
-      // 7 of the 8 clustered files carried by reference; only the one
-      // file whose range holds 5-7 was dropped and rewritten
-      assert(carried.size === 7, s"carried $carried")
+      // nearly all of the 8 clustered files carry by reference — keys
+      // 5-7 are adjacent, so they live in 1 file (2 if a sampled range
+      // boundary falls between them; boundaries vary per session)
+      assert(carried.size >= 6, s"carried $carried")
       // the carried files are PHYSICALLY untouched
       v1Stat.filter(s => carried.contains(s._1)).foreach {
         case (f, len, mtime) =>
