@@ -104,7 +104,17 @@ object SnapshotTable {
   private val legacyStatsDir = "_stats"
   private val legacyStatsColsDir = "_stats_cols"
 
+  /** Manifest-backed = has a file-list sidecar or a stats manifest;
+    * the parquet manifest itself is OPTIONAL (written only when some
+    * file carries stats — a stats-less table's versions are fully
+    * served by the text sidecar, so its commits launch zero metadata
+    * Spark jobs). */
   private def isManifestVersion(fs: FileSystem, root: String,
+      v: Long): Boolean =
+    fs.exists(new Path(s"$root/v=$v/$filesSidecar")) ||
+      hasStatsManifest(fs, root, v)
+
+  private def hasStatsManifest(fs: FileSystem, root: String,
       v: Long): Boolean =
     fs.exists(new Path(s"$root/v=$v/$manifestDir"))
 
@@ -255,7 +265,7 @@ object SnapshotTable {
   private def statsColsOf(s: SparkSession, root: String,
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
-    if (!isManifestVersion(fs, root, v)) Nil
+    if (!hasStatsManifest(fs, root, v)) Nil
     else manifestDf(s, root, v).schema.fieldNames.toSeq
       .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
   }
@@ -538,18 +548,35 @@ object SnapshotTable {
         val all = dataFiles(s, root, v)
         carryOnly.fold(all)(keep => all.filter(keep.contains))
       }.getOrElse(Seq.empty)
-      val carried = carriedFrom.map { v =>
-        val all = manifestDf(s, root, v)
-        carryOnly.fold(all)(keep =>
-          if (keep.isEmpty) all.where(org.apache.spark.sql.functions
-            .lit(false))
-          else all.where(org.apache.spark.sql.functions.col("file")
-            .isin(keep.toSeq: _*)))
+      // the parquet stats manifest is written only when SOME file
+      // carries stats (fresh or inherited) — a stats-less table's
+      // version is fully served by the text sidecar, so its commit
+      // launches no metadata Spark job at all
+      val baseHasStats = carriedFrom.exists(v =>
+        hasStatsManifest(fs, root, v))
+      if (usable.nonEmpty || baseHasStats) {
+        val carried = carriedFrom.map { v =>
+          if (hasStatsManifest(fs, root, v)) {
+            val all = manifestDf(s, root, v)
+            carryOnly.fold(all)(keep =>
+              if (keep.isEmpty) all.where(org.apache.spark.sql
+                .functions.lit(false))
+              else all.where(org.apache.spark.sql.functions.col("file")
+                .isin(keep.toSeq: _*)))
+          } else {
+            // a stats-less base carries as driver rows (file, null)
+            val rows: java.util.List[Row] = java.util.Arrays.asList(
+              carriedFiles.map(f => Row(f, null)): _*)
+            s.createDataFrame(rows, StructType(Seq(
+              StructField("file", StringType, nullable = false),
+              StructField("rows", LongType, nullable = true))))
+          }
+        }
+        val manifest = carried.fold(fresh)(c =>
+          c.unionByName(fresh, allowMissingColumns = true))
+        manifest.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/$manifestDir")
       }
-      val manifest = carried.fold(fresh)(c =>
-        c.unionByName(fresh, allowMissingColumns = true))
-      manifest.coalesce(1).write.mode("overwrite")
-        .parquet(s"$stage/$manifestDir")
       writeText(fs, new Path(s"$stage/$filesSidecar"),
         (carriedFiles ++ freshFiles).mkString("\n"))
       val schema = carriedFrom match {
