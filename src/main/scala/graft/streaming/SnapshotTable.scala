@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   *
   * Layout under `root/`:
   *   seg-&lt;uuid&gt;/part-*.parquet   immutable data segments, written once
-  *   v=N/_manifest/              parquet FILE LIST: (file, rows,
-  *                               min__c/max__c per stats column)
+  *   v=N/_files                  text FILE LIST, one root-relative
+  *                               path per line (driver-cheap metadata)
+  *   v=N/_manifest/              parquet stats manifest: (file, rows,
+  *                               min__c/max__c per stats column) —
+  *                               OPTIONAL, present iff stats exist
   *   v=N/_schema.ddl             the version's served schema
   *   v=N/_COMMITTED              atomic commit marker (exclusive create)
   *
