@@ -692,8 +692,11 @@ object SnapshotTable {
     * manifest AND aged past the orphan gate is reclaimed. Shared
     * segments (an append chain's history) survive as long as any
     * retained version references them — deleting version k's MANIFEST
-    * never tears files out from under version k+1. */
-  private def vacuum(s: SparkSession, root: String, retain: Int): Unit = {
+    * never tears files out from under version k+1. Runs after every
+    * commit; public (the table formats' explicit VACUUM) so an ops job
+    * can also reclaim a table nobody is writing to — e.g. after its
+    * final compaction left the old fragmented segments aging. */
+  def vacuum(s: SparkSession, root: String, retain: Int): Unit = {
     val fs = fsOf(s, root)
     val vs = versionsOf(s, root)
     vs.dropRight(retain).foreach(v =>
