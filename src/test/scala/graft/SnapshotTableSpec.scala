@@ -551,7 +551,8 @@ class SnapshotTableSpec extends AnyFunSuite {
       // the carried rows are BYTE-IDENTICAL to v1's manifest — history
       // was referenced, never recomputed
       val carried = manifestV2
-        .where(col("file").isin(statsV1.map(_.head.toString): _*))
+        .where(col("file").isin(
+          statsV1.map(_.head.toString).toIndexedSeq: _*))
         .orderBy("file").collect().map(_.toSeq)
       assert(carried === statsV1)
       // pruning spans the whole chain: an old-range window touches only
@@ -680,6 +681,29 @@ class SnapshotTableSpec extends AnyFunSuite {
         SnapshotTable.dataFiles(spark, root, v3).toSet),
         "pure insert must carry every existing file")
       assert(SnapshotTable.read(spark, root).get.count() === 82)
+    }
+  }
+
+  test("commitMerge with an empty batch: no file touched, no row " +
+      "changed, the version still advances atomically") {
+    withRoot { root =>
+      import spark.implicits._
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 20L).map(k => (k, s"v$k")): _*), "k", 2))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val before = SnapshotTable.dataFiles(spark, root, v1).toSet
+      SnapshotTable.commitMerge(spark, root,
+        Seq.empty[(Long, String)].toDF("k", "v"), "k",
+        retain = 10)((ex, b) => {
+          assert(ex.isEmpty, "empty batch must not resolve existing rows")
+          b
+        })
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      assert(v2 === v1 + 1)
+      assert(before.subsetOf(
+        SnapshotTable.dataFiles(spark, root, v2).toSet))
+      assert(SnapshotTable.read(spark, root).get.count() === 20)
     }
   }
 
