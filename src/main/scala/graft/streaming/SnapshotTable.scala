@@ -500,7 +500,7 @@ object SnapshotTable {
               .collect().map(_.getString(0)).toSet
           }
         commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
-          carryOnly = Some(all.toSet -- touched)) { _ =>
+          dropCarried = touched) { _ =>
           if (touched.isEmpty) resolve(None, batch)
           else fullMerge(s.read.schema(schema)
             .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
@@ -511,7 +511,7 @@ object SnapshotTable {
   private def commitCore(s: SparkSession, root: String, retain: Int,
       statsCols: Seq[String], carriedFrom: Option[Long],
       afterStage: String => Unit = _ => (),
-      carryOnly: Option[Set[String]] = None)(
+      dropCarried: Set[String] = Set.empty)(
       transform: Option[DataFrame] => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
     val fs = fsOf(s, root)
@@ -548,8 +548,7 @@ object SnapshotTable {
       val usable = statsCols.filter(image.schema.fieldNames.contains)
       val (freshFiles, fresh) = segmentManifest(s, root, segName, usable)
       val carriedFiles = carriedFrom.map { v =>
-        val all = dataFiles(s, root, v)
-        carryOnly.fold(all)(keep => all.filter(keep.contains))
+        dataFiles(s, root, v).filterNot(dropCarried.contains)
       }.getOrElse(Seq.empty)
       // the parquet stats manifest is written only when SOME file
       // carries stats (fresh or inherited) — a stats-less table's
@@ -561,11 +560,18 @@ object SnapshotTable {
         val carried = carriedFrom.map { v =>
           if (hasStatsManifest(fs, root, v)) {
             val all = manifestDf(s, root, v)
-            carryOnly.fold(all)(keep =>
-              if (keep.isEmpty) all.where(org.apache.spark.sql
-                .functions.lit(false))
-              else all.where(org.apache.spark.sql.functions.col("file")
-                .isin(keep.toSeq: _*)))
+            // exclude the DROPPED (merge-touched) files by broadcast
+            // anti-join, never by isin over the kept set: the kept set
+            // is the WHOLE TABLE minus a few touched files — at 100 TB
+            // that would put ~800k string literals in the plan, while
+            // the touched list stays small by design
+            if (dropCarried.isEmpty) all
+            else {
+              import s.implicits._
+              all.join(org.apache.spark.sql.functions.broadcast(
+                dropCarried.toSeq.toDF("file")), Seq("file"),
+                "left_anti")
+            }
           } else {
             // a stats-less base carries as driver rows (file, null)
             val rows: java.util.List[Row] = java.util.Arrays.asList(
