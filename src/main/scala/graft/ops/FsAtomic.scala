@@ -25,6 +25,35 @@ private[graft] object FsAtomic {
       m.contains("not implemented")
   }
 
+  /** Per-FileSystem-class verdict on whether createNonRecursive works
+    * at all, learned by an explicit PROBE (round-15 advice: deciding
+    * from IOException message substrings alone turns every
+    * zero-contention publish on a differently-worded connector into a
+    * permanent commit conflict). Cached by class: capability is a
+    * property of the implementation, not the path. */
+  private val nonRecursiveSupport =
+    new java.util.concurrent.ConcurrentHashMap[Class[_], Boolean]()
+
+  /** Ground-truth probe: try createNonRecursive on a fresh throwaway
+    * name next to `near` (same store, parent known to exist at probe
+    * time). Any refusal — either exception type — means the store
+    * doesn't serve the call; success means it does, so a later
+    * IOException from the REAL marker create is a genuine conflict. */
+  private def probeNonRecursive(fs: FileSystem, near: Path): Boolean = {
+    val p = new Path(near.getParent,
+      s".graft-cap-probe-${java.util.UUID.randomUUID()}")
+    try {
+      fs.createNonRecursive(p, false, 4096,
+        fs.getDefaultReplication(p), fs.getDefaultBlockSize(p),
+        null).close()
+      fs.delete(p, false)
+      true
+    } catch {
+      case _: UnsupportedOperationException => false
+      case _: java.io.IOException => false
+    }
+  }
+
   /** Create `marker` exclusively WITHOUT re-creating missing parents.
     * Throws IllegalStateException when the marker already exists, the
     * parent dir vanished, or the store refused the create — the caller
@@ -50,9 +79,26 @@ private[graft] object FsAtomic {
       null).close()
     catch {
       case _: UnsupportedOperationException => fallback()
-      case e: java.io.IOException if unsupported(e) => fallback()
       case e: java.io.IOException =>
-        fail(s"taken, or the dir vanished: ${e.getMessage}")
+        // ambiguous: "not implemented" or a genuine conflict? The
+        // message heuristic is only a fast path — the cached per-class
+        // probe is the ground truth, so a connector that words its
+        // refusal differently degrades to the fallback instead of
+        // failing every zero-contention publish forever. The probe
+        // itself can only run when the parent still exists (otherwise
+        // the fallback's own parent check fails loudly anyway).
+        if (unsupported(e)) fallback()
+        else if (!fs.exists(marker.getParent))
+          // the refusal was the call working as intended (no parent to
+          // attach to) — don't probe (and above all don't CACHE a
+          // verdict learned while the store was in that state)
+          fail(s"parent dir vanished: ${e.getMessage}")
+        else {
+          val supported = nonRecursiveSupport.computeIfAbsent(
+            fs.getClass, _ => probeNonRecursive(fs, marker))
+          if (!supported) fallback()
+          else fail(s"taken, or the dir vanished: ${e.getMessage}")
+        }
     }
   }
 

@@ -57,6 +57,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * refcounted vacuum) is exactly this. */
 object SnapshotTable {
 
+  /** `expectedBase` sentinel: skip the CAS check (the single-writer
+    * default — the publish-time re-check still turns a physical
+    * overlap into a loud conflict). */
+  val AnyBase: Long = Long.MinValue
+  /** `expectedBase` value asserting the table has NO committed version
+    * yet — the CAS form of "create". */
+  val EmptyBase: Long = -1L
+
   private def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -101,6 +109,9 @@ object SnapshotTable {
     * stays the source for per-file STATS (pruning needs native-typed
     * min/max). */
   private val filesSidecar = "_files"
+  /** Per-version idempotence token `appId\nbatchId` (the Delta `txn`
+    * action analog) — see [[lastCommittedBatch]]. */
+  private val txnFile = "_txn"
   private val segPrefix = "seg-"
   /** Legacy (pre-round-15) per-version stats manifests — still read so
     * tables committed under the old layout keep pruning. */
@@ -241,6 +252,90 @@ object SnapshotTable {
     else s.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
   }
 
+  /** Highest `batchId` any RETAINED committed version records for
+    * stream `appId` (versions carry the token via the `txn` parameter
+    * of [[commitAppend]]/[[commitMerge]]) — the replay guard a
+    * foreachBatch sink consults before committing: at-least-once
+    * replay re-delivers a batch id the table already absorbed, and
+    * `lastCommittedBatch >= batchId` means SKIP. Driver-cheap: one
+    * small text read per retained version, no Spark job. Retention
+    * caveat (same as Delta's txn retention): the token vanishes with
+    * its vacuumed version dir, so `retain` must exceed the replay
+    * horizon — Structured Streaming replays at most the LAST
+    * uncommitted batch, so the default retain=2 already covers it. */
+  def lastCommittedBatch(s: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val fs = fsOf(s, root)
+    val ids = versionsOf(s, root).flatMap { v =>
+      val p = new Path(s"$root/v=$v/$txnFile")
+      if (!fs.exists(p)) None
+      else readText(fs, p).split("\n", 2) match {
+        case Array(a, b) if a == appId =>
+          scala.util.Try(b.trim.toLong).toOption
+        case _ => None
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** ROW-LEVEL CHANGELOG between two committed versions (Delta CDF /
+    * Iceberg changelog-scan analog; round-15 verdict item 2): emits
+    * `vTo`'s rows-with-change-kind relative to `vFrom` under `vTo`'s
+    * schema plus a `_change_type` column in {insert, delete,
+    * update_preimage, update_postimage}, keyed by `key`.
+    *
+    * O(touched), not O(table): the manifests say exactly which data
+    * files the span REWROTE — files present in both versions carried
+    * by reference and contribute NOTHING (their rows are bitwise
+    * identical), so only `vFrom`-only files (pre-images) and
+    * `vTo`-only files (post-images) are read. Rows a merge copied
+    * VERBATIM into a fresh segment (pass-through cohabitants of a
+    * touched file) appear in both reads and cancel under bag
+    * difference (`exceptAll`), so they never surface as phantom
+    * updates. Classification: a surviving post-row whose key has no
+    * surviving pre-row is an insert; a pre-row without post-rows is a
+    * delete; keys on both sides pair as update_preimage /
+    * update_postimage (pairing assumes the table is a latest-image —
+    * one live row per key — like every upsert table here; multi-row
+    * keys still classify insert/delete exactly and surface multi-row
+    * updates as pre/post sets). Downstream: feed the +/- rows through
+    * the changelog algebra (`cdc_retract_agg`,
+    * `Streams.changelogLatestImage`) for incremental consumption of a
+    * MERGED table — `readSince` alone only serves append-only chains.
+    * Schema evolution rides: both sides read under `vTo`'s schema
+    * (ADD-COLUMN-only, so it is a superset; missing columns are NULL
+    * by parquet name-matching). */
+  def readChanges(s: SparkSession, root: String, vFrom: Long,
+      vTo: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versionsOf(s, root)
+    require(vs.contains(vFrom), s"version $vFrom not committed")
+    require(vs.contains(vTo), s"version $vTo not committed")
+    val schema = schemaOfVersion(s, root, vTo)
+    require(schema.fieldNames.contains(key),
+      s"change key '$key' not in v=$vTo schema")
+    val from = dataFiles(s, root, vFrom).toSet
+    val to = dataFiles(s, root, vTo).toSet
+    def readSet(files: Set[String]): DataFrame =
+      if (files.isEmpty) emptyFrame(s, schema)
+      else s.read.schema(schema)
+        .parquet(files.toSeq.sorted.map(f => s"$root/$f"): _*)
+    // verbatim-carried rows cancel; only genuinely changed rows survive
+    val pre = readSet(from -- to).exceptAll(readSet(to -- from))
+    val post = readSet(to -- from).exceptAll(readSet(from -- to))
+    val preK = pre.select(col(key)).distinct()
+    val postK = post.select(col(key)).distinct()
+    val ct = "_change_type"
+    post.join(preK, Seq(key), "left_anti")
+      .withColumn(ct, lit("insert"))
+      .unionByName(pre.join(postK, Seq(key), "left_anti")
+        .withColumn(ct, lit("delete")))
+      .unionByName(pre.join(postK, Seq(key), "left_semi")
+        .withColumn(ct, lit("update_preimage")))
+      .unionByName(post.join(preK, Seq(key), "left_semi")
+        .withColumn(ct, lit("update_postimage")))
+  }
+
   /** A marker-less `v=N` dir older than this is an orphan from a
     * commit that died between its rename and its marker create — no
     * in-flight commit can still be publishing it (rename is atomic;
@@ -264,13 +359,25 @@ object SnapshotTable {
 
   /** Stats columns version `v`'s manifest carries (the `min__c` /
     * `max__c` pairs) — what [[compact]] and [[commitAppend]] inherit
-    * so data skipping SURVIVES maintenance and appends. */
+    * so data skipping SURVIVES maintenance and appends. A LEGACY
+    * (pre-manifest) version reports its `_stats_cols/<c>` children so
+    * the migrating commit inherits the layout instead of silently
+    * dropping data skipping (round-15 advice; the ancient single-col
+    * `_stats` dir records no column NAME, so it alone can't be
+    * inherited — migration from it starts stats-less, loudly
+    * documented here rather than silently elsewhere). */
   private def statsColsOf(s: SparkSession, root: String,
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
-    if (!hasStatsManifest(fs, root, v)) Nil
-    else manifestDf(s, root, v).schema.fieldNames.toSeq
-      .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
+    if (hasStatsManifest(fs, root, v))
+      manifestDf(s, root, v).schema.fieldNames.toSeq
+        .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
+    else {
+      val legacy = new Path(s"$root/v=$v/$legacyStatsColsDir")
+      if (!fs.exists(legacy)) Nil
+      else fs.listStatus(legacy).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+    }
   }
 
   /** Root-relative path of the file a row came from (the last two URI
@@ -354,12 +461,22 @@ object SnapshotTable {
     * base re-check, the rename landing check, or the exclusive marker
     * create, and can never clobber the winner's files; a failed commit
     * leaves at most an unreferenced segment and an invisible staging
-    * dir, both reclaimed by the age-gated sweeps. */
+    * dir, both reclaimed by the age-gated sweeps.
+    *
+    * `expectedBase` is the CAS form (metastore-CAS analog, closing the
+    * read-then-commit race the loud-conflict protocol alone leaves: a
+    * racer landing BETWEEN a caller's version resolution and its
+    * commit went undetected unless the two commits physically
+    * overlapped): pass the version the caller planned against
+    * ([[EmptyBase]] for "must not exist yet") and the commit conflicts
+    * loudly when the table moved — never applies on a base the caller
+    * didn't see. [[AnyBase]] (default) skips the check. */
   def commit(s: SparkSession, root: String, retain: Int = 2,
-      afterStage: String => Unit = _ => ())(
+      afterStage: String => Unit = _ => (),
+      expectedBase: Long = AnyBase)(
       transform: Option[DataFrame] => DataFrame): Long =
-    commitCore(s, root, retain, Nil, carriedFrom = None, afterStage)(
-      transform)
+    commitCore(s, root, retain, Nil, carriedFrom = None, afterStage,
+      casBase = expectedBase)(transform)
 
   /** [[commit]] with a FILE-LEVEL MIN/MAX STATS MANIFEST on `statsCol`
     * (the data-skipping metadata every table format keeps — Iceberg
@@ -400,21 +517,43 @@ object SnapshotTable {
     * delta lacks record NULL stats — conservatively unprunable. A
     * LEGACY (pre-manifest) base is migrated by one full commit — its
     * files cannot be referenced in place, because legacy retention
-    * deletes version dirs WITH their data. */
+    * deletes version dirs WITH their data (its `_stats_cols` layout IS
+    * inherited, so migration keeps data skipping).
+    *
+    * `expectedBase` = CAS commit (see [[commit]]); `txn` records an
+    * idempotence token `(appId, batchId)` in the version (see
+    * [[lastCommittedBatch]]) — the Delta `txn` action shape streaming
+    * sinks replay-guard with. */
   def commitAppend(s: SparkSession, root: String, delta: DataFrame,
-      statsCols: Option[Seq[String]] = None, retain: Int = 2): Long = {
+      statsCols: Option[Seq[String]] = None, retain: Int = 2,
+      expectedBase: Long = AnyBase,
+      txn: Option[(String, Long)] = None): Long = {
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
+    casCheck(root, base, expectedBase)
     val inherited = statsCols.getOrElse(
       base.map(v => statsColsOf(s, root, v)).getOrElse(Nil))
     base match {
       case Some(v) if !isManifestVersion(fs, root, v) =>
-        commitCore(s, root, retain, inherited, carriedFrom = None)(cur =>
+        commitCore(s, root, retain, inherited, carriedFrom = None,
+          casBase = expectedBase, txn = txn)(cur =>
           cur.get.unionByName(delta, allowMissingColumns = true))
       case b =>
-        commitCore(s, root, retain, inherited, carriedFrom = b)(_ => delta)
+        commitCore(s, root, retain, inherited, carriedFrom = b,
+          casBase = expectedBase, txn = txn)(_ => delta)
     }
   }
+
+  /** The CAS precondition both at plan time (here — fail before any
+    * work) and inside [[commitCore]] right before the segment build
+    * (the window between the two is re-checked at publish). */
+  private def casCheck(root: String, base: Option[Long],
+      expected: Long): Unit =
+    if (expected != AnyBase && base.getOrElse(EmptyBase) != expected)
+      throw new IllegalStateException(
+        s"snapshot commit conflict at $root: expected base " +
+          s"${if (expected == EmptyBase) "<empty>" else s"v=$expected"} " +
+          s"but latest is ${base.fold("<empty>")(v => s"v=$v")}")
 
   /** FILE-GRANULAR MERGE — the O(affected-files) write path for keyed
     * upserts (Delta/Iceberg merge-on-write shape; round 15, closing
@@ -442,16 +581,38 @@ object SnapshotTable {
     * files instead of the table; a pure-insert batch touches ZERO
     * files — it degenerates to [[commitAppend]]'s cost. A legacy base
     * takes one full rewriting merge (migration, as commitAppend).
-    * Batch plans are evaluated a few times (key-range agg, touched
-    * probe, resolve) — persist a costly batch before calling. */
-  def commitMerge(s: SparkSession, root: String, batch: DataFrame,
-      mergeKey: String, retain: Int = 2)(
+    *
+    * The batch plan is referenced by three stages (key-range agg,
+    * touched-file probe, resolve), so it is PINNED internally for the
+    * duration of the commit (persisted memory-and-disk, unpersisted in
+    * finally; a batch the caller already persisted is used as-is): the
+    * touched set and the resolved rows are computed from ONE
+    * materialization even for a non-deterministic batch plan
+    * (rand/sample, a source mutating mid-commit) — re-evaluation there
+    * would be a CORRECTNESS hole (a key counted for the touched set
+    * but absent at resolve survives twice), not just a cost. The one
+    * standard Spark caveat remains: a lost executor recomputes lost
+    * cached partitions from lineage.
+    *
+    * `expectedBase` = CAS commit (see [[commit]]); `txn` = replay
+    * guard (see [[commitAppend]], [[lastCommittedBatch]]). */
+  def commitMerge(s: SparkSession, root: String, batch0: DataFrame,
+      mergeKey: String, retain: Int = 2,
+      expectedBase: Long = AnyBase,
+      txn: Option[(String, Long)] = None)(
       resolve: (Option[DataFrame], DataFrame) => DataFrame): Long = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
+    casCheck(root, base, expectedBase)
     val inherited = base.map(v => statsColsOf(s, root, v)).getOrElse(Nil)
     val statsCols = (inherited :+ mergeKey).distinct
+    val wasCached =
+      batch0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val batch = if (wasCached) batch0
+      else batch0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     def fullMerge(cur: DataFrame): DataFrame = {
       val keys = batch.select(col(mergeKey)).distinct()
       cur.join(keys, Seq(mergeKey), "left_anti")
@@ -462,12 +623,14 @@ object SnapshotTable {
     }
     base match {
       case None =>
-        commitCore(s, root, retain, statsCols, carriedFrom = None)(_ =>
+        commitCore(s, root, retain, statsCols, carriedFrom = None,
+          casBase = expectedBase, txn = txn)(_ =>
           resolve(None, batch))
       case Some(v) if !isManifestVersion(fs, root, v) =>
         // legacy self-contained base: one full rewriting merge migrates
         // to the manifest layout (same reasoning as commitAppend)
-        commitCore(s, root, retain, statsCols, carriedFrom = None)(cur =>
+        commitCore(s, root, retain, statsCols, carriedFrom = None,
+          casBase = expectedBase, txn = txn)(cur =>
           fullMerge(cur.get))
       case Some(v) =>
         val schema = schemaOfVersion(s, root, v)
@@ -500,22 +663,31 @@ object SnapshotTable {
               .collect().map(_.getString(0)).toSet
           }
         commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
-          dropCarried = touched) { _ =>
+          dropCarried = touched, casBase = expectedBase, txn = txn) { _ =>
           if (touched.isEmpty) resolve(None, batch)
           else fullMerge(s.read.schema(schema)
             .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
         }
+    }
+    } finally {
+      if (!wasCached) { batch.unpersist(blocking = false); () }
     }
   }
 
   private def commitCore(s: SparkSession, root: String, retain: Int,
       statsCols: Seq[String], carriedFrom: Option[Long],
       afterStage: String => Unit = _ => (),
-      dropCarried: Set[String] = Set.empty)(
+      dropCarried: Set[String] = Set.empty,
+      casBase: Long = AnyBase,
+      txn: Option[(String, Long)] = None)(
       transform: Option[DataFrame] => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
+    txn.foreach { case (appId, _) =>
+      require(appId.nonEmpty && !appId.contains("\n"),
+        "txn appId must be a non-empty single-line token") }
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
+    casCheck(root, base, casBase)
     // a superseded append/merge base is a lost RACE, not a caller bug —
     // it must carry the same loud "conflict" IllegalStateException the
     // base re-check below throws, so adopt-the-winner retry loops
@@ -588,6 +760,10 @@ object SnapshotTable {
       }
       writeText(fs, new Path(s"$stage/$filesSidecar"),
         (carriedFiles ++ freshFiles).mkString("\n"))
+      // idempotence token — atomic with the version by living in the
+      // staged dir (the Delta `txn` action shape)
+      txn.foreach { case (appId, batchId) =>
+        writeText(fs, new Path(s"$stage/$txnFile"), s"$appId\n$batchId") }
       val schema = carriedFrom match {
         case Some(v) => mergeSchemas(schemaOfVersion(s, root, v),
           image.schema)
@@ -940,11 +1116,16 @@ object SnapshotTable {
     * for free: readers pinned to the fragmented version keep it until
     * the vacuum horizon passes, a racing data commit wins or loses
     * exactly like any commit, and time travel still serves the
-    * pre-compaction image. Returns the new version. */
-  def compact(s: SparkSession, root: String, targetFiles: Int = 1): Long = {
+    * pre-compaction image. Returns the new version. `retain` must
+    * match the table's write-side horizon (round-15 advice: hardcoding
+    * 2 here let a maintenance pass silently vacuum the history a
+    * retain=10 writer was preserving — time travel destroyed by the
+    * janitor). */
+  def compact(s: SparkSession, root: String, targetFiles: Int = 1,
+      retain: Int = 2): Long = {
     val inherited = latestVersion(s, root)
       .map(v => statsColsOf(s, root, v)).getOrElse(Nil)
-    commitCore(s, root, 2, inherited, carriedFrom = None) { cur =>
+    commitCore(s, root, retain, inherited, carriedFrom = None) { cur =>
       require(cur.isDefined, s"compact: no committed version at $root")
       cur.get.coalesce(targetFiles)
     }

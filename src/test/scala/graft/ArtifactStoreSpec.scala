@@ -411,4 +411,34 @@ class ArtifactStoreSpec extends AnyFunSuite {
     graft.ops.OpCache.release(s)
     s.catalog.clearCache()
   }
+
+  test("createMarkerExclusive on a store refusing createNonRecursive " +
+      "with UNRECOGNIZED wording: the capability probe learns the " +
+      "truth and falls back — zero-contention publish succeeds, a " +
+      "taken marker still conflicts") {
+    val fs = new RefusingCreateFileSystem
+    fs.initialize(java.net.URI.create("refusefs:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val dir = freshRoot()
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED")
+    // before the probe (round-15 advice) this threw a permanent
+    // IllegalStateException conflict on a completely uncontended dir
+    graft.ops.FsAtomic.createMarkerExclusive(fs, marker, "probe test")
+    assert(new java.io.File(dir, "_COMMITTED").isFile)
+    // no probe litter left next to the marker
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-cap-probe-")))
+    // genuine contention stays loud through the fallback
+    val taken = intercept[IllegalStateException] {
+      graft.ops.FsAtomic.createMarkerExclusive(fs, marker, "probe test")
+    }
+    assert(taken.getMessage.contains("taken"))
+    // a vanished parent stays loud too
+    val gone = intercept[IllegalStateException] {
+      graft.ops.FsAtomic.createMarkerExclusive(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/nope/_COMMITTED"),
+        "probe test")
+    }
+    assert(gone.getMessage.contains("vanished"))
+  }
 }

@@ -31,6 +31,20 @@ object CopyFsControl {
   }
 }
 
+/** A store that refuses `createNonRecursive` with an IOException whose
+  * wording matches NONE of FsAtomic's unsupported-message heuristics —
+  * the round-15-advice case: before the capability probe, every
+  * zero-contention publish on such a connector read as a permanent
+  * commit conflict. */
+class RefusingCreateFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("refusefs:///")
+  override def createNonRecursive(f: Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    throw new java.io.IOException("operation refused by store")
+}
+
 class CopyRenameFileSystem extends RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("copyfs:///")
 

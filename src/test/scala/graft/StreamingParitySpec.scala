@@ -1704,4 +1704,67 @@ class StreamingParitySpec extends AnyFunSuite {
     // post-swap hygiene: the fallback was consumed, not left dangling
     assert(!new java.io.File(statePath + ".prev").exists())
   }
+
+  test("snapshotMergeStream: micro-batches land as manifest merge " +
+      "commits converging to the batch upsert image; a replayed batch " +
+      "id commits NOTHING") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("snap_stream").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("snap_stream_ck").toString
+    try {
+      val input = MemoryStream[Ev]
+      val query = Streams.snapshotMergeStream(input.toDF(), root, ck,
+        "user_id", appId = "parity", retain = 4)(ops.Scans.upsertMerge)
+      val chunks = allEvents.grouped((allEvents.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      query.stop()
+      import graft.streaming.SnapshotTable
+      // the table converged to the batch latest image over ALL events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = allEvents.toDF()
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val got = SnapshotTable.read(spark, root).get
+      assert(got.count() === expected.count())
+      assert(got.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(got).count() === 0)
+      // one merge commit per micro-batch, each manifest-backed; the
+      // replay guard knows the last landed batch id
+      val versions = SnapshotTable.committedVersions(spark, root)
+      assert(versions.size === chunks.size)
+      val last = SnapshotTable.lastCommittedBatch(spark, root, "parity")
+      assert(last === Some(chunks.size - 1L))
+      // crash-replay: the checkpoint lost batch N but the table has it —
+      // re-delivering the SAME batch id must commit nothing (the
+      // foreachBatch body is the seam, called directly)
+      val replay = chunks.last.toDF()
+      val committed = Streams.snapshotMergeBatch(root, "user_id",
+        "parity", retain = 4)(ops.Scans.upsertMerge)(
+        replay, chunks.size - 1L)
+      assert(!committed, "replayed batch id must be skipped")
+      assert(SnapshotTable.committedVersions(spark, root) === versions)
+      // ... while the NEXT batch id commits
+      val advanced = Streams.snapshotMergeBatch(root, "user_id",
+        "parity", retain = 4)(ops.Scans.upsertMerge)(
+        replay, chunks.size.toLong)
+      assert(advanced)
+      assert(SnapshotTable.committedVersions(spark, root).size ===
+        versions.size + 1)
+      // idempotent content: replaying already-absorbed rows as a new
+      // batch id cannot change the image
+      val after = SnapshotTable.read(spark, root).get
+      assert(after.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(after).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ck))
+    }
+  }
 }
