@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-metadata ceiling rehearsal (round-16; the round-15 verdict's
+  * missing #3): SnapshotTable plans versions by COLLECTING the stats
+  * manifest to the driver — the Iceberg/Delta planning model — but
+  * that ceiling was asserted, never measured. This tool fabricates a
+  * committed version whose manifest carries N SYNTHETIC carried-file
+  * entries (disjoint key ranges far above the real data, so every
+  * planning path prunes them without ever opening them — the files
+  * never exist on disk) on top of a small REAL segment, then times the
+  * metadata plane at N = 1k / 10k / 100k files:
+  *
+  *   resolve   latestVersion (marker listing)
+  *   files     dataFiles (text sidecar read, N lines)
+  *   plan      readPrunedBox planning — the manifest filter + the
+  *             driver-side (file, keep) collect, N rows
+  *   merge     a 1k-row LOCALIZED commitMerge end-to-end: candidate
+  *             range pruning over the N-row manifest, content probe on
+  *             the real candidates only, carried-manifest anti-join
+  *             over N rows, N-line sidecar rewrite
+  *   append    a 50k-row commitAppend: carried manifest union + write
+  *
+  * plus the driver heap delta across the planning calls. The claim
+  * under test: planning stays flat-ish (manifest-scale, not
+  * data-scale) to 100k files — the point where a production table
+  * swaps this path for a metastore/manifest-of-manifests. Fabrication
+  * writes the version layout directly (manifest parquet + _files
+  * sidecar + _schema.ddl + _COMMITTED) — rehearsal scaffolding with
+  * knowledge of the on-disk contract, not an API bypass available to
+  * users.
+  *
+  * Usage: sbt "runMain graft.ManifestScale [runs] [N ...]"
+  * (defaults: 3 runs; N = 1000, 10000, 100000) */
+object ManifestScale {
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    val ns =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1000, 10000, 100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SnapshotTable
+
+    val scaleRoot = sys.env.getOrElse("SPARK_GRAFT_TABLE_DIR",
+      "/tmp/graft_manifestscale")
+
+    def rows(from: Long, n: Long, parts: Int): DataFrame =
+      spark.range(from, from + n, 1L, parts)
+        .select(col("id").as("key"),
+          pmod(xxhash64(col("id")), lit(86400000000L)).as("ts"),
+          concat(lit("payload-"), xxhash64(col("id"), lit(13)))
+            .as("tag"))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def usedMb(): Long = {
+      System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+
+    val lines = ns.map { n =>
+      val root = s"$scaleRoot/x$n"
+      val fsPath = new org.apache.hadoop.fs.Path(root)
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      // real base: 200k rows key-clustered into 8 files, stats on key
+      SnapshotTable.commitWithStats(spark, root, "key", retain = 8)(_ =>
+        SnapshotTable.clusterBy(rows(0L, 200000L, 8), "key", 8))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      // fabricate v2 = v1's content plus n synthetic carried entries
+      // whose key ranges [1e9, ...) never overlap real keys or probes
+      val v2 = v1 + 1
+      val mdf = spark.read.parquet(s"$root/v=$v1/_manifest")
+      val synth = spark.range(n.toLong).select(
+        concat(lit("seg-synth/part-"), col("id"), lit(".parquet"))
+          .as("file"),
+        lit(1000000L).as("rows"),
+        (lit(1000000000L) + col("id") * 1000L).as("min__key"),
+        (lit(1000000000L) + col("id") * 1000L + 999L).as("max__key"))
+      mdf.unionByName(synth).coalesce(1).write
+        .parquet(s"$root/v=$v2/_manifest")
+      val realFiles = SnapshotTable.dataFiles(spark, root, v1)
+      val synthNames = (0 until n).map(i => s"seg-synth/part-$i.parquet")
+      val sidecar = (realFiles ++ synthNames).mkString("\n")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/v=$v2/_files"), true)
+      out.write(sidecar.getBytes("UTF-8")); out.close()
+      val ddlIn = fs.open(
+        new org.apache.hadoop.fs.Path(s"$root/v=$v1/_schema.ddl"))
+      val ddl = scala.io.Source.fromInputStream(ddlIn, "UTF-8").mkString
+      ddlIn.close()
+      val ddlOut = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/v=$v2/_schema.ddl"), true)
+      ddlOut.write(ddl.getBytes("UTF-8")); ddlOut.close()
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/v=$v2/_COMMITTED"),
+        false).close()
+
+      val heap0 = usedMb()
+      val tResolve = median((1 to runs).map(_ => timed {
+        require(SnapshotTable.latestVersion(spark, root).get >= v2)
+      }))
+      val tFiles = median((1 to runs).map(_ => timed {
+        val c = SnapshotTable.dataFiles(spark, root,
+          SnapshotTable.latestVersion(spark, root).get).size
+        require(c >= n)
+      }))
+      var kept = (0, 0)
+      val tPlan = median((1 to runs).map(_ => timed {
+        val ps = SnapshotTable.readPrunedBox(spark, root,
+          Seq(("key", lit(0L), lit(24999L))))
+        kept = (ps.filesRead, ps.filesTotal)
+      }))
+      val heapPlan = usedMb() - heap0
+      // localized merge: keys inside the first real file's range only;
+      // every synthetic entry is pruned off candidates and carried by
+      // the anti-join, never opened
+      val tMerge = median((1 to runs).map(r => timed {
+        SnapshotTable.commitMerge(spark, root,
+          rows(0L, 1000L, 1).withColumn("tag", lit(s"merge$r")),
+          "key", retain = 8)((_, b) => b)
+      }))
+      val tAppend = median((1 to runs).map(r => timed {
+        SnapshotTable.commitAppend(spark, root,
+          rows(500000L + r * 100000L, 50000L, 2), retain = 8)
+      }))
+      val vEnd = SnapshotTable.latestVersion(spark, root).get
+      val total = SnapshotTable.fileCount(spark, root, vEnd)
+      s"""{"n_synthetic":$n,"resolve_s":${fmt(tResolve)},""" +
+        s""""files_s":${fmt(tFiles)},"plan_s":${fmt(tPlan)},""" +
+        s""""plan_files_read":${kept._1},"plan_files_total":${kept._2},""" +
+        s""""merge_s":${fmt(tMerge)},"append_s":${fmt(tAppend)},""" +
+        s""""plan_heap_mb":$heapPlan,"files_end":$total}"""
+    }
+    println(s"""{"metric":"manifest_scale","runs":$runs,""" +
+      s""""points":[${lines.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -430,10 +430,10 @@ object Scans {
           col("ts"), col("value"))
       val uMid = ev.agg(floor(max(col("user_id")) / 2.0).cast("long"))
         .first().getLong(0)
-      buildVersionsOnce(s, root, 3) { i =>
+      buildVersionsOnce(s, root, 3) { (i, eb) =>
         if (i == 0)
           graft.streaming.SnapshotTable.commitWithStats(
-            s, root, "user_id", retain = 3)(_ =>
+            s, root, "user_id", retain = 3, expectedBase = eb)(_ =>
             graft.streaming.SnapshotTable.clusterBy(
               upsertMerge(None,
                 ev.where(pmod(col("event_id"), lit(3)) === 0)),
@@ -443,7 +443,7 @@ object Scans {
             if (i == 1) col("user_id") <= uMid else col("user_id") > uMid
           graft.streaming.SnapshotTable.commitMerge(s, root,
             ev.where(pmod(col("event_id"), lit(3)) =!= 0 && half),
-            "user_id", retain = 3)(upsertMerge)
+            "user_id", retain = 3, expectedBase = eb)(upsertMerge)
         }
         ()
       }
@@ -490,10 +490,10 @@ object Scans {
       // holds batches 0..k merged, so resuming at batch `have` on top
       // of the existing state commits exactly the missing versions and
       // converges to the identical content-keyed table.
-      buildVersionsOnce(s, root, 3) { i =>
+      buildVersionsOnce(s, root, 3) { (i, eb) =>
         val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
-        graft.streaming.SnapshotTable.commit(s, root, retain = 3)(
-          state => upsertMerge(state, batch))
+        graft.streaming.SnapshotTable.commit(s, root, retain = 3,
+          expectedBase = eb)(state => upsertMerge(state, batch))
         ()
       }
       // resolve the three PHYSICAL committed versions by listing (not
@@ -544,9 +544,9 @@ object Scans {
         else half.select(col("user_id"), col("event_id"), col("value"),
           to_date(col("ts")).as("day"))
       }
-      buildVersionsOnce(s, root, 2) { i =>
+      buildVersionsOnce(s, root, 2) { (i, eb) =>
         graft.streaming.SnapshotTable.commitAppend(s, root, batch(i),
-          retain = 2)
+          retain = 2, expectedBase = eb)
         ()
       }
       val vs = graft.streaming.SnapshotTable
@@ -589,9 +589,9 @@ object Scans {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
       val root = Artifacts.scratch(s, s"stats_prune_m_${tag}_$snap")
-      buildVersionsOnce(s, root, 1) { _ =>
+      buildVersionsOnce(s, root, 1) { (_, eb) =>
         graft.streaming.SnapshotTable.commitWithStats(
-          s, root, "o_orderdate")(_ =>
+          s, root, "o_orderdate", expectedBase = eb)(_ =>
           graft.streaming.SnapshotTable.clusterBy(
             t(s, d, "orders").select(col("o_orderkey"),
               col("o_orderstatus"), col("o_totalprice"),
@@ -631,9 +631,9 @@ object Scans {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
       val root = Artifacts.scratch(s, s"zorder_m_${tag}_$snap")
-      buildVersionsOnce(s, root, 1) { _ =>
+      buildVersionsOnce(s, root, 1) { (_, eb) =>
         graft.streaming.SnapshotTable.commitWithStatsCols(
-          s, root, Seq("o_orderdate", "o_custkey"))(_ =>
+          s, root, Seq("o_orderdate", "o_custkey"), expectedBase = eb)(_ =>
           graft.streaming.SnapshotTable.clusterByZ(
             t(s, d, "orders").select(col("o_orderkey"),
               col("o_orderstatus"), col("o_totalprice"),
@@ -691,9 +691,10 @@ object Scans {
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
-      buildVersionsOnce(s, root, 4) { i =>
+      buildVersionsOnce(s, root, 4) { (i, eb) =>
         graft.streaming.SnapshotTable.commitAppend(s, root,
-          ev.where(pmod(col("event_id"), lit(4)) === i), retain = 4)
+          ev.where(pmod(col("event_id"), lit(4)) === i), retain = 4,
+          expectedBase = eb)
         ()
       }
       val vs = graft.streaming.SnapshotTable
@@ -800,10 +801,10 @@ object Scans {
         col("ts"), col("value"))
     val uCap = ev.agg(floor(max(col("user_id")) / 4.0).cast("long"))
       .first().getLong(0)
-    buildVersionsOnce(s, root, 2) { i =>
+    buildVersionsOnce(s, root, 2) { (i, eb) =>
       if (i == 0)
         graft.streaming.SnapshotTable.commitWithStats(
-          s, root, "user_id", retain = 2)(_ =>
+          s, root, "user_id", retain = 2, expectedBase = eb)(_ =>
           graft.streaming.SnapshotTable.clusterBy(
             upsertMerge(None,
               ev.where(pmod(col("event_id"), lit(2)) === 0)),
@@ -812,7 +813,7 @@ object Scans {
         graft.streaming.SnapshotTable.commitMerge(s, root,
           ev.where(pmod(col("event_id"), lit(2)) === 1 &&
             col("user_id") <= uCap),
-          "user_id", retain = 2)(upsertMerge)
+          "user_id", retain = 2, expectedBase = eb)(upsertMerge)
       ()
     }
     root
@@ -831,24 +832,25 @@ object Scans {
     * leaves the wait to time out loudly (retry resumes at the
     * version-count gate and commits only the missing batches). */
   private def buildVersionsOnce(s: org.apache.spark.sql.SparkSession,
-      root: String, n: Int)(commitBatch: Int => Unit): Unit = {
+      root: String, n: Int)(commitBatch: (Int, Long) => Unit): Unit = {
     def have: Int =
       graft.streaming.SnapshotTable.committedVersions(s, root).size
     val deadline = System.nanoTime() + 120L * 1000L * 1000000L
     var h = have
     while (h < n) {
-      // the committed count is re-resolved immediately before EACH
-      // commit (round-14 ADVICE): a racer that landed batch h after a
-      // stale earlier look would go UNDETECTED by SnapshotTable's base
-      // re-check (the conflict only fires when the two commits
-      // physically overlap), and the same batch would apply twice —
-      // row duplication for non-idempotent transforms like schema
-      // evolution's append. The fresh read shrinks the window to the
-      // one commit in flight; the residual overlap race still resolves
-      // via the loud conflict below, and is fully closed only by a
-      // commit API pinning the expected base version (the
-      // metastore-CAS production path).
-      try commitBatch(h)
+      // the committed count AND the expected base are re-resolved
+      // immediately before EACH commit, and the base is passed to the
+      // batch as a CAS pin (round 16 — the expectedBase commit API
+      // closed the race this loop's round-14 comment documented as
+      // residual): a racer that landed batch h after a stale earlier
+      // look now conflicts loudly INSIDE the commit even when the two
+      // commits never physically overlap — the same batch can never
+      // apply twice (row duplication for non-idempotent transforms
+      // like schema evolution's append).
+      val expectedBase = graft.streaming.SnapshotTable
+        .latestVersion(s, root)
+        .getOrElse(graft.streaming.SnapshotTable.EmptyBase)
+      try commitBatch(h, expectedBase)
       catch {
         case e: IllegalStateException
             if e.getMessage.contains("conflict") =>

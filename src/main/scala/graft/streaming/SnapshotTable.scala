@@ -476,7 +476,7 @@ object SnapshotTable {
       expectedBase: Long = AnyBase)(
       transform: Option[DataFrame] => DataFrame): Long =
     commitCore(s, root, retain, Nil, carriedFrom = None, afterStage,
-      casBase = expectedBase)(transform)
+      casBase = expectedBase)(cur => transform(cur()))
 
   /** [[commit]] with a FILE-LEVEL MIN/MAX STATS MANIFEST on `statsCol`
     * (the data-skipping metadata every table format keeps — Iceberg
@@ -488,19 +488,21 @@ object SnapshotTable {
     * is the difference between listing 800k file footers and reading a
     * driver-side manifest. */
   def commitWithStats(s: SparkSession, root: String, statsCol: String,
-      retain: Int = 2)(
+      retain: Int = 2, expectedBase: Long = AnyBase)(
       transform: Option[DataFrame] => DataFrame): Long =
-    commitCore(s, root, retain, Seq(statsCol), carriedFrom = None)(
-      transform)
+    commitCore(s, root, retain, Seq(statsCol), carriedFrom = None,
+      casBase = expectedBase)(cur => transform(cur()))
 
   /** [[commitWithStats]] for SEVERAL columns — the manifest shape
     * multi-dimensional skipping needs (each predicate dimension prunes
     * independently; [[readPrunedBox]] intersects the survivors). Pair
     * with [[clusterByZ]] so BOTH dimensions have file-local ranges. */
   def commitWithStatsCols(s: SparkSession, root: String,
-      statsCols: Seq[String], retain: Int = 2)(
+      statsCols: Seq[String], retain: Int = 2,
+      expectedBase: Long = AnyBase)(
       transform: Option[DataFrame] => DataFrame): Long =
-    commitCore(s, root, retain, statsCols, carriedFrom = None)(transform)
+    commitCore(s, root, retain, statsCols, carriedFrom = None,
+      casBase = expectedBase)(cur => transform(cur()))
 
   /** APPEND-WITHOUT-REWRITE commit — the O(delta) write path (round-15
     * headline; the round-14 verdict's one `weak`): writes ONLY the
@@ -537,7 +539,7 @@ object SnapshotTable {
       case Some(v) if !isManifestVersion(fs, root, v) =>
         commitCore(s, root, retain, inherited, carriedFrom = None,
           casBase = expectedBase, txn = txn)(cur =>
-          cur.get.unionByName(delta, allowMissingColumns = true))
+          cur().get.unionByName(delta, allowMissingColumns = true))
       case b =>
         commitCore(s, root, retain, inherited, carriedFrom = b,
           casBase = expectedBase, txn = txn)(_ => delta)
@@ -631,7 +633,7 @@ object SnapshotTable {
         // to the manifest layout (same reasoning as commitAppend)
         commitCore(s, root, retain, statsCols, carriedFrom = None,
           casBase = expectedBase, txn = txn)(cur =>
-          fullMerge(cur.get))
+          fullMerge(cur().get))
       case Some(v) =>
         val schema = schemaOfVersion(s, root, v)
         require(schema.fieldNames.contains(mergeKey),
@@ -680,7 +682,13 @@ object SnapshotTable {
       dropCarried: Set[String] = Set.empty,
       casBase: Long = AnyBase,
       txn: Option[(String, Long)] = None)(
-      transform: Option[DataFrame] => DataFrame): Long = {
+      // the current image is a THUNK, not a value: building the
+      // DataFrame resolves and validates every referenced file path
+      // (Spark's file-index construction — driver work linear in
+      // files_total, measured real at 100k files by ManifestScale),
+      // which an O(delta) append/merge never needs — only full-image
+      // transforms (merge migration, compaction) force it
+      transform: (() => Option[DataFrame]) => DataFrame): Long = {
     require(retain >= 1, "retain must keep at least the new version")
     txn.foreach { case (appId, _) =>
       require(appId.nonEmpty && !appId.contains("\n"),
@@ -709,7 +717,8 @@ object SnapshotTable {
       fs.delete(segPath, true); fs.delete(stagePath, true); ()
     }
     try {
-      val image = transform(base.map(v => readVersionUnchecked(s, root, v)))
+      val image = transform(() =>
+        base.map(v => readVersionUnchecked(s, root, v)))
       image.write.mode("overwrite").parquet(segAbs)
       // segment-enrichment hook — runs while the segment is still
       // unreferenced, so whatever it adds is atomic with the version
@@ -1126,8 +1135,9 @@ object SnapshotTable {
     val inherited = latestVersion(s, root)
       .map(v => statsColsOf(s, root, v)).getOrElse(Nil)
     commitCore(s, root, retain, inherited, carriedFrom = None) { cur =>
-      require(cur.isDefined, s"compact: no committed version at $root")
-      cur.get.coalesce(targetFiles)
+      val c = cur()
+      require(c.isDefined, s"compact: no committed version at $root")
+      c.get.coalesce(targetFiles)
     }
   }
 
