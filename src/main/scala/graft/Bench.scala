@@ -82,7 +82,7 @@ object Bench {
     "sink_foreach_upsert" -> 0.76, "sink_jdbc_board" -> 1.8,
     "sink_json_roundtrip" -> 0.38, "sink_orc_roundtrip" -> 0.62,
     "sink_parquet" -> 0.61, "sink_partitioned" -> 0.69,
-    "sink_snapshot_merge" -> 1.2, "sink_xml_roundtrip" -> 0.35,
+    "sink_snapshot_merge" -> 0.25, "sink_xml_roundtrip" -> 0.35,
     "sort_limit_topk" -> 0.18, "source_binary_files" -> 1.06,
     "source_jdbc_dim" -> 0.65, "source_kafka_shape" -> 0.77,
     "source_rate_stream" -> 0.06, "sql_ads_board" -> 0.55,
@@ -93,7 +93,8 @@ object Bench {
     "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
-    "table_incremental_append" -> 1.5, "table_merge_pruned" -> 1.5,
+    "table_changelog" -> 1.0, "table_incremental_append" -> 1.5,
+    "table_merge_pruned" -> 0.5,
     "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
     "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,
@@ -243,18 +244,32 @@ object Bench {
     // production owns a materialization job separately from the queries
     // that read it. Skipped when a SPARK_GRAFT_QUERIES subset names no
     // graph key (the build would be dead cost there).
-    val artifactLines: Seq[(String, Double)] =
-      if (only.exists(qs => !qs.exists(_.startsWith("graph_")))) Nil
+    def artifactLine(name: String, relevant: Boolean)(
+        build: => Unit): Seq[(String, Double)] =
+      if (!relevant) Nil
       else {
         val t0 = System.nanoTime()
-        val ok = try { graft.ops.Graph.tradeGraph(spark, sfDir); true }
+        val ok = try { build; true }
         catch { case e: Throwable =>
-          System.err.println(
-            s"[bench] graph_artifact_build failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-        Seq(("graph_artifact_build",
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+        Seq((name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      }
+    val artifactLines: Seq[(String, Double)] =
+      artifactLine("graph_artifact_build",
+        only.forall(_.exists(_.startsWith("graph_")))) {
+        graft.ops.Graph.tradeGraph(spark, sfDir); ()
+      } ++
+      // round 16: the merge-table builds used to bill themselves to
+      // whichever reader key ran first alphabetically (r15 billed
+      // table_merge_pruned 3.0 s of build); a table build is a
+      // materialization job — timed as its own line, the reader keys
+      // measure query latency against the published table
+      artifactLine("table_artifact_build",
+        only.forall(_.exists(Set("sink_snapshot_merge",
+          "table_merge_pruned", "table_changelog")))) {
+        graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

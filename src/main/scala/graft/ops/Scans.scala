@@ -413,40 +413,7 @@ object Scans {
     // (foreachBatch → commitMerge with batch-id replay guard),
     // parity-pinned in StreamingParitySpec.
     "sink_snapshot_merge" -> ((s, d) => {
-      // CONTENT-keyed (round-12 advice), not uuid-fresh and not
-      // dir-name-keyed: a uuid name under a shared root accumulates
-      // one orphan table per invocation that no retention convention
-      // covers, while a bare dir-name tag survives in-place fixture
-      // rewrites — stale rows from the previous corpus would outlive
-      // the upsert latest-image (redelivery idempotence only covers
-      // replays of the SAME corpus). The `_fm` tag keys the root to
-      // the round-16 file-granular build so an old full-rewrite table
-      // on the same box is never half-reused.
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val root = Artifacts.scratch(s, s"snap_merge_fm_${tag}_$snap")
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts"), col("value"))
-      val uMid = ev.agg(floor(max(col("user_id")) / 2.0).cast("long"))
-        .first().getLong(0)
-      buildVersionsOnce(s, root, 3) { (i, eb) =>
-        if (i == 0)
-          graft.streaming.SnapshotTable.commitWithStats(
-            s, root, "user_id", retain = 3, expectedBase = eb)(_ =>
-            graft.streaming.SnapshotTable.clusterBy(
-              upsertMerge(None,
-                ev.where(pmod(col("event_id"), lit(3)) === 0)),
-              "user_id", 8))
-        else {
-          val half =
-            if (i == 1) col("user_id") <= uMid else col("user_id") > uMid
-          graft.streaming.SnapshotTable.commitMerge(s, root,
-            ev.where(pmod(col("event_id"), lit(3)) =!= 0 && half),
-            "user_id", retain = 3, expectedBase = eb)(upsertMerge)
-        }
-        ()
-      }
+      val root = snapMergeRoot(s, d)
       val vs = graft.streaming.SnapshotTable
         .committedVersions(s, root).takeRight(2)
       val fileMerge = vs.forall { v =>
@@ -782,6 +749,61 @@ object Scans {
         .orderBy("user_id", "_change_type")
     })
   )
+
+  /** The 3-version merge-committed table `sink_snapshot_merge` reads,
+    * built once per corpus content. CONTENT-keyed (round-12 advice),
+    * not uuid-fresh and not dir-name-keyed: a uuid name under a shared
+    * root accumulates one orphan table per invocation that no
+    * retention convention covers, while a bare dir-name tag survives
+    * in-place fixture rewrites — stale rows from the previous corpus
+    * would outlive the upsert latest-image. The `_fm` tag keys the
+    * root to the round-16 file-granular build (batch 1 = clustered
+    * seed with stats, batches 2-3 = user-half localized commitMerges)
+    * so an old full-rewrite table on the same box is never
+    * half-reused. */
+  private def snapMergeRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"snap_merge_fm_${tag}_$snap")
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val uMid = ev.agg(floor(max(col("user_id")) / 2.0).cast("long"))
+      .first().getLong(0)
+    buildVersionsOnce(s, root, 3) { (i, eb) =>
+      if (i == 0)
+        graft.streaming.SnapshotTable.commitWithStats(
+          s, root, "user_id", retain = 3, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            upsertMerge(None,
+              ev.where(pmod(col("event_id"), lit(3)) === 0)),
+            "user_id", 8))
+      else {
+        val half =
+          if (i == 1) col("user_id") <= uMid else col("user_id") > uMid
+        graft.streaming.SnapshotTable.commitMerge(s, root,
+          ev.where(pmod(col("event_id"), lit(3)) =!= 0 && half),
+          "user_id", retain = 3, expectedBase = eb)(upsertMerge)
+      }
+      ()
+    }
+    root
+  }
+
+  /** Materialize the two content-keyed merge-table artifacts the
+    * sink_snapshot_merge / table_merge_pruned / table_changelog keys
+    * read — the bench times this as its own `table_artifact_build`
+    * line (like `graph_artifact_build`): a table BUILD is a production
+    * materialization job, not per-query cost, and billing it to
+    * whichever key runs first alphabetically would make that key's
+    * median an artifact of session order. */
+  def tableArtifactBuild(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    snapMergeRoot(s, d)
+    mergePrunedRoot(s, d)
+    ()
+  }
 
   /** The 2-version FILE-GRANULAR MERGE table `table_merge_pruned` and
     * `table_changelog` share, built once per corpus content: v1 = the
