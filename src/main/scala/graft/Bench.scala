@@ -93,6 +93,7 @@ object Bench {
     "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
+    "table_bloom_skipping" -> 1.2,
     "table_changelog" -> 1.0, "table_incremental_append" -> 1.5,
     "table_merge_pruned" -> 0.5,
     "table_schema_evolution" -> 0.91,

@@ -737,6 +737,51 @@ object Scans {
     // upsert never deletes. Feeding these +/- rows through the
     // changelog algebra (cdc_retract_agg / changelogLatestImage) gives
     // exact incremental consumption of a merged 100 TB table.
+    // BLOOM FILE SKIPPING off the snapshot table (round 16; the Delta
+    // bloom-file-index analog): min/max manifests only bite on
+    // CLUSTERED layouts — on a hash-distributed table every file's
+    // range spans the whole key domain and a point lookup reads every
+    // file. commitWithSkipping additionally records an 8 KB packed
+    // Bloom bitset per file (one extra delta-only pass, array<bigint>
+    // in the same manifest row), and readPrunedIn prunes an in-list
+    // probe to the files whose filter may hold some probe value — at
+    // 100 TB a "which files hold user k" lookup costs manifest
+    // metadata instead of the key column of every file. False
+    // positives cost one exact probe read; false negatives are
+    // impossible for present values (same Spark-side hash family on
+    // both write and probe, spec-pinned). The key builds the per-user
+    // latest image HASH-distributed into 16 files with a user_id
+    // bloom, probes the 3 smallest user ids, and reports their rows
+    // plus a structural `bloom_pruned` boolean (files_read <
+    // files_total — range stats alone could never prune this layout).
+    "table_bloom_skipping" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val root = Artifacts.scratch(s, s"bloom_skip_${tag}_$snap")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      buildVersionsOnce(s, root, 1) { (_, eb) =>
+        graft.streaming.SnapshotTable.commitWithSkipping(s, root,
+          statsCols = Seq("user_id"), bloomCols = Seq("user_id"),
+          retain = 2, expectedBase = eb)(_ =>
+          upsertMerge(None, ev).repartition(16, col("user_id")))
+        ()
+      }
+      val probes = ev.select("user_id").distinct()
+        .orderBy("user_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val ps = graft.streaming.SnapshotTable.readPrunedIn(
+        s, root, "user_id", probes)
+      val pruned = ps.filesRead < ps.filesTotal
+      // conservative scan + exact predicate on top, as always
+      ps.df.where(col("user_id").isin(probes: _*))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+        .withColumn("bloom_pruned", lit(pruned))
+        .orderBy("user_id")
+    }),
+
     "table_changelog" -> ((s, d) => {
       val root = mergePrunedRoot(s, d)
       val vs = graft.streaming.SnapshotTable
@@ -1163,6 +1208,22 @@ object Scans {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the 3 smallest users' latest-image rows; `bloom_pruned` is the
+    // structural assertion that the bloom manifest skipped ≥1 of the
+    // 16 hash-distributed files (range stats cannot skip ANY here)
+    "table_bloom_skipping" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3),
+        |img AS (
+        |  SELECT user_id, event_id, event_type, ts, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT i.user_id, i.event_id, i.event_type,
+        | epoch_us(i.ts) AS ts_us, round(i.value, 2) AS value,
+        | TRUE AS bloom_pruned
+        |FROM img i JOIN probes p USING (user_id)
+        |ORDER BY i.user_id""".stripMargin,
     // reconstruct both latest images (v1 = even events; v2 = even ∪
     // bottom-quarter odd) and diff by user: first-appearance = insert,
     // changed winner = update pre/post pair, unchanged winner = no row

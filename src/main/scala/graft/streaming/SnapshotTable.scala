@@ -380,6 +380,103 @@ object SnapshotTable {
     }
   }
 
+  /** Hash-function count of the per-file Bloom filters — fixed, so a
+    * probe always computes the same positions the writer set. The bit
+    * WIDTH is per-file self-describing (64 × the stored word-array
+    * length), so tables whose commits used different widths stay
+    * probe-able file by file. */
+  private val bloomK = 4
+  /** Default Bloom width: 64 Kibit = 8 KB/file packed. At ~10k distinct
+    * keys per file the false-positive rate is ~4%; for the point-lookup
+    * shapes the filter serves, a false positive only costs one exact
+    * probe read — never correctness. */
+  val defaultBloomBits: Int = 65536
+  /** Largest probe value set the Bloom paths will build an expression
+    * for — beyond this a merge batch is not a point upsert and the
+    * expression would be the in-list anti-pattern. */
+  val bloomProbeMaxKeys: Int = 256
+
+  /** Columns version `v`'s manifest carries a `bloom__c` filter for. */
+  private def bloomColsOf(s: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val fs = fsOf(s, root)
+    if (!hasStatsManifest(fs, root, v)) Nil
+    else manifestDf(s, root, v).schema.fieldNames.toSeq
+      .filter(_.startsWith("bloom__")).map(_.stripPrefix("bloom__"))
+  }
+
+  /** The raw (un-modded) Bloom hashes of probe `values`, computed BY
+    * SPARK on a `dt`-typed column — the one way to guarantee the probe
+    * hashes bit-identically to the write side's `hash(col, seed)`
+    * (re-implementing Murmur3-with-Spark's-seeding on the driver would
+    * be a silent-divergence trap). One k-column job over ≤ a few
+    * hundred rows — driver-cheap. */
+  private def rawBloomHashes(s: SparkSession, values: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType): Seq[Seq[Long]] = {
+    import org.apache.spark.sql.functions._
+    val rows: java.util.List[Row] =
+      java.util.Arrays.asList(values.map(Row(_)): _*)
+    val df = s.createDataFrame(rows,
+      StructType(Seq(StructField("v", dt, nullable = true))))
+    df.select((0 until bloomK).map(i =>
+        hash(col("v"), lit(i)).cast("long").as(s"h$i")): _*)
+      .collect().toSeq
+      .map(r => (0 until bloomK).map(r.getLong))
+  }
+
+  /** Manifest predicate: file may contain SOME probe value, by its
+    * Bloom filter (`bloom__c` = packed bit words, array&lt;bigint&gt;).
+    * Built as a SQL expression string because the bit test needs a
+    * variable-distance shift (functions.shiftright only takes a
+    * literal): per (value, hash) the raw hash mods by the FILE's own
+    * width (size×64) and tests one bit. Values are bounded small (the
+    * in-list/point-upsert scoping every bloom file index shares —
+    * Delta's bloom index serves the same shapes), so the expression
+    * stays a few hundred codegen'd terms. NULL blooms (files written
+    * before the column had a filter, 0-row files) stay conservative. */
+  private def bloomHitExpr(c: String,
+      rawHashes: Seq[Seq[Long]]): Column = {
+    import org.apache.spark.sql.functions.expr
+    val b = s"`bloom__$c`"
+    val terms = rawHashes.map { hs =>
+      hs.map { h =>
+        val p = s"pmod(cast($h as bigint), cast(size($b) * 64 as bigint))"
+        s"((shiftright(element_at($b, cast(($p) div 64 as int) + 1), " +
+          s"cast(($p) % 64 as int)) & 1) = 1)"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    expr(s"($b IS NULL OR size($b) = 0 OR $terms)")
+  }
+
+  /** Per-file packed Bloom words for `bloomCols` over the fresh
+    * segment: ONE extra delta pass per commit (positions explode ×k,
+    * shrink to ≤ width distinct per file pre-shuffle, pack to words
+    * driver-side at manifest scale). */
+  private def segmentBlooms(s: SparkSession, root: String,
+      segName: String, bloomCols: Seq[String],
+      bloomBits: Int): Map[String, Map[String, Seq[Long]]] = {
+    import org.apache.spark.sql.functions._
+    if (bloomCols.isEmpty) Map.empty
+    else {
+      val df = s.read.parquet(s"$root/$segName")
+      bloomCols.map { c =>
+        val pos = explode(array((0 until bloomK).map(i =>
+          pmod(hash(col(c), lit(i)).cast("long"), lit(bloomBits.toLong))
+            .cast("int")): _*))
+        val byFile = df.select(relFile.as("file"), pos.as("p"))
+          .distinct()
+          .groupBy("file").agg(collect_set(col("p")).as("ps"))
+          .collect().map { r =>
+            val words = new Array[Long](bloomBits / 64)
+            r.getSeq[Int](1).foreach(p =>
+              words(p / 64) |= (1L << (p % 64)))
+            r.getString(0) -> (words.toSeq: Seq[Long])
+          }.toMap
+        c -> byFile
+      }.toMap
+    }
+  }
+
   /** Root-relative path of the file a row came from (the last two URI
     * components: `seg-x/part-y.parquet`, or `v=N/part-y.parquet` for
     * legacy dirs) — the manifest's `file` naming, derivable inside any
@@ -400,35 +497,52 @@ object SnapshotTable {
     * without, a pure driver-side listing — a plain commit re-reads
     * ZERO bytes of what it just wrote. */
   private def segmentManifest(s: SparkSession, root: String,
-      segName: String,
-      statsCols: Seq[String]): (Seq[String], DataFrame) = {
+      segName: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = defaultBloomBits): (Seq[String], DataFrame) = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)
     val files = fs.listStatus(new Path(s"$root/$segName")).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$segName/${st.getPath.getName}")
-    if (statsCols.isEmpty || files.isEmpty) {
-      val rows: java.util.List[Row] =
-        java.util.Arrays.asList(files.map(f => Row(f, null)): _*)
-      (files, s.createDataFrame(rows, StructType(Seq(
-        StructField("file", StringType, nullable = false),
-        StructField("rows", LongType, nullable = true)))))
-    } else {
-      // ONE pass computes every column's per-file stats (re-scanning
-      // the fresh segment once per column would be N delta passes)
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
-        count(lit(1)).as("rows")
-      val agg = s.read.parquet(s"$root/$segName")
-        .groupBy(relFile.as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-      val outSchema = StructType(agg.schema.fields.map(
-        _.copy(nullable = true)))
-      val byFile = agg.collect().map(r => r.getString(0) -> r).toMap
-      val rows = files.map(f => byFile.getOrElse(f,
-        Row.fromSeq(f +: Seq.fill(outSchema.size - 1)(null))))
-      (files, s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), outSchema))
+    val base: (Seq[String], DataFrame) =
+      if (statsCols.isEmpty || files.isEmpty) {
+        val rows: java.util.List[Row] =
+          java.util.Arrays.asList(files.map(f => Row(f, null)): _*)
+        (files, s.createDataFrame(rows, StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("rows", LongType, nullable = true)))))
+      } else {
+        // ONE pass computes every column's per-file stats (re-scanning
+        // the fresh segment once per column would be N delta passes)
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
+          count(lit(1)).as("rows")
+        val agg = s.read.parquet(s"$root/$segName")
+          .groupBy(relFile.as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        val outSchema = StructType(agg.schema.fields.map(
+          _.copy(nullable = true)))
+        val byFile = agg.collect().map(r => r.getString(0) -> r).toMap
+        val rows = files.map(f => byFile.getOrElse(f,
+          Row.fromSeq(f +: Seq.fill(outSchema.size - 1)(null))))
+        (files, s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), outSchema))
+      }
+    if (bloomCols.isEmpty || files.isEmpty) base
+    else {
+      val blooms = segmentBlooms(s, root, segName, bloomCols, bloomBits)
+      val (fs0, df0) = base
+      val outSchema = StructType(df0.schema.fields ++ bloomCols.map(c =>
+        StructField(s"bloom__$c",
+          org.apache.spark.sql.types.ArrayType(LongType),
+          nullable = true)))
+      val rows = df0.collect().map { r =>
+        Row.fromSeq(r.toSeq ++ bloomCols.map(c =>
+          blooms(c).getOrElse(r.getString(0), null)))
+      }
+      (fs0, s.createDataFrame(
+        java.util.Arrays.asList(rows.toIndexedSeq: _*), outSchema))
     }
   }
 
@@ -504,6 +618,29 @@ object SnapshotTable {
     commitCore(s, root, retain, statsCols, carriedFrom = None,
       casBase = expectedBase)(cur => transform(cur()))
 
+  /** [[commitWithStatsCols]] plus PER-FILE BLOOM FILTERS on
+    * `bloomCols` (round 16; the Delta bloom-file-index analog): each
+    * manifest row additionally records a packed `bloomBits`-wide Bloom
+    * bitset (array&lt;bigint&gt;, 8 KB/file at the default width) built
+    * from the file's values in one extra delta-only pass. Min/max
+    * skipping needs CLUSTERED layout to bite; the Bloom filter prunes
+    * POINT/IN-LIST probes on high-cardinality keys in ANY layout — a
+    * hash-distributed 100 TB table answers "which files may hold key
+    * k" from 8 KB/file of metadata instead of reading every file's key
+    * column. Probes: [[readPrunedIn]], and [[commitMerge]]'s candidate
+    * pruning for small batches (the CDC point-upsert shape). False
+    * positives cost one exact probe read; false negatives cannot
+    * happen for values the file actually holds (same hash family both
+    * sides, spec-pinned). */
+  def commitWithSkipping(s: SparkSession, root: String,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int = defaultBloomBits, retain: Int = 2,
+      expectedBase: Long = AnyBase)(
+      transform: Option[DataFrame] => DataFrame): Long =
+    commitCore(s, root, retain, statsCols, carriedFrom = None,
+      casBase = expectedBase, bloomCols = bloomCols,
+      bloomBits = bloomBits)(cur => transform(cur()))
+
   /** APPEND-WITHOUT-REWRITE commit — the O(delta) write path (round-15
     * headline; the round-14 verdict's one `weak`): writes ONLY the
     * delta's data files plus one manifest whose rows are the previous
@@ -535,14 +672,20 @@ object SnapshotTable {
     casCheck(root, base, expectedBase)
     val inherited = statsCols.getOrElse(
       base.map(v => statsColsOf(s, root, v)).getOrElse(Nil))
+    // bloom columns inherit like stats columns: an appended table keeps
+    // point-probe skipping without callers restating the layout
+    val inheritedBloom =
+      base.map(v => bloomColsOf(s, root, v)).getOrElse(Nil)
     base match {
       case Some(v) if !isManifestVersion(fs, root, v) =>
         commitCore(s, root, retain, inherited, carriedFrom = None,
-          casBase = expectedBase, txn = txn)(cur =>
+          casBase = expectedBase, txn = txn,
+          bloomCols = inheritedBloom)(cur =>
           cur().get.unionByName(delta, allowMissingColumns = true))
       case b =>
         commitCore(s, root, retain, inherited, carriedFrom = b,
-          casBase = expectedBase, txn = txn)(_ => delta)
+          casBase = expectedBase, txn = txn,
+          bloomCols = inheritedBloom)(_ => delta)
     }
   }
 
@@ -609,6 +752,8 @@ object SnapshotTable {
     casCheck(root, base, expectedBase)
     val inherited = base.map(v => statsColsOf(s, root, v)).getOrElse(Nil)
     val statsCols = (inherited :+ mergeKey).distinct
+    val inheritedBloom =
+      base.map(v => bloomColsOf(s, root, v)).getOrElse(Nil)
     val wasCached =
       batch0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val batch = if (wasCached) batch0
@@ -626,31 +771,62 @@ object SnapshotTable {
     base match {
       case None =>
         commitCore(s, root, retain, statsCols, carriedFrom = None,
-          casBase = expectedBase, txn = txn)(_ =>
+          casBase = expectedBase, txn = txn,
+          bloomCols = inheritedBloom)(_ =>
           resolve(None, batch))
       case Some(v) if !isManifestVersion(fs, root, v) =>
         // legacy self-contained base: one full rewriting merge migrates
         // to the manifest layout (same reasoning as commitAppend)
         commitCore(s, root, retain, statsCols, carriedFrom = None,
-          casBase = expectedBase, txn = txn)(cur =>
+          casBase = expectedBase, txn = txn,
+          bloomCols = inheritedBloom)(cur =>
           fullMerge(cur().get))
       case Some(v) =>
         val schema = schemaOfVersion(s, root, v)
         require(schema.fieldNames.contains(mergeKey),
           s"merge key '$mergeKey' not in table schema")
         val all = dataFiles(s, root, v)
+        val hasRange = statsColsOf(s, root, v).contains(mergeKey)
+        val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
         val candidates: Seq[String] =
-          if (!statsColsOf(s, root, v).contains(mergeKey)) all
+          if (!hasRange && !hasBloom) all
           else {
-            val b = batch.agg(min(col(mergeKey)), max(col(mergeKey)))
-              .first()
-            if (b.isNullAt(0)) Seq.empty // empty/all-null-key batch
-            else manifestDf(s, root, v)
-              .where(col(s"min__$mergeKey").isNull ||
-                col(s"max__$mergeKey").isNull ||
-                (col(s"max__$mergeKey") >= lit(b.get(0)) &&
-                  col(s"min__$mergeKey") <= lit(b.get(1))))
-              .select("file").collect().map(_.getString(0)).toSeq
+            // range conjunct (optimization only — no-stats files stay
+            // candidates via the isNull arms)
+            val rangeCond: Option[Column] =
+              if (!hasRange) None
+              else {
+                val b = batch
+                  .agg(min(col(mergeKey)), max(col(mergeKey))).first()
+                if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
+                else Some(col(s"min__$mergeKey").isNull ||
+                  col(s"max__$mergeKey").isNull ||
+                  (col(s"max__$mergeKey") >= lit(b.get(0)) &&
+                    col(s"min__$mergeKey") <= lit(b.get(1))))
+              }
+            // Bloom conjunct, only when the batch's key set is
+            // probe-sized (the CDC point-upsert shape — a big batch
+            // touches most files anyway, and its probe expression
+            // would be the in-list anti-pattern). Null keys never
+            // equi-match existing rows, so they are rightly excluded.
+            val bloomCond: Option[Column] =
+              if (!hasBloom) None
+              else {
+                val ks = batch.select(col(mergeKey))
+                  .where(col(mergeKey).isNotNull).distinct()
+                  .limit(bloomProbeMaxKeys + 1)
+                  .collect().map(_.get(0)).toSeq
+                if (ks.isEmpty) Some(lit(false))
+                else if (ks.size > bloomProbeMaxKeys) None
+                else Some(bloomHitExpr(mergeKey,
+                  rawBloomHashes(s, ks, schema(mergeKey).dataType)))
+              }
+            (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _)
+              match {
+                case None => all
+                case Some(cond) => manifestDf(s, root, v).where(cond)
+                  .select("file").collect().map(_.getString(0)).toSeq
+              }
           }
         val touched: Set[String] =
           if (candidates.isEmpty) Set.empty
@@ -665,7 +841,8 @@ object SnapshotTable {
               .collect().map(_.getString(0)).toSet
           }
         commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
-          dropCarried = touched, casBase = expectedBase, txn = txn) { _ =>
+          dropCarried = touched, casBase = expectedBase, txn = txn,
+          bloomCols = inheritedBloom) { _ =>
           if (touched.isEmpty) resolve(None, batch)
           else fullMerge(s.read.schema(schema)
             .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
@@ -681,7 +858,9 @@ object SnapshotTable {
       afterStage: String => Unit = _ => (),
       dropCarried: Set[String] = Set.empty,
       casBase: Long = AnyBase,
-      txn: Option[(String, Long)] = None)(
+      txn: Option[(String, Long)] = None,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = defaultBloomBits)(
       // the current image is a THUNK, not a value: building the
       // DataFrame resolves and validates every referenced file path
       // (Spark's file-index construction — driver work linear in
@@ -727,7 +906,9 @@ object SnapshotTable {
       // stats column absent from an evolved delta records NULL ranges
       // (conservatively unprunable) instead of failing the commit
       val usable = statsCols.filter(image.schema.fieldNames.contains)
-      val (freshFiles, fresh) = segmentManifest(s, root, segName, usable)
+      val usableBloom = bloomCols.filter(image.schema.fieldNames.contains)
+      val (freshFiles, fresh) = segmentManifest(s, root, segName, usable,
+        usableBloom, bloomBits)
       val carriedFiles = carriedFrom.map { v =>
         dataFiles(s, root, v).filterNot(dropCarried.contains)
       }.getOrElse(Seq.empty)
@@ -737,7 +918,7 @@ object SnapshotTable {
       // launches no metadata Spark job at all
       val baseHasStats = carriedFrom.exists(v =>
         hasStatsManifest(fs, root, v))
-      if (usable.nonEmpty || baseHasStats) {
+      if (usable.nonEmpty || usableBloom.nonEmpty || baseHasStats) {
         val carried = carriedFrom.map { v =>
           if (hasStatsManifest(fs, root, v)) {
             val all = manifestDf(s, root, v)
@@ -980,6 +1161,51 @@ object SnapshotTable {
     val fs = fsOf(s, root)
     if (isManifestVersion(fs, root, v)) pruneManifest(s, root, v, preds)
     else legacyReadPrunedBox(s, root, v, preds)
+  }
+
+  /** POINT/IN-LIST pruned read of the latest version: keep only files
+    * that may hold SOME of `values` in column `c`, judged by the
+    * per-file Bloom filter ([[commitWithSkipping]]) AND the min/max
+    * range when present — each prunes independently, so the Bloom
+    * filter bites on hash-distributed layouts where every file's
+    * [min, max] spans the whole key domain and range skipping keeps
+    * everything. Conservative by construction (bloom false positives,
+    * NULL stats/bloom rows survive); callers apply the exact predicate
+    * on top. At most [[bloomProbeMaxKeys]] values (the in-list shape
+    * this index serves — same scoping as Delta's bloom file index). */
+  def readPrunedIn(s: SparkSession, root: String, c: String,
+      values: Seq[Any]): PrunedScan = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty && values.size <= bloomProbeMaxKeys,
+      s"readPrunedIn serves 1..$bloomProbeMaxKeys probe values")
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v) || !hasStatsManifest(fs, root, v))
+      return fullScan(s, root, v)
+    val hasRange = statsColsOf(s, root, v).contains(c)
+    val hasBloom = bloomColsOf(s, root, v).contains(c)
+    if (!hasRange && !hasBloom) return fullScan(s, root, v)
+    val rangeCond: Option[Column] =
+      if (!hasRange) None
+      else Some(col(s"min__$c").isNull || col(s"max__$c").isNull ||
+        values.map(x =>
+          col(s"min__$c") <= lit(x) && col(s"max__$c") >= lit(x))
+          .reduce(_ || _))
+    val bloomCond: Option[Column] =
+      if (!hasBloom) None
+      else Some(bloomHitExpr(c, rawBloomHashes(s, values,
+        schemaOfVersion(s, root, v)(c).dataType)))
+    val cond = (rangeCond.toSeq ++ bloomCond.toSeq).reduce(_ && _)
+    val m = manifestDf(s, root, v)
+    val allRows = m.select(col("file"), cond.as("keep")).collect()
+    val keep = allRows.filter(_.getBoolean(1)).map(_.getString(0)).sorted
+    val schema = schemaOfVersion(s, root, v)
+    val df =
+      if (keep.isEmpty) emptyFrame(s, schema)
+      else s.read.schema(schema)
+        .parquet(keep.map(f => s"$root/$f").toIndexedSeq: _*)
+    PrunedScan(df, keep.length, allRows.length)
   }
 
   /** Read the latest version PRUNED to part files whose [min, max]

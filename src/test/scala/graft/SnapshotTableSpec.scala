@@ -976,6 +976,79 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom file skipping: point probes prune a hash-distributed " +
+      "layout range stats cannot, present keys are NEVER missed, " +
+      "absent keys almost never probe a file, and blooms survive " +
+      "merge and append") {
+    withRoot { root =>
+      // 400 SPARSE keys (multiples of 7) HASH-distributed into 8
+      // files: every file's [min,max] spans ~the whole domain, so
+      // range skipping keeps everything for a MID-domain probe — and
+      // absent probes can be chosen INSIDE the ranges, so only the
+      // bloom can prune them. Exactly the layout the index exists for.
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 10)(_ =>
+        img((1L to 400L).map(k => (7 * k, s"v${7 * k}")): _*)
+          .repartition(8, col("k")))
+      val range = SnapshotTable.readPruned(spark, root,
+        lit(1400L), lit(1400L))
+      assert(range.filesRead === range.filesTotal,
+        "hash layout must defeat range pruning (the premise)")
+      val hit = SnapshotTable.readPrunedIn(spark, root, "k", Seq(1400L))
+      assert(hit.filesRead < hit.filesTotal)
+      assert(hit.df.where(col("k") === 1400L).count() === 1)
+      // NO FALSE NEGATIVES: a present key's probe always finds its row
+      (7L to 2800L by 7 * 37).foreach { k =>
+        val ps = SnapshotTable.readPrunedIn(spark, root, "k", Seq(k))
+        assert(ps.df.where(col("k") === k).count() === 1, s"key $k missed")
+      }
+      // in-list probe
+      val multi = SnapshotTable.readPrunedIn(spark, root, "k",
+        Seq(35L, 539L, 2100L))
+      assert(multi.df.where(col("k").isin(35L, 539L, 2100L))
+        .count() === 3)
+      // SELECTIVITY: absent IN-RANGE keys (7i+3 — never multiples of
+      // 7) should essentially never probe a file (50 keys/file × 4
+      // hashes ≈ 5% of 4096 bits set → fpp ~1e-5); range stats alone
+      // would read every file for every one of them
+      val fpReads = (1L to 50L).map(i =>
+        SnapshotTable.readPrunedIn(spark, root, "k", Seq(7 * i + 3))
+          .filesRead).sum
+      assert(fpReads <= 4, s"bloom not selective: $fpReads probe reads")
+      // a point-upsert merge goes through the bloom candidate stage
+      // (hasBloom, 2 keys ≤ probe cap) and stays exact; blooms carry
+      SnapshotTable.commitMerge(spark, root,
+        img(35L -> "new35", 539L -> "new539"), "k",
+        retain = 10)((_, b) => b)
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.count() === 400)
+      assert(cur.where(col("k") === 35L).collect().map(_.getString(1))
+        .toSeq === Seq("new35"))
+      assert(cur.where(col("k") === 2100L).collect().map(_.getString(1))
+        .toSeq === Seq("v2100"))
+      // appends INHERIT the bloom column: the fresh file gets its own
+      // filter and point probes keep pruning across the whole chain
+      SnapshotTable.commitAppend(spark, root, img(10000L -> "fresh"),
+        retain = 10)
+      val ps2 = SnapshotTable.readPrunedIn(spark, root, "k", Seq(10000L))
+      assert(ps2.filesRead < ps2.filesTotal)
+      assert(ps2.df.where(col("k") === 10000L).count() === 1)
+      val ps3 = SnapshotTable.readPrunedIn(spark, root, "k", Seq(35L))
+      assert(ps3.df.where(col("k") === 35L).collect()
+        .map(_.getString(1)).toSeq === Seq("new35"))
+      // string-typed bloom column round-trips through the same paths
+      val root2 = root + "_str"
+      SnapshotTable.commitWithSkipping(spark, root2, Nil, Seq("v"),
+        bloomBits = 4096, retain = 10)(_ =>
+        img((1L to 100L).map(k => (k, s"name$k")): _*)
+          .repartition(4, col("v")))
+      val sHit = SnapshotTable.readPrunedIn(spark, root2, "v",
+        Seq("name42"))
+      assert(sHit.filesRead < sHit.filesTotal)
+      assert(sHit.df.where(col("v") === "name42").count() === 1)
+    }
+  }
+
   test("a legacy base's _stats_cols layout is inherited by the " +
       "migrating commitAppend — data skipping survives migration") {
     withRoot { root =>
