@@ -449,9 +449,11 @@ object SnapshotTable {
   }
 
   /** Per-file packed Bloom words for `bloomCols` over the fresh
-    * segment: ONE extra delta pass per commit (positions explode ×k,
-    * shrink to ≤ width distinct per file pre-shuffle, pack to words
-    * driver-side at manifest scale). */
+    * segment: one extra delta-only pass PER BLOOM COLUMN (positions
+    * explode ×k, shrink to ≤ width distinct per file pre-shuffle, pack
+    * to words driver-side at manifest scale) — bloom column sets are
+    * one or two columns in practice, and the pass reads only the
+    * segment just written, never the table. */
   private def segmentBlooms(s: SparkSession, root: String,
       segName: String, bloomCols: Seq[String],
       bloomBits: Int): Map[String, Map[String, Seq[Long]]] = {
@@ -760,94 +762,94 @@ object SnapshotTable {
       else batch0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    def fullMerge(cur: DataFrame): DataFrame = {
-      val keys = batch.select(col(mergeKey)).distinct()
-      cur.join(keys, Seq(mergeKey), "left_anti")
-        .unionByName(
-          resolve(Some(cur.join(keys, Seq(mergeKey), "left_semi")),
-            batch),
-          allowMissingColumns = true)
-    }
-    base match {
-      case None =>
-        commitCore(s, root, retain, statsCols, carriedFrom = None,
-          casBase = expectedBase, txn = txn,
-          bloomCols = inheritedBloom)(_ =>
-          resolve(None, batch))
-      case Some(v) if !isManifestVersion(fs, root, v) =>
-        // legacy self-contained base: one full rewriting merge migrates
-        // to the manifest layout (same reasoning as commitAppend)
-        commitCore(s, root, retain, statsCols, carriedFrom = None,
-          casBase = expectedBase, txn = txn,
-          bloomCols = inheritedBloom)(cur =>
-          fullMerge(cur().get))
-      case Some(v) =>
-        val schema = schemaOfVersion(s, root, v)
-        require(schema.fieldNames.contains(mergeKey),
-          s"merge key '$mergeKey' not in table schema")
-        val all = dataFiles(s, root, v)
-        val hasRange = statsColsOf(s, root, v).contains(mergeKey)
-        val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
-        val candidates: Seq[String] =
-          if (!hasRange && !hasBloom) all
-          else {
-            // range conjunct (optimization only — no-stats files stay
-            // candidates via the isNull arms)
-            val rangeCond: Option[Column] =
-              if (!hasRange) None
-              else {
-                val b = batch
-                  .agg(min(col(mergeKey)), max(col(mergeKey))).first()
-                if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
-                else Some(col(s"min__$mergeKey").isNull ||
-                  col(s"max__$mergeKey").isNull ||
-                  (col(s"max__$mergeKey") >= lit(b.get(0)) &&
-                    col(s"min__$mergeKey") <= lit(b.get(1))))
-              }
-            // Bloom conjunct, only when the batch's key set is
-            // probe-sized (the CDC point-upsert shape — a big batch
-            // touches most files anyway, and its probe expression
-            // would be the in-list anti-pattern). Null keys never
-            // equi-match existing rows, so they are rightly excluded.
-            val bloomCond: Option[Column] =
-              if (!hasBloom) None
-              else {
-                val ks = batch.select(col(mergeKey))
-                  .where(col(mergeKey).isNotNull).distinct()
-                  .limit(bloomProbeMaxKeys + 1)
-                  .collect().map(_.get(0)).toSeq
-                if (ks.isEmpty) Some(lit(false))
-                else if (ks.size > bloomProbeMaxKeys) None
-                else Some(bloomHitExpr(mergeKey,
-                  rawBloomHashes(s, ks, schema(mergeKey).dataType)))
-              }
-            (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _)
-              match {
-                case None => all
-                case Some(cond) => manifestDf(s, root, v).where(cond)
-                  .select("file").collect().map(_.getString(0)).toSeq
-              }
+      def fullMerge(cur: DataFrame): DataFrame = {
+        val keys = batch.select(col(mergeKey)).distinct()
+        cur.join(keys, Seq(mergeKey), "left_anti")
+          .unionByName(
+            resolve(Some(cur.join(keys, Seq(mergeKey), "left_semi")),
+              batch),
+            allowMissingColumns = true)
+      }
+      base match {
+        case None =>
+          commitCore(s, root, retain, statsCols, carriedFrom = None,
+            casBase = expectedBase, txn = txn,
+            bloomCols = inheritedBloom)(_ =>
+            resolve(None, batch))
+        case Some(v) if !isManifestVersion(fs, root, v) =>
+          // legacy self-contained base: one full rewriting merge migrates
+          // to the manifest layout (same reasoning as commitAppend)
+          commitCore(s, root, retain, statsCols, carriedFrom = None,
+            casBase = expectedBase, txn = txn,
+            bloomCols = inheritedBloom)(cur =>
+            fullMerge(cur().get))
+        case Some(v) =>
+          val schema = schemaOfVersion(s, root, v)
+          require(schema.fieldNames.contains(mergeKey),
+            s"merge key '$mergeKey' not in table schema")
+          val all = dataFiles(s, root, v)
+          val hasRange = statsColsOf(s, root, v).contains(mergeKey)
+          val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
+          val candidates: Seq[String] =
+            if (!hasRange && !hasBloom) all
+            else {
+              // range conjunct (optimization only — no-stats files stay
+              // candidates via the isNull arms)
+              val rangeCond: Option[Column] =
+                if (!hasRange) None
+                else {
+                  val b = batch
+                    .agg(min(col(mergeKey)), max(col(mergeKey))).first()
+                  if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
+                  else Some(col(s"min__$mergeKey").isNull ||
+                    col(s"max__$mergeKey").isNull ||
+                    (col(s"max__$mergeKey") >= lit(b.get(0)) &&
+                      col(s"min__$mergeKey") <= lit(b.get(1))))
+                }
+              // Bloom conjunct, only when the batch's key set is
+              // probe-sized (the CDC point-upsert shape — a big batch
+              // touches most files anyway, and its probe expression
+              // would be the in-list anti-pattern). Null keys never
+              // equi-match existing rows, so they are rightly excluded.
+              val bloomCond: Option[Column] =
+                if (!hasBloom) None
+                else {
+                  val ks = batch.select(col(mergeKey))
+                    .where(col(mergeKey).isNotNull).distinct()
+                    .limit(bloomProbeMaxKeys + 1)
+                    .collect().map(_.get(0)).toSeq
+                  if (ks.isEmpty) Some(lit(false))
+                  else if (ks.size > bloomProbeMaxKeys) None
+                  else Some(bloomHitExpr(mergeKey,
+                    rawBloomHashes(s, ks, schema(mergeKey).dataType)))
+                }
+              (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _)
+                match {
+                  case None => all
+                  case Some(cond) => manifestDf(s, root, v).where(cond)
+                    .select("file").collect().map(_.getString(0)).toSeq
+                }
+            }
+          val touched: Set[String] =
+            if (candidates.isEmpty) Set.empty
+            else {
+              val keys = batch.select(col(mergeKey).as("_graft_k"))
+                .distinct()
+              s.read.schema(schema)
+                .parquet(candidates.map(f => s"$root/$f"): _*)
+                .select(col(mergeKey), relFile.as("_graft_file"))
+                .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
+                .select("_graft_file").distinct()
+                .collect().map(_.getString(0)).toSet
+            }
+          commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
+            dropCarried = touched, casBase = expectedBase, txn = txn,
+            bloomCols = inheritedBloom) { _ =>
+            if (touched.isEmpty) resolve(None, batch)
+            else fullMerge(s.read.schema(schema)
+              .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
           }
-        val touched: Set[String] =
-          if (candidates.isEmpty) Set.empty
-          else {
-            val keys = batch.select(col(mergeKey).as("_graft_k"))
-              .distinct()
-            s.read.schema(schema)
-              .parquet(candidates.map(f => s"$root/$f"): _*)
-              .select(col(mergeKey), relFile.as("_graft_file"))
-              .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
-              .select("_graft_file").distinct()
-              .collect().map(_.getString(0)).toSet
-          }
-        commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
-          dropCarried = touched, casBase = expectedBase, txn = txn,
-          bloomCols = inheritedBloom) { _ =>
-          if (touched.isEmpty) resolve(None, batch)
-          else fullMerge(s.read.schema(schema)
-            .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
-        }
-    }
+      }
     } finally {
       if (!wasCached) { batch.unpersist(blocking = false); () }
     }
