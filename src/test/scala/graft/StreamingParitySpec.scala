@@ -1767,4 +1767,59 @@ class StreamingParitySpec extends AnyFunSuite {
         new java.io.File(ck))
     }
   }
+
+  test("snapshotMergeStream restart across the at-least-once window: " +
+      "the checkpoint lost batch 0's commit marker AFTER the table " +
+      "commit landed — the restarted query REPLAYS batch 0 through " +
+      "foreachBatch and the txn guard commits nothing twice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("snap_restart").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("snap_restart_ck").toString
+    try {
+      import graft.streaming.SnapshotTable
+      val chunks = allEvents.grouped((allEvents.size + 1) / 2).toSeq
+      val input = MemoryStream[Ev]
+      val q1 = Streams.snapshotMergeStream(input.toDF(), root, ck,
+        "user_id", appId = "restart", retain = 4)(ops.Scans.upsertMerge)
+      input.addData(chunks(0)); q1.processAllAvailable(); q1.stop()
+      val v1 = SnapshotTable.committedVersions(spark, root)
+      assert(v1.size === 1)
+      // simulate the crash window: the table commit landed but the
+      // CHECKPOINT's batch-commit marker did not — on restart,
+      // Structured Streaming genuinely re-runs batch 0
+      val marker = new java.io.File(s"$ck/commits/0")
+      assert(marker.isFile, "checkpoint layout changed?")
+      assert(marker.delete())
+      // the local-FS checksum sidecar must go with it, or the replayed
+      // batch can't rewrite its marker (a real crash loses both)
+      new java.io.File(s"$ck/commits/.0.crc").delete()
+      val q2 = Streams.snapshotMergeStream(input.toDF(), root, ck,
+        "user_id", appId = "restart", retain = 4)(ops.Scans.upsertMerge)
+      q2.processAllAvailable() // replays batch 0 -> guard must skip
+      assert(SnapshotTable.committedVersions(spark, root) === v1,
+        "replayed batch 0 must not commit a second version")
+      input.addData(chunks(1)); q2.processAllAvailable(); q2.stop()
+      assert(SnapshotTable.committedVersions(spark, root).size === 2)
+      assert(SnapshotTable.lastCommittedBatch(spark, root, "restart")
+        === Some(1L))
+      // the image is exact despite the replay
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = allEvents.toDF()
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val got = SnapshotTable.read(spark, root).get
+      assert(got.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(got).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ck))
+    }
+  }
 }
