@@ -93,7 +93,7 @@ object Bench {
     "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
-    "table_bloom_skipping" -> 1.2,
+    "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.0,
     "table_changelog" -> 1.0, "table_incremental_append" -> 1.5,
     "table_merge_pruned" -> 0.5,
     "table_schema_evolution" -> 0.91,
@@ -269,7 +269,7 @@ object Bench {
       // measure query latency against the published table
       artifactLine("table_artifact_build",
         only.forall(_.exists(Set("sink_snapshot_merge",
-          "table_merge_pruned", "table_changelog")))) {
+          "table_merge_pruned", "table_changelog", "table_cdf_consume")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)

@@ -754,6 +754,58 @@ object Scans {
     // bloom, probes the 3 smallest user ids, and reports their rows
     // plus a structural `bloom_pruned` boolean (files_read <
     // files_total — range stats alone could never prune this layout).
+    // INCREMENTAL CONSUMPTION of a MERGED table via the changelog
+    // (round 16; pairs readChanges with the cdc_retract_agg signed-row
+    // algebra — the loop Delta CDF exists to close): a downstream
+    // consumer maintains a (n_users, sum_value) board across a
+    // 3-version merge chain by reading the FULL image exactly once
+    // (v1) and then folding each transition's row-level changes —
+    // +row for insert/update_postimage, -row for delete/
+    // update_preimage — never re-reading v2 or v3. Because
+    // readChanges is O(touched files), the steady-state consumer cost
+    // is the merge's delta, not the table: at 100 TB this is the
+    // difference between re-aggregating the table per version and
+    // paying for what changed. Deltas accumulate in exact DECIMAL and
+    // the per-transition fold is a 1-row driver scalar (the
+    // iterative-scalar pattern, like pagerank's per-round row). The
+    // oracle recomputes each version's board directly — incremental ≡
+    // direct is the whole claim.
+    "table_cdf_consume" -> ((s, d) => {
+      val root = cdfChainRoot(s, d)
+      val vs = graft.streaming.SnapshotTable
+        .committedVersions(s, root).takeRight(3)
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val b = graft.streaming.SnapshotTable.readVersion(s, root, vs(0))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 2).cast(dec)).as("sv")).first()
+      var users = b.getLong(0)
+      var sv = Option(b.getDecimal(1)).map(BigDecimal(_))
+        .getOrElse(BigDecimal(0))
+      val out = scala.collection.mutable.ArrayBuffer((1L, users, sv))
+      (0 to 1).foreach { i =>
+        val ch = graft.streaming.SnapshotTable.readChanges(
+          s, root, vs(i), vs(i + 1), "user_id")
+        val post = col("_change_type")
+          .isin("insert", "update_postimage")
+        val pre = col("_change_type")
+          .isin("delete", "update_preimage")
+        val dRow = ch.agg(
+          coalesce(sum(when(col("_change_type") === "insert", 1L)
+            .when(col("_change_type") === "delete", -1L)
+            .otherwise(0L)), lit(0L)).as("du"),
+          coalesce(sum(when(post, round(col("value"), 2).cast(dec))
+            .when(pre, -round(col("value"), 2).cast(dec))),
+            lit(0).cast(dec)).as("dv")).first()
+        users += dRow.getLong(0)
+        sv += Option(dRow.getDecimal(1)).map(BigDecimal(_))
+          .getOrElse(BigDecimal(0))
+        out += ((i + 2L, users, sv))
+      }
+      import s.implicits._
+      out.toSeq.map { case (v, n, x) => (v, n, x.toDouble) }
+        .toDF("version", "n_users", "sum_value").orderBy("version")
+    }),
+
     "table_bloom_skipping" -> ((s, d) => {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
@@ -762,10 +814,22 @@ object Scans {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
       buildVersionsOnce(s, root, 1) { (_, eb) =>
+        // hash-distribute via an EXPLICIT bucket column, not
+        // repartition(16, user_id): upsertMerge's window already
+        // hash-partitions by user_id, so when the session's
+        // shuffle.partitions happens to equal 16 the optimizer removes
+        // the "redundant" repartition and AQE then coalesces the tiny
+        // window shuffle to ONE output file — no multi-file layout, no
+        // skipping to prove (caught at sf0.1 under SPARK_GRAFT_CPUS=16;
+        // a bucket expression is never partitioning-equal to the
+        // window's, so the shuffle survives every session shape)
         graft.streaming.SnapshotTable.commitWithSkipping(s, root,
           statsCols = Seq("user_id"), bloomCols = Seq("user_id"),
           retain = 2, expectedBase = eb)(_ =>
-          upsertMerge(None, ev).repartition(16, col("user_id")))
+          upsertMerge(None, ev)
+            .withColumn("_b", pmod(hash(col("user_id")), lit(16)))
+            .repartition(16, col("_b"))
+            .drop("_b"))
         ()
       }
       val probes = ev.select("user_id").distinct()
@@ -847,7 +911,46 @@ object Scans {
       d: String): Unit = {
     snapMergeRoot(s, d)
     mergePrunedRoot(s, d)
+    cdfChainRoot(s, d)
     ()
+  }
+
+  /** The 3-version merge CHAIN `table_cdf_consume` folds changelogs
+    * over, built once per corpus content: v1 = the even-event_id
+    * per-user latest image range-clustered on user_id; v2 = commitMerge
+    * of the odd events of the bottom user-QUARTER; v3 = commitMerge of
+    * the odd events of the second quarter — two localized merge
+    * transitions, each rewriting only overlapping files, so the
+    * changelog between consecutive versions is O(touched). */
+  private def cdfChainRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"cdf_chain_${tag}_$snap")
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val uCap = ev.agg(floor(max(col("user_id")) / 4.0).cast("long"))
+      .first().getLong(0)
+    buildVersionsOnce(s, root, 3) { (i, eb) =>
+      if (i == 0)
+        graft.streaming.SnapshotTable.commitWithStats(
+          s, root, "user_id", retain = 3, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            upsertMerge(None,
+              ev.where(pmod(col("event_id"), lit(2)) === 0)),
+            "user_id", 8))
+      else {
+        val quarter =
+          if (i == 1) col("user_id") <= uCap
+          else col("user_id") > uCap && col("user_id") <= 2 * uCap
+        graft.streaming.SnapshotTable.commitMerge(s, root,
+          ev.where(pmod(col("event_id"), lit(2)) === 1 && quarter),
+          "user_id", retain = 3, expectedBase = eb)(upsertMerge)
+      }
+      ()
+    }
+    root
   }
 
   /** The 2-version FILE-GRANULAR MERGE table `table_merge_pruned` and
@@ -1208,6 +1311,30 @@ object Scans {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // per-version boards of the 3-version merge chain, recomputed
+    // DIRECTLY per version — the key computes them incrementally off
+    // the changelog, so equality IS the claim. Version k's image =
+    // even events ∪ odd events of the quarters applied through k.
+    "table_cdf_consume" ->
+      """WITH cap AS (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |    AS c FROM events),
+        |src AS (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value, k.v
+        |  FROM events e, cap, (VALUES (1), (2), (3)) AS k(v)
+        |  WHERE e.event_id % 2 = 0
+        |     OR (e.event_id % 2 = 1 AND
+        |         ((k.v >= 2 AND e.user_id <= cap.c) OR
+        |          (k.v >= 3 AND e.user_id > cap.c
+        |            AND e.user_id <= 2 * cap.c)))),
+        |img AS (
+        |  SELECT v, user_id, value,
+        |    row_number() OVER (PARTITION BY v, user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM src)
+        |SELECT CAST(v AS BIGINT) AS version, count(*) AS n_users,
+        | CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_value
+        |FROM img WHERE rn = 1 GROUP BY v ORDER BY version""".stripMargin,
     // the 3 smallest users' latest-image rows; `bloom_pruned` is the
     // structural assertion that the bloom manifest skipped ≥1 of the
     // 16 hash-distributed files (range stats cannot skip ANY here)
