@@ -933,6 +933,34 @@ class SnapshotTableSpec extends AnyFunSuite {
       // identical versions diff to nothing
       assert(SnapshotTable.readChanges(spark, root, v2, v2, "k")
         .count() === 0)
+      // O(TOUCHED) plan-asserted: every file-scan leaf in the
+      // changelog plan reads ONLY files from the version diff
+      // (vFrom-only ∪ vTo-only) — carried files never enter the plan,
+      // so at 100 TB the changelog costs the merge's delta, not the
+      // table. Falsifiable control: the full-version read DOES plan
+      // the carried files this assertion excludes.
+      val diffFiles =
+        (SnapshotTable.dataFiles(spark, root, v1).toSet diff
+          SnapshotTable.dataFiles(spark, root, v2).toSet) ++
+        (SnapshotTable.dataFiles(spark, root, v2).toSet diff
+          SnapshotTable.dataFiles(spark, root, v1).toSet)
+      // sparkPlan, not executedPlan: AQE wraps the latter in an
+      // adaptive root whose children aren't visible to collect()
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map { p =>
+              s"${p.getParent.getName}/${p.getName}"
+            }
+        }.flatten.toSet
+      val chScanned = scannedFiles(
+        SnapshotTable.readChanges(spark, root, v1, v2, "k"))
+      assert(chScanned.nonEmpty && chScanned.subsetOf(diffFiles),
+        s"changelog planned non-diff files: ${chScanned -- diffFiles}")
+      val fullScanned = scannedFiles(
+        SnapshotTable.readVersion(spark, root, v2))
+      assert(!fullScanned.subsetOf(diffFiles),
+        "control: the full read should plan carried files too")
     }
   }
 
