@@ -1369,6 +1369,45 @@ object SnapshotTable {
     }
   }
 
+  /** INCREMENTAL small-file compaction (Iceberg rewrite_data_files
+    * with a size filter / Delta OPTIMIZE's real behavior — round 16;
+    * [[compact]] rewrites the WHOLE image, which is the right tool
+    * after a full-image merge but O(table) as maintenance): only
+    * files smaller than `minBytes` are read and re-packed into
+    * `targetFiles`; every file already at a healthy size CARRIES BY
+    * REFERENCE, physically untouched, keeping its manifest stats and
+    * bloom filter un-recomputed. A steady drip of micro-appends at
+    * 100 TB is maintained for the cost of the fragments, not the
+    * table. Stats and bloom columns are inherited and recomputed for
+    * the re-packed output only. Returns the new version, or the
+    * CURRENT version unchanged when fewer than two files qualify
+    * (nothing to pack — a no-op must not burn a commit). Rides the
+    * normal commit path, so isolation, conflict detection, time
+    * travel, and the refcounted vacuum all apply. */
+  def compactSmall(s: SparkSession, root: String, minBytes: Long,
+      targetFiles: Int = 1, retain: Int = 2): Long = {
+    val fs = fsOf(s, root)
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"compactSmall: no committed version at $root"))
+    if (!isManifestVersion(fs, root, v))
+      // legacy self-contained dir: no file-carry is possible — the
+      // full compact IS the migration
+      return compact(s, root, targetFiles, retain)
+    val small = dataFiles(s, root, v).filter { f =>
+      fs.getFileStatus(new Path(s"$root/$f")).getLen < minBytes
+    }
+    if (small.size <= 1) return v
+    val schema = schemaOfVersion(s, root, v)
+    commitCore(s, root, retain, statsColsOf(s, root, v),
+      carriedFrom = Some(v), dropCarried = small.toSet,
+      bloomCols = bloomColsOf(s, root, v)) { _ =>
+      s.read.schema(schema)
+        .parquet(small.map(f => s"$root/$f"): _*)
+        .coalesce(targetFiles)
+    }
+  }
+
   /** Parquet part-file count of a committed version (compaction's
     * observable effect; append's O(delta) accounting denominator). */
   def fileCount(s: SparkSession, root: String, v: Long): Int =

@@ -983,6 +983,55 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compactSmall re-packs ONLY sub-threshold files: healthy files " +
+      "carry physically untouched with their stats, rows and pruning " +
+      "survive, and a fragment-free table is a version-free no-op") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      // a healthy clustered base (2 files, ~40 rows each, stats on k)
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 80L).map(k => (k, s"v$k" * 40)): _*), "k", 2))
+      // a drip of 5 micro-appends — the fragment pile compaction exists
+      // for (each one tiny file)
+      (81L to 85L).foreach(k =>
+        SnapshotTable.commitAppend(spark, root,
+          img(k -> s"v$k").coalesce(1), retain = 10))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val before = SnapshotTable.dataFiles(spark, root, v1)
+      assert(before.size === 7)
+      val sizes = before.map(f => f ->
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$f")))
+        .toMap
+      val big = before.filter(f => sizes(f).getLen >= 1000)
+      assert(big.size === 2, s"fixture: ${before.map(sizes(_).getLen)}")
+      val v2 = SnapshotTable.compactSmall(spark, root, minBytes = 1000,
+        targetFiles = 1, retain = 10)
+      assert(v2 > v1)
+      val after = SnapshotTable.dataFiles(spark, root, v2)
+      // 2 carried big files + 1 re-packed file
+      assert(after.size === 3, s"after: $after")
+      assert(big.toSet.subsetOf(after.toSet))
+      big.foreach { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$root/$f"))
+        assert((st.getLen, st.getModificationTime) ===
+          ((sizes(f).getLen, sizes(f).getModificationTime)),
+          s"compactSmall rewrote healthy file $f")
+      }
+      // rows identical, stats survive (pruning still bites)
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.count() === 85)
+      val hit = SnapshotTable.readPruned(spark, root, lit(5L), lit(10L))
+      assert(hit.filesRead < hit.filesTotal)
+      assert(hit.df.where(col("k").between(5L, 10L)).count() === 6)
+      // nothing left to pack: no-op, version unchanged
+      assert(SnapshotTable.compactSmall(spark, root, minBytes = 1000,
+        targetFiles = 1, retain = 10) === v2)
+      assert(SnapshotTable.latestVersion(spark, root).get === v2)
+    }
+  }
+
   test("txn tokens: lastCommittedBatch reports the max batch id per " +
       "appId across retained versions, unaffected by token-less " +
       "commits or other appIds") {
