@@ -1053,6 +1053,76 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge fuzz: 12 seeded random upsert batches through " +
+      "commitMerge (bloom-gated candidates included) equal the same " +
+      "batches folded over a plain DataFrame") {
+    withRoot { root =>
+      val rnd = new scala.util.Random(0xC0FFEE)
+      // seed: 120 keys, range-clustered with stats AND a bloom so the
+      // candidate path exercises both pruning stages
+      val seed = (1L to 120L).map(k => (k, s"seed$k"))
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 3)(_ =>
+        SnapshotTable.clusterBy(img(seed: _*), "k", 6))
+      var reference: Seq[(Long, String)] = seed
+      (1 to 12).foreach { r =>
+        // batch shapes vary: tiny point upserts (bloom path), wide
+        // batches (past the bloom probe cap), inserts of fresh keys,
+        // and the occasional empty batch
+        val n = rnd.nextInt(4) match {
+          case 0 => 1 + rnd.nextInt(3)     // point upsert
+          case 1 => 30 + rnd.nextInt(40)   // wide batch
+          case 2 => 0                      // empty
+          case _ => 5 + rnd.nextInt(10)
+        }
+        val batch = (1 to n).map { _ =>
+          val k = (1 + rnd.nextInt(160)).toLong // 121..160 are inserts
+          (k, s"r$r-$k")
+        }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique keys
+        SnapshotTable.commitMerge(spark, root, img(batch: _*), "k",
+          retain = 3)((_, b) => b)
+        reference = (reference.toMap ++ batch.toMap).toSeq
+        val cur = SnapshotTable.read(spark, root).get
+          .collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSet
+        assert(cur === reference.toSet, s"diverged at round $r")
+      }
+    }
+  }
+
+  test("schema evolution THROUGH commitMerge: a batch carrying a new " +
+      "column merges ADD-COLUMN-style — pass-through and carried rows " +
+      "take NULL, the key's rows carry the value, history un-rewritten") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 40L).map(k => (k, s"v$k")): _*), "k", 4))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      import spark.implicits._
+      val batch = Seq((5L, "new5", "extra5"), (100L, "ins100", "extra100"))
+        .toDF("k", "v", "note")
+      SnapshotTable.commitMerge(spark, root, batch, "k",
+        retain = 10)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val cur = SnapshotTable.readVersion(spark, root, v2)
+      assert(cur.columns.toSeq === Seq("k", "v", "note"))
+      assert(cur.count() === 41)
+      assert(cur.where(col("k") === 5L).select("note")
+        .first().getString(0) === "extra5")
+      assert(cur.where(col("k") === 100L).select("note")
+        .first().getString(0) === "extra100")
+      // everyone else — carried files and touched-file pass-throughs
+      // alike — serves NULL for the new column
+      assert(cur.where(col("note").isNull).count() === 39)
+      // the pre-evolution version still serves its OWN schema
+      assert(SnapshotTable.readVersion(spark, root, v1)
+        .columns.toSeq === Seq("k", "v"))
+      // carried files were not rewritten: v2 still references v1 files
+      val carried = SnapshotTable.dataFiles(spark, root, v2).toSet
+        .intersect(SnapshotTable.dataFiles(spark, root, v1).toSet)
+      assert(carried.nonEmpty, "merge evolution must not rewrite history")
+    }
+  }
+
   test("bloom file skipping: point probes prune a hash-distributed " +
       "layout range stats cannot, present keys are NEVER missed, " +
       "absent keys almost never probe a file, and blooms survive " +
