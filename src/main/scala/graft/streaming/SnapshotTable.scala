@@ -1002,7 +1002,21 @@ object SnapshotTable {
         fs.delete(st.getPath, true); false
       } else true
     }.map(_._2)
-    val next = (live :+ base.getOrElse(-1L)).max + 1
+    // CAS commits PIN the target number to expectedBase+1 instead of
+    // skipping past stray v= dirs: two writers pinned to the same base
+    // then contend on the SAME rename destination and the SAME
+    // exclusive marker — the filesystem arbitration that makes the CAS
+    // real. (Found by the concurrency spec: with orphan-skip numbering
+    // a loser that listed versions before the winner's marker landed
+    // would slide to base+2 and publish its own marker — both writers
+    // "succeed", the exact double-apply the CAS exists to prevent.)
+    // The cost: a marker-less corpse already sitting at base+1 makes
+    // the CAS commit conflict loudly until the age-gated sweep
+    // reclaims it — a spurious conflict, never a silent double apply.
+    // Non-CAS commits keep the wedge-proof skip-past numbering.
+    val next =
+      if (casBase != AnyBase) base.getOrElse(EmptyBase) + 1
+      else (live :+ base.getOrElse(-1L)).max + 1
     // the segment was written before the (possibly long) stats pass —
     // refresh its mtime so a concurrent commit's refcount sweep can
     // never read it as an aged unreferenced corpse in the window

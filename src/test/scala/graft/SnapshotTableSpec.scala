@@ -852,6 +852,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CAS under TRUE concurrency: two writers pinned to the same " +
+      "base race on live threads — exactly one commits, exactly one " +
+      "conflicts, and the loser's batch never lands") {
+    withRoot { root =>
+      SnapshotTable.commitAppend(spark, root, img(0L -> "seed"),
+        retain = 10)
+      val base = SnapshotTable.latestVersion(spark, root).get
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        val outcomes = Await.result(Future.sequence(
+          Seq("writerA", "writerB").zipWithIndex.map { case (tag, i) =>
+            Future {
+              gate.await()
+              try Right(SnapshotTable.commitAppend(spark, root,
+                img((i + 1).toLong -> tag), retain = 10,
+                expectedBase = base))
+              catch {
+                case e: IllegalStateException
+                    if e.getMessage.contains("conflict") => Left(tag)
+              }
+            }
+          }), scala.concurrent.duration.Duration(180, "s"))
+        assert(outcomes.count(_.isRight) === 1, outcomes.toString)
+        assert(outcomes.count(_.isLeft) === 1, outcomes.toString)
+        val loser = outcomes.collectFirst { case Left(t) => t }.get
+        val cur = SnapshotTable.read(spark, root).get
+        assert(cur.count() === 2) // seed + exactly one writer's row
+        assert(cur.where(col("v") === loser).count() === 0,
+          "the conflicted writer's batch must never land")
+      } finally pool.shutdown()
+    }
+  }
+
   test("commitMerge pins a NON-DETERMINISTIC batch to one evaluation: " +
       "no key is ever duplicated or lost, and the pin is released") {
     withRoot { root =>
