@@ -504,16 +504,25 @@ object SnapshotTable {
       bloomBits: Int = defaultBloomBits): (Seq[String], DataFrame) = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)
-    val files = fs.listStatus(new Path(s"$root/$segName")).toSeq
+    val listing = fs.listStatus(new Path(s"$root/$segName")).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$segName/${st.getPath.getName}")
+      .map(st => s"$segName/${st.getPath.getName}" -> st.getLen)
+    val files = listing.map(_._1)
+    val sizeOf = listing.toMap
+    // file BYTES ride the manifest (Iceberg's file_size_in_bytes):
+    // maintenance decisions (compactSmall's fragment scan) then read
+    // one manifest instead of issuing a getFileStatus RPC per file —
+    // at 800k files the difference between one parquet read and an
+    // RPC storm. Recorded from the listing this commit already did.
     val base: (Seq[String], DataFrame) =
       if (statsCols.isEmpty || files.isEmpty) {
         val rows: java.util.List[Row] =
-          java.util.Arrays.asList(files.map(f => Row(f, null)): _*)
+          java.util.Arrays.asList(files.map(f =>
+            Row(f, null, sizeOf(f))): _*)
         (files, s.createDataFrame(rows, StructType(Seq(
           StructField("file", StringType, nullable = false),
-          StructField("rows", LongType, nullable = true)))))
+          StructField("rows", LongType, nullable = true),
+          StructField("bytes", LongType, nullable = true)))))
       } else {
         // ONE pass computes every column's per-file stats (re-scanning
         // the fresh segment once per column would be N delta passes)
@@ -524,10 +533,14 @@ object SnapshotTable {
           .groupBy(relFile.as("file"))
           .agg(aggs.head, aggs.tail: _*)
         val outSchema = StructType(agg.schema.fields.map(
-          _.copy(nullable = true)))
+          _.copy(nullable = true)) :+
+          StructField("bytes", LongType, nullable = true))
         val byFile = agg.collect().map(r => r.getString(0) -> r).toMap
-        val rows = files.map(f => byFile.getOrElse(f,
-          Row.fromSeq(f +: Seq.fill(outSchema.size - 1)(null))))
+        val rows = files.map(f => byFile.get(f) match {
+          case Some(r) => Row.fromSeq(r.toSeq :+ sizeOf(f))
+          case None => Row.fromSeq(f +:
+            Seq.fill(outSchema.size - 2)(null) :+ sizeOf(f))
+        })
         (files, s.createDataFrame(
           java.util.Arrays.asList(rows: _*), outSchema))
       }
@@ -1408,8 +1421,21 @@ object SnapshotTable {
       // legacy self-contained dir: no file-carry is possible — the
       // full compact IS the migration
       return compact(s, root, targetFiles, retain)
+    // file sizes come from the manifest's `bytes` column when recorded
+    // (round-16 manifests carry it); only files predating the column
+    // fall back to a per-file getFileStatus RPC
+    val recorded: Map[String, Long] =
+      if (!hasStatsManifest(fs, root, v)) Map.empty
+      else {
+        val m = manifestDf(s, root, v)
+        if (!m.schema.fieldNames.contains("bytes")) Map.empty
+        else m.select("file", "bytes").collect()
+          .filterNot(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val small = dataFiles(s, root, v).filter { f =>
-      fs.getFileStatus(new Path(s"$root/$f")).getLen < minBytes
+      recorded.getOrElse(f,
+        fs.getFileStatus(new Path(s"$root/$f")).getLen) < minBytes
     }
     if (small.size <= 1) return v
     val schema = schemaOfVersion(s, root, v)
