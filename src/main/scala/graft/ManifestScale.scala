@@ -88,8 +88,11 @@ object ManifestScale {
         lit(1000000L).as("rows"),
         (lit(1000000000L) + col("id") * 1000L).as("min__key"),
         (lit(1000000000L) + col("id") * 1000L + 999L).as("max__key"))
-      mdf.unionByName(synth).coalesce(1).write
-        .parquet(s"$root/v=$v2/_manifest")
+      // allowMissingColumns: synthetic rows carry no `bytes` (and no
+      // future optional manifest columns) — null is the product's own
+      // pre-bytes-manifest reading
+      mdf.unionByName(synth, allowMissingColumns = true).coalesce(1)
+        .write.parquet(s"$root/v=$v2/_manifest")
       val realFiles = SnapshotTable.dataFiles(spark, root, v1)
       val synthNames = (0 until n).map(i => s"seg-synth/part-$i.parquet")
       val sidecar = (realFiles ++ synthNames).mkString("\n")
