@@ -1126,6 +1126,74 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle fuzz: seeded append/merge/compact walk — the table " +
+      "tracks a reference map at every step, every transition's " +
+      "changelog replays exactly, and MAINTENANCE IS CDF-SILENT " +
+      "(compaction emits zero change rows)") {
+    withRoot { root =>
+      val rnd = new scala.util.Random(0xBEEF)
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 20)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 60L).map(k => (k, s"seed$k")): _*), "k", 4))
+      var model: Map[Long, String] = (1L to 60L)
+        .map(k => k -> s"seed$k").toMap
+      var nextFresh = 61L
+      (1 to 10).foreach { r =>
+        val prev = SnapshotTable.latestVersion(spark, root).get
+        val op = rnd.nextInt(4)
+        val expectSilent = op >= 2
+        op match {
+          case 0 => // append fresh keys
+            val fresh = (0 until 1 + rnd.nextInt(5)).map { _ =>
+              val k = nextFresh; nextFresh += 1; (k, s"app$r-$k") }
+            SnapshotTable.commitAppend(spark, root, img(fresh: _*),
+              retain = 20)
+            model ++= fresh
+          case 1 => // merge: update existing + maybe insert
+            val batch = (0 until 1 + rnd.nextInt(6)).map { _ =>
+              val k = (1 + rnd.nextInt(nextFresh.toInt + 4)).toLong
+              (k, s"m$r-$k") }.groupBy(_._1).map(_._2.head).toSeq
+            SnapshotTable.commitMerge(spark, root, img(batch: _*), "k",
+              retain = 20)((_, b) => b)
+            model ++= batch
+          case 2 =>
+            SnapshotTable.compactSmall(spark, root, minBytes = 2000,
+              targetFiles = 2, retain = 20)
+          case _ =>
+            SnapshotTable.compact(spark, root, targetFiles = 3,
+              retain = 20)
+        }
+        val cur = SnapshotTable.latestVersion(spark, root).get
+        // table == model
+        val got = SnapshotTable.read(spark, root).get.collect()
+          .map(x => (x.getLong(0), x.getString(1))).toMap
+        assert(got === model, s"round $r op $op diverged")
+        if (cur != prev) {
+          val ch = SnapshotTable.readChanges(spark, root, prev, cur, "k")
+          if (expectSilent)
+            // rewritten rows are value-identical — bag difference
+            // cancels them all: maintenance never wakes a CDF consumer
+            assert(ch.count() === 0,
+              s"round $r: maintenance op $op emitted changes")
+          else {
+            // replaying the transition's changelog over the previous
+            // image reconstructs the current one exactly
+            val pre = SnapshotTable.readVersion(spark, root, prev)
+            val gone = ch.where(col("_change_type")
+              .isin("delete", "update_preimage")).select("k")
+            val added = ch.where(col("_change_type")
+              .isin("insert", "update_postimage")).drop("_change_type")
+            val rebuilt = pre.join(gone, Seq("k"), "left_anti")
+              .unionByName(added)
+            val curDf = SnapshotTable.readVersion(spark, root, cur)
+            assert(rebuilt.exceptAll(curDf).count() === 0, s"round $r")
+            assert(curDf.exceptAll(rebuilt).count() === 0, s"round $r")
+          }
+        }
+      }
+    }
+  }
+
   test("schema evolution THROUGH commitMerge: a batch carrying a new " +
       "column merges ADD-COLUMN-style — pass-through and carried rows " +
       "take NULL, the key's rows carry the value, history un-rewritten") {
