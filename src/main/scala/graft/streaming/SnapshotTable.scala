@@ -1165,14 +1165,20 @@ object SnapshotTable {
       col(s"min__$c").isNull || col(s"max__$c").isNull ||
         (col(s"max__$c") >= lo && col(s"min__$c") <= hi)
     }.reduce(_ && _)
-    val all = m.select(col("file"), cond.as("keep")).collect()
-    val keep = all.filter(_.getBoolean(1)).map(_.getString(0)).sorted
+    // the predicate evaluates ON the manifest scan and only the KEPT
+    // names come back — the driver transfer is the answer, never the
+    // whole file inventory (at 800k files the difference between a
+    // pruned name list and an 800k-row collect); files_total comes
+    // from the sidecar, a text read with no Spark job
+    val keep = m.where(cond).select("file").collect()
+      .map(_.getString(0)).sorted
+    val total = dataFiles(s, root, v).size
     val schema = schemaOfVersion(s, root, v)
     val df =
       if (keep.isEmpty) emptyFrame(s, schema)
       else s.read.schema(schema)
         .parquet(keep.map(f => s"$root/$f").toIndexedSeq: _*)
-    PrunedScan(df, keep.length, all.length)
+    PrunedScan(df, keep.length, total)
   }
 
   /** Read the latest version pruned by a conjunctive BOX predicate —
@@ -1226,15 +1232,17 @@ object SnapshotTable {
       else Some(bloomHitExpr(c, rawBloomHashes(s, values,
         schemaOfVersion(s, root, v)(c).dataType)))
     val cond = (rangeCond.toSeq ++ bloomCond.toSeq).reduce(_ && _)
-    val m = manifestDf(s, root, v)
-    val allRows = m.select(col("file"), cond.as("keep")).collect()
-    val keep = allRows.filter(_.getBoolean(1)).map(_.getString(0)).sorted
+    // kept names only come back to the driver (blooms stay on the
+    // executors; see pruneManifest for the transfer rationale)
+    val keep = manifestDf(s, root, v).where(cond).select("file")
+      .collect().map(_.getString(0)).sorted
+    val total = dataFiles(s, root, v).size
     val schema = schemaOfVersion(s, root, v)
     val df =
       if (keep.isEmpty) emptyFrame(s, schema)
       else s.read.schema(schema)
         .parquet(keep.map(f => s"$root/$f").toIndexedSeq: _*)
-    PrunedScan(df, keep.length, allRows.length)
+    PrunedScan(df, keep.length, total)
   }
 
   /** Read the latest version PRUNED to part files whose [min, max]
