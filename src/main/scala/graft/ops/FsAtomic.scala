@@ -32,14 +32,22 @@ private[graft] object FsAtomic {
     * permanent commit conflict). Cached by class: capability is a
     * property of the implementation, not the path. */
   private val nonRecursiveSupport =
-    new java.util.concurrent.ConcurrentHashMap[Class[_], Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[Class[_],
+      java.lang.Boolean]()
 
   /** Ground-truth probe: try createNonRecursive on a fresh throwaway
     * name next to `near` (same store, parent known to exist at probe
-    * time). Any refusal — either exception type — means the store
-    * doesn't serve the call; success means it does, so a later
-    * IOException from the REAL marker create is a genuine conflict. */
-  private def probeNonRecursive(fs: FileSystem, near: Path): Boolean = {
+    * time). Some(true) = the call works (a later IOException from the
+    * REAL marker create is a genuine conflict); Some(false) = the store
+    * definitively refuses it (UnsupportedOperationException, or an
+    * IOException worded as unsupported). A plain IOException is
+    * AMBIGUOUS — throttling or a network blip, not capability — and
+    * returns None so the verdict is NEVER cached (round-16 advice:
+    * caching a transient error as "unsupported" permanently downgraded
+    * every future marker create on that store to the non-atomic
+    * fallback, widening the resurrection window this helper closes). */
+  private def probeNonRecursive(fs: FileSystem,
+      near: Path): Option[Boolean] = {
     val p = new Path(near.getParent,
       s".graft-cap-probe-${java.util.UUID.randomUUID()}")
     try {
@@ -47,10 +55,11 @@ private[graft] object FsAtomic {
         fs.getDefaultReplication(p), fs.getDefaultBlockSize(p),
         null).close()
       fs.delete(p, false)
-      true
+      Some(true)
     } catch {
-      case _: UnsupportedOperationException => false
-      case _: java.io.IOException => false
+      case _: UnsupportedOperationException => Some(false)
+      case e: java.io.IOException =>
+        if (unsupported(e)) Some(false) else None
     }
   }
 
@@ -94,10 +103,22 @@ private[graft] object FsAtomic {
           // verdict learned while the store was in that state)
           fail(s"parent dir vanished: ${e.getMessage}")
         else {
-          val supported = nonRecursiveSupport.computeIfAbsent(
-            fs.getClass, _ => probeNonRecursive(fs, marker))
-          if (!supported) fallback()
-          else fail(s"taken, or the dir vanished: ${e.getMessage}")
+          // only DEFINITIVE probe verdicts are cached; an inconclusive
+          // probe (transient IOException) serves THIS call via the
+          // fallback and leaves the cache empty so a later attempt
+          // re-probes a healthy store back to the atomic path
+          val verdict = Option(nonRecursiveSupport.get(fs.getClass))
+            .orElse {
+              val v = probeNonRecursive(fs, marker)
+              v.foreach(b => nonRecursiveSupport.put(fs.getClass,
+                Boolean.box(b)))
+              v.map(Boolean.box)
+            }
+          verdict match {
+            case Some(java.lang.Boolean.TRUE) =>
+              fail(s"taken, or the dir vanished: ${e.getMessage}")
+            case _ => fallback()
+          }
         }
     }
   }
