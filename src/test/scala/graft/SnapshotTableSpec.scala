@@ -1337,4 +1337,222 @@ class SnapshotTableSpec extends AnyFunSuite {
       assert(SnapshotTable.readVersion(spark, root, v2).count() === 60)
     }
   }
+
+  // ---- round 17: commit timestamps / TIMESTAMP AS OF / age vacuum ----
+
+  test("TIMESTAMP AS OF: each version's own commit time resolves to " +
+      "itself, a between-commits instant resolves to the EARLIER " +
+      "version, and an instant before retained history fails loudly") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root, retain = 3)(_ => img(1L -> "a"))
+      Thread.sleep(15)
+      SnapshotTable.commit(spark, root, retain = 3)(_ =>
+        img(1L -> "a", 2L -> "b"))
+      Thread.sleep(15)
+      SnapshotTable.commit(spark, root, retain = 3)(_ =>
+        img(1L -> "a", 2L -> "b", 3L -> "c"))
+      val vs = SnapshotTable.committedVersions(spark, root)
+      val ts = vs.map(v => SnapshotTable.commitTimestamp(spark, root, v))
+      assert(ts === ts.sorted, "commit timestamps must ascend here")
+      assert(ts.distinct === ts, "sleeps should separate the stamps")
+      vs.zip(ts).foreach { case (v, t) =>
+        assert(SnapshotTable.versionAsOf(spark, root, t) === v)
+      }
+      // strictly between two commits -> the earlier version
+      assert(SnapshotTable.versionAsOf(spark, root,
+        (ts(0) + ts(1)) / 2) === vs(0))
+      // as-of "now" reads the latest image
+      assert(SnapshotTable.readVersionAsOf(spark, root,
+        System.currentTimeMillis()).count() === 3)
+      // before the earliest retained commit: loud, never "the oldest
+      // survivor" (that would silently answer a different question)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.versionAsOf(spark, root, ts(0) - 10000)
+      }
+      assert(e.getMessage.contains("retained"))
+    }
+  }
+
+  test("TIMESTAMP AS OF monotonizes a backwards-stepping clock: a " +
+      "later version whose recorded stamp predates its predecessor " +
+      "can never resolve BEFORE it") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root, retain = 3)(_ => img(1L -> "a"))
+      Thread.sleep(15)
+      SnapshotTable.commit(spark, root, retain = 3)(_ => img(2L -> "b"))
+      val vs = SnapshotTable.committedVersions(spark, root)
+      val t1 = SnapshotTable.commitTimestamp(spark, root, vs(0))
+      // fake the skew: rewrite v2's stamp 5 s into v1's past
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/v=${vs(1)}/_commit_ts")
+      val out = fs.create(p, true)
+      out.write((t1 - 5000).toString.getBytes("UTF-8")); out.close()
+      // version order wins: at t1 the EFFECTIVE stamps tie, and the
+      // later version serves (Delta's tiebreak); asking for any t >= t1
+      // must never step back to v1
+      assert(SnapshotTable.versionAsOf(spark, root, t1) === vs(1))
+      assert(SnapshotTable.versionAsOf(spark, root, t1 + 60000) === vs(1))
+      // nothing resolves before the (effective) first commit
+      intercept[IllegalArgumentException] {
+        SnapshotTable.versionAsOf(spark, root, t1 - 1)
+      }
+      ()
+    }
+  }
+
+  test("vacuumOlderThan: aged versions drop, the latest survives any " +
+      "horizon, and segments referenced by the survivor are NEVER " +
+      "reclaimed (refcount holds across age vacuum)") {
+    withRoot { root =>
+      SnapshotTable.commitAppend(spark, root,
+        img(1L -> "a"), retain = 10)
+      Thread.sleep(15)
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+        retain = 10)
+      Thread.sleep(15)
+      SnapshotTable.commitAppend(spark, root, img(3L -> "c"),
+        retain = 10)
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(vs.size === 3)
+      // a huge horizon deletes nothing
+      SnapshotTable.vacuumOlderThan(spark, root, 24L * 3600 * 1000)
+      assert(SnapshotTable.committedVersions(spark, root) === vs)
+      // horizon 0 = everything is "too old" — but the latest version
+      // must survive regardless of age
+      SnapshotTable.vacuumOlderThan(spark, root, 0L)
+      val kept = SnapshotTable.committedVersions(spark, root)
+      assert(kept === Seq(vs.last))
+      // the survivor's manifest references the VACUUMED versions'
+      // append segments — the refcount sweep must have kept them all
+      assert(SnapshotTable.read(spark, root).get
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L))
+      intercept[IllegalArgumentException] {
+        SnapshotTable.vacuumOlderThan(spark, root, 0L, retainAtLeast = 0)
+      }
+      ()
+    }
+  }
+
+  // ---- round 17: CAS corpse self-heal ----
+
+  test("CAS heal: a writer killed between its rename and its marker " +
+      "leaves a corpse at the pinned slot — an aged corpse is " +
+      "reclaimed and the CAS retry succeeds within one attempt; a " +
+      "FRESH corpse still conflicts loudly (could be a live publish)") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root)(_ => img(1L -> "a"))
+      val base = SnapshotTable.latestVersion(spark, root).get
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def plantCorpse(): org.apache.hadoop.fs.Path = {
+        val corpse = new org.apache.hadoop.fs.Path(
+          s"$root/v=${base + 1}")
+        fs.mkdirs(corpse)
+        fs.create(new org.apache.hadoop.fs.Path(corpse, "_files"),
+          true).close()
+        corpse
+      }
+      // FRESH corpse: dir mtime is seconds-new — the healer must NOT
+      // touch it (it could be a live publish mid-marker), so the CAS
+      // commit conflicts loudly as before
+      plantCorpse()
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+          expectedBase = base)
+      }
+      assert(e.getMessage.contains("conflict"))
+      // AGED corpse (backdate past the heal gate): the same retry now
+      // self-heals and commits — no 15-minute janitor wait
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/v=${base + 1}"),
+        System.currentTimeMillis() - 60000, -1)
+      val v2 = SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+        expectedBase = base)
+      assert(v2 === base + 1)
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+    }
+  }
+
+  test("CAS heal safety: a COMMITTED version at the pinned slot is " +
+      "never reclaimed, however old — the healer re-checks the marker " +
+      "and the commit conflicts loudly instead") {
+    withRoot { root =>
+      SnapshotTable.commit(spark, root)(_ => img(1L -> "a"))
+      val base = SnapshotTable.latestVersion(spark, root).get
+      // another writer legitimately committed base+1
+      SnapshotTable.commit(spark, root)(st =>
+        st.get.unionByName(img(2L -> "b")))
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/v=${base + 1}"),
+        System.currentTimeMillis() - 60000, -1)
+      // direct heal call: marker present -> untouched
+      SnapshotTable.healCasDestination(fs, root, base + 1)
+      assert(SnapshotTable.committedVersions(spark, root).size === 2)
+      // and the stale CAS writer still conflicts loudly
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.commitAppend(spark, root, img(9L -> "x"),
+          expectedBase = base)
+      }
+      assert(e.getMessage.contains("conflict"))
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+    }
+  }
+
+  // ---- round 17: txn token carry-forward ----
+
+  test("txn tokens survive interleaved token-less maintenance " +
+      "commits that vacuum the version that recorded them") {
+    withRoot { root =>
+      SnapshotTable.commitAppend(spark, root, img(1L -> "a"),
+        retain = 2, txn = Some(("streamA", 7L)))
+      // two token-less maintenance commits with retain=2: the version
+      // dir that recorded streamA's token is vacuumed...
+      SnapshotTable.compact(spark, root, targetFiles = 1, retain = 2)
+      SnapshotTable.compact(spark, root, targetFiles = 1, retain = 2)
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(vs.size === 2)
+      // ...but every commit CARRIES tokens forward, so the replay
+      // guard still answers (pre-round-17 this returned None and a
+      // crash replay would double-apply)
+      assert(SnapshotTable.lastCommittedBatch(spark, root, "streamA")
+        === Some(7L))
+      // a second stream's token coexists; both carry through a merge
+      SnapshotTable.commitMerge(spark, root, img(1L -> "z"), "k",
+        retain = 2, txn = Some(("streamB", 3L)))((cur, b) =>
+        cur.map(_.unionByName(b)).getOrElse(b)
+          .groupBy("k").agg(max(col("v")).as("v")))
+      assert(SnapshotTable.lastCommittedBatch(spark, root, "streamA")
+        === Some(7L))
+      assert(SnapshotTable.lastCommittedBatch(spark, root, "streamB")
+        === Some(3L))
+      // per-appId the HIGHEST batch id wins
+      SnapshotTable.commitAppend(spark, root, img(5L -> "e"),
+        retain = 2, txn = Some(("streamA", 9L)))
+      assert(SnapshotTable.lastCommittedBatch(spark, root, "streamA")
+        === Some(9L))
+    }
+  }
+
+  // ---- round 17: loud input validation ----
+
+  test("readChanges rejects an inverted span; commitWithSkipping " +
+      "rejects a non-word-aligned bloom width") {
+    withRoot { root =>
+      SnapshotTable.commitAppend(spark, root, img(1L -> "a"))
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"))
+      val vs = SnapshotTable.committedVersions(spark, root)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.readChanges(spark, root, vs(1), vs(0), "k")
+      }
+      assert(e.getMessage.contains("inverted"))
+      intercept[IllegalArgumentException] {
+        SnapshotTable.commitWithSkipping(spark, root, Seq("k"),
+          Seq("k"), bloomBits = 100)(_ => img(3L -> "c"))
+      }
+      ()
+    }
+  }
 }

@@ -1768,6 +1768,170 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  /** A 3-version merge chain over the fixture events (the
+    * cdf-chain shape: seed latest image, then two localized quarter
+    * merges) for the table-source parity tests. */
+  private def buildCdfChain(root: String): Seq[Long] = {
+    import spark.implicits._
+    import graft.streaming.SnapshotTable
+    val ev = allEvents.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val uCap = allEvents.map(_.user_id).max / 4
+    SnapshotTable.commitWithStats(spark, root, "user_id", retain = 4)(
+      _ => SnapshotTable.clusterBy(
+        ops.Scans.upsertMerge(None,
+          ev.where(pmod(col("event_id"), lit(2)) === 0)),
+        "user_id", 4))
+    SnapshotTable.commitMerge(spark, root,
+      ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+        col("user_id") <= uCap), "user_id",
+      retain = 4)(ops.Scans.upsertMerge)
+    SnapshotTable.commitMerge(spark, root,
+      ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+        col("user_id") > uCap && col("user_id") <= 2 * uCap), "user_id",
+      retain = 4)(ops.Scans.upsertMerge)
+    SnapshotTable.committedVersions(spark, root)
+  }
+
+  private def boardRows(path: String): Seq[(Long, Long, BigDecimal)] =
+    spark.read.parquet(path)
+      .orderBy("version").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+
+  test("tableChangeStream: the version-tailing source's streamed fold " +
+      "reproduces the batch changelog fold bit-for-bit across a " +
+      "3-version chain WITH a crash/restart mid-chain") {
+    import graft.streaming.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("tbl_src").toString
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("tbl_src_state").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("tbl_src_ck").toString
+    try {
+      val vs = buildCdfChain(root)
+      assert(vs.size === 3)
+      // the DIRECT batch fold (table_cdf_consume's algebra through the
+      // same shared init/fold code)
+      val direct = {
+        var b = ops.Scans.cdfBoardInit(spark)(
+          SnapshotTable.readVersion(spark, root, vs(0)))
+        (0 to 1).foreach { i =>
+          b = ops.Scans.cdfBoardFold(spark)(b,
+            SnapshotTable.readChanges(spark, root, vs(i), vs(i + 1),
+              "user_id"))
+        }
+        b.orderBy("version").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1),
+            BigDecimal(r.getDecimal(2))))
+      }
+      assert(direct.size === 3)
+      // streamed, with a CRASH mid-chain: consume the bootstrap and ONE
+      // transition, then "die" (nothing in memory survives a step — the
+      // watermark and board on disk are the whole state)
+      val state = s"$stateDir/board"
+      assert(Streams.tableChangeStep(spark, root, "user_id", state)(
+        ops.Scans.cdfBoardInit(spark))(ops.Scans.cdfBoardFold(spark)))
+      assert(Streams.tableChangeStep(spark, root, "user_id", state)(
+        ops.Scans.cdfBoardInit(spark))(ops.Scans.cdfBoardFold(spark)))
+      assert(boardRows(state).size === 2, "mid-chain state: 2 rows")
+      // restart as the LIVE rate-driven streaming query — it must
+      // resume from the on-disk watermark (never re-bootstrap) and
+      // drain only the remaining transition
+      val query = Streams.tableChangeStream(spark, root, "user_id",
+        state, ck)(ops.Scans.cdfBoardInit(spark))(
+        ops.Scans.cdfBoardFold(spark))
+      // poll the WATERMARK sidecar (a cheap text read that never races
+      // the swap the way a parquet read of the rotating board would)
+      def consumed: Long =
+        try {
+          val f = new java.io.File(s"$state/_graft_consumed_v")
+          if (f.isFile)
+            new String(java.nio.file.Files.readAllBytes(f.toPath),
+              "UTF-8").trim.toLong
+          else -1L
+        } catch { case _: java.io.IOException => -1L }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000000
+      while (consumed < vs(2) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      query.stop()
+      assert(consumed === vs(2), "stream never caught up to v3")
+      assert(boardRows(state) === direct,
+        "streamed board must equal the batch fold bit-for-bit")
+      // caught up: further steps consume nothing and change nothing
+      assert(!Streams.tableChangeStep(spark, root, "user_id", state)(
+        ops.Scans.cdfBoardInit(spark))(ops.Scans.cdfBoardFold(spark)))
+      assert(boardRows(state) === direct)
+    } finally {
+      Seq(root, stateDir, ck).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
+  test("tableChangeStep replay determinism: re-running a transition " +
+      "from a copied pre-step state lands on the identical board (the " +
+      "crash-between-fold-and-advance redo is exact)") {
+    import graft.streaming.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("tbl_src2").toString
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("tbl_src2_state").toString
+    try {
+      buildCdfChain(root)
+      val state = s"$stateDir/board"
+      def step(p: String): Boolean =
+        Streams.tableChangeStep(spark, root, "user_id", p)(
+          ops.Scans.cdfBoardInit(spark))(ops.Scans.cdfBoardFold(spark))
+      assert(step(state)); assert(step(state))
+      // copy the mid-chain state aside = the pre-crash disk image
+      val copy = s"$stateDir/board_copy"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(state), new java.io.File(copy))
+      while (step(state)) ()
+      while (step(copy)) ()
+      assert(boardRows(copy) === boardRows(state))
+    } finally {
+      Seq(root, stateDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
+  test("tableChangeStep fails LOUDLY when the consumed version was " +
+      "vacuumed out from under the consumer (retain must cover lag — " +
+      "never a silent re-bootstrap)") {
+    import graft.streaming.SnapshotTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("tbl_src3").toString
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("tbl_src3_state").toString
+    try {
+      SnapshotTable.commitAppend(spark, root,
+        Seq((1L, "a")).toDF("k", "v"), retain = 4)
+      val state = s"$stateDir/board"
+      // bootstrap pins the consumer at v0
+      assert(Streams.tableChangeStep(spark, root, "k", state)(
+        img => img.groupBy().count())((b, _) => b))
+      // two more commits with retain=1 vacuum v0 away
+      SnapshotTable.commitAppend(spark, root,
+        Seq((2L, "b")).toDF("k", "v"), retain = 1)
+      SnapshotTable.commitAppend(spark, root,
+        Seq((3L, "c")).toDF("k", "v"), retain = 1)
+      val e = intercept[IllegalArgumentException] {
+        Streams.tableChangeStep(spark, root, "k", state)(
+          img => img.groupBy().count())((b, _) => b)
+      }
+      assert(e.getMessage.contains("no longer retained"))
+    } finally {
+      Seq(root, stateDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
   test("snapshotMergeStream restart across the at-least-once window: " +
       "the checkpoint lost batch 0's commit marker AFTER the table " +
       "commit landed — the restarted query REPLAYS batch 0 through " +
