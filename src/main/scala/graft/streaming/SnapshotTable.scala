@@ -207,6 +207,70 @@ object SnapshotTable {
   private def emptyFrame(s: SparkSession, schema: StructType): DataFrame =
     s.createDataFrame(new java.util.ArrayList[Row](), schema)
 
+  /** Per-version DELETION VECTORS (merge-on-read, round 17 — Delta DVs
+    * / Iceberg v2 position-delete analog, keyed rather than positional
+    * because the table's row identity IS the merge key): `v=N/_dv/` is
+    * a parquet set of (file, _graft_dvk) pairs naming rows HIDDEN from
+    * the named data file, `_dv_key` names the key column. Written by
+    * [[commitMergeDV]], carried forward (restricted to still-carried
+    * files) by every commit, applied by every read path, and FOLDED
+    * physically by compaction (a rewritten file's entries are dropped
+    * with it — its replacement holds only visible rows). */
+  private val dvDir = "_dv"
+  private val dvKeyFile = "_dv_key"
+  private val dvValCol = "_graft_dvk"
+
+  /** The DV key column + entries of version `v`, if it has any. */
+  private def dvOf(s: SparkSession, root: String,
+      v: Long): Option[(String, DataFrame)] = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(new Path(s"$root/v=$v/$dvDir"))) None
+    else Some((readText(fs, new Path(s"$root/v=$v/$dvKeyFile")).trim,
+      s.read.parquet(s"$root/v=$v/$dvDir")))
+  }
+
+  /** Read root-relative `files` under `schema` with version-`v`'s
+    * deletion vectors applied, optionally keeping the source-file
+    * column as `keepFileCol`. Only files the DV actually names pay the
+    * anti-join (O(dv'd files) — the steady-state CDC shape leaves most
+    * of a 100 TB table DV-free); the join side is the DV entry set,
+    * which the optimizer broadcasts while it is small (the normal
+    * case — compaction folds it before it grows). */
+  private def readFilesVisible(s: SparkSession, root: String, v: Long,
+      files: Seq[String], schema: StructType,
+      keepFileCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outCols = schema.fieldNames.map(col).toSeq ++
+      keepFileCol.map(c => relFile.as(c))
+    def rd(fl: Seq[String]): DataFrame =
+      if (fl.isEmpty) emptyFrame(s, schema)
+        .select((schema.fieldNames.map(col).toSeq ++
+          keepFileCol.map(c => lit("").as(c))): _*)
+      else s.read.schema(schema)
+        .parquet(fl.sorted.map(f => s"$root/$f"): _*)
+        .select(outCols: _*)
+    dvOf(s, root, v) match {
+      case None => rd(files)
+      case Some((key, dv)) =>
+        val dvFiles = dv.select("file").distinct().collect()
+          .map(_.getString(0)).toSet
+        val masked = files.filter(dvFiles.contains)
+        if (masked.isEmpty) rd(files)
+        else {
+          val vis = s.read.schema(schema)
+            .parquet(masked.sorted.map(f => s"$root/$f"): _*)
+            .withColumn("_graft_dvf0", relFile)
+            .join(dv.withColumnRenamed("file", "_graft_dvf"),
+              col("_graft_dvf0") === col("_graft_dvf") &&
+                col(key) === col(dvValCol), "left_anti")
+            .withColumnRenamed("_graft_dvf0", "_graft_rf")
+            .select((schema.fieldNames.map(col).toSeq ++
+              keepFileCol.map(c => col("_graft_rf").as(c))): _*)
+          rd(files.filterNot(dvFiles.contains)).unionByName(vis)
+        }
+    }
+  }
+
   private def readVersionUnchecked(s: SparkSession, root: String,
       v: Long): DataFrame = {
     val fs = fsOf(s, root)
@@ -218,8 +282,10 @@ object SnapshotTable {
       // explicit recorded schema, never mergeSchema inference: at scale
       // inference opens every file footer; the recorded schema also
       // pins per-version column ORDER and fills evolution-missing
-      // columns with NULL by parquet name-matching
-      else s.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+      // columns with NULL by parquet name-matching. DV-aware: hidden
+      // rows never surface (readFilesVisible is the plain scan when the
+      // version has no deletion vectors).
+      else readFilesVisible(s, root, v, files, schema)
     }
   }
 
@@ -310,7 +376,9 @@ object SnapshotTable {
     val files = dataFiles(s, root, to).filterNot(before)
     val schema = schemaOfVersion(s, root, to)
     if (files.isEmpty) emptyFrame(s, schema)
-    else s.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    // under asOf's deletion vectors: a row a later DV merge hid must
+    // not be served as "new" to an incremental consumer
+    else readFilesVisible(s, root, to, files, schema)
   }
 
   /** Per-version idempotence tokens, latest-wins per appId. Two
@@ -412,13 +480,46 @@ object SnapshotTable {
       s"change key '$key' not in v=$vTo schema")
     val from = dataFiles(s, root, vFrom).toSet
     val to = dataFiles(s, root, vTo).toSet
-    def readSet(files: Set[String]): DataFrame =
+    def readSetAt(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty) emptyFrame(s, schema)
-      else s.read.schema(schema)
-        .parquet(files.toSeq.sorted.map(f => s"$root/$f"): _*)
+      // each side VISIBLE under its own version's deletion vectors —
+      // a DV'd row of a dropped file was already logically deleted
+      // before the span and must not resurface as a pre-image
+      else readFilesVisible(s, root, v, files.toSeq.sorted, schema)
+    // merge-on-read transitions hide rows in CARRIED files via DV
+    // entries instead of rewriting: the span's newly hidden rows are
+    // dv(vTo) \ dv(vFrom) restricted to files both versions carry —
+    // read O(dv-delta files), never the carried bulk. (DV entries are
+    // monotone per carried file — commits only ADD entries; a rewrite
+    // drops the file and its entries together — so the bag difference
+    // is exactly the span's deletions, each visible at vFrom.)
+    val newlyHidden: DataFrame = dvOf(s, root, vTo) match {
+      case None => emptyFrame(s, schema)
+      case Some((dvKey, dvT)) =>
+        import s.implicits._
+        val dvPrev = dvOf(s, root, vFrom).map(_._2)
+          .getOrElse(dvT.where(lit(false)))
+        val toOnly = (to -- from).toSeq.toDF("file")
+        // the delta stays DISTRIBUTED (only its distinct file names —
+        // manifest-scale — come to the driver, to scope the scan)
+        val delta = dvT.exceptAll(dvPrev)
+          .join(broadcast(toOnly), Seq("file"), "left_anti")
+          .withColumnRenamed("file", "_graft_hf")
+        val deltaFiles = delta.select("_graft_hf").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (deltaFiles.isEmpty) emptyFrame(s, schema)
+        else s.read.schema(schema)
+          .parquet(deltaFiles.sorted.map(f => s"$root/$f"): _*)
+          .withColumn("_graft_rf", relFile)
+          .join(delta, col("_graft_rf") === col("_graft_hf") &&
+            col(dvKey) === col(dvValCol), "left_semi")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
     // verbatim-carried rows cancel; only genuinely changed rows survive
-    val pre = readSet(from -- to).exceptAll(readSet(to -- from))
-    val post = readSet(to -- from).exceptAll(readSet(from -- to))
+    val pre0 = readSetAt(from -- to, vFrom).unionByName(newlyHidden)
+    val post0 = readSetAt(to -- from, vTo)
+    val pre = pre0.exceptAll(post0)
+    val post = post0.exceptAll(pre0)
     val preK = pre.select(col(key)).distinct()
     val postK = post.select(col(key)).distinct()
     val ct = "_change_type"
@@ -910,49 +1011,8 @@ object SnapshotTable {
           val schema = schemaOfVersion(s, root, v)
           require(schema.fieldNames.contains(mergeKey),
             s"merge key '$mergeKey' not in table schema")
-          val all = dataFiles(s, root, v)
-          val hasRange = statsColsOf(s, root, v).contains(mergeKey)
-          val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
-          val candidates: Seq[String] =
-            if (!hasRange && !hasBloom) all
-            else {
-              // range conjunct (optimization only — no-stats files stay
-              // candidates via the isNull arms)
-              val rangeCond: Option[Column] =
-                if (!hasRange) None
-                else {
-                  val b = batch
-                    .agg(min(col(mergeKey)), max(col(mergeKey))).first()
-                  if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
-                  else Some(col(s"min__$mergeKey").isNull ||
-                    col(s"max__$mergeKey").isNull ||
-                    (col(s"max__$mergeKey") >= lit(b.get(0)) &&
-                      col(s"min__$mergeKey") <= lit(b.get(1))))
-                }
-              // Bloom conjunct, only when the batch's key set is
-              // probe-sized (the CDC point-upsert shape — a big batch
-              // touches most files anyway, and its probe expression
-              // would be the in-list anti-pattern). Null keys never
-              // equi-match existing rows, so they are rightly excluded.
-              val bloomCond: Option[Column] =
-                if (!hasBloom) None
-                else {
-                  val ks = batch.select(col(mergeKey))
-                    .where(col(mergeKey).isNotNull).distinct()
-                    .limit(bloomProbeMaxKeys + 1)
-                    .collect().map(_.get(0)).toSeq
-                  if (ks.isEmpty) Some(lit(false))
-                  else if (ks.size > bloomProbeMaxKeys) None
-                  else Some(bloomHitExpr(mergeKey,
-                    rawBloomHashes(s, ks, schema(mergeKey).dataType)))
-                }
-              (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _)
-                match {
-                  case None => all
-                  case Some(cond) => manifestDf(s, root, v).where(cond)
-                    .select("file").collect().map(_.getString(0)).toSeq
-                }
-            }
+          val candidates = candidateFiles(s, root, v, batch, mergeKey,
+            schema)
           val touched: Set[String] =
             if (candidates.isEmpty) Set.empty
             else {
@@ -969,12 +1029,162 @@ object SnapshotTable {
             dropCarried = touched, casBase = expectedBase, txn = txn,
             bloomCols = inheritedBloom) { _ =>
             if (touched.isEmpty) resolve(None, batch)
-            else fullMerge(s.read.schema(schema)
-              .parquet(touched.toSeq.sorted.map(f => s"$root/$f"): _*))
+            // rewritten files read VISIBLE (a DV-hidden cohabitant must
+            // not resurrect into the fresh segment); their DV entries
+            // are dropped with them by the carry restriction — the
+            // copy-on-write merge doubles as opportunistic DV folding
+            else fullMerge(readFilesVisible(s, root, v,
+              touched.toSeq.sorted, schema))
           }
       }
     } finally {
       if (!wasCached) { batch.unpersist(blocking = false); () }
+    }
+  }
+
+  /** Files of version `v` that MAY hold some batch key, by the stats
+    * manifest: range conjunct when `mergeKey` has min/max stats, Bloom
+    * conjunct when it has a filter and the batch's key set is
+    * probe-sized (the CDC point-upsert shape — a big batch touches
+    * most files anyway, and its probe expression would be the in-list
+    * anti-pattern). Optimization only — no-stats files stay candidates
+    * via the isNull arms; null batch keys never equi-match existing
+    * rows, so they are rightly excluded. Shared by [[commitMerge]] and
+    * [[commitMergeDV]]. */
+  private def candidateFiles(s: SparkSession, root: String, v: Long,
+      batch: DataFrame, mergeKey: String,
+      schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val all = dataFiles(s, root, v)
+    val hasRange = statsColsOf(s, root, v).contains(mergeKey)
+    val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
+    if (!hasRange && !hasBloom) all
+    else {
+      val rangeCond: Option[Column] =
+        if (!hasRange) None
+        else {
+          val b = batch
+            .agg(min(col(mergeKey)), max(col(mergeKey))).first()
+          if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
+          else Some(col(s"min__$mergeKey").isNull ||
+            col(s"max__$mergeKey").isNull ||
+            (col(s"max__$mergeKey") >= lit(b.get(0)) &&
+              col(s"min__$mergeKey") <= lit(b.get(1))))
+        }
+      val bloomCond: Option[Column] =
+        if (!hasBloom) None
+        else {
+          val ks = batch.select(col(mergeKey))
+            .where(col(mergeKey).isNotNull).distinct()
+            .limit(bloomProbeMaxKeys + 1)
+            .collect().map(_.get(0)).toSeq
+          if (ks.isEmpty) Some(lit(false))
+          else if (ks.size > bloomProbeMaxKeys) None
+          else Some(bloomHitExpr(mergeKey,
+            rawBloomHashes(s, ks, schema(mergeKey).dataType)))
+        }
+      (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _) match {
+        case None => all
+        case Some(cond) => manifestDf(s, root, v).where(cond)
+          .select("file").collect().map(_.getString(0)).toSeq
+      }
+    }
+  }
+
+  /** MERGE-ON-READ keyed upsert — deletion vectors (round 17; Delta
+    * DVs / Iceberg v2 position deletes, keyed on the merge key because
+    * that IS row identity here): where [[commitMerge]] REWRITES every
+    * file containing a batch key (copy-on-write — O(touched-file
+    * BYTES) per commit), this commit writes only (a) one fresh segment
+    * holding `resolve`'s output for the batch keys and (b) per-file
+    * tombstone entries hiding the superseded rows — O(batch) write
+    * cost however many wide files the keys straddle. The steady CDC
+    * drip against a 100 TB table with hot keys spread across many
+    * files is exactly the shape COW write amplification hurts; DV
+    * commits make it O(delta), and [[compactSmall]]/[[compact]]/any
+    * later COW merge FOLD the vectors physically (a rewritten file's
+    * entries drop with it). Every read path — snapshot, time travel,
+    * readSince, readChanges, pruned scans — applies the vectors, so
+    * read-equivalence with commitMerge on the same batches is exact
+    * (SnapshotTableSpec pins it).
+    *
+    * Trade documented: carried manifest rows keep their original
+    * (rows, min/max, bloom) — an upper bound once rows are hidden, so
+    * pruning stays CONSERVATIVE (never wrong, may keep a file whose
+    * matching rows are all hidden) and reads pay one anti-join against
+    * the entry set on DV'd files only. All other semantics (CAS,
+    * txn replay guard, stats/bloom inheritance, legacy migration via
+    * full rewrite) match [[commitMerge]]. */
+  def commitMergeDV(s: SparkSession, root: String, batch0: DataFrame,
+      mergeKey: String, retain: Int = 2,
+      expectedBase: Long = AnyBase,
+      txn: Option[(String, Long)] = None)(
+      resolve: (Option[DataFrame], DataFrame) => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(s, root)
+    val base = latestVersion(s, root)
+    casCheck(root, base, expectedBase)
+    base match {
+      case None =>
+        commitMerge(s, root, batch0, mergeKey, retain, expectedBase,
+          txn)(resolve)
+      case Some(v) if !isManifestVersion(fs, root, v) =>
+        // legacy self-contained base: the migrating merge is a full
+        // rewrite either way — no vectors to save anything
+        commitMerge(s, root, batch0, mergeKey, retain, expectedBase,
+          txn)(resolve)
+      case Some(v) =>
+        val schema = schemaOfVersion(s, root, v)
+        require(schema.fieldNames.contains(mergeKey),
+          s"merge key '$mergeKey' not in table schema")
+        dvOf(s, root, v).foreach { case (k, _) =>
+          require(k == mergeKey,
+            s"table at $root carries deletion vectors keyed by '$k'; " +
+              s"merge-on-read with key '$mergeKey' would be ambiguous") }
+        val inherited = statsColsOf(s, root, v)
+        val statsCols = (inherited :+ mergeKey).distinct
+        val inheritedBloom = bloomColsOf(s, root, v)
+        // same single-evaluation pinning as commitMerge: the batch
+        // feeds the candidate agg, the hidden-row probe, and resolve
+        val wasCached =
+          batch0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        val batch = if (wasCached) batch0
+          else batch0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var hit: Option[DataFrame] = None
+        try {
+          val candidates = candidateFiles(s, root, v, batch, mergeKey,
+            schema)
+          // VISIBLE rows of candidate files holding a batch key, with
+          // their source file — one read serves both the new tombstone
+          // entries and resolve's `existing` rows, pinned so the two
+          // can never diverge under a non-deterministic batch plan
+          val keys = batch.select(col(mergeKey).as("_graft_k"))
+            .distinct()
+          val hitRows =
+            if (candidates.isEmpty) None
+            else Some(readFilesVisible(s, root, v, candidates, schema,
+              keepFileCol = Some("_graft_file"))
+              .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK))
+          hit = hitRows
+          val anyHit = hitRows.exists(!_.isEmpty)
+          val dvEntries =
+            if (!anyHit) None
+            else Some((mergeKey, hitRows.get
+              .select(col("_graft_file").as("file"),
+                col(mergeKey).as(dvValCol)).distinct()))
+          commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
+            casBase = expectedBase, txn = txn,
+            bloomCols = inheritedBloom, dvNew = dvEntries) { _ =>
+            resolve(hitRows.filter(_ => anyHit)
+              .map(_.drop("_graft_file")), batch)
+          }
+        } finally {
+          hit.foreach(_.unpersist(blocking = false))
+          if (!wasCached) { batch.unpersist(blocking = false); () }
+        }
     }
   }
 
@@ -985,7 +1195,8 @@ object SnapshotTable {
       casBase: Long = AnyBase,
       txn: Option[(String, Long)] = None,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Int = defaultBloomBits)(
+      bloomBits: Int = defaultBloomBits,
+      dvNew: Option[(String, DataFrame)] = None)(
       // the current image is a THUNK, not a value: building the
       // DataFrame resolves and validates every referenced file path
       // (Spark's file-index construction — driver work linear in
@@ -1086,6 +1297,38 @@ object SnapshotTable {
       }
       writeText(fs, new Path(s"$stage/$filesSidecar"),
         (carriedFiles ++ freshFiles).mkString("\n"))
+      // DELETION VECTORS ride the stage, atomic with the version:
+      // carried entries restricted to still-carried files (a dropped/
+      // rewritten file's rows are physically folded, so its entries go
+      // with it) plus this commit's new entries; an entry-less result
+      // writes nothing — compaction folding the last DV'd file leaves
+      // the version DV-free, observable as the `_dv` dir's absence
+      val carriedDv = carriedFrom.flatMap(v => dvOf(s, root, v)).map {
+        case (k, df) =>
+          val kept =
+            if (dropCarried.isEmpty) df
+            else {
+              import s.implicits._
+              df.join(org.apache.spark.sql.functions.broadcast(
+                dropCarried.toSeq.toDF("file")), Seq("file"), "left_anti")
+            }
+          (k, kept)
+      }
+      val dvAll = (carriedDv, dvNew) match {
+        case (None, n) => n
+        case (c, None) => c
+        case (Some((ck, c)), Some((nk, n))) =>
+          require(ck == nk, s"deletion-vector key mismatch at $root: " +
+            s"table carries '$ck', commit brings '$nk'")
+          Some((ck, c.unionByName(n)))
+      }
+      dvAll.foreach { case (k, df) =>
+        if (!df.isEmpty) {
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stage/$dvDir")
+          writeText(fs, new Path(s"$stage/$dvKeyFile"), k)
+        }
+      }
       // idempotence tokens — atomic with the version by living in the
       // staged dir (the Delta `txn` action shape); the carried map
       // means the LATEST version always answers every stream's replay
@@ -1395,8 +1638,9 @@ object SnapshotTable {
     val schema = schemaOfVersion(s, root, v)
     val df =
       if (keep.isEmpty) emptyFrame(s, schema)
-      else s.read.schema(schema)
-        .parquet(keep.map(f => s"$root/$f").toIndexedSeq: _*)
+      // still under the version's deletion vectors — a pruned scan
+      // must never resurrect rows a DV merge hid
+      else readFilesVisible(s, root, v, keep.toIndexedSeq, schema)
     PrunedScan(df, keep.length, total)
   }
 
@@ -1459,8 +1703,7 @@ object SnapshotTable {
     val schema = schemaOfVersion(s, root, v)
     val df =
       if (keep.isEmpty) emptyFrame(s, schema)
-      else s.read.schema(schema)
-        .parquet(keep.map(f => s"$root/$f").toIndexedSeq: _*)
+      else readFilesVisible(s, root, v, keep.toIndexedSeq, schema)
     PrunedScan(df, keep.length, total)
   }
 
@@ -1669,8 +1912,9 @@ object SnapshotTable {
     commitCore(s, root, retain, statsColsOf(s, root, v),
       carriedFrom = Some(v), dropCarried = small.toSet,
       bloomCols = bloomColsOf(s, root, v)) { _ =>
-      s.read.schema(schema)
-        .parquet(small.map(f => s"$root/$f"): _*)
+      // fragments re-pack VISIBLE (their DV entries fold physically
+      // and drop from the carry with the files)
+      readFilesVisible(s, root, v, small, schema)
         .coalesce(targetFiles)
     }
   }

@@ -1536,6 +1536,140 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round 17: deletion vectors (merge-on-read) ----
+
+  /** 40 keys range-clustered into 4 files with a stats manifest on k —
+    * the clustered-upsert-table shape the DV tests merge into. */
+  private def seedClustered(root: String): Unit = {
+    SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+      SnapshotTable.clusterBy(
+        img((1L to 40L).map(k => (k, s"v$k")): _*), "k", 4))
+  }
+
+  private def imageOf(root: String): Seq[(Long, String)] =
+    SnapshotTable.read(spark, root).get.orderBy("k").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("commitMergeDV: read-equivalence with commitMerge on the same " +
+      "batch, with ZERO base files rewritten (merge-on-read) where " +
+      "the COW merge rewrites the touched files") {
+    withRoot { cow =>
+      withRoot { mor =>
+        seedClustered(cow); seedClustered(mor)
+        val batch = img(3L -> "B3", 5L -> "B5", 38L -> "B38")
+        SnapshotTable.commitMerge(spark, cow, batch, "k",
+          retain = 10)((_, b) => b)
+        SnapshotTable.commitMergeDV(spark, mor, batch, "k",
+          retain = 10)((_, b) => b)
+        assert(imageOf(cow) === imageOf(mor))
+        assert(imageOf(mor).toMap.get(3L) === Some("B3"))
+        // structural merge-on-read: EVERY base file carries; the DV
+        // dir exists; the COW table dropped at least one file
+        val vm = SnapshotTable.committedVersions(spark, mor)
+        assert(SnapshotTable.dataFiles(spark, mor, vm(0)).toSet
+          .subsetOf(SnapshotTable.dataFiles(spark, mor, vm(1)).toSet))
+        assert(new java.io.File(s"$mor/v=${vm(1)}/_dv").exists())
+        val vc = SnapshotTable.committedVersions(spark, cow)
+        assert(!SnapshotTable.dataFiles(spark, cow, vc(0)).toSet
+          .subsetOf(SnapshotTable.dataFiles(spark, cow, vc(1)).toSet))
+        // TIME TRAVEL: v1 must still serve the PRE-merge image — the
+        // vectors belong to v2, never to the version they supersede
+        assert(SnapshotTable.readVersion(spark, mor, vm(0))
+          .where(col("k") === 3L).select("v").first().getString(0)
+          === "v3")
+        // readChanges over the DV span classifies EXACTLY like the
+        // COW span (update pre/post pairs for the three keys)
+        val chC = SnapshotTable.readChanges(spark, cow, vc(0), vc(1), "k")
+          .orderBy("k", "_change_type").collect().toSeq
+        val chM = SnapshotTable.readChanges(spark, mor, vm(0), vm(1), "k")
+          .orderBy("k", "_change_type").collect().toSeq
+        assert(chM === chC)
+        assert(chM.size === 6)
+      }
+    }
+  }
+
+  test("commitMergeDV point DELETE (resolve emits nothing): the key " +
+      "vanishes from every read path — snapshot, pruned scan, " +
+      "readSince — at O(batch) write cost") {
+    withRoot { root =>
+      seedClustered(root)
+      SnapshotTable.commitMergeDV(spark, root, img(10L -> "x"), "k",
+        retain = 10)((_, b) => b.where(lit(false)))
+      assert(SnapshotTable.read(spark, root).get.count() === 39)
+      assert(SnapshotTable.read(spark, root).get
+        .where(col("k") === 10L).count() === 0)
+      // pruned box read over the range holding the deleted key
+      val ps = SnapshotTable.readPruned(spark, root, lit(8L), lit(12L))
+      assert(ps.filesRead < ps.filesTotal, "clustered table must prune")
+      assert(ps.df.where(col("k") === 10L).count() === 0)
+      // readSince(asOf latest) of new files: the delete added NO
+      // visible rows (the fresh segment is empty of them)
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(SnapshotTable.readSince(spark, root, Some(vs(0)))
+        .count() === 0)
+      // the changelog says exactly one delete
+      val ch = SnapshotTable.readChanges(spark, root, vs(0), vs(1), "k")
+        .select("k", "_change_type").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(ch === Seq((10L, "delete")))
+    }
+  }
+
+  test("deletion vectors accumulate across DV merges, survive an " +
+      "append, and FOLD physically under compaction and under a later " +
+      "COW merge of the touched file") {
+    withRoot { root =>
+      seedClustered(root)
+      SnapshotTable.commitMergeDV(spark, root, img(3L -> "B3"), "k",
+        retain = 10)((_, b) => b)
+      // second DV merge re-hits key 3 (now living in the v2 segment)
+      // and key 20 (still in a base file)
+      SnapshotTable.commitMergeDV(spark, root,
+        img(3L -> "C3", 20L -> "C20"), "k", retain = 10)((_, b) => b)
+      val after2 = imageOf(root)
+      assert(after2.toMap.get(3L) === Some("C3"))
+      assert(after2.toMap.get(20L) === Some("C20"))
+      assert(after2.size === 40)
+      assert(after2.map(_._1) === after2.map(_._1).distinct,
+        "a DV-superseded row resurfaced as a duplicate")
+      // an APPEND carries the vectors untouched
+      SnapshotTable.commitAppend(spark, root, img(41L -> "v41"),
+        retain = 10)
+      assert(imageOf(root).size === 41)
+      assert(imageOf(root).toMap.get(3L) === Some("C3"))
+      // a COW merge touching key 3's file folds its entries and stays
+      // exact (no resurrection of v3/B3)
+      SnapshotTable.commitMerge(spark, root, img(3L -> "D3"), "k",
+        retain = 10)((_, b) => b)
+      val afterCow = imageOf(root)
+      assert(afterCow.toMap.get(3L) === Some("D3"))
+      assert(afterCow.size === 41)
+      assert(afterCow.map(_._1) === afterCow.map(_._1).distinct)
+      // full compaction folds EVERYTHING: image unchanged, _dv gone
+      val before = imageOf(root)
+      val vNew = SnapshotTable.compact(spark, root, targetFiles = 2,
+        retain = 10)
+      assert(imageOf(root) === before)
+      assert(!new java.io.File(s"$root/v=$vNew/_dv").exists(),
+        "compaction must leave the version DV-free")
+    }
+  }
+
+  test("commitMergeDV rejects a different merge key once the table " +
+      "carries vectors (ambiguous row identity)") {
+    withRoot { root =>
+      seedClustered(root)
+      SnapshotTable.commitMergeDV(spark, root, img(3L -> "B3"), "k",
+        retain = 10)((_, b) => b)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.commitMergeDV(spark, root, img(1L -> "z"), "v",
+          retain = 10)((_, b) => b)
+      }
+      assert(e.getMessage.contains("deletion vectors"))
+    }
+  }
+
   // ---- round 17: loud input validation ----
 
   test("readChanges rejects an inverted span; commitWithSkipping " +
