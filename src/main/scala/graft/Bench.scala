@@ -16,7 +16,8 @@ object Bench {
     "ads_funnel_steps" -> 1.73, "ads_gmv_cumulative" -> 0.46,
     "ads_path_topn" -> 1.09, "ads_province_board" -> 0.94,
     "ads_retention_daily" -> 1.11, "ads_rfm_segments" -> 1.71,
-    "ads_traffic_board" -> 1.44, "ads_wau_rolling" -> 1.1,
+    "ads_top_products" -> 1.7, "ads_traffic_board" -> 1.44,
+    "ads_wau_rolling" -> 1.1,
     "agg_approx_distinct" -> 0.76, "agg_approx_percentile" -> 0.61,
     "agg_bitmap_uv" -> 0.59, "agg_bool_countif" -> 0.33,
     "agg_collect_state" -> 0.51, "agg_cube" -> 1.7,
@@ -94,7 +95,8 @@ object Bench {
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.0,
-    "table_changelog" -> 1.0, "table_incremental_append" -> 1.5,
+    "table_cdf_stream" -> 0.3, "table_changelog" -> 1.0,
+    "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_pruned" -> 0.5,
     "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
@@ -269,7 +271,8 @@ object Bench {
       // measure query latency against the published table
       artifactLine("table_artifact_build",
         only.forall(_.exists(Set("sink_snapshot_merge",
-          "table_merge_pruned", "table_changelog", "table_cdf_consume")))) {
+          "table_merge_pruned", "table_changelog", "table_cdf_consume",
+          "table_cdf_stream", "table_merge_dv")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)

@@ -133,6 +133,16 @@ object ManifestScale {
           rows(0L, 1000L, 1).withColumn("tag", lit(s"merge$r")),
           "key", retain = 8)((_, b) => b)
       }))
+      // round 17: same localized batch through the merge-on-read path —
+      // the metadata plane (candidate pruning over N manifest rows,
+      // carried-manifest copy, N-line sidecar rewrite) is identical,
+      // only the data plane differs (tombstones vs file rewrite), so
+      // merge_dv_s tracks the same manifest-scale curve
+      val tMergeDv = median((1 to runs).map(r => timed {
+        SnapshotTable.commitMergeDV(spark, root,
+          rows(0L, 1000L, 1).withColumn("tag", lit(s"mergedv$r")),
+          "key", retain = 8)((_, b) => b)
+      }))
       val tAppend = median((1 to runs).map(r => timed {
         SnapshotTable.commitAppend(spark, root,
           rows(500000L + r * 100000L, 50000L, 2), retain = 8)
@@ -142,11 +152,69 @@ object ManifestScale {
       s"""{"n_synthetic":$n,"resolve_s":${fmt(tResolve)},""" +
         s""""files_s":${fmt(tFiles)},"plan_s":${fmt(tPlan)},""" +
         s""""plan_files_read":${kept._1},"plan_files_total":${kept._2},""" +
-        s""""merge_s":${fmt(tMerge)},"append_s":${fmt(tAppend)},""" +
+        s""""merge_s":${fmt(tMerge)},"merge_dv_s":${fmt(tMergeDv)},""" +
+        s""""append_s":${fmt(tAppend)},""" +
         s""""plan_heap_mb":$heapPlan,"files_end":$total}"""
     }
+
+    // DV WRITE-AMPLIFICATION rehearsal (round 17; the verdict's missing
+    // #3 'Done' evidence): a SCATTERED point-upsert — 256 keys spread
+    // across every file of a wide 8M-row / 8-file key-clustered table,
+    // the hot-keys-straddle-many-files CDC shape — through both merge
+    // paths. Copy-on-write rewrites every touched file in full (8M rows
+    // re-written per commit); merge-on-read writes the 256 resolved
+    // rows plus 256 tombstone entries (the probe read over candidate
+    // files remains — DV removes the WRITE amplification, which is the
+    // claim). cow_files_rewritten / dv_files_rewritten counts base
+    // files dropped by each commit (carried-forward = not rewritten).
+    val amp = if (sys.env.get("SPARK_GRAFT_DV_AMP").contains("0")) ""
+    else {
+      val ampRoot = s"$scaleRoot/dv_amp"
+      val ampPath = new org.apache.hadoop.fs.Path(ampRoot)
+      val ampFs = ampPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      ampFs.delete(ampPath, true)
+      val baseRows = 8000000L
+      SnapshotTable.commitWithStats(spark, ampRoot, "key", retain = 4)(
+        _ => SnapshotTable.clusterBy(rows(0L, baseRows, 32), "key", 8))
+      def scatter(tag: String) = spark.range(0, 256, 1, 1).select(
+        (col("id") * (baseRows / 256)).as("key"),
+        pmod(xxhash64(col("id")), lit(86400000000L)).as("ts"),
+        lit(tag).as("tag"))
+      def filesNow(): Set[String] = {
+        val v = SnapshotTable.latestVersion(spark, ampRoot).get
+        SnapshotTable.dataFiles(spark, ampRoot, v).toSet
+      }
+      var cowRewritten = 0
+      val tCow = median((1 to runs).map(r => timed {
+        val before = filesNow()
+        SnapshotTable.commitMerge(spark, ampRoot,
+          scatter(s"amp-cow-$r"), "key", retain = 4)((_, b) => b)
+        cowRewritten = (before -- filesNow()).size
+      }))
+      var dvRewritten = 0
+      val tDv = median((1 to runs).map(r => timed {
+        val before = filesNow()
+        SnapshotTable.commitMergeDV(spark, ampRoot,
+          scatter(s"amp-dv-$r"), "key", retain = 4)((_, b) => b)
+        dvRewritten = (before -- filesNow()).size
+      }))
+      // read-back sanity: the DV'd image still serves exactly one row
+      // per key and the last tag wins
+      val img = SnapshotTable.read(spark, ampRoot).get
+      val probed = img.where(col("key") === 0L).collect()
+      require(probed.length == 1 &&
+        probed(0).getAs[String]("tag").startsWith("amp-dv-"),
+        s"DV image wrong at key 0: ${probed.mkString(";")}")
+      s""","dv_amplification":{"rows_base":$baseRows,"files_base":8,""" +
+        s""""batch_rows":256,"cow_merge_s":${fmt(tCow)},""" +
+        s""""dv_merge_s":${fmt(tDv)},""" +
+        s""""cow_files_rewritten":$cowRewritten,""" +
+        s""""dv_files_rewritten":$dvRewritten}"""
+    }
+
     println(s"""{"metric":"manifest_scale","runs":$runs,""" +
-      s""""points":[${lines.mkString(",")}]}""")
+      s""""points":[${lines.mkString(",")}]$amp}""")
     spark.stop()
   }
 }

@@ -533,10 +533,80 @@ object Ads {
             round(col("dur_us").cast("double") / col("sessions") / 1000000,
               4)).otherwise(lit(0.0)).as("avg_session_sec"))
         .orderBy("day")
+    }),
+
+    // TOP-PRODUCTS serving board (round 17; the genre's SIGNATURE
+    // serving path composed end-to-end — window agg → per-group Top-N →
+    // JDBC board → BI read-back, i.e. win_rank_topn's rank shape and
+    // sink_jdbc_board's publish as ONE pipeline): monthly top-3 parts
+    // by discounted revenue. Ranking compares the EXACT DECIMAL(28,6)
+    // revenue (never the rounded double) with a partkey tiebreak, so
+    // cross-engine order is bit-identical; the rn<=3 filter compiles to
+    // WindowGroupLimit (Spark 4's two-phase per-partition top-k: each
+    // shuffle input forwards at most k rows per month, so a month with
+    // 20M active parts at 100 TB never funnels through one task
+    // unreduced — plan-asserted in PlanSpec); p_brand decorates via a
+    // broadcast dim join AFTER the top-3 cut (≤ 3·|months| rows). The
+    // board publishes to the embedded-Derby JDBC stand-in (coalesce(1):
+    // a 3·|months|-row board must not open 1000 connections) and reads
+    // back — the round-trip IS the key, like every sink key.
+    "ads_top_products" -> ((s, d) => {
+      val tag = new java.io.File(d).getName
+      val dbDir = Scans.derbyDbDir(tag)
+      val url = s"jdbc:derby:${dbDir.getPath}/topprod;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      topProductsBoard(s, d).coalesce(1)
+        .write.mode("overwrite").jdbc(url, "ads_top_products", props)
+      s.read.jdbc(url, "ads_top_products", props)
+        .select(col("m_us").cast("long").as("m_us"),
+          col("rn").cast("long").as("rn"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("p_brand"), col("revenue"))
+        .orderBy("m_us", "rn")
     })
   )
 
+  /** The top-products board before its JDBC publish — factored so
+    * PlanSpec can assert the WindowGroupLimit pushdown on the exact
+    * plan the key executes. */
+  private[graft] def topProductsBoard(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"),
+        col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec6)).as("rev_dec"))
+    val w = Window.partitionBy("m")
+      .orderBy(col("rev_dec").desc, col("l_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .join(broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(ep(col("m")).as("m_us"), col("rn").cast("long").as("rn"),
+        col("l_partkey"), col("p_brand"),
+        round(col("rev_dec"), 2).cast("double").as("revenue"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // rank over the exact decimal revenue, round only in the output
+    "ads_top_products" ->
+      """WITH rev AS (
+        |  SELECT date_trunc('month', l_shipdate) AS m, l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,6))) AS rev_dec
+        |  FROM lineitem GROUP BY 1, 2),
+        |top AS (
+        |  SELECT m, l_partkey, rev_dec,
+        |    row_number() OVER (PARTITION BY m
+        |      ORDER BY rev_dec DESC, l_partkey) AS rn
+        |  FROM rev)
+        |SELECT epoch_us(t.m) AS m_us, t.rn, t.l_partkey, p.p_brand,
+        |  CAST(round(t.rev_dec, 2) AS DOUBLE) AS revenue
+        |FROM top t JOIN part p ON t.l_partkey = p.p_partkey
+        |WHERE t.rn <= 3
+        |ORDER BY m_us, rn""".stripMargin,
     "ads_attribution" ->
       """WITH clicks AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us,

@@ -35,7 +35,7 @@ object Scans {
     Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
     dir
   }
-  private def derbyDbDir(tag: String): java.io.File = {
+  private[ops] def derbyDbDir(tag: String): java.io.File = {
     // derby.log otherwise lands in the process CWD
     sys.props.getOrElseUpdate("derby.stream.error.file",
       new java.io.File(sys.props("java.io.tmpdir"), "derby.log").toString)

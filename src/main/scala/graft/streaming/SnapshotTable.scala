@@ -1155,31 +1155,43 @@ object SnapshotTable {
         try {
           val candidates = candidateFiles(s, root, v, batch, mergeKey,
             schema)
-          // VISIBLE rows of candidate files holding a batch key, with
-          // their source file — one read serves both the new tombstone
-          // entries and resolve's `existing` rows, pinned so the two
-          // can never diverge under a non-deterministic batch plan
           val keys = batch.select(col(mergeKey).as("_graft_k"))
             .distinct()
-          val hitRows =
+          val visible =
             if (candidates.isEmpty) None
             else Some(readFilesVisible(s, root, v, candidates, schema,
-              keepFileCol = Some("_graft_file"))
-              .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
-              .persist(org.apache.spark.storage.StorageLevel
-                .MEMORY_AND_DISK))
-          hit = hitRows
-          val anyHit = hitRows.exists(!_.isEmpty)
+              keepFileCol = Some("_graft_file")))
+          // tombstone probe: ONLY (file, key) — Catalyst prunes the
+          // candidate parquet scans to the merge-key column (plus the
+          // DV anti-join inputs), so the probe never reads payload
+          // bytes. At a wide production schema this is the difference
+          // between an O(candidate-bytes) and an O(key-column) merge.
+          val hitKeys = visible.map(_
+            .select(col("_graft_file"), col(mergeKey))
+            .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK))
+          hit = hitKeys
+          val anyHit = hitKeys.exists(!_.isEmpty)
           val dvEntries =
             if (!anyHit) None
-            else Some((mergeKey, hitRows.get
+            else Some((mergeKey, hitKeys.get
               .select(col("_graft_file").as("file"),
-                col(mergeKey).as(dvValCol)).distinct()))
+                col(mergeKey).as(dvValCol))))
+          // resolve's `existing` is a LAZY full-schema read of the same
+          // immutable candidate files filtered by the same persisted
+          // key set — deterministic by file immutability, so it cannot
+          // diverge from the tombstones above; a resolve that ignores
+          // it (pure upsert, point delete — the CDC hot path) never
+          // executes this read at all
+          val existing = visible.map(_
+            .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
+            .drop("_graft_file"))
           commitCore(s, root, retain, statsCols, carriedFrom = Some(v),
             casBase = expectedBase, txn = txn,
             bloomCols = inheritedBloom, dvNew = dvEntries) { _ =>
-            resolve(hitRows.filter(_ => anyHit)
-              .map(_.drop("_graft_file")), batch)
+            resolve(existing.filter(_ => anyHit), batch)
           }
         } finally {
           hit.foreach(_.unpersist(blocking = false))

@@ -298,4 +298,31 @@ class AdsSpec extends AnyFunSuite {
       }
     } finally r.unpersist()
   }
+  test("ads_top_products: <=3 per month, rn contiguous, revenue " +
+      "non-increasing, board == pre-publish computation") {
+    val r = q("ads_top_products").collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("m_us")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // ties broke on partkey, so revenue is non-increasing in rank
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b.getAs[Double]("revenue") <=
+          a.getAs[Double]("revenue") + 1e-9)
+      }
+    }
+    // the JDBC round-trip must not have perturbed a single value
+    val direct = graft.ops.Ads.topProductsBoard(spark, sf)
+      .orderBy("m_us", "rn").collect()
+    assert(direct.length == r.length)
+    direct.zip(r).foreach { case (a, b) =>
+      assert(a.getAs[Long]("m_us") == b.getAs[Long]("m_us"))
+      assert(a.getAs[Long]("rn") == b.getAs[Long]("rn"))
+      assert(a.getAs[Long]("l_partkey") == b.getAs[Long]("l_partkey"))
+      assert(a.getAs[String]("p_brand") == b.getAs[String]("p_brand"))
+      assert(a.getAs[Double]("revenue") == b.getAs[Double]("revenue"))
+    }
+  }
 }

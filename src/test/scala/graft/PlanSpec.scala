@@ -977,6 +977,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(4000))
   }
 
+  test("ads_top_products: rank<=3 pushes down as WindowGroupLimit; " +
+      "brand decorate is a broadcast join") {
+    // the board BEFORE its JDBC publish — the exact plan the key runs.
+    // WindowGroupLimit is the two-phase per-partition top-k (each
+    // shuffle input forwards ≤3 rows per month), the property that
+    // keeps a 20M-active-parts month from funneling unreduced through
+    // one window task at 100 TB.
+    val p = plan(graft.ops.Ads.topProductsBoard(TestSpark.spark,
+      TestSpark.sf))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot path of the Q1-shape agg") {
     // AQE finalizes codegen stages only at execution: run the query, then
     // inspect the executed plan.
