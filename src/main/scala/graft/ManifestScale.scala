@@ -169,39 +169,76 @@ object ManifestScale {
     // files dropped by each commit (carried-forward = not rewritten).
     val amp = if (sys.env.get("SPARK_GRAFT_DV_AMP").contains("0")) ""
     else {
-      val ampRoot = s"$scaleRoot/dv_amp"
-      val ampPath = new org.apache.hadoop.fs.Path(ampRoot)
-      val ampFs = ampPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      ampFs.delete(ampPath, true)
+      // SEPARATE roots per path: interleaving on one table let the COW
+      // rounds coalesce the 8-file layout into one wide file before
+      // the DV rounds measured, so neither path saw the
+      // hot-keys-straddle-every-file shape past round 1. The payload
+      // is ~256 bytes/row (production rows are wide): COW re-writes
+      // every touched byte, so the rewritten ~2 GB dominates its
+      // wall-clock, while the DV probe reads ONE column and writes
+      // O(batch) — at 3 narrow columns both paths hid under fixed
+      // job-launch latency and the arm demonstrated nothing
       val baseRows = 8000000L
-      SnapshotTable.commitWithStats(spark, ampRoot, "key", retain = 4)(
-        _ => SnapshotTable.clusterBy(rows(0L, baseRows, 32), "key", 8))
-      def scatter(tag: String) = spark.range(0, 256, 1, 1).select(
+      def widen(df: DataFrame): DataFrame = df.withColumn("payload",
+        concat_ws("-", (0 until 16).map(i =>
+          xxhash64(col("key"), lit(i)).cast("string")): _*))
+      def scatter(tag: String) = widen(spark.range(0, 256, 1, 1).select(
         (col("id") * (baseRows / 256)).as("key"),
         pmod(xxhash64(col("id")), lit(86400000000L)).as("ts"),
-        lit(tag).as("tag"))
-      def filesNow(): Set[String] = {
-        val v = SnapshotTable.latestVersion(spark, ampRoot).get
-        SnapshotTable.dataFiles(spark, ampRoot, v).toSet
+        lit(tag).as("tag")))
+      def build(name: String): String = {
+        val r = s"$scaleRoot/$name"
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        SnapshotTable.commitWithStats(spark, r, "key", retain = 4)(_ =>
+          SnapshotTable.clusterBy(widen(rows(0L, baseRows, 32)),
+            "key", 8))
+        r
       }
-      var cowRewritten = 0
+      def filesNow(r: String): Set[String] = {
+        val v = SnapshotTable.latestVersion(spark, r).get
+        SnapshotTable.dataFiles(spark, r, v).toSet
+      }
+      def bytesOf(r: String, files: Set[String]): Long = {
+        val fsr = new org.apache.hadoop.fs.Path(r)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        files.iterator.map(f => fsr.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$r/$f")).getLen).sum
+      }
+      val cowRoot = build("dv_amp_cow")
+      // capture round 1's rewrite count: the first merge hits the
+      // pristine 8-file layout (the shape under test); later rounds
+      // hit whatever the rewrite coalesced
+      var cowRewritten = -1
+      var cowBytes = -1L
       val tCow = median((1 to runs).map(r => timed {
-        val before = filesNow()
-        SnapshotTable.commitMerge(spark, ampRoot,
+        val before = filesNow(cowRoot)
+        SnapshotTable.commitMerge(spark, cowRoot,
           scatter(s"amp-cow-$r"), "key", retain = 4)((_, b) => b)
-        cowRewritten = (before -- filesNow()).size
+        if (cowRewritten < 0) {
+          val after = filesNow(cowRoot)
+          cowRewritten = (before -- after).size
+          // the commit's WRITE cost: every byte of the files it created
+          cowBytes = bytesOf(cowRoot, after -- before)
+        }
       }))
-      var dvRewritten = 0
+      val dvRoot = build("dv_amp_dv")
+      var dvRewritten = -1
+      var dvBytes = -1L
       val tDv = median((1 to runs).map(r => timed {
-        val before = filesNow()
-        SnapshotTable.commitMergeDV(spark, ampRoot,
+        val before = filesNow(dvRoot)
+        SnapshotTable.commitMergeDV(spark, dvRoot,
           scatter(s"amp-dv-$r"), "key", retain = 4)((_, b) => b)
-        dvRewritten = (before -- filesNow()).size
+        if (dvRewritten < 0) {
+          val after = filesNow(dvRoot)
+          dvRewritten = (before -- after).size
+          dvBytes = bytesOf(dvRoot, after -- before)
+        }
       }))
       // read-back sanity: the DV'd image still serves exactly one row
       // per key and the last tag wins
-      val img = SnapshotTable.read(spark, ampRoot).get
+      val img = SnapshotTable.read(spark, dvRoot).get
       val probed = img.where(col("key") === 0L).collect()
       require(probed.length == 1 &&
         probed(0).getAs[String]("tag").startsWith("amp-dv-"),
@@ -210,7 +247,9 @@ object ManifestScale {
         s""""batch_rows":256,"cow_merge_s":${fmt(tCow)},""" +
         s""""dv_merge_s":${fmt(tDv)},""" +
         s""""cow_files_rewritten":$cowRewritten,""" +
-        s""""dv_files_rewritten":$dvRewritten}"""
+        s""""dv_files_rewritten":$dvRewritten,""" +
+        s""""cow_bytes_written":$cowBytes,""" +
+        s""""dv_bytes_written":$dvBytes}"""
     }
 
     println(s"""{"metric":"manifest_scale","runs":$runs,""" +

@@ -122,29 +122,149 @@ object SnapshotTable {
     * ([[effectiveTimestamps]]), so a backwards-stepping clock can never
     * make "as of t" resolve a LATER version than a larger t would. */
   private val commitTsFile = "_commit_ts"
+  /** DELTA-MANIFEST (manifest-tiering) version layout (round 17; the
+    * Iceberg manifest-list / Delta log+checkpoint shape — closes the
+    * measured O(files_total)-per-commit metadata term: at 1M manifest
+    * files a plain append paid ~4.4 s rewriting the full manifest +
+    * sidecar, linear in the TABLE, not the delta): a carried commit
+    * whose chain is shorter than [[checkpointInterval]] writes only
+    *
+    *   _parent      the base version number (chain pointer)
+    *   _files_new   THIS commit's file names (text, one per line)
+    *   _removed     carried files this commit dropped (merge-touched;
+    *                absent when none)
+    *   _manifest/   fresh-file stats rows ONLY (when the chain carries
+    *                stats — never the carried bulk)
+    *
+    * and readers resolve the chain: files(v) = files(parent) − removed
+    * + files_new; the stats view is the parent view anti-joined with
+    * the removals unioned with the fresh rows. Every
+    * checkpointInterval-th commit is a CHECKPOINT — it writes today's
+    * full `_files` sidecar + merged `_manifest`, bounding every chain
+    * walk (and the metadata kept alive by it) to K links; full-image
+    * commits (compaction, merges of legacy bases) are natural
+    * checkpoints. Retention interacts through RETIREMENT, not
+    * materialization (materializing survivors would reintroduce the
+    * O(table) term at retain < K): vacuum swaps a dropped-but-still-
+    * chain-referenced version's `_COMMITTED` marker for `_RETIRED` —
+    * the version disappears from the committed set (unreadable,
+    * un-time-travelable, its exclusively-referenced segments
+    * refcount-reclaimed) while its few KB of chain metadata stay until
+    * no survivor's walk passes through them. */
+  private val parentFile = "_parent"
+  private val filesNewSidecar = "_files_new"
+  private val removedSidecar = "_removed"
+  private val retiredMarker = "_RETIRED"
+  /** Commits between full-manifest checkpoints (chain-length bound).
+    * Overridable per session: `spark.graft.manifestCheckpointInterval`. */
+  private def checkpointInterval(s: SparkSession): Int = {
+    val k = s.conf.get("spark.graft.manifestCheckpointInterval", "8").toInt
+    require(k >= 1, "manifestCheckpointInterval must be >= 1")
+    k
+  }
   private val segPrefix = "seg-"
   /** Legacy (pre-round-15) per-version stats manifests — still read so
     * tables committed under the old layout keep pruning. */
   private val legacyStatsDir = "_stats"
   private val legacyStatsColsDir = "_stats_cols"
 
-  /** Manifest-backed = has a file-list sidecar or a stats manifest;
-    * the parquet manifest itself is OPTIONAL (written only when some
-    * file carries stats — a stats-less table's versions are fully
-    * served by the text sidecar, so its commits launch zero metadata
-    * Spark jobs). */
+  /** Manifest-backed = has a file-list sidecar, a chain pointer, or a
+    * stats manifest; the parquet manifest itself is OPTIONAL (written
+    * only when some file carries stats — a stats-less table's versions
+    * are fully served by the text sidecars, so its commits launch zero
+    * metadata Spark jobs). */
   private def isManifestVersion(fs: FileSystem, root: String,
       v: Long): Boolean =
     fs.exists(new Path(s"$root/v=$v/$filesSidecar")) ||
+      fs.exists(new Path(s"$root/v=$v/$parentFile")) ||
       hasStatsManifest(fs, root, v)
 
+  /** Whether version `v`'s manifest CHAIN carries a stats manifest
+    * anywhere (own fresh rows or any ancestor's). */
   private def hasStatsManifest(fs: FileSystem, root: String,
       v: Long): Boolean =
-    fs.exists(new Path(s"$root/v=$v/$manifestDir"))
+    fs.exists(new Path(s"$root/v=$v/$manifestDir")) ||
+      deltaParent(fs, root, v).exists(p => hasStatsManifest(fs, root, p))
 
+  /** Delta-manifest chain pointer of `v`, if it is a delta version. */
+  private def deltaParent(fs: FileSystem, root: String,
+      v: Long): Option[Long] = {
+    val p = new Path(s"$root/v=$v/$parentFile")
+    if (fs.exists(p)) Some(readText(fs, p).trim.toLong) else None
+  }
+
+  private def textLines(fs: FileSystem, p: Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else readText(fs, p).split("\n").toSeq.filter(_.nonEmpty)
+
+  private def filesNewOf(fs: FileSystem, root: String,
+      v: Long): Seq[String] =
+    textLines(fs, new Path(s"$root/v=$v/$filesNewSidecar"))
+
+  private def removedOf(fs: FileSystem, root: String,
+      v: Long): Seq[String] =
+    textLines(fs, new Path(s"$root/v=$v/$removedSidecar"))
+
+  /** Chain links between `v` and its nearest full (checkpoint) version:
+    * 0 = v is itself full. */
+  private def chainDepth(fs: FileSystem, root: String, v: Long): Int =
+    if (fs.exists(new Path(s"$root/v=$v/$filesSidecar"))) 0
+    else deltaParent(fs, root, v) match {
+      case Some(p) => 1 + chainDepth(fs, root, p)
+      case None => 0
+    }
+
+  /** Minimal (file, rows) manifest rows for chain links that never
+    * wrote a parquet manifest (stats-less chains) — driver rows, no
+    * job; NULL rows/stats stay conservatively unprunable. */
+  private def fileOnlyManifest(s: SparkSession,
+      files: Seq[String]): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      files.map(f => Row(f, null)): _*)
+    s.createDataFrame(rows, StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true))))
+  }
+
+  /** The per-file stats manifest VIEW version `v` serves — for a full
+    * version its own parquet manifest; for a delta version the parent
+    * view minus this commit's removals plus its fresh rows (resolution
+    * depth bounded by [[checkpointInterval]]). All pruning, candidate
+    * selection, and maintenance reads go through here, so they see one
+    * merged manifest regardless of the physical tiering. */
   private def manifestDf(s: SparkSession, root: String,
-      v: Long): DataFrame =
-    s.read.parquet(s"$root/v=$v/$manifestDir")
+      v: Long): DataFrame = {
+    val fs = fsOf(s, root)
+    deltaParent(fs, root, v) match {
+      case None => s.read.parquet(s"$root/v=$v/$manifestDir")
+      case Some(parent) =>
+        val parentView =
+          if (isManifestVersion(fs, root, parent) &&
+              hasStatsManifest(fs, root, parent))
+            manifestDf(s, root, parent)
+          else fileOnlyManifest(s, dataFiles(s, root, parent))
+        val removed = removedOf(fs, root, v)
+        val kept =
+          if (removed.isEmpty) parentView
+          else {
+            import s.implicits._
+            parentView.join(
+              org.apache.spark.sql.functions.broadcast(
+                removed.toDF("file")), Seq("file"), "left_anti")
+          }
+        val fresh =
+          if (fs.exists(new Path(s"$root/v=$v/$manifestDir")))
+            s.read.parquet(s"$root/v=$v/$manifestDir")
+          else fileOnlyManifest(s, filesNewOf(fs, root, v))
+        kept.unionByName(fresh, allowMissingColumns = true)
+    }
+  }
+
+  /** Public face of the merged stats-manifest view (specs and ops
+    * tooling assert against the VIEW — the physical layout under it is
+    * full or tiered per commit). */
+  def statsManifest(s: SparkSession, root: String, v: Long): DataFrame =
+    manifestDf(s, root, v)
 
   private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
     val out = fs.create(p, true)
@@ -175,19 +295,44 @@ object SnapshotTable {
     * versions: the manifest's file list, read driver-side — that is
     * what a manifest is FOR; legacy versions: the dir's own parquet
     * files). Sorted for determinism. */
-  def dataFiles(s: SparkSession, root: String, v: Long): Seq[String] = {
-    val fs = fsOf(s, root)
-    val sidecar = new Path(s"$root/v=$v/$filesSidecar")
-    if (fs.exists(sidecar))
-      readText(fs, sidecar).split("\n").toSeq
-        .filter(_.nonEmpty).sorted
-    else if (isManifestVersion(fs, root, v))
-      // manifest versions written before the sidecar existed
-      manifestDf(s, root, v).select("file").collect()
-        .map(_.getString(0)).toSeq.sorted
-    else fs.listStatus(new Path(s"$root/v=$v")).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"v=$v/${st.getPath.getName}").sorted
+  def dataFiles(s: SparkSession, root: String, v: Long): Seq[String] =
+    resolveFiles(s, root, v, null).sorted
+
+  /** Unsorted chain resolution (sort ONCE at the public surface, not
+    * per link — at 1M files an intermediate sort per chain level is
+    * measurable driver time). `memo` (nullable) shares resolved
+    * versions across a multi-version walk — the vacuum refcount
+    * resolves every survivor, and without sharing each one re-reads
+    * the checkpoint's full sidecar. */
+  private def resolveFiles(s: SparkSession, root: String, v: Long,
+      memo: scala.collection.mutable.Map[Long, Seq[String]])
+      : Seq[String] = {
+    def compute: Seq[String] = {
+      val fs = fsOf(s, root)
+      val sidecar = new Path(s"$root/v=$v/$filesSidecar")
+      if (fs.exists(sidecar))
+        readText(fs, sidecar).split("\n").toSeq.filter(_.nonEmpty)
+      else deltaParent(fs, root, v) match {
+        // delta version: parent's list minus removals plus this
+        // commit's files — text reads only, chain depth bounded by the
+        // checkpoint interval
+        case Some(parent) =>
+          val removed = removedOf(fs, root, v).toSet
+          val base = resolveFiles(s, root, parent, memo)
+          (if (removed.isEmpty) base else base.filterNot(removed)) ++
+            filesNewOf(fs, root, v)
+        case None =>
+          if (isManifestVersion(fs, root, v))
+            // manifest versions written before the sidecar existed
+            manifestDf(s, root, v).select("file").collect()
+              .map(_.getString(0)).toSeq
+          else fs.listStatus(new Path(s"$root/v=$v")).toSeq
+            .filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => s"v=$v/${st.getPath.getName}")
+      }
+    }
+    if (memo == null) compute else memo.getOrElseUpdate(v, compute)
   }
 
   /** Files version `v` ADDED relative to the previous committed
@@ -567,13 +712,33 @@ object SnapshotTable {
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
     if (hasStatsManifest(fs, root, v))
-      manifestDf(s, root, v).schema.fieldNames.toSeq
+      manifestFieldsOf(s, root, v)
         .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
     else {
       val legacy = new Path(s"$root/v=$v/$legacyStatsColsDir")
       if (!fs.exists(legacy)) Nil
       else fs.listStatus(legacy).toSeq.filter(_.isDirectory)
         .map(_.getPath.getName).sorted
+    }
+  }
+
+  /** Column names of version `v`'s manifest VIEW without building the
+    * view: the union of the chain's LEAF manifest schemas (parquet
+    * footer reads — on a depth-7 chain over a 1M-file table, building
+    * the union-plus-anti-join DataFrame just to call .schema measured
+    * ~1.7 s of analyzer/file-index work per call; the footers answer
+    * in milliseconds). */
+  private def manifestFieldsOf(s: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val fs = fsOf(s, root)
+    val own =
+      if (fs.exists(new Path(s"$root/v=$v/$manifestDir")))
+        s.read.parquet(s"$root/v=$v/$manifestDir")
+          .schema.fieldNames.toSeq
+      else Nil
+    deltaParent(fs, root, v) match {
+      case Some(p) => (manifestFieldsOf(s, root, p) ++ own).distinct
+      case None => own
     }
   }
 
@@ -598,7 +763,7 @@ object SnapshotTable {
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
     if (!hasStatsManifest(fs, root, v)) Nil
-    else manifestDf(s, root, v).schema.fieldNames.toSeq
+    else manifestFieldsOf(s, root, v)
       .filter(_.startsWith("bloom__")).map(_.stripPrefix("bloom__"))
   }
 
@@ -1268,47 +1433,63 @@ object SnapshotTable {
       val usableBloom = bloomCols.filter(image.schema.fieldNames.contains)
       val (freshFiles, fresh) = segmentManifest(s, root, segName, usable,
         usableBloom, bloomBits)
-      val carriedFiles = carriedFrom.map { v =>
-        dataFiles(s, root, v).filterNot(dropCarried.contains)
-      }.getOrElse(Seq.empty)
       // the parquet stats manifest is written only when SOME file
       // carries stats (fresh or inherited) — a stats-less table's
-      // version is fully served by the text sidecar, so its commit
+      // version is fully served by the text sidecars, so its commit
       // launches no metadata Spark job at all
       val baseHasStats = carriedFrom.exists(v =>
         hasStatsManifest(fs, root, v))
-      if (usable.nonEmpty || usableBloom.nonEmpty || baseHasStats) {
-        val carried = carriedFrom.map { v =>
-          if (hasStatsManifest(fs, root, v)) {
-            val all = manifestDf(s, root, v)
-            // exclude the DROPPED (merge-touched) files by broadcast
-            // anti-join, never by isin over the kept set: the kept set
-            // is the WHOLE TABLE minus a few touched files — at 100 TB
-            // that would put ~800k string literals in the plan, while
-            // the touched list stays small by design
-            if (dropCarried.isEmpty) all
-            else {
-              import s.implicits._
-              all.join(org.apache.spark.sql.functions.broadcast(
-                dropCarried.toSeq.toDF("file")), Seq("file"),
-                "left_anti")
-            }
-          } else {
-            // a stats-less base carries as driver rows (file, null)
-            val rows: java.util.List[Row] = java.util.Arrays.asList(
-              carriedFiles.map(f => Row(f, null)): _*)
-            s.createDataFrame(rows, StructType(Seq(
-              StructField("file", StringType, nullable = false),
-              StructField("rows", LongType, nullable = true))))
+      // DELTA commit (manifest tiering): a carried commit whose chain
+      // stays under the checkpoint interval records only its own
+      // delta — fresh manifest rows, fresh file names, removals, and
+      // the chain pointer. O(delta) metadata however many files the
+      // table holds (the 1M-file ManifestScale point measured the full
+      // rewrite at ~4 s per commit — linear in the TABLE). Every K-th
+      // commit falls through to the checkpoint path below, writing the
+      // merged view and bounding every chain walk.
+      val writeDelta = carriedFrom.exists(v =>
+        chainDepth(fs, root, v) + 1 < checkpointInterval(s))
+      if (writeDelta) {
+        if (usable.nonEmpty || usableBloom.nonEmpty || baseHasStats)
+          fresh.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stage/$manifestDir")
+        writeText(fs, new Path(s"$stage/$filesNewSidecar"),
+          freshFiles.mkString("\n"))
+        if (dropCarried.nonEmpty)
+          writeText(fs, new Path(s"$stage/$removedSidecar"),
+            dropCarried.toSeq.sorted.mkString("\n"))
+        writeText(fs, new Path(s"$stage/$parentFile"),
+          carriedFrom.get.toString)
+      } else {
+        val carriedFiles = carriedFrom.map { v =>
+          dataFiles(s, root, v).filterNot(dropCarried.contains)
+        }.getOrElse(Seq.empty)
+        if (usable.nonEmpty || usableBloom.nonEmpty || baseHasStats) {
+          val carried = carriedFrom.map { v =>
+            if (hasStatsManifest(fs, root, v)) {
+              val all = manifestDf(s, root, v)
+              // exclude the DROPPED (merge-touched) files by broadcast
+              // anti-join, never by isin over the kept set: the kept
+              // set is the WHOLE TABLE minus a few touched files — at
+              // 100 TB that would put ~800k string literals in the
+              // plan, while the touched list stays small by design
+              if (dropCarried.isEmpty) all
+              else {
+                import s.implicits._
+                all.join(org.apache.spark.sql.functions.broadcast(
+                  dropCarried.toSeq.toDF("file")), Seq("file"),
+                  "left_anti")
+              }
+            } else fileOnlyManifest(s, carriedFiles)
           }
+          val manifest = carried.fold(fresh)(c =>
+            c.unionByName(fresh, allowMissingColumns = true))
+          manifest.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stage/$manifestDir")
         }
-        val manifest = carried.fold(fresh)(c =>
-          c.unionByName(fresh, allowMissingColumns = true))
-        manifest.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stage/$manifestDir")
+        writeText(fs, new Path(s"$stage/$filesSidecar"),
+          (carriedFiles ++ freshFiles).mkString("\n"))
       }
-      writeText(fs, new Path(s"$stage/$filesSidecar"),
-        (carriedFiles ++ freshFiles).mkString("\n"))
       // DELETION VECTORS ride the stage, atomic with the version:
       // carried entries restricted to still-carried files (a dropped/
       // rewritten file's rows are physically folded, so its entries go
@@ -1390,6 +1571,9 @@ object SnapshotTable {
       versionOfName(st.getPath.getName).map(v => (st, v))
     }.filter { case (st, v) =>
       if (committed.contains(v)) true
+      // retired chain stubs are live METADATA (vacuum reclaims them
+      // when no surviving chain walks through them) — never orphans
+      else if (fs.exists(new Path(s"$root/v=$v/$retiredMarker"))) true
       else if (st.getModificationTime > 0 &&
           now - st.getModificationTime > orphanGateMs) {
         fs.delete(st.getPath, true); false
@@ -1574,12 +1758,56 @@ object SnapshotTable {
       vs: Seq[Long], nDrop: Int): Unit = {
     val fs = fsOf(s, root)
     val drop = math.max(nDrop, 0)
-    vs.take(drop).foreach(v =>
-      fs.delete(new Path(s"$root/v=$v"), true))
-    val referenced = vs.drop(drop).flatMap { v =>
-      if (isManifestVersion(fs, root, v))
-        dataFiles(s, root, v).map(_.takeWhile(_ != '/'))
-      else Nil
+    val survivors = vs.drop(drop)
+    // versions some survivor's delta-manifest chain still walks
+    // through — their METADATA must outlive their committedness
+    // (materializing survivors instead would reintroduce the O(table)
+    // manifest rewrite at every retain < checkpointInterval commit,
+    // the exact term the tiering removes)
+    val reachable = scala.collection.mutable.Set[Long]()
+    def walk(v: Long): Unit = deltaParent(fs, root, v).foreach { p =>
+      if (reachable.add(p)) walk(p)
+    }
+    survivors.foreach(walk)
+    vs.take(drop).foreach { v =>
+      if (reachable.contains(v)) {
+        // RETIRE, not delete: swap the marker (create _RETIRED first —
+        // a crash between the two leaves the version committed and the
+        // next sweep retries), so the version leaves the committed set
+        // while its chain metadata stays readable
+        fs.create(new Path(s"$root/v=$v/$retiredMarker"), true).close()
+        fs.delete(new Path(s"$root/v=$v/_COMMITTED"), false)
+      } else fs.delete(new Path(s"$root/v=$v"), true)
+      ()
+    }
+    // retired stubs no surviving chain reaches anymore (a checkpoint
+    // landed past them) are reclaimed now
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => versionOfName(st.getPath.getName))
+      .filter(v => fs.exists(new Path(s"$root/v=$v/$retiredMarker")) &&
+        !reachable.contains(v))
+      .foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+    // one shared resolution: survivors' chains overlap (they all walk
+    // to the same checkpoint), so memoize SEGMENT sets per version —
+    // the refcount costs one checkpoint-sidecar read total, not one
+    // full O(files) list construction per survivor. Delta links fold
+    // as refSegs(parent) ∪ segs(files_new), IGNORING removals — a
+    // conservative superset (a merge-dropped file's segment stays
+    // referenced until a checkpoint cuts the chain, ≤ K commits of
+    // over-retention, reclaimed at the next post-checkpoint sweep).
+    def segOf(f: String) = f.takeWhile(_ != '/')
+    val memoSegs = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def refSegs(v: Long): Set[String] = memoSegs.getOrElseUpdate(v, {
+      val full = fs.exists(new Path(s"$root/v=$v/$filesSidecar"))
+      deltaParent(fs, root, v) match {
+        case Some(p) if !full =>
+          refSegs(p) ++ filesNewOf(fs, root, v).iterator.map(segOf)
+        case _ => resolveFiles(s, root, v, null).iterator.map(segOf).toSet
+      }
+    })
+    val referenced = survivors.flatMap { v =>
+      if (isManifestVersion(fs, root, v)) refSegs(v) else Nil
     }.toSet
     val now = System.currentTimeMillis()
     fs.listStatus(new Path(root)).toSeq

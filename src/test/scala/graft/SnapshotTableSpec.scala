@@ -546,10 +546,18 @@ class SnapshotTableSpec extends AnyFunSuite {
           img((41L to 80L).map(k => (k, s"v$k")): _*), "k", 4),
         retain = 10)
       val v2 = SnapshotTable.latestVersion(spark, root).get
-      val manifestV2 = spark.read.parquet(s"$root/v=$v2/_manifest")
+      // round 17 (delta manifests): v2 is a DELTA version — its
+      // physical _manifest holds ONLY the fresh files' rows, and the
+      // merged VIEW (statsManifest) serves carried + fresh; assert
+      // both the tiering and the view
+      val physicalV2 = spark.read.parquet(s"$root/v=$v2/_manifest")
+      assert(physicalV2.count() === 4,
+        "a delta commit must write only its own files' stats rows")
+      val manifestV2 = SnapshotTable.statsManifest(spark, root, v2)
       assert(manifestV2.count() === 8)
       // the carried rows are BYTE-IDENTICAL to v1's manifest — history
-      // was referenced, never recomputed
+      // was referenced (served from v1's own physical manifest), never
+      // recomputed, never even copied
       val carried = manifestV2
         .where(col("file").isin(
           statsV1.map(_.head.toString).toIndexedSeq: _*))
@@ -1687,6 +1695,157 @@ class SnapshotTableSpec extends AnyFunSuite {
           Seq("k"), bloomBits = 100)(_ => img(3L -> "c"))
       }
       ()
+    }
+  }
+
+  // ---- round 17: delta manifests (manifest tiering) ----
+
+  test("delta manifests: appends under the checkpoint interval write " +
+      "only their delta; the K-th commit checkpoints; chain reads, " +
+      "time travel, and pruning see identical content") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      def p(v: Long, n: String) =
+        new org.apache.hadoop.fs.Path(s"$root/v=$v/$n")
+      spark.conf.set("spark.graft.manifestCheckpointInterval", "3")
+      try {
+        SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+          SnapshotTable.clusterBy(
+            img((1L to 8L).map(k => (k, s"v$k")): _*), "k", 2))
+        (1 to 3).foreach(i =>
+          SnapshotTable.commitAppend(spark, root,
+            img((i * 100L) -> s"d$i"), retain = 10))
+        val vs = SnapshotTable.committedVersions(spark, root)
+        val Seq(v1, v2, v3, v4) = vs.takeRight(4)
+        // the full base has a full sidecar and no chain pointer
+        assert(fs.exists(p(v1, "_files")) && !fs.exists(p(v1, "_parent")))
+        // v2, v3 are DELTAS: chain pointer + own files, no full sidecar
+        Seq(v2, v3).foreach { v =>
+          assert(fs.exists(p(v, "_parent")), s"v$v missing _parent")
+          assert(fs.exists(p(v, "_files_new")), s"v$v missing _files_new")
+          assert(!fs.exists(p(v, "_files")), s"v$v wrote a full sidecar")
+        }
+        // the 3rd carried commit would exceed the interval: CHECKPOINT
+        assert(fs.exists(p(v4, "_files")) && !fs.exists(p(v4, "_parent")),
+          "the K-th commit must materialize a full manifest")
+        // content identity across the chain and the checkpoint
+        assert(SnapshotTable.readVersion(spark, root, v2).count() === 9)
+        assert(SnapshotTable.readVersion(spark, root, v3).count() === 10)
+        assert(SnapshotTable.readVersion(spark, root, v4).count() === 11)
+        assert(SnapshotTable.dataFiles(spark, root, v4).toSet ===
+          (SnapshotTable.dataFiles(spark, root, v3).toSet ++
+            SnapshotTable.newFiles(spark, root, v4)))
+        // the merged stats view spans the chain: a base-range window on
+        // the DELTA version v3 prunes to the base's clustered files
+        val hit = SnapshotTable.readPruned(spark, root, lit(1L), lit(4L))
+        // 2 clustered base files + 3 single-file deltas
+        assert(hit.filesTotal === 5 && hit.filesRead <= 1)
+        assert(hit.df.where(col("k").between(1L, 4L)).count() === 4)
+      } finally spark.conf.unset("spark.graft.manifestCheckpointInterval")
+    }
+  }
+
+  test("delta manifests: a chain merge records its removals; the " +
+      "merged view, reads, and pruning exclude the rewritten file") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        SnapshotTable.clusterBy(
+          img((1L to 40L).map(k => (k, s"v$k")): _*), "k", 4))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitMerge(spark, root, img(5L -> "UP"), "k",
+        retain = 10)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v2/_removed")), "chain merge must record removals")
+      val removedNames = SnapshotTable.dataFiles(spark, root, v1)
+        .filterNot(SnapshotTable.dataFiles(spark, root, v2).toSet)
+      assert(removedNames.size === 1, "the localized merge rewrites " +
+        s"exactly the touched file, got $removedNames")
+      // merged view: 3 carried + fresh rows, rewritten file absent
+      val view = SnapshotTable.statsManifest(spark, root, v2)
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(!view.exists(removedNames.toSet), "rewritten file leaked " +
+        "into the merged manifest view")
+      assert(view === SnapshotTable.dataFiles(spark, root, v2).toSet)
+      // content: upsert applied, everything else verbatim
+      val img2 = SnapshotTable.read(spark, root).get
+      assert(img2.where(col("k") === 5L).select("v")
+        .first().getString(0) === "UP")
+      assert(img2.count() === 40)
+      // pruning over the chain still works after the removal
+      val hit = SnapshotTable.readPruned(spark, root, lit(25L), lit(34L))
+      assert(hit.filesRead < hit.filesTotal)
+      assert(hit.df.where(col("k").between(25L, 34L)).count() === 10)
+    }
+  }
+
+  test("vacuum RETIRES chain-referenced ancestors (metadata stub, not " +
+      "committed, segments refcounted) and reclaims stubs once a " +
+      "checkpoint cuts the chain") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      def exists(v: Long, n: String) = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v=$v/$n"))
+      spark.conf.set("spark.graft.manifestCheckpointInterval", "3")
+      try {
+        SnapshotTable.commitWithStats(spark, root, "k", retain = 2)(_ =>
+          SnapshotTable.clusterBy(
+            img((1L to 8L).map(k => (k, s"v$k")): _*), "k", 2))
+        val v1 = SnapshotTable.latestVersion(spark, root).get
+        SnapshotTable.commitAppend(spark, root, img(100L -> "d1"),
+          retain = 2)
+        val v2 = SnapshotTable.latestVersion(spark, root).get
+        SnapshotTable.commitAppend(spark, root, img(200L -> "d2"),
+          retain = 2)
+        val v3 = SnapshotTable.latestVersion(spark, root).get
+        // retain=2 dropped v1 — but v2's chain walks through it: RETIRED
+        assert(SnapshotTable.committedVersions(spark, root) ===
+          Seq(v2, v3))
+        assert(exists(v1, "_RETIRED") && !exists(v1, "_COMMITTED"),
+          "chain-referenced ancestor must retire, not vanish")
+        // chain reads resolve THROUGH the stub; the stub itself is
+        // neither readable nor time-travelable
+        assert(SnapshotTable.read(spark, root).get.count() === 10)
+        assert(intercept[IllegalArgumentException](
+          SnapshotTable.readVersion(spark, root, v1))
+          .getMessage.contains("not committed"))
+        // commit 4 checkpoints (interval 3); its vacuum retires v2
+        SnapshotTable.commitAppend(spark, root, img(300L -> "d3"),
+          retain = 2)
+        val v4 = SnapshotTable.latestVersion(spark, root).get
+        assert(exists(v4, "_files"), "4th commit must checkpoint")
+        assert(exists(v2, "_RETIRED"),
+          "v2 is still on v3's chain: retired")
+        // commit 5 chains off the checkpoint; retain=2 drops v3 — no
+        // survivor walks through v1/v2/v3 anymore: stubs reclaimed
+        SnapshotTable.commitAppend(spark, root, img(400L -> "d4"),
+          retain = 2)
+        Seq(v1, v2, v3).foreach { v =>
+          assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=$v")),
+            s"unreachable stub v$v must be reclaimed")
+        }
+        assert(SnapshotTable.read(spark, root).get.count() === 12)
+      } finally spark.conf.unset("spark.graft.manifestCheckpointInterval")
+    }
+  }
+
+  test("a stats-less delta append writes no parquet manifest (the " +
+      "text-sidecar-only contract survives tiering) and reads fine") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      SnapshotTable.commit(spark, root, retain = 10)(_ => img(1L -> "a"))
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+        retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v2/_parent")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v2/_manifest")),
+        "a stats-less chain must stay free of metadata Spark jobs")
+      assert(SnapshotTable.read(spark, root).get
+        .orderBy("k").collect().map(_.getString(1)).toSeq ===
+        Seq("a", "b"))
     }
   }
 }
