@@ -18,12 +18,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * Layout under `root/`:
   *   seg-&lt;uuid&gt;/part-*.parquet   immutable data segments, written once
   *   v=N/_files                  text FILE LIST, one root-relative
-  *                               path per line (driver-cheap metadata)
+  *                               path per line — full (checkpoint)
+  *                               versions only
+  *   v=N/_parent, _files_new,    DELTA (tiered) versions instead carry
+  *       _removed                a chain pointer + their own file
+  *                               delta (round 17; see the delta-
+  *                               manifest notes at [[parentFile]])
   *   v=N/_manifest/              parquet stats manifest: (file, rows,
-  *                               min__c/max__c per stats column) —
-  *                               OPTIONAL, present iff stats exist
+  *                               bytes, min__c/max__c, bloom__c per
+  *                               recorded column) — OPTIONAL, present
+  *                               iff stats exist; fresh-rows-only on
+  *                               delta versions (readers merge the
+  *                               chain)
+  *   v=N/_dv/, _dv_key           keyed deletion vectors (merge-on-read)
+  *   v=N/_txn, _commit_ts        idempotence tokens, commit wall time
   *   v=N/_schema.ddl             the version's served schema
   *   v=N/_COMMITTED              atomic commit marker (exclusive create)
+  *   v=N/_RETIRED                vacuumed-but-chain-referenced stub
+  *                               marker (metadata kept, not committed)
   *
   * A version is a MANIFEST referencing retained old files plus newly
   * written ones — the Iceberg/Delta commit shape, and the reason a

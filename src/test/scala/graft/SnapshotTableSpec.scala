@@ -1848,4 +1848,69 @@ class SnapshotTableSpec extends AnyFunSuite {
         Seq("a", "b"))
     }
   }
+
+  test("checkpointInterval=1 disables tiering: every carried commit " +
+      "writes a full sidecar (the pre-tiering layout, selectable)") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      spark.conf.set("spark.graft.manifestCheckpointInterval", "1")
+      try {
+        SnapshotTable.commit(spark, root, retain = 10)(_ => img(1L -> "a"))
+        SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+          retain = 10)
+        val v2 = SnapshotTable.latestVersion(spark, root).get
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/v=$v2/_files")))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/v=$v2/_parent")))
+        assert(SnapshotTable.read(spark, root).get.count() === 2)
+      } finally spark.conf.unset("spark.graft.manifestCheckpointInterval")
+    }
+  }
+
+  test("ADD COLUMN rides a delta commit: the chain serves the merged " +
+      "schema, pre-evolution versions keep their own, nothing rewritten") {
+    withRoot { root =>
+      import spark.implicits._
+      val fs = fsFor(root)
+      SnapshotTable.commit(spark, root, retain = 10)(_ => img(1L -> "a"))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val before = SnapshotTable.dataFiles(spark, root, v1)
+      SnapshotTable.commitAppend(spark, root,
+        Seq((2L, "b", "extra")).toDF("k", "v", "note"), retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // the evolution landed as a DELTA (chain pointer, no rewrite)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v2/_parent")))
+      assert(SnapshotTable.dataFiles(spark, root, v2)
+        .toSet.intersect(before.toSet) === before.toSet,
+        "history must carry by reference through an evolving delta")
+      val evolved = SnapshotTable.read(spark, root).get.orderBy("k")
+      assert(evolved.schema.fieldNames.toSeq === Seq("k", "v", "note"))
+      assert(evolved.collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq ===
+        Seq((1L, "a", None), (2L, "b", Some("extra"))))
+      // pre-evolution time travel serves the original schema
+      assert(SnapshotTable.readVersion(spark, root, v1)
+        .schema.fieldNames.toSeq === Seq("k", "v"))
+    }
+  }
+
+  test("vacuumOlderThan retires chain-referenced ancestors exactly " +
+      "like count-based vacuum") {
+    withRoot { root =>
+      val fs = fsFor(root)
+      SnapshotTable.commit(spark, root, retain = 10)(_ => img(1L -> "a"))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"),
+        retain = 10)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // horizon 0 keeps only the latest; v1 is on v2's chain → stub
+      SnapshotTable.vacuumOlderThan(spark, root, 0L)
+      assert(SnapshotTable.committedVersions(spark, root) === Seq(v2))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v1/_RETIRED")))
+      assert(SnapshotTable.read(spark, root).get.count() === 2)
+    }
+  }
 }

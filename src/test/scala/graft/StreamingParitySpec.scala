@@ -1870,6 +1870,59 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("tableChangeStep over a MERGE-ON-READ (deletion-vector) " +
+      "transition folds identically to the batch changelog — the " +
+      "subscription contract survives MOR commits") {
+    import graft.streaming.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("tbl_src_dv").toString
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("tbl_src_dv_state").toString
+    try {
+      val ev = ops.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      val uCap = allEvents.map(_.user_id).max / 4
+      SnapshotTable.commitWithStats(spark, root, "user_id", retain = 4)(
+        _ => SnapshotTable.clusterBy(
+          ops.Scans.upsertMerge(None,
+            ev.where(pmod(col("event_id"), lit(2)) === 0)),
+          "user_id", 4))
+      SnapshotTable.commitMerge(spark, root,
+        ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+          col("user_id") <= uCap), "user_id",
+        retain = 4)(ops.Scans.upsertMerge)
+      // the LAST transition is merge-on-read: tombstones, not rewrites
+      SnapshotTable.commitMergeDV(spark, root,
+        ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+          col("user_id") > uCap && col("user_id") <= 2 * uCap),
+        "user_id", retain = 4)(ops.Scans.upsertMerge)
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(vs.size === 3)
+      val direct = {
+        var b = ops.Scans.cdfBoardInit(spark)(
+          SnapshotTable.readVersion(spark, root, vs(0)))
+        (0 to 1).foreach { i =>
+          b = ops.Scans.cdfBoardFold(spark)(b,
+            SnapshotTable.readChanges(spark, root, vs(i), vs(i + 1),
+              "user_id"))
+        }
+        b.orderBy("version").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1),
+            BigDecimal(r.getDecimal(2))))
+      }
+      val state = s"$stateDir/board"
+      while (Streams.tableChangeStep(spark, root, "user_id", state)(
+        ops.Scans.cdfBoardInit(spark))(ops.Scans.cdfBoardFold(spark))) ()
+      assert(boardRows(state) === direct,
+        "streamed fold over the DV transition must equal the batch fold")
+    } finally {
+      Seq(root, stateDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
   test("tableChangeStep replay determinism: re-running a transition " +
       "from a copied pre-step state lands on the identical board (the " +
       "crash-between-fold-and-advance redo is exact)") {
