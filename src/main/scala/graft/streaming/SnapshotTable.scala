@@ -1528,7 +1528,11 @@ object SnapshotTable {
           Some((ck, c.unionByName(n)))
       }
       dvAll.foreach { case (k, df) =>
-        if (!df.isEmpty) {
+        // a commit BRINGING entries is non-empty by construction
+        // (commitMergeDV only passes dvNew on a hit) — the emptiness
+        // probe (one Spark action) is only needed when a carried-only
+        // set may have been fully restricted away by dropCarried
+        if (dvNew.isDefined || !df.isEmpty) {
           df.coalesce(1).write.mode("overwrite")
             .parquet(s"$stage/$dvDir")
           writeText(fs, new Path(s"$stage/$dvKeyFile"), k)

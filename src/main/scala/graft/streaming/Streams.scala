@@ -1798,6 +1798,88 @@ object Streams {
     finally out.close()
   }
 
+  /** LAKE→LAKE MIRROR STEP (round 17 — the bronze→silver hop of the
+    * genre's layered ODS→DWD→DWS lakehouse flow, composing the two
+    * round-17 primitives in their production roles): apply the source
+    * table's next committed transition to a destination
+    * [[SnapshotTable]]. [[tableChangeStep]] subscribes a BOARD to a
+    * table; this subscribes a TABLE to a table, so whole silver/gold
+    * layers chain off one bronze ingest.
+    *
+    * Exactly-once needs NO side checkpoint: the consumed-version
+    * watermark IS the destination's own (appId → version) `txn` token
+    * — the [[snapshotMergeBatch]] check-and-act shape with the source
+    * VERSION as the batch id. A replayed/zombie step re-reads the
+    * token, finds the version absorbed, applies nothing; a racer
+    * conflicts on the CAS pin and retries against the moved table.
+    * Each applied transition is O(touched) end to end: changes come
+    * from `readChanges` (diff files only) and land via
+    * [[SnapshotTable.commitMergeDV]] (tombstones — zero destination
+    * files rewritten, the steady-CDC write shape).
+    *
+    * Contract: the source must be a LATEST-IMAGE table (at most one
+    * row per `key`, the shape every merge chain maintains) — a
+    * transition's insert/update_postimage rows are then the touched
+    * keys' complete final state, and delete-classified keys are pure
+    * deletes (the resolve emits nothing for them, so their rows
+    * tombstone away). Returns true iff the bootstrap or a transition
+    * was applied; false = caught up. Loud when the consumed version
+    * fell out of the source's retention — the source `retain` must
+    * cover mirror lag, as with every CDF consumer. */
+  def tableMirrorStep(s: SparkSession, srcRoot: String, dstRoot: String,
+      key: String, appId: String, retain: Int = 4): Boolean = {
+    import org.apache.spark.sql.functions._
+    var left = 5
+    while (left > 0) {
+      val vs = SnapshotTable.committedVersions(s, srcRoot)
+      if (vs.isEmpty) return false
+      val base = SnapshotTable.latestVersion(s, dstRoot)
+        .getOrElse(SnapshotTable.EmptyBase)
+      val consumed = SnapshotTable.lastCommittedBatch(s, dstRoot, appId)
+      val nextV = consumed match {
+        case None => Some(vs.head)
+        case Some(last) =>
+          require(vs.contains(last),
+            s"mirror of $srcRoot at $dstRoot: consumed version $last " +
+              s"is no longer retained (earliest is v=${vs.head}) — " +
+              "the source's retain must cover mirror lag")
+          vs.find(_ > last)
+      }
+      nextV match {
+        case None => return false
+        case Some(v) =>
+          val batch = consumed match {
+            case None =>
+              SnapshotTable.readVersion(s, srcRoot, v)
+                .withColumn("_graft_del", lit(false))
+            case Some(last) =>
+              val ch = SnapshotTable.readChanges(s, srcRoot, last, v, key)
+              ch.where(col("_change_type")
+                  .isin("insert", "update_postimage"))
+                .drop("_change_type")
+                .withColumn("_graft_del", lit(false))
+                .unionByName(ch.where(col("_change_type") === "delete")
+                  .drop("_change_type")
+                  .withColumn("_graft_del", lit(true)))
+          }
+          val applied =
+            try {
+              SnapshotTable.commitMergeDV(s, dstRoot, batch, key,
+                retain, expectedBase = base, txn = Some((appId, v)))(
+                (_, b) => b.where(!col("_graft_del")).drop("_graft_del"))
+              true
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("conflict") && left > 1 =>
+                false // moved under us — re-read the token and retry
+            }
+          if (applied) return true
+          left -= 1
+      }
+    }
+    false
+  }
+
   /** One step of the VERSION-TAILING STREAMING SOURCE over a
     * [[SnapshotTable]] (the Delta streaming-read / readChangeFeed-as-
     * a-stream shape — round-16 verdict's top item: the table had

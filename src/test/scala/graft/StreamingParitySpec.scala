@@ -1923,6 +1923,82 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("BRONZE->SILVER->GOLD: tableMirrorStep chains a silver table " +
+      "off the bronze chain exactly-once (dest txn log IS the " +
+      "watermark), deletes tombstone through, and the gold board " +
+      "subscribed to SILVER equals its direct fold") {
+    import graft.streaming.SnapshotTable
+    val bronze = java.nio.file.Files
+      .createTempDirectory("lake_bronze").toString
+    val silver = java.nio.file.Files
+      .createTempDirectory("lake_silver").toString
+    val goldDir = java.nio.file.Files
+      .createTempDirectory("lake_gold").toString
+    try {
+      // bronze: the shared 3-version upsert chain PLUS a 4th
+      // transition that point-DELETES the two smallest users via
+      // merge-on-read (resolve emits nothing)
+      val vsUp = buildCdfChain(bronze)
+      val victims = SnapshotTable.read(spark, bronze).get
+        .select("user_id").distinct().orderBy("user_id").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      SnapshotTable.commitMergeDV(spark, bronze,
+        SnapshotTable.read(spark, bronze).get
+          .where(col("user_id").isin(victims: _*)),
+        "user_id", retain = 5)((_, _) =>
+        SnapshotTable.read(spark, bronze).get.limit(0))
+      val vs = SnapshotTable.committedVersions(spark, bronze)
+      assert(vs.size === 4)
+      // silver mirrors bronze: bootstrap + 3 transitions
+      var steps = 0
+      while (graft.streaming.Streams.tableMirrorStep(spark, bronze,
+        silver, "user_id", "mirror-app")) steps += 1
+      assert(steps === 4, s"bootstrap + 3 transitions, got $steps")
+      // image parity, including the deletes
+      def imageOf(root: String) = SnapshotTable.read(spark, root).get
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id").collect().toSeq
+      assert(imageOf(silver) === imageOf(bronze))
+      assert(SnapshotTable.read(spark, silver).get
+        .where(col("user_id").isin(victims: _*)).count() === 0,
+        "deleted users must tombstone through the mirror")
+      // exactly-once: replaying the step applies nothing, no version
+      val silverVs = SnapshotTable.committedVersions(spark, silver)
+      assert(!graft.streaming.Streams.tableMirrorStep(spark, bronze,
+        silver, "user_id", "mirror-app"))
+      assert(SnapshotTable.committedVersions(spark, silver) === silverVs)
+      // GOLD: a board subscribed to the SILVER table (the layered
+      // flow: ingest -> mirrored table -> serving board), equal to the
+      // direct batch fold over silver's own versions
+      val gold = s"$goldDir/board"
+      while (graft.streaming.Streams.tableChangeStep(spark, silver,
+        "user_id", gold)(ops.Scans.cdfBoardInit(spark))(
+        ops.Scans.cdfBoardFold(spark))) ()
+      val direct = {
+        var b = ops.Scans.cdfBoardInit(spark)(
+          SnapshotTable.readVersion(spark, silver, silverVs.head))
+        silverVs.sliding(2).filter(_.size == 2).foreach { case Seq(a, c) =>
+          b = ops.Scans.cdfBoardFold(spark)(b,
+            SnapshotTable.readChanges(spark, silver, a, c, "user_id"))
+        }
+        b.orderBy("version").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1),
+            BigDecimal(r.getDecimal(2))))
+      }
+      assert(boardRows(gold) === direct,
+        "gold board over silver must equal the direct fold")
+      // and the board's last row reflects the deletes: n_users dropped
+      // by exactly |victims| vs the pre-delete row
+      val rows = boardRows(gold)
+      assert(rows.last._2 === rows(rows.size - 2)._2 - victims.size)
+    } finally {
+      Seq(bronze, silver, goldDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
   test("tableChangeStep replay determinism: re-running a transition " +
       "from a copied pre-step state lands on the identical board (the " +
       "crash-between-fold-and-advance redo is exact)") {
