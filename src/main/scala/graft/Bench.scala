@@ -16,7 +16,7 @@ object Bench {
     "ads_funnel_steps" -> 1.73, "ads_gmv_cumulative" -> 0.46,
     "ads_path_topn" -> 1.09, "ads_province_board" -> 0.94,
     "ads_retention_daily" -> 1.11, "ads_rfm_segments" -> 1.71,
-    "ads_top_products" -> 1.7, "ads_traffic_board" -> 1.44,
+    "ads_top_products" -> 3.4, "ads_traffic_board" -> 1.44,
     "ads_wau_rolling" -> 1.1,
     "agg_approx_distinct" -> 0.76, "agg_approx_percentile" -> 0.61,
     "agg_bitmap_uv" -> 0.59, "agg_bool_countif" -> 0.33,
@@ -95,7 +95,7 @@ object Bench {
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.0,
-    "table_cdf_stream" -> 0.3, "table_changelog" -> 1.0,
+    "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_pruned" -> 0.5,
     "table_schema_evolution" -> 0.91,
