@@ -23,13 +23,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   append    a 50k-row commitAppend: carried manifest union + write
   *
   * plus the driver heap delta across the planning calls. The claim
-  * under test: planning stays flat-ish (manifest-scale, not
-  * data-scale) to 100k files — the point where a production table
-  * swaps this path for a metastore/manifest-of-manifests. Fabrication
-  * writes the version layout directly (manifest parquet + _files
-  * sidecar + _schema.ddl + _COMMITTED) — rehearsal scaffolding with
-  * knowledge of the on-disk contract, not an API bypass available to
-  * users.
+  * under test (round 17, delta manifests): the WHOLE metadata plane —
+  * planning AND commit cost — stays flat to 1M files, because carried
+  * commits write only their delta and every K-th commit amortizes the
+  * checkpoint (pre-tiering, the 1M point measured the full per-commit
+  * manifest+sidecar rewrite at ~4 s — linear in the table).
+  * Fabrication writes the version layout directly (manifest parquet +
+  * _files sidecar + _schema.ddl + _COMMITTED) — rehearsal scaffolding
+  * with knowledge of the on-disk contract, not an API bypass available
+  * to users. The `dv_amplification` arm additionally measures a
+  * scattered point-upsert through both merge paths on two separate
+  * wide tables, recording FILES and BYTES written (COW rewrites every
+  * touched byte; deletion vectors write O(batch) — on NVMe the
+  * wall-clock hides behind fixed job latency, the bytes do not).
   *
   * Usage: sbt "runMain graft.ManifestScale [runs] [N ...]"
   * (defaults: 3 runs; N = 1000, 10000, 100000) */

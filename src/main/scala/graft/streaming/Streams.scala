@@ -1971,6 +1971,27 @@ object Streams {
       }
       .start()
 
+  /** The LIVE face of [[tableMirrorStep]] (same wrapper shape as
+    * [[tableChangeStream]]): a rate-driven micro-batch loop draining
+    * every pending source transition into the destination table. The
+    * Spark checkpoint only sequences micro-batches — the mirror's
+    * exactly-once state lives entirely in the destination's txn log,
+    * so losing this checkpoint (or running the drain from a batch job
+    * instead) changes nothing: replays re-read the token and apply
+    * nothing. */
+  def tableMirrorStream(s: SparkSession, srcRoot: String,
+      dstRoot: String, key: String, appId: String, checkpoint: String,
+      retain: Int = 4): StreamingQuery =
+    s.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        while (tableMirrorStep(s, srcRoot, dstRoot, key, appId,
+          retain)) ()
+        ()
+      }
+      .start()
+
   /** Crash-safe keyed-state rewrite shared by the upsert and changelog
     * sinks: the current table lives at `statePath` with `.prev` as the
     * in-flight fallback. Writes go to `.next`, then current→prev and

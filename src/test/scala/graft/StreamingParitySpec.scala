@@ -1999,6 +1999,54 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("tableMirrorStream (live): drains existing transitions, picks " +
+      "up a commit landing WHILE running, and the dest txn log tracks " +
+      "the source head") {
+    import graft.streaming.SnapshotTable
+    val bronze = java.nio.file.Files
+      .createTempDirectory("live_bronze").toString
+    val silver = java.nio.file.Files
+      .createTempDirectory("live_silver").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("live_mirror_ck").toString
+    try {
+      val vs = buildCdfChain(bronze)
+      val query = graft.streaming.Streams.tableMirrorStream(spark,
+        bronze, silver, "user_id", "live-mirror", ck)
+      def token: Long = SnapshotTable
+        .lastCommittedBatch(spark, silver, "live-mirror").getOrElse(-1L)
+      def await(v: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000000
+        while (token < v && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(token === v, s"mirror never reached v$v (at $token)")
+      }
+      await(vs.last)
+      // a NEW bronze transition lands while the mirror is live: merge
+      // the odd events of the THIRD user quarter
+      val ev = ops.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+      val uCap = allEvents.map(_.user_id).max / 4
+      SnapshotTable.commitMerge(spark, bronze,
+        ev.where(pmod(col("event_id"), lit(2)) === 1 &&
+          col("user_id") > 2 * uCap && col("user_id") <= 3 * uCap),
+        "user_id", retain = 5)(ops.Scans.upsertMerge)
+      val v4 = SnapshotTable.latestVersion(spark, bronze).get
+      await(v4)
+      query.stop()
+      def imageOf(root: String) = SnapshotTable.read(spark, root).get
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id").collect().toSeq
+      assert(imageOf(silver) === imageOf(bronze))
+    } finally {
+      Seq(bronze, silver, ck).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
   test("tableChangeStep replay determinism: re-running a transition " +
       "from a copied pre-step state lands on the identical board (the " +
       "crash-between-fold-and-advance redo is exact)") {
