@@ -96,8 +96,9 @@ object Bench {
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.0,
     "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
+    "table_dsv2_read" -> 1.6,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
-    "table_merge_pruned" -> 0.5,
+    "table_merge_pruned" -> 0.5, "table_restore" -> 1.45,
     "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
     "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,
@@ -313,8 +314,20 @@ object Bench {
     val probeEnd = probeMedian()
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // CONTENTION FLAG (round-18 verdict item 7: the round-17 driver
+    // session recorded reruns=35 and 3-4× per-key outliers — a poor
+    // record of the code that still passed the gate; readers had to
+    // cross-check the clean samples by hand). Self-describing now: the
+    // run is flagged contended when the rerun count is far above the
+    // clean-session band (1-4 across all seven round-17 samples; 8 ≈
+    // 2× the band's max) OR the deterministic calibration probe never
+    // reaches its warm reference (clean sessions: start 0.32-0.41,
+    // end 0.21-0.26 — min(start,end) > 0.40 means the box stayed >1.5×
+    // slow through the whole sweep). A flagged artifact's totals are
+    // box state, not code; clean-sample medians stay the yardstick.
+    val contended = reruns > 8 || math.min(probeStart, probeEnd) > 0.40
     val probeJson = s""""probe":{"start_sec":${fmt(probeStart)},""" +
-      s""""end_sec":${fmt(probeEnd)}}"""
+      s""""end_sec":${fmt(probeEnd)}},"contended":$contended"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

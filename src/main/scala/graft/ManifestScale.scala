@@ -139,27 +139,33 @@ object ManifestScale {
           rows(0L, 1000L, 1).withColumn("tag", lit(s"merge$r")),
           "key", retain = 8)((_, b) => b)
       }))
+      val tAppend = median((1 to runs).map(r => timed {
+        SnapshotTable.commitAppend(spark, root,
+          rows(500000L + r * 100000L, 50000L, 2), retain = 8)
+      }))
       // round 17: same localized batch through the merge-on-read path —
       // the metadata plane (candidate pruning over N manifest rows,
       // carried-manifest copy, N-line sidecar rewrite) is identical,
       // only the data plane differs (tombstones vs file rewrite), so
-      // merge_dv_s tracks the same manifest-scale curve
+      // merge_dv_s tracks the same manifest-scale curve. Ordered AFTER
+      // append_s (round-17 advice): DV commits leave a `_dv` parquet
+      // set every later commit carries and rewrites, so timing appends
+      // after them overstated append cost vs pre-round-17 samples —
+      // the emitted `order` field records the arm sequence so sample
+      // comparisons know what each number includes.
       val tMergeDv = median((1 to runs).map(r => timed {
         SnapshotTable.commitMergeDV(spark, root,
           rows(0L, 1000L, 1).withColumn("tag", lit(s"mergedv$r")),
           "key", retain = 8)((_, b) => b)
-      }))
-      val tAppend = median((1 to runs).map(r => timed {
-        SnapshotTable.commitAppend(spark, root,
-          rows(500000L + r * 100000L, 50000L, 2), retain = 8)
       }))
       val vEnd = SnapshotTable.latestVersion(spark, root).get
       val total = SnapshotTable.fileCount(spark, root, vEnd)
       s"""{"n_synthetic":$n,"resolve_s":${fmt(tResolve)},""" +
         s""""files_s":${fmt(tFiles)},"plan_s":${fmt(tPlan)},""" +
         s""""plan_files_read":${kept._1},"plan_files_total":${kept._2},""" +
-        s""""merge_s":${fmt(tMerge)},"merge_dv_s":${fmt(tMergeDv)},""" +
-        s""""append_s":${fmt(tAppend)},""" +
+        s""""merge_s":${fmt(tMerge)},"append_s":${fmt(tAppend)},""" +
+        s""""merge_dv_s":${fmt(tMergeDv)},""" +
+        s""""order":"merge,append,merge_dv",""" +
         s""""plan_heap_mb":$heapPlan,"files_end":$total}"""
     }
 
@@ -258,8 +264,49 @@ object ManifestScale {
         s""""dv_bytes_written":$dvBytes}"""
     }
 
+    // AUTO-MAINTENANCE steady-state arm (round 18): the same
+    // 40-commit micro-append CDC drip against two roots — policy OFF
+    // (files accumulate unboundedly) vs policy ON (auto compactSmall
+    // bounds the census) — recording wall clock and final file count.
+    // The difference in elapsed time is the policy's total overhead
+    // (the triggered compaction commits), which buys the bounded
+    // census a long-running stream needs.
+    val autoArm = if (sys.env.get("SPARK_GRAFT_AUTO_ARM").contains("0")) ""
+    else {
+      def drip(name: String, auto: Boolean): (Double, Int, Int) = {
+        val r = s"$scaleRoot/$name"
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        spark.conf.set("spark.graft.autoMaintain.enabled",
+          auto.toString)
+        spark.conf.set("spark.graft.autoMaintain.minFileBytes",
+          (4L * 1024 * 1024).toString)
+        spark.conf.set("spark.graft.autoMaintain.maxFragments", "8")
+        try {
+          val t0 = System.nanoTime()
+          SnapshotTable.commitWithStats(spark, r, "key", retain = 2)(_ =>
+            SnapshotTable.clusterBy(rows(0L, 100000L, 4), "key", 4))
+          (1 to 40).foreach { i =>
+            SnapshotTable.commitAppend(spark, r,
+              rows(200000L + i * 1000L, 1000L, 1), retain = 2)
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          val v = SnapshotTable.latestVersion(spark, r).get
+          (dt, SnapshotTable.fileCount(spark, r, v),
+            SnapshotTable.committedVersions(spark, r).size)
+        } finally
+          spark.conf.set("spark.graft.autoMaintain.enabled", "false")
+      }
+      val (offS, offFiles, _) = drip("auto_off", auto = false)
+      val (onS, onFiles, _) = drip("auto_on", auto = true)
+      s""","auto_maintain":{"commits":41,"off_s":${fmt(offS)},""" +
+        s""""on_s":${fmt(onS)},"off_files_end":$offFiles,""" +
+        s""""on_files_end":$onFiles}"""
+    }
+
     println(s"""{"metric":"manifest_scale","runs":$runs,""" +
-      s""""points":[${lines.mkString(",")}]$amp}""")
+      s""""points":[${lines.mkString(",")}]$amp$autoArm}""")
     spark.stop()
   }
 }

@@ -5,6 +5,19 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
 
+/** A snapshot commit LOST ITS RACE (CAS base moved, publish slot
+  * taken, or the marker create was beaten) — the retryable outcome of
+  * the commit protocol, distinct from caller bugs like a missing
+  * version or a bad merge key. Retry loops (snapshotMergeBatch,
+  * tableMirrorStep, buildVersionsOnce) match on THIS TYPE instead of
+  * substring-probing exception messages (round-17 advice: the
+  * `contains("conflict")` guard was brittle — any unrelated error
+  * whose message happened to say "conflict" would be silently
+  * swallowed as a retry). Subclass of IllegalStateException so
+  * pre-round-18 call sites that caught the old type keep working. */
+class SnapshotConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Versioned snapshot table with SNAPSHOT-ISOLATION reads and
   * MANIFEST-BACKED, APPEND-WITHOUT-REWRITE commits — the
   * offline-available core of the ACID table formats the genre sinks to
@@ -180,6 +193,74 @@ object SnapshotTable {
   private val legacyStatsDir = "_stats"
   private val legacyStatsColsDir = "_stats_cols"
 
+  /** COLUMN MAPPING sidecar (round 18 — the Delta column-mapping /
+    * Iceberg field-id analog, name-based): `v=N/_colmap` records the
+    * version's logical→physical column names plus the RETIRED physical
+    * names of dropped columns. Physical names are assigned at column
+    * BIRTH and never change or get reused — data files and stats
+    * manifests are keyed by physical name, so RENAME COLUMN is a
+    * metadata-only commit (zero files rewritten, stats/bloom pruning
+    * intact on the renamed column) and DROP COLUMN hides the column
+    * going forward while time travel keeps serving it from each old
+    * version's own schema. Format: `logical\tphysical` per mapped
+    * column, `!\tphysical` per retired name; ABSENT file = identity
+    * mapping (every pre-round-18 table), with delta versions falling
+    * back to their parent's mapping so a chain's unchanged links never
+    * re-copy it. */
+  private val colmapFile = "_colmap"
+
+  private[graft] case class ColMap(map: Map[String, String],
+      retired: Set[String]) {
+    def physical(c: String): String = map.getOrElse(c, c)
+    def logical(p: String): String =
+      map.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p)
+    def isTrivial: Boolean =
+      retired.isEmpty && map.forall { case (l, p) => l == p }
+  }
+  private[graft] val TrivialColMap = ColMap(Map.empty, Set.empty)
+
+  private[graft] def colmapOf(fs: FileSystem, root: String,
+      v: Long): ColMap = {
+    val p = new Path(s"$root/v=$v/$colmapFile")
+    if (fs.exists(p)) {
+      val lines = textLines(fs, p)
+      val (ret, mapped) = lines.partition(_.startsWith("!\t"))
+      ColMap(
+        mapped.flatMap { l =>
+          val i = l.lastIndexOf('\t')
+          if (i <= 0) None else Some(l.substring(0, i) ->
+            l.substring(i + 1))
+        }.toMap,
+        ret.map(_.stripPrefix("!\t")).toSet)
+    } else deltaParent(fs, root, v) match {
+      case Some(parent) => colmapOf(fs, root, parent)
+      case None => TrivialColMap
+    }
+  }
+
+  private def writeColmap(fs: FileSystem, stage: String,
+      cm: ColMap): Unit =
+    if (!cm.isTrivial)
+      writeText(fs, new Path(s"$stage/$colmapFile"),
+        (cm.map.toSeq.sorted.map { case (l, p) => s"$l\t$p" } ++
+          cm.retired.toSeq.sorted.map(p => s"!\t$p")).mkString("\n"))
+
+  /** The PHYSICAL shape of a logical schema under a mapping — what the
+    * data files actually store. */
+  private def physSchema(schema: StructType, cm: ColMap): StructType =
+    if (cm.isTrivial) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.physical(f.name))))
+
+  /** Rename a logical-named frame to physical names for writing. */
+  private def toPhysical(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.isTrivial) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(cm.physical(c))): _*)
+    }
+
   /** Manifest-backed = has a file-list sidecar, a chain pointer, or a
     * stats manifest; the parquet manifest itself is OPTIONAL (written
     * only when some file carries stats — a stats-less table's versions
@@ -203,6 +284,23 @@ object SnapshotTable {
       v: Long): Option[Long] = {
     val p = new Path(s"$root/v=$v/$parentFile")
     if (fs.exists(p)) Some(readText(fs, p).trim.toLong) else None
+  }
+
+  /** Read a parquet SIDECAR directory (`_manifest`, `_dv`, the legacy
+    * `_stats*` dirs) by its explicit part-file list instead of the
+    * directory path: a root path whose name starts with `_` is
+    * hidden-filtered by Spark's file index, which still serves the
+    * read but logs a "All paths were ignored" WARN per call — at one
+    * manifest read per query that polluted every bench tail (round-17
+    * verdict item 8). One listing RPC against a dir that holds a
+    * coalesce(1) part file — driver-cheap. */
+  private def readSidecarParquet(s: SparkSession, fs: FileSystem,
+      dir: String): DataFrame = {
+    val parts = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    require(parts.nonEmpty, s"no parquet part files under $dir")
+    s.read.parquet(parts: _*)
   }
 
   private def textLines(fs: FileSystem, p: Path): Seq[String] =
@@ -247,15 +345,29 @@ object SnapshotTable {
   private def manifestDf(s: SparkSession, root: String,
       v: Long): DataFrame = {
     val fs = fsOf(s, root)
-    deltaParent(fs, root, v) match {
-      case None => s.read.parquet(s"$root/v=$v/$manifestDir")
+    // per-RESOLUTION memos (round-17 advice): without them each chain
+    // link re-issues the parent-pointer and manifest-dir exists() RPCs
+    // for every ancestor AGAIN (hasStatsManifest recursing per level
+    // made the walk O(depth²) filesystem round-trips — measurable on
+    // object stores at the default interval of 8); one walk now pays
+    // each version's lookups exactly once
+    val parentMemo = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    val ownMemo = scala.collection.mutable.Map.empty[Long, Boolean]
+    def parentOf(x: Long): Option[Long] =
+      parentMemo.getOrElseUpdate(x, deltaParent(fs, root, x))
+    def ownManifest(x: Long): Boolean = ownMemo.getOrElseUpdate(x,
+      fs.exists(new Path(s"$root/v=$x/$manifestDir")))
+    def chainHasStats(x: Long): Boolean =
+      ownManifest(x) || parentOf(x).exists(chainHasStats)
+    def build(x: Long): DataFrame = parentOf(x) match {
+      case None => readSidecarParquet(s, fs, s"$root/v=$x/$manifestDir")
       case Some(parent) =>
+        // chainHasStats(parent) subsumes isManifestVersion(parent):
+        // a stats-bearing chain is manifest-backed by definition
         val parentView =
-          if (isManifestVersion(fs, root, parent) &&
-              hasStatsManifest(fs, root, parent))
-            manifestDf(s, root, parent)
+          if (chainHasStats(parent)) build(parent)
           else fileOnlyManifest(s, dataFiles(s, root, parent))
-        val removed = removedOf(fs, root, v)
+        val removed = removedOf(fs, root, x)
         val kept =
           if (removed.isEmpty) parentView
           else {
@@ -265,11 +377,12 @@ object SnapshotTable {
                 removed.toDF("file")), Seq("file"), "left_anti")
           }
         val fresh =
-          if (fs.exists(new Path(s"$root/v=$v/$manifestDir")))
-            s.read.parquet(s"$root/v=$v/$manifestDir")
-          else fileOnlyManifest(s, filesNewOf(fs, root, v))
+          if (ownManifest(x))
+            readSidecarParquet(s, fs, s"$root/v=$x/$manifestDir")
+          else fileOnlyManifest(s, filesNewOf(fs, root, x))
         kept.unionByName(fresh, allowMissingColumns = true)
     }
+    build(v)
   }
 
   /** Public face of the merged stats-manifest view (specs and ops
@@ -383,7 +496,7 @@ object SnapshotTable {
     val fs = fsOf(s, root)
     if (!fs.exists(new Path(s"$root/v=$v/$dvDir"))) None
     else Some((readText(fs, new Path(s"$root/v=$v/$dvKeyFile")).trim,
-      s.read.parquet(s"$root/v=$v/$dvDir")))
+      readSidecarParquet(s, fs, s"$root/v=$v/$dvDir")))
   }
 
   /** Read root-relative `files` under `schema` with version-`v`'s
@@ -397,15 +510,21 @@ object SnapshotTable {
       files: Seq[String], schema: StructType,
       keepFileCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val outCols = schema.fieldNames.map(col).toSeq ++
-      keepFileCol.map(c => relFile.as(c))
+    // files store PHYSICAL column names (stable across renames); the
+    // read happens under the physical shape — including the DV
+    // anti-join, whose recorded key is physical — and the output
+    // projection aliases physical → logical in one select
+    val cm = colmapOf(fsOf(s, root), root, v)
+    val pSchema = physSchema(schema, cm)
+    val logicalOut = schema.fieldNames.toSeq.map(c =>
+      col(cm.physical(c)).as(c))
     def rd(fl: Seq[String]): DataFrame =
       if (fl.isEmpty) emptyFrame(s, schema)
         .select((schema.fieldNames.map(col).toSeq ++
           keepFileCol.map(c => lit("").as(c))): _*)
-      else s.read.schema(schema)
+      else s.read.schema(pSchema)
         .parquet(fl.sorted.map(f => s"$root/$f"): _*)
-        .select(outCols: _*)
+        .select((logicalOut ++ keepFileCol.map(c => relFile.as(c))): _*)
     dvOf(s, root, v) match {
       case None => rd(files)
       case Some((key, dv)) =>
@@ -414,14 +533,14 @@ object SnapshotTable {
         val masked = files.filter(dvFiles.contains)
         if (masked.isEmpty) rd(files)
         else {
-          val vis = s.read.schema(schema)
+          val vis = s.read.schema(pSchema)
             .parquet(masked.sorted.map(f => s"$root/$f"): _*)
             .withColumn("_graft_dvf0", relFile)
             .join(dv.withColumnRenamed("file", "_graft_dvf"),
               col("_graft_dvf0") === col("_graft_dvf") &&
                 col(key) === col(dvValCol), "left_anti")
             .withColumnRenamed("_graft_dvf0", "_graft_rf")
-            .select((schema.fieldNames.map(col).toSeq ++
+            .select((logicalOut ++
               keepFileCol.map(c => col("_graft_rf").as(c))): _*)
           rd(files.filterNot(dvFiles.contains)).unionByName(vis)
         }
@@ -538,6 +657,166 @@ object SnapshotTable {
     else readFilesVisible(s, root, to, files, schema)
   }
 
+  /** RESTORE / ROLLBACK (round 18 — Delta `RESTORE TABLE … TO VERSION
+    * AS OF k`; the incident-response verb the read-only time travel
+    * lacked): commit a NEW version whose image is exactly committed
+    * version `toVersion`'s — the standard undo for a bad merge or a
+    * poisoned ingest. History is never rewritten: the bad versions
+    * stay readable (and vacuumable) behind the new head, and
+    * [[readChanges]] across the restore emits exactly the row-level
+    * diff the rollback implies (un-inserting what came after k,
+    * resurrecting what it deleted).
+    *
+    * METADATA-ONLY on manifest-backed tables: the restored version is
+    * a fresh full CHECKPOINT (files sidecar + merged stats manifest +
+    * deletion vectors + schema, all copied from `toVersion`'s resolved
+    * view) that REFERENCES k's data files — zero data bytes move, so
+    * restoring a 100 TB table costs one manifest write. The restored
+    * files' segments are refcount-protected the moment the new
+    * manifest lands (the vacuum sweep counts references from every
+    * retained version, the new head included), so a later vacuum that
+    * drops version k itself never tears files out from under the
+    * restore. Idempotence tokens carry forward like every commit — a
+    * rollback must not reopen a stream's replay guard. A LEGACY
+    * (pre-manifest) target is restored by one full data copy — its
+    * files live inside its version dir, which retention deletes whole,
+    * so referencing them in place would dangle.
+    *
+    * Restoring to the CURRENT version is a no-op returning it (nothing
+    * to undo must not burn a commit). `expectedBase` = CAS pin as
+    * everywhere ([[commit]]). Returns the new head version. */
+  def restore(s: SparkSession, root: String, toVersion: Long,
+      retain: Int = 2, expectedBase: Long = AnyBase): Long = {
+    val fs = fsOf(s, root)
+    val vs = versionsOf(s, root)
+    require(vs.contains(toVersion),
+      s"restore target v=$toVersion is not a committed version of $root")
+    val base = vs.lastOption
+    casCheck(root, base, expectedBase)
+    if (base.contains(toVersion)) return toVersion
+    if (!isManifestVersion(fs, root, toVersion))
+      // legacy self-contained target: one full copy commit (same
+      // migration reasoning as commitAppend on a legacy base)
+      return commitCore(s, root, retain, Nil, carriedFrom = None,
+        casBase = expectedBase)(_ =>
+        readVersionUnchecked(s, root, toVersion))
+    val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
+    val stagePath = new Path(stage)
+    try {
+      // full checkpoint of k's resolved view — the restored version
+      // must not chain through versions that may be retired under it
+      writeText(fs, new Path(s"$stage/$filesSidecar"),
+        dataFiles(s, root, toVersion).mkString("\n"))
+      if (hasStatsManifest(fs, root, toVersion))
+        manifestDf(s, root, toVersion).coalesce(1).write
+          .mode("overwrite").parquet(s"$stage/$manifestDir")
+      dvOf(s, root, toVersion).foreach { case (k, dv) =>
+        dv.coalesce(1).write.mode("overwrite").parquet(s"$stage/$dvDir")
+        writeText(fs, new Path(s"$stage/$dvKeyFile"), k)
+      }
+      writeColmap(fs, stage, colmapOf(fs, root, toVersion))
+      val carriedTxns = mergeTokens(vs.map(v => tokensOf(fs, root, v)))
+      if (carriedTxns.nonEmpty)
+        writeText(fs, new Path(s"$stage/$txnFile"),
+          carriedTxns.toSeq.sorted
+            .map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+      writeText(fs, new Path(s"$stage/$schemaFile"),
+        schemaOfVersion(s, root, toVersion).toDDL)
+    } catch { case e: Throwable => fs.delete(stagePath, true); throw e }
+    finalizePublish(s, root, stagePath, base, expectedBase, retain,
+      segPath = None)
+  }
+
+  /** A METADATA-ONLY schema commit (rename/drop — round 18): a DELTA
+    * version carrying the base's files untouched (`_parent` pointer,
+    * zero new files) with a new recorded schema and column mapping.
+    * O(1) metadata however big the table — the entire point of stable
+    * physical names. */
+  private def schemaMetadataCommit(s: SparkSession, root: String,
+      retain: Int, casBase: Long)(
+      xform: (StructType, ColMap) => (StructType, ColMap)): Long = {
+    val fs = fsOf(s, root)
+    val vs = versionsOf(s, root)
+    val base = vs.lastOption
+    casCheck(root, base, casBase)
+    val v = base.getOrElse(throw new IllegalStateException(
+      s"no committed version at $root"))
+    require(isManifestVersion(fs, root, v),
+      s"schema metadata commits need a manifest-backed table; run one " +
+        s"migrating commitAppend at $root first")
+    val (schema2, cm2) = xform(schemaOfVersion(s, root, v),
+      colmapOf(fs, root, v))
+    val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
+    val stagePath = new Path(stage)
+    try {
+      writeText(fs, new Path(s"$stage/$parentFile"), v.toString)
+      writeText(fs, new Path(s"$stage/$schemaFile"), schema2.toDDL)
+      // written UNCONDITIONALLY (even when trivial): an absent file
+      // means "inherit the parent's mapping", and this commit's whole
+      // purpose is to CHANGE the mapping — a rename chain that later
+      // reverted to identity must not silently re-inherit
+      writeText(fs, new Path(s"$stage/$colmapFile"),
+        (cm2.map.toSeq.sorted.map { case (l, p) => s"$l\t$p" } ++
+          cm2.retired.toSeq.sorted.map(p => s"!\t$p")).mkString("\n"))
+      // deletion vectors are per-version materializations, not
+      // chained — carry the base's verbatim
+      dvOf(s, root, v).foreach { case (k, dv) =>
+        dv.coalesce(1).write.mode("overwrite").parquet(s"$stage/$dvDir")
+        writeText(fs, new Path(s"$stage/$dvKeyFile"), k)
+      }
+      val carriedTxns = mergeTokens(vs.map(x => tokensOf(fs, root, x)))
+      if (carriedTxns.nonEmpty)
+        writeText(fs, new Path(s"$stage/$txnFile"),
+          carriedTxns.toSeq.sorted
+            .map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+    } catch { case e: Throwable => fs.delete(stagePath, true); throw e }
+    finalizePublish(s, root, stagePath, base, casBase, retain,
+      segPath = None)
+  }
+
+  /** RENAME COLUMN (round 18 — Delta column-mapping rename): a
+    * metadata-only commit; the data files and stats manifest keep
+    * their stable PHYSICAL name, the new logical name simply maps to
+    * it — so zero bytes move and range/bloom pruning on the renamed
+    * column keeps working (spec-pinned). Time travel: pre-rename
+    * versions keep serving the old name from their own schema. */
+  def renameColumn(s: SparkSession, root: String, from: String,
+      to: String, retain: Int = 2, expectedBase: Long = AnyBase): Long =
+    schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
+      require(schema.fieldNames.contains(from),
+        s"rename: column '$from' not in table schema")
+      require(!schema.fieldNames.contains(to),
+        s"rename: column '$to' already exists")
+      require(from != to, "rename: old and new name are identical")
+      val phys = cm.physical(from)
+      (StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+        cm.copy(map = cm.map - from + (to -> phys)))
+    }
+
+  /** DROP COLUMN (round 18): metadata-only — the column disappears
+    * from the served schema going forward while every retained old
+    * version still serves it (time travel reads each version's own
+    * schema). The physical name is RETIRED, never reused: a later ADD
+    * COLUMN of the same name gets a fresh physical name, so it can
+    * never read the dropped column's stale bytes out of old files.
+    * The DV key column cannot be dropped (it is row identity). */
+  def dropColumn(s: SparkSession, root: String, name: String,
+      retain: Int = 2, expectedBase: Long = AnyBase): Long =
+    schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
+      require(schema.fieldNames.contains(name),
+        s"drop: column '$name' not in table schema")
+      require(schema.size > 1, "drop: cannot drop the only column")
+      val phys = cm.physical(name)
+      latestVersion(s, root).flatMap(v =>
+        dvOf(s, root, v).map(_._1)).foreach(k =>
+        require(k != phys,
+          s"drop: column '$name' keys the table's deletion vectors " +
+            "(row identity); compact first to fold them"))
+      (StructType(schema.fields.filterNot(_.name == name)),
+        cm.copy(map = cm.map - name, retired = cm.retired + phys))
+    }
+
   /** Per-version idempotence tokens, latest-wins per appId. Two
     * formats coexist: the round-16 single-token file (`appId\nbatchId`,
     * two lines, no tabs) and the round-17 multi-token file (one
@@ -643,38 +922,61 @@ object SnapshotTable {
       // a DV'd row of a dropped file was already logically deleted
       // before the span and must not resurface as a pre-image
       else readFilesVisible(s, root, v, files.toSeq.sorted, schema)
-    // merge-on-read transitions hide rows in CARRIED files via DV
-    // entries instead of rewriting: the span's newly hidden rows are
-    // dv(vTo) \ dv(vFrom) restricted to files both versions carry —
-    // read O(dv-delta files), never the carried bulk. (DV entries are
-    // monotone per carried file — commits only ADD entries; a rewrite
-    // drops the file and its entries together — so the bag difference
-    // is exactly the span's deletions, each visible at vFrom.)
-    val newlyHidden: DataFrame = dvOf(s, root, vTo) match {
+    // merge-on-read transitions change row VISIBILITY in carried files
+    // via DV entries instead of rewriting, in BOTH directions: a
+    // forward merge ADDS entries (rows newly hidden — extra
+    // pre-images), a [[restore]] across a DV'd span REMOVES them (rows
+    // newly visible again — extra post-images). Each direction is the
+    // bag difference of the two versions' entry sets restricted to
+    // files the relevant side still carries — read O(dv-delta files),
+    // never the carried bulk. Both versions' vectors must agree on the
+    // key column (they always do on a single merge chain; loud
+    // otherwise).
+    val dvFromOpt = dvOf(s, root, vFrom)
+    val dvToOpt = dvOf(s, root, vTo)
+    for ((kf, _) <- dvFromOpt; (kt, _) <- dvToOpt)
+      require(kf == kt, s"readChanges at $root: deletion vectors keyed " +
+        s"by '$kf' at v=$vFrom but '$kt' at v=$vTo")
+    // rows named by (a \ b)'s entries in files OUTSIDE dropFiles —
+    // i.e. files carried across the span, where the visibility flip is
+    // the only change
+    def dvDeltaRows(a: Option[(String, DataFrame)],
+        b: Option[(String, DataFrame)],
+        dropFiles: Set[String]): DataFrame = a match {
       case None => emptyFrame(s, schema)
-      case Some((dvKey, dvT)) =>
+      case Some((dvKey, dvA)) =>
         import s.implicits._
-        val dvPrev = dvOf(s, root, vFrom).map(_._2)
-          .getOrElse(dvT.where(lit(false)))
-        val toOnly = (to -- from).toSeq.toDF("file")
+        val dvB = b.map(_._2).getOrElse(dvA.where(lit(false)))
+        val dropped = dropFiles.toSeq.toDF("file")
         // the delta stays DISTRIBUTED (only its distinct file names —
         // manifest-scale — come to the driver, to scope the scan)
-        val delta = dvT.exceptAll(dvPrev)
-          .join(broadcast(toOnly), Seq("file"), "left_anti")
+        val delta = dvA.exceptAll(dvB)
+          .join(broadcast(dropped), Seq("file"), "left_anti")
           .withColumnRenamed("file", "_graft_hf")
         val deltaFiles = delta.select("_graft_hf").distinct()
           .collect().map(_.getString(0)).toSeq
         if (deltaFiles.isEmpty) emptyFrame(s, schema)
-        else s.read.schema(schema)
-          .parquet(deltaFiles.sorted.map(f => s"$root/$f"): _*)
-          .withColumn("_graft_rf", relFile)
-          .join(delta, col("_graft_rf") === col("_graft_hf") &&
-            col(dvKey) === col(dvValCol), "left_semi")
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        else {
+          // physical read (dvKey is recorded physical), logical out
+          val cm = colmapOf(fsOf(s, root), root, vTo)
+          s.read.schema(physSchema(schema, cm))
+            .parquet(deltaFiles.sorted.map(f => s"$root/$f"): _*)
+            .withColumn("_graft_rf", relFile)
+            .join(delta, col("_graft_rf") === col("_graft_hf") &&
+              col(dvKey) === col(dvValCol), "left_semi")
+            .select(schema.fieldNames.toIndexedSeq.map(c =>
+              col(cm.physical(c)).as(c)): _*)
+        }
     }
+    // hidden during the span: entries vTo has that vFrom lacked, in
+    // files vTo still carries — those rows were visible pre-images
+    val newlyHidden = dvDeltaRows(dvToOpt, dvFromOpt, to -- from)
+    // un-hidden during the span (restore): entries vFrom had that vTo
+    // dropped, in files vTo still carries — visible post-images now
+    val newlyVisible = dvDeltaRows(dvFromOpt, dvToOpt, from -- to)
     // verbatim-carried rows cancel; only genuinely changed rows survive
     val pre0 = readSetAt(from -- to, vFrom).unionByName(newlyHidden)
-    val post0 = readSetAt(to -- from, vTo)
+    val post0 = readSetAt(to -- from, vTo).unionByName(newlyVisible)
     val pre = pre0.exceptAll(post0)
     val post = post0.exceptAll(pre0)
     val preK = pre.select(col(key)).distinct()
@@ -723,10 +1025,15 @@ object SnapshotTable {
   private def statsColsOf(s: SparkSession, root: String,
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
-    if (hasStatsManifest(fs, root, v))
+    if (hasStatsManifest(fs, root, v)) {
+      // manifests are keyed by PHYSICAL name (stable across renames);
+      // the public vocabulary is logical — retired physicals (dropped
+      // columns) keep their manifest stats but stop being addressable
+      val cm = colmapOf(fs, root, v)
       manifestFieldsOf(s, root, v)
         .filter(_.startsWith("min__")).map(_.stripPrefix("min__"))
-    else {
+        .filterNot(cm.retired.contains).map(cm.logical)
+    } else {
       val legacy = new Path(s"$root/v=$v/$legacyStatsColsDir")
       if (!fs.exists(legacy)) Nil
       else fs.listStatus(legacy).toSeq.filter(_.isDirectory)
@@ -745,7 +1052,7 @@ object SnapshotTable {
     val fs = fsOf(s, root)
     val own =
       if (fs.exists(new Path(s"$root/v=$v/$manifestDir")))
-        s.read.parquet(s"$root/v=$v/$manifestDir")
+        readSidecarParquet(s, fs, s"$root/v=$v/$manifestDir")
           .schema.fieldNames.toSeq
       else Nil
     deltaParent(fs, root, v) match {
@@ -775,8 +1082,12 @@ object SnapshotTable {
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)
     if (!hasStatsManifest(fs, root, v)) Nil
-    else manifestFieldsOf(s, root, v)
-      .filter(_.startsWith("bloom__")).map(_.stripPrefix("bloom__"))
+    else {
+      val cm = colmapOf(fs, root, v)
+      manifestFieldsOf(s, root, v)
+        .filter(_.startsWith("bloom__")).map(_.stripPrefix("bloom__"))
+        .filterNot(cm.retired.contains).map(cm.logical)
+    }
   }
 
   /** The raw (un-modded) Bloom hashes of probe `values`, computed BY
@@ -800,26 +1111,32 @@ object SnapshotTable {
 
   /** Manifest predicate: file may contain SOME probe value, by its
     * Bloom filter (`bloom__c` = packed bit words, array&lt;bigint&gt;).
-    * Built as a SQL expression string because the bit test needs a
-    * variable-distance shift (functions.shiftright only takes a
-    * literal): per (value, hash) the raw hash mods by the FILE's own
-    * width (size×64) and tests one bit. Values are bounded small (the
-    * in-list/point-upsert scoping every bloom file index shares —
-    * Delta's bloom index serves the same shapes), so the expression
-    * stays a few hundred codegen'd terms. NULL blooms (files written
-    * before the column had a filter, 0-row files) stay conservative. */
+    * The probe-hash matrix rides as ONE `array&lt;array&lt;bigint&gt;&gt;`
+    * typed literal evaluated with exists/forall — per (value, hash)
+    * the raw hash mods by the FILE's own width (size×64) and tests one
+    * bit. Round 18: the previous form expanded values × hashes into an
+    * OR-of-AND expression tree, whose generated `processNext()` blew
+    * janino's 64 KB method limit at probe sizes near
+    * [[bloomProbeMaxKeys]] (ERROR CodeGenerator + interpreted fallback
+    * on every bloom-gated merge — correct but noisy and slow); a
+    * literal matrix is a single constant reference, so the compiled
+    * predicate is the same few expressions however many values are
+    * probed. NULL blooms (files written before the column had a
+    * filter, 0-row files) stay conservative. */
   private def bloomHitExpr(c: String,
       rawHashes: Seq[Seq[Long]]): Column = {
-    import org.apache.spark.sql.functions.expr
-    val b = s"`bloom__$c`"
-    val terms = rawHashes.map { hs =>
-      hs.map { h =>
-        val p = s"pmod(cast($h as bigint), cast(size($b) * 64 as bigint))"
-        s"((shiftright(element_at($b, cast(($p) div 64 as int) + 1), " +
-          s"cast(($p) % 64 as int)) & 1) = 1)"
-      }.mkString("(", " AND ", ")")
-    }.mkString("(", " OR ", ")")
-    expr(s"($b IS NULL OR size($b) = 0 OR $terms)")
+    import org.apache.spark.sql.functions._
+    val b = col(s"bloom__$c")
+    val hs = typedlit(rawHashes.map(_.toSeq))
+    val hit = exists(hs, one => forall(one, h => {
+      val p = pmod(h, size(b).cast("long") * lit(64L))
+      val word = element_at(b, (p / 64L).cast("int") + 1)
+      // variable-distance shift: the Scala-API shiftright only takes a
+      // literal distance, so go through call_function
+      call_function("shiftright", word, (p % 64L).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }))
+    b.isNull || size(b) === 0 || hit
   }
 
   /** Per-file packed Bloom words for `bloomCols` over the fresh
@@ -1098,10 +1415,37 @@ object SnapshotTable {
   private def casCheck(root: String, base: Option[Long],
       expected: Long): Unit =
     if (expected != AnyBase && base.getOrElse(EmptyBase) != expected)
-      throw new IllegalStateException(
+      throw new SnapshotConflictException(
         s"snapshot commit conflict at $root: expected base " +
           s"${if (expected == EmptyBase) "<empty>" else s"v=$expected"} " +
           s"but latest is ${base.fold("<empty>")(v => s"v=$v")}")
+
+  /** Classify a mid-build failure (round 18 — found by the N-writer
+    * fuzz): a commit planned against base `b` whose metadata/files got
+    * VACUUMED under it by racing commits reads as FAILED_READ_FILE /
+    * FileNotFound from deep inside a Spark job — but it is a LOST
+    * RACE, not an I/O defect, exactly like the publish-time conflicts.
+    * If the table moved past the planned base, rethrow as the
+    * retryable [[SnapshotConflictException]] (cause preserved);
+    * otherwise the error is real and propagates untouched. */
+  private def conflictOrRethrow(s: SparkSession, root: String,
+      base: Option[Long], e: Throwable): Nothing = {
+    val nowLatest =
+      try versionsOf(s, root).lastOption
+      catch { case _: Throwable => base } // listing failed — keep e
+    if (!e.isInstanceOf[SnapshotConflictException] &&
+        nowLatest != base) {
+      val c = new SnapshotConflictException(
+        s"snapshot commit conflict at $root: base " +
+          s"${base.fold("<empty>")(v => s"v=$v")} superseded by " +
+          s"${nowLatest.fold("<empty>")(v => s"v=$v")} during the " +
+          s"build (surfaced as ${e.getClass.getSimpleName}: " +
+          s"${e.getMessage})")
+      c.initCause(e)
+      throw c
+    }
+    throw e
+  }
 
   /** FILE-GRANULAR MERGE — the O(affected-files) write path for keyed
     * upserts (Delta/Iceberg merge-on-write shape; round 15, closing
@@ -1195,9 +1539,14 @@ object SnapshotTable {
             else {
               val keys = batch.select(col(mergeKey).as("_graft_k"))
                 .distinct()
-              s.read.schema(schema)
+              // raw physical-shape probe (files store physical names);
+              // DV-hidden rows count as touches — harmless, the
+              // rewrite folds their vectors anyway
+              val cmv = colmapOf(fs, root, v)
+              s.read.schema(physSchema(schema, cmv))
                 .parquet(candidates.map(f => s"$root/$f"): _*)
-                .select(col(mergeKey), relFile.as("_graft_file"))
+                .select(col(cmv.physical(mergeKey)).as(mergeKey),
+                  relFile.as("_graft_file"))
                 .join(keys, col(mergeKey) === col("_graft_k"), "left_semi")
                 .select("_graft_file").distinct()
                 .collect().map(_.getString(0)).toSet
@@ -1214,6 +1563,11 @@ object SnapshotTable {
               touched.toSeq.sorted, schema))
           }
       }
+    } catch {
+      // the candidate/touched probes read base-version metadata and
+      // files EAGERLY before commitCore — a base vacuumed under them
+      // by racing commits is a lost race, not an I/O defect
+      case e: Throwable => conflictOrRethrow(s, root, base, e)
     } finally {
       if (!wasCached) { batch.unpersist(blocking = false); () }
     }
@@ -1237,16 +1591,18 @@ object SnapshotTable {
     val hasBloom = bloomColsOf(s, root, v).contains(mergeKey)
     if (!hasRange && !hasBloom) all
     else {
+      // manifest columns are physical-keyed (rename-stable)
+      val kp = colmapOf(fsOf(s, root), root, v).physical(mergeKey)
       val rangeCond: Option[Column] =
         if (!hasRange) None
         else {
           val b = batch
             .agg(min(col(mergeKey)), max(col(mergeKey))).first()
           if (b.isNullAt(0)) Some(lit(false)) // empty/all-null
-          else Some(col(s"min__$mergeKey").isNull ||
-            col(s"max__$mergeKey").isNull ||
-            (col(s"max__$mergeKey") >= lit(b.get(0)) &&
-              col(s"min__$mergeKey") <= lit(b.get(1))))
+          else Some(col(s"min__$kp").isNull ||
+            col(s"max__$kp").isNull ||
+            (col(s"max__$kp") >= lit(b.get(0)) &&
+              col(s"min__$kp") <= lit(b.get(1))))
         }
       val bloomCond: Option[Column] =
         if (!hasBloom) None
@@ -1257,7 +1613,7 @@ object SnapshotTable {
             .collect().map(_.get(0)).toSeq
           if (ks.isEmpty) Some(lit(false))
           else if (ks.size > bloomProbeMaxKeys) None
-          else Some(bloomHitExpr(mergeKey,
+          else Some(bloomHitExpr(kp,
             rawBloomHashes(s, ks, schema(mergeKey).dataType)))
         }
       (rangeCond.toSeq ++ bloomCond.toSeq).reduceOption(_ && _) match {
@@ -1314,8 +1670,11 @@ object SnapshotTable {
         val schema = schemaOfVersion(s, root, v)
         require(schema.fieldNames.contains(mergeKey),
           s"merge key '$mergeKey' not in table schema")
+        // DV keys are recorded by PHYSICAL name (rename-stable): a
+        // renamed merge key still matches its existing vectors
+        val keyPhys = colmapOf(fs, root, v).physical(mergeKey)
         dvOf(s, root, v).foreach { case (k, _) =>
-          require(k == mergeKey,
+          require(k == keyPhys,
             s"table at $root carries deletion vectors keyed by '$k'; " +
               s"merge-on-read with key '$mergeKey' would be ambiguous") }
         val inherited = statsColsOf(s, root, v)
@@ -1353,7 +1712,7 @@ object SnapshotTable {
           val anyHit = hitKeys.exists(!_.isEmpty)
           val dvEntries =
             if (!anyHit) None
-            else Some((mergeKey, hitKeys.get
+            else Some((keyPhys, hitKeys.get
               .select(col("_graft_file").as("file"),
                 col(mergeKey).as(dvValCol))))
           // resolve's `existing` is a LAZY full-schema read of the same
@@ -1370,6 +1729,10 @@ object SnapshotTable {
             bloomCols = inheritedBloom, dvNew = dvEntries) { _ =>
             resolve(existing.filter(_ => anyHit), batch)
           }
+        } catch {
+          // same classification as commitMerge: the tombstone probe
+          // reads base files eagerly; a vacuumed base = lost race
+          case e: Throwable => conflictOrRethrow(s, root, base, e)
         } finally {
           hit.foreach(_.unpersist(blocking = false))
           if (!wasCached) { batch.unpersist(blocking = false); () }
@@ -1416,7 +1779,7 @@ object SnapshotTable {
     // base re-check below throws, so adopt-the-winner retry loops
     // (buildVersionsOnce) recognize it
     if (!carriedFrom.forall(base.contains))
-      throw new IllegalStateException(
+      throw new SnapshotConflictException(
         s"snapshot commit conflict at $root: base $carriedFrom " +
           s"superseded by $base before the commit started")
     val segName = s"$segPrefix${java.util.UUID.randomUUID()}"
@@ -1434,17 +1797,44 @@ object SnapshotTable {
     try {
       val image = transform(() =>
         base.map(v => readVersionUnchecked(s, root, v)))
-      image.write.mode("overwrite").parquet(segAbs)
+      // COLUMN MAPPING (round 18): carried commits inherit the base's
+      // logical→physical mapping and assign a FRESH physical name to
+      // any genuinely new column whose identity name is already live
+      // or retired (a re-added dropped column must never read the old
+      // files' stale bytes). Full-image commits (carriedFrom = None)
+      // rewrite every file, so the mapping resets to identity — the
+      // rewrite folds renames physically, like compaction folds DVs.
+      val cm = carriedFrom match {
+        case None => TrivialColMap
+        case Some(bv) =>
+          val baseSchema = schemaOfVersion(s, root, bv)
+          val cm0 = colmapOf(fs, root, bv)
+          val newCols = image.schema.fieldNames
+            .filterNot(baseSchema.fieldNames.contains)
+          newCols.foldLeft(cm0) { (acc, c) =>
+            val taken = baseSchema.fieldNames.map(acc.physical).toSet ++
+              acc.retired ++ acc.map.values
+            if (acc.map.contains(c) || !taken.contains(c)) acc
+            else acc.copy(map = acc.map + (c -> Iterator.from(2)
+              .map(i => s"${c}__v$i").find(!taken.contains(_)).get))
+          }
+      }
+      toPhysical(image, cm).write.mode("overwrite").parquet(segAbs)
       // segment-enrichment hook — runs while the segment is still
       // unreferenced, so whatever it adds is atomic with the version
       afterStage(segAbs)
       // stats only for columns the image actually has: an inherited
       // stats column absent from an evolved delta records NULL ranges
-      // (conservatively unprunable) instead of failing the commit
+      // (conservatively unprunable) instead of failing the commit.
+      // The segment holds PHYSICAL names — stats/bloom passes address
+      // it that way, keeping manifest columns rename-stable.
       val usable = statsCols.filter(image.schema.fieldNames.contains)
-      val usableBloom = bloomCols.filter(image.schema.fieldNames.contains)
+        .map(cm.physical)
+      val usableBloom = bloomCols
+        .filter(image.schema.fieldNames.contains).map(cm.physical)
       val (freshFiles, fresh) = segmentManifest(s, root, segName, usable,
         usableBloom, bloomBits)
+      writeColmap(fs, stage, cm)
       // the parquet stats manifest is written only when SOME file
       // carries stats (fresh or inherited) — a stats-less table's
       // version is fully served by the text sidecars, so its commit
@@ -1527,11 +1917,22 @@ object SnapshotTable {
             s"table carries '$ck', commit brings '$nk'")
           Some((ck, c.unionByName(n)))
       }
+      // the shortcut below (skip the emptiness probe when the commit
+      // BRINGS entries) encodes an invariant enforced so far only by
+      // commitMergeDV's call discipline: dvNew, when passed, is
+      // non-empty by construction (only built on a hit). Assert it so
+      // a future commitCore caller passing an empty dvNew fails here
+      // instead of silently publishing an empty `_dv` dir + key file
+      // (round-17 advice). One driver-side isEmpty on a frame the
+      // caller just materialized from a persisted probe — cheap.
+      require(dvNew.forall(!_._2.isEmpty),
+        "commitCore: dvNew must be absent or non-empty — an empty " +
+          "entry set must be passed as None, not Some(empty)")
       dvAll.foreach { case (k, df) =>
         // a commit BRINGING entries is non-empty by construction
-        // (commitMergeDV only passes dvNew on a hit) — the emptiness
-        // probe (one Spark action) is only needed when a carried-only
-        // set may have been fully restricted away by dropCarried
+        // (asserted above) — the emptiness probe (one Spark action) is
+        // only needed when a carried-only set may have been fully
+        // restricted away by dropCarried
         if (dvNew.isDefined || !df.isEmpty) {
           df.coalesce(1).write.mode("overwrite")
             .parquet(s"$stage/$dvDir")
@@ -1552,10 +1953,41 @@ object SnapshotTable {
         case None => image.schema
       }
       writeText(fs, new Path(s"$stage/$schemaFile"), schema.toDDL)
-    } catch { case e: Throwable => cleanup(); throw e }
+    } catch { case e: Throwable =>
+      cleanup()
+      // a base vacuumed under the build surfaces as FAILED_READ_FILE
+      // from the carried-manifest/image reads — classify as the lost
+      // race it is (N-writer fuzz find, round 18)
+      conflictOrRethrow(s, root, base, e)
+    }
+    val next = finalizePublish(s, root, stagePath, base, casBase, retain,
+      Some(segPath))
+    // post-commit policy hook (no-op unless the session opted in; a
+    // maintenance commit cannot re-trigger itself)
+    autoMaintain(s, root, retain)
+    next
+  }
+
+  /** The publish TAIL every commit shape shares (factored out in round
+    * 18 so the metadata-only [[restore]] commit rides the identical
+    * protocol): race re-check against the planned base, aged-orphan
+    * sweeps, version numbering (CAS-pinned or skip-past), CAS corpse
+    * heal, commit-ts stamp, rename+marker publish, retention vacuum.
+    * `segPath` is the commit's fresh data segment when it wrote one
+    * (metadata-only commits pass None — they reference only files
+    * already protected by existing manifests). */
+  private def finalizePublish(s: SparkSession, root: String,
+      stagePath: Path, base: Option[Long], casBase: Long, retain: Int,
+      segPath: Option[Path]): Long = {
+    val fs = fsOf(s, root)
+    val stage = stagePath.toString
+    def cleanup(): Unit = {
+      segPath.foreach(p => fs.delete(p, true))
+      fs.delete(stagePath, true); ()
+    }
     def conflict(): Nothing = {
       cleanup()
-      throw new IllegalStateException(
+      throw new SnapshotConflictException(
         s"snapshot commit conflict at $root: base $base superseded")
     }
     // one fresh listing serves both the race re-check and the orphan
@@ -1619,13 +2051,15 @@ object SnapshotTable {
     // refresh its mtime so a concurrent commit's refcount sweep can
     // never read it as an aged unreferenced corpse in the window
     // before the manifest referencing it lands
-    graft.ops.FsAtomic.touch(fs, segPath)
+    segPath.foreach(p => graft.ops.FsAtomic.touch(fs, p))
     // commit wall time, stamped as late as possible (atomic with the
     // version — the stage is still private until the rename)
     writeText(fs, new Path(s"$stage/$commitTsFile"),
       System.currentTimeMillis().toString)
     try publish(fs, root, stagePath, next)
-    catch { case e: Throwable => fs.delete(segPath, true); throw e }
+    catch { case e: Throwable =>
+      segPath.foreach(p => fs.delete(p, true)); throw e
+    }
     vacuum(s, root, retain)
     next
   }
@@ -1690,7 +2124,7 @@ object SnapshotTable {
       stagePath: Path, next: Long): Unit = {
     def conflict(cleanup: Path): Nothing = {
       fs.delete(cleanup, true)
-      throw new IllegalStateException(
+      throw new SnapshotConflictException(
         s"snapshot commit conflict at $root: v=$next taken")
     }
     val dest = new Path(s"$root/v=$next")
@@ -1719,7 +2153,7 @@ object SnapshotTable {
       // is copy-like) — or the dir vanished under us; either way our
       // image is unreferenced — leave whatever exists untouched and
       // fail as a conflict
-      throw new IllegalStateException(
+      throw new SnapshotConflictException(
         s"snapshot commit conflict at $root: marker for v=$next " +
           s"not creatable (taken, or the dir vanished): ${e.getMessage}")
     }
@@ -1850,13 +2284,16 @@ object SnapshotTable {
       import org.apache.spark.sql.functions.col
       val fs = fsOf(s, root)
       if (isManifestVersion(fs, root, v) &&
-          statsColsOf(s, root, v).contains(c))
+          statsColsOf(s, root, v).contains(c)) {
+        val cp = colmapOf(fs, root, v).physical(c)
         Some(manifestDf(s, root, v).select(col("file"),
-          col(s"min__$c").as("min"), col(s"max__$c").as("max"),
+          col(s"min__$cp").as("min"), col(s"max__$cp").as("max"),
           col("rows")))
+      }
       else {
         val p = new Path(s"$root/v=$v/$legacyStatsColsDir/$c")
-        if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+        if (fs.exists(p)) Some(readSidecarParquet(s, fs, p.toString))
+        else None
       }
     }
 
@@ -1876,10 +2313,14 @@ object SnapshotTable {
       preds: Seq[(String, Column, Column)]): PrunedScan = {
     import org.apache.spark.sql.functions._
     val have = statsColsOf(s, root, v).toSet
+    val cm = colmapOf(fsOf(s, root), root, v)
     val avail = preds.filter(p => have.contains(p._1))
     if (avail.isEmpty) return fullScan(s, root, v)
     val m = manifestDf(s, root, v)
-    val cond = avail.map { case (c, lo, hi) =>
+    // manifest stats columns are keyed by PHYSICAL name — the mapping
+    // is what lets pruning survive a rename untouched
+    val cond = avail.map { case (c0, lo, hi) =>
+      val c = cm.physical(c0)
       col(s"min__$c").isNull || col(s"max__$c").isNull ||
         (col(s"max__$c") >= lo && col(s"min__$c") <= hi)
     }.reduce(_ && _)
@@ -1940,15 +2381,16 @@ object SnapshotTable {
     val hasRange = statsColsOf(s, root, v).contains(c)
     val hasBloom = bloomColsOf(s, root, v).contains(c)
     if (!hasRange && !hasBloom) return fullScan(s, root, v)
+    val cp = colmapOf(fs, root, v).physical(c)
     val rangeCond: Option[Column] =
       if (!hasRange) None
-      else Some(col(s"min__$c").isNull || col(s"max__$c").isNull ||
+      else Some(col(s"min__$cp").isNull || col(s"max__$cp").isNull ||
         values.map(x =>
-          col(s"min__$c") <= lit(x) && col(s"max__$c") >= lit(x))
+          col(s"min__$cp") <= lit(x) && col(s"max__$cp") >= lit(x))
           .reduce(_ || _))
     val bloomCond: Option[Column] =
       if (!hasBloom) None
-      else Some(bloomHitExpr(c, rawBloomHashes(s, values,
+      else Some(bloomHitExpr(cp, rawBloomHashes(s, values,
         schemaOfVersion(s, root, v)(c).dataType)))
     val cond = (rangeCond.toSeq ++ bloomCond.toSeq).reduce(_ && _)
     // kept names only come back to the driver (blooms stay on the
@@ -1995,7 +2437,7 @@ object SnapshotTable {
       PrunedScan(s.read.parquet(dir), total, total)
     else {
       import org.apache.spark.sql.functions._
-      val keep = s.read.parquet(manifest.toString)
+      val keep = readSidecarParquet(s, fs, manifest.toString)
         .where(col("max") >= lo && col("min") <= hi)
         .select("file").collect().map(r => s"$dir/${r.getString(0)}")
       val df =
@@ -2014,7 +2456,7 @@ object SnapshotTable {
     val keepSets = preds.flatMap { case (c, lo, hi) =>
       val m = new Path(s"$dir/$legacyStatsColsDir/$c")
       if (!fs.exists(m)) None
-      else Some(s.read.parquet(m.toString)
+      else Some(readSidecarParquet(s, fs, m.toString)
         .where(col("max") >= lo && col("min") <= hi)
         .select("file").collect().map(_.getString(0)).toSet)
     }
@@ -2027,6 +2469,103 @@ object SnapshotTable {
         else s.read.parquet(keep: _*)
       PrunedScan(df, keep.length, total)
     }
+  }
+
+  // ---- DataSource V2 front-door seam (round 18) --------------------
+  // The `graft` TableProvider/catalog (graft.dsv2) serves the SAME
+  // images the library API serves; these package-private hooks expose
+  // the resolution, pruning, and visible-read machinery to it without
+  // widening the public surface.
+
+  /** Resolve the snapshot version a DSv2 load pins: an explicit
+    * `versionAsOf`, a `timestampAsOf` (epoch millis), or the current
+    * latest. Loud on an empty table or an uncommitted version — a
+    * front door must never silently serve a different snapshot than
+    * the one asked for. */
+  private[graft] def resolveSnapshot(s: SparkSession, root: String,
+      pinVersion: Option[Long], pinTsMillis: Option[Long]): Long = {
+    require(pinVersion.isEmpty || pinTsMillis.isEmpty,
+      s"specify at most one of versionAsOf / timestampAsOf for $root")
+    pinVersion match {
+      case Some(v) =>
+        require(versionsOf(s, root).contains(v),
+          s"version $v not committed at $root")
+        v
+      case None => pinTsMillis match {
+        case Some(ts) => versionAsOf(s, root, ts)
+        case None => latestVersion(s, root).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version at $root"))
+      }
+    }
+  }
+
+  /** Manifest-driven file pruning for the DSv2 pushdown: conjunctive
+    * range `boxes` (open-ended bounds allowed) prune by the stats
+    * manifest exactly like [[readPrunedBox]]; `inProbes` prune by the
+    * per-file Bloom filter AND per-value ranges like [[readPrunedIn]]
+    * (ignored past [[bloomProbeMaxKeys]] values — the in-list scoping
+    * every bloom index shares). Conservative by construction: columns
+    * without stats, NULL stats rows, and untranslatable predicates
+    * prune nothing; the caller re-applies exact predicates on top.
+    * Returns (kept root-relative files, files_total). */
+  private[graft] def pruneFilesFor(s: SparkSession, root: String,
+      v: Long, boxes: Seq[(String, Option[Any], Option[Any])],
+      inProbes: Seq[(String, Seq[Any])]): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val all = dataFiles(s, root, v)
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v) ||
+        !hasStatsManifest(fs, root, v)) return (all, all.size)
+    val statCols = statsColsOf(s, root, v).toSet
+    val bloomCols = bloomColsOf(s, root, v).toSet
+    val schema = schemaOfVersion(s, root, v)
+    val cm = colmapOf(fs, root, v)
+    val boxConds = boxes.filter(b => statCols.contains(b._1)).flatMap {
+      case (c0, lo, hi) =>
+        val c = cm.physical(c0)
+        val conds = lo.map(x => col(s"max__$c") >= lit(x)).toSeq ++
+          hi.map(x => col(s"min__$c") <= lit(x)).toSeq
+        if (conds.isEmpty) None
+        else Some(col(s"min__$c").isNull || col(s"max__$c").isNull ||
+          conds.reduce(_ && _))
+    }
+    val probeConds = inProbes
+      .filter { case (c, vs) =>
+        vs.nonEmpty && vs.size <= bloomProbeMaxKeys &&
+          (statCols.contains(c) || bloomCols.contains(c)) &&
+          schema.fieldNames.contains(c)
+      }
+      .flatMap { case (c0, vs) =>
+        val c = cm.physical(c0)
+        val range =
+          if (!statCols.contains(c0)) None
+          else Some(col(s"min__$c").isNull || col(s"max__$c").isNull ||
+            vs.map(x => col(s"min__$c") <= lit(x) &&
+              col(s"max__$c") >= lit(x)).reduce(_ || _))
+        val bloom =
+          if (!bloomCols.contains(c0)) None
+          else Some(bloomHitExpr(c,
+            rawBloomHashes(s, vs, schema(c0).dataType)))
+        (range.toSeq ++ bloom.toSeq).reduceOption(_ && _)
+      }
+    (boxConds ++ probeConds).reduceOption(_ && _) match {
+      case None => (all, all.size)
+      case Some(cond) =>
+        val keep = manifestDf(s, root, v).where(cond)
+          .select("file").collect().map(_.getString(0)).sorted.toSeq
+        (keep, all.size)
+    }
+  }
+
+  /** Read a kept-file subset of version `v` under its recorded schema
+    * with its deletion vectors applied — the DSv2 relation's executor
+    * plan (the exact frame [[readPrunedBox]] builds after pruning). */
+  private[graft] def readFilesSubset(s: SparkSession, root: String,
+      v: Long, files: Seq[String]): DataFrame = {
+    val schema = schemaOfVersion(s, root, v)
+    if (files.isEmpty) emptyFrame(s, schema)
+    else readFilesVisible(s, root, v, files, schema)
   }
 
   /** Z-ORDER-cluster an image on two columns (Delta's OPTIMIZE ZORDER
@@ -2179,4 +2718,116 @@ object SnapshotTable {
     * observable effect; append's O(delta) accounting denominator). */
   def fileCount(s: SparkSession, root: String, v: Long): Int =
     dataFiles(s, root, v).size
+
+  /** FOLD the latest version's deletion vectors physically (round 18):
+    * rewrite ONLY the files the DV names — each rewritten file holds
+    * its visible rows and its entries drop with it (the carry
+    * restriction), so the new version is DV-free while every other
+    * file carries by reference. O(DV'd-file bytes), the targeted form
+    * of what any COW merge does opportunistically. No-op (current
+    * version returned, no commit burned) when the table has no
+    * vectors. */
+  def foldDeletionVectors(s: SparkSession, root: String,
+      retain: Int = 2): Long = {
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"foldDeletionVectors: no committed version at $root"))
+    dvOf(s, root, v) match {
+      case None => v
+      case Some((_, dv)) =>
+        val files = dv.select("file").distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+        val schema = schemaOfVersion(s, root, v)
+        commitCore(s, root, retain, statsColsOf(s, root, v),
+          carriedFrom = Some(v), dropCarried = files.toSet,
+          bloomCols = bloomColsOf(s, root, v)) { _ =>
+          readFilesVisible(s, root, v, files, schema)
+            .coalesce(math.max(1, files.size))
+        }
+    }
+  }
+
+  // ---- AUTO-MAINTENANCE policy (round 18, verdict item 5) ----------
+  // A long-running CDC stream accumulates small appended files and DV
+  // tombstones until an operator remembers to compact — the policy
+  // hook makes maintenance self-triggering (the Delta auto-compaction
+  // analog): after every data commit, when the fragment count or the
+  // tombstone density crosses its threshold, the corresponding
+  // maintenance op rides the NORMAL commit machinery as its own
+  // version. Opt-in per session:
+  //   spark.graft.autoMaintain.enabled       (default false)
+  //   spark.graft.autoMaintain.minFileBytes  fragment threshold (8 MB)
+  //   spark.graft.autoMaintain.maxFragments  trigger count (16)
+  //   spark.graft.autoMaintain.dvRowRatio    fold when DV rows exceed
+  //                                          this fraction of table
+  //                                          rows (0.1)
+  // The decision reads ONLY driver-side metadata the commit already
+  // produced (manifest bytes/rows, DV entry count) — no data scan; a
+  // maintenance commit never re-triggers itself (thread-local guard).
+
+  private val inMaintenance = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  private def autoMaintain(s: SparkSession, root: String,
+      retain: Int): Unit = {
+    if (inMaintenance.get()) return
+    if (!s.conf.get("spark.graft.autoMaintain.enabled", "false")
+        .toBoolean) return
+    inMaintenance.set(true)
+    try {
+      val fs = fsOf(s, root)
+      latestVersion(s, root).foreach { v =>
+        if (isManifestVersion(fs, root, v)) {
+          val minBytes = s.conf
+            .get("spark.graft.autoMaintain.minFileBytes",
+              (8L * 1024 * 1024).toString).toLong
+          val maxFrag = s.conf
+            .get("spark.graft.autoMaintain.maxFragments", "16").toInt
+          val dvRatio = s.conf
+            .get("spark.graft.autoMaintain.dvRowRatio", "0.1").toDouble
+          // fragment census from the manifest's recorded bytes (files
+          // predating the column count conservatively as fragments of
+          // unknown size only via the getFileStatus fallback inside
+          // compactSmall — here they are simply skipped, keeping the
+          // census RPC-free)
+          val fragments: Int =
+            if (!hasStatsManifest(fs, root, v)) 0
+            else {
+              val m = manifestDf(s, root, v)
+              if (!m.schema.fieldNames.contains("bytes")) 0
+              else m.where(org.apache.spark.sql.functions
+                .col("bytes") < minBytes).count().toInt
+            }
+          if (fragments > maxFrag) {
+            compactSmall(s, root, minBytes,
+              targetFiles = math.max(1, fragments / maxFrag), retain)
+            ()
+          }
+          // tombstone density after any compaction (its rewrite may
+          // have folded entries already)
+          latestVersion(s, root).foreach { v2 =>
+            dvOf(s, root, v2).foreach { case (_, dv) =>
+              val entries = dv.count()
+              val totalRows: Long =
+                if (!hasStatsManifest(fs, root, v2)) 0L
+                else {
+                  val m = manifestDf(s, root, v2)
+                  if (!m.schema.fieldNames.contains("rows")) 0L
+                  else {
+                    val r = m.agg(org.apache.spark.sql.functions
+                      .sum("rows")).first()
+                    if (r.isNullAt(0)) 0L else r.getLong(0)
+                  }
+                }
+              if (totalRows > 0 && entries > totalRows * dvRatio) {
+                foldDeletionVectors(s, root, retain)
+                ()
+              }
+            }
+          }
+        }
+      }
+    } finally inMaintenance.set(false)
+  }
 }

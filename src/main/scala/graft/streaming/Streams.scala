@@ -1737,8 +1737,10 @@ object Streams {
               expectedBase = base, txn = Some((appId, batchId)))(resolve)
             Some(true)
           } catch {
-            case e: IllegalStateException
-                if e.getMessage.contains("conflict") && left > 1 =>
+            // typed conflict match (round-17 advice: the old
+            // message-substring probe would swallow any error whose
+            // text said "conflict" as a retry)
+            case _: SnapshotConflictException if left > 1 =>
               None // table moved under us — re-check the token and retry
           }
         committed match {
@@ -1829,55 +1831,63 @@ object Streams {
   def tableMirrorStep(s: SparkSession, srcRoot: String, dstRoot: String,
       key: String, appId: String, retain: Int = 4): Boolean = {
     import org.apache.spark.sql.functions._
-    var left = 5
-    while (left > 0) {
+    // retry exhaustion SURFACES AS THE THROWN CONFLICT, never a false
+    // return (round-17 advice — the old loop's trailing `false` was
+    // unreachable: the final attempt's catch guard requires left > 1,
+    // so it either returns true or rethrows; the tailrec shape makes
+    // that contract structural instead of accidental)
+    @annotation.tailrec
+    def attempt(left: Int): Boolean = {
       val vs = SnapshotTable.committedVersions(s, srcRoot)
-      if (vs.isEmpty) return false
-      val base = SnapshotTable.latestVersion(s, dstRoot)
-        .getOrElse(SnapshotTable.EmptyBase)
-      val consumed = SnapshotTable.lastCommittedBatch(s, dstRoot, appId)
-      val nextV = consumed match {
-        case None => Some(vs.head)
-        case Some(last) =>
-          require(vs.contains(last),
-            s"mirror of $srcRoot at $dstRoot: consumed version $last " +
-              s"is no longer retained (earliest is v=${vs.head}) — " +
-              "the source's retain must cover mirror lag")
-          vs.find(_ > last)
-      }
-      nextV match {
-        case None => return false
-        case Some(v) =>
-          val batch = consumed match {
-            case None =>
-              SnapshotTable.readVersion(s, srcRoot, v)
-                .withColumn("_graft_del", lit(false))
-            case Some(last) =>
-              val ch = SnapshotTable.readChanges(s, srcRoot, last, v, key)
-              ch.where(col("_change_type")
-                  .isin("insert", "update_postimage"))
-                .drop("_change_type")
-                .withColumn("_graft_del", lit(false))
-                .unionByName(ch.where(col("_change_type") === "delete")
+      if (vs.isEmpty) false
+      else {
+        val base = SnapshotTable.latestVersion(s, dstRoot)
+          .getOrElse(SnapshotTable.EmptyBase)
+        val consumed = SnapshotTable.lastCommittedBatch(s, dstRoot, appId)
+        val nextV = consumed match {
+          case None => Some(vs.head)
+          case Some(last) =>
+            require(vs.contains(last),
+              s"mirror of $srcRoot at $dstRoot: consumed version $last " +
+                s"is no longer retained (earliest is v=${vs.head}) — " +
+                "the source's retain must cover mirror lag")
+            vs.find(_ > last)
+        }
+        nextV match {
+          case None => false // caught up
+          case Some(v) =>
+            val batch = consumed match {
+              case None =>
+                SnapshotTable.readVersion(s, srcRoot, v)
+                  .withColumn("_graft_del", lit(false))
+              case Some(last) =>
+                val ch = SnapshotTable.readChanges(s, srcRoot, last, v,
+                  key)
+                ch.where(col("_change_type")
+                    .isin("insert", "update_postimage"))
                   .drop("_change_type")
-                  .withColumn("_graft_del", lit(true)))
-          }
-          val applied =
-            try {
-              SnapshotTable.commitMergeDV(s, dstRoot, batch, key,
-                retain, expectedBase = base, txn = Some((appId, v)))(
-                (_, b) => b.where(!col("_graft_del")).drop("_graft_del"))
-              true
-            } catch {
-              case e: IllegalStateException
-                  if e.getMessage.contains("conflict") && left > 1 =>
-                false // moved under us — re-read the token and retry
+                  .withColumn("_graft_del", lit(false))
+                  .unionByName(ch.where(col("_change_type") === "delete")
+                    .drop("_change_type")
+                    .withColumn("_graft_del", lit(true)))
             }
-          if (applied) return true
-          left -= 1
+            val applied =
+              try {
+                SnapshotTable.commitMergeDV(s, dstRoot, batch, key,
+                  retain, expectedBase = base, txn = Some((appId, v)))(
+                  (_, b) => b.where(!col("_graft_del")).drop("_graft_del"))
+                true
+              } catch {
+                // typed conflict match (round-17 advice) — any other
+                // failure, and the LAST conflict, propagate loudly
+                case _: SnapshotConflictException if left > 1 =>
+                  false // moved under us — re-read the token and retry
+              }
+            if (applied) true else attempt(left - 1)
+        }
       }
     }
-    false
+    attempt(5)
   }
 
   /** One step of the VERSION-TAILING STREAMING SOURCE over a

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SnapshotTable
+
+/** Column mapping (round 18): RENAME/DROP COLUMN as metadata-only
+  * commits over stable physical names — data survives, pruning
+  * survives, time travel serves each version's own schema, dropped
+  * physicals are never reused. */
+class ColumnMappingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRoot(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("colmap_spec")
+      .toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  private def img(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def segDirs(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-"))
+      .map(_.getPath.getName).toSet
+  }
+
+  test("RENAME COLUMN is metadata-only: data intact under the new " +
+      "name, stats AND bloom pruning still bite on the renamed " +
+      "column, merges keep working, time travel serves the old name") {
+    withRoot { root =>
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 6)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val segsBefore = segDirs(root)
+
+      SnapshotTable.renameColumn(spark, root, "k", "key", retain = 6)
+      assert(segDirs(root) === segsBefore, "rename must not write data")
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.columns.toSeq === Seq("key", "v"))
+      assert(cur.count() === 400)
+      assert(cur.where(col("key") === 42L).collect()
+        .map(_.getString(1)).toSeq === Seq("v42"))
+
+      // pruning survives the rename: the manifest stays keyed by the
+      // stable physical name, addressed through the new logical one
+      val range = SnapshotTable.readPruned(spark, root,
+        lit(10L), lit(60L))
+      assert(range.filesRead < range.filesTotal,
+        "range pruning must survive a rename")
+      assert(range.df.where(col("key").between(10L, 60L)).count() === 51)
+      val point = SnapshotTable.readPrunedIn(spark, root, "key",
+        Seq(250L))
+      assert(point.filesRead < point.filesTotal,
+        "bloom pruning must survive a rename")
+      assert(point.df.where(col("key") === 250L).count() === 1)
+
+      // a file-granular merge on the RENAMED key stays localized
+      SnapshotTable.commitMerge(spark, root,
+        img(50L -> "m50").withColumnRenamed("k", "key"), "key",
+        retain = 6)((_, b) => b)
+      val vM = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.newFiles(spark, root, vM).size <
+        SnapshotTable.fileCount(spark, root, vM),
+        "merge after rename must carry untouched files")
+      assert(SnapshotTable.read(spark, root).get
+        .where(col("key") === 50L).collect().map(_.getString(1)).toSeq
+        === Seq("m50"))
+
+      // appends after the rename inherit stats/bloom on the new name
+      SnapshotTable.commitAppend(spark, root,
+        img(1000L -> "fresh").withColumnRenamed("k", "key"), retain = 6)
+      val p2 = SnapshotTable.readPrunedIn(spark, root, "key", Seq(1000L))
+      assert(p2.filesRead < p2.filesTotal)
+      assert(p2.df.where(col("key") === 1000L).count() === 1)
+
+      // time travel: the pre-rename version serves its OWN schema
+      val old = SnapshotTable.readVersion(spark, root, v1)
+      assert(old.columns.toSeq === Seq("k", "v"))
+      assert(old.where(col("k") === 50L).collect().map(_.getString(1))
+        .toSeq === Seq("v50"), "pre-rename image must be untouched")
+
+      // bad renames fail loudly
+      intercept[IllegalArgumentException] {
+        SnapshotTable.renameColumn(spark, root, "nope", "x")
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotTable.renameColumn(spark, root, "key", "v")
+      }
+    }
+  }
+
+  test("DROP COLUMN hides the column going forward, time travel still " +
+      "serves it, and a re-added same-name column NEVER reads the " +
+      "dropped column's stale bytes (fresh physical name)") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 6L).map(k => (k, s"old$k")): _*)
+          .repartitionByRange(2, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+
+      SnapshotTable.dropColumn(spark, root, "v", retain = 8)
+      val dropped = SnapshotTable.read(spark, root).get
+      assert(dropped.columns.toSeq === Seq("k"))
+      assert(dropped.count() === 6)
+      // time travel serves the dropped column from the old version
+      assert(SnapshotTable.readVersion(spark, root, v1)
+        .where(col("k") === 3L).select("v").first().getString(0)
+        === "old3")
+
+      // RE-ADD a column with the SAME logical name via an evolved
+      // append: old files must serve NULL for it, never the retired
+      // physical bytes ("old3" resurfacing would be silent corruption)
+      SnapshotTable.commitAppend(spark, root,
+        img(7L -> "new7"), retain = 8)
+      val readded = SnapshotTable.read(spark, root).get
+      assert(readded.columns.toSeq === Seq("k", "v"))
+      assert(readded.where(col("k") === 3L).select("v").first()
+        .isNullAt(0),
+        "re-added column must read NULL from pre-drop files")
+      assert(readded.where(col("k") === 7L).select("v").first()
+        .getString(0) === "new7")
+      assert(readded.where(col("v").isNotNull).count() === 1)
+
+      // the only-column and missing-column drops fail loudly
+      intercept[IllegalArgumentException] {
+        SnapshotTable.dropColumn(spark, root, "zzz")
+      }
+
+      // DV-key drop is rejected: row identity cannot be dropped
+      val root2 = root + "_dv"
+      SnapshotTable.commitWithStats(spark, root2, "k", retain = 4)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(2, col("k")))
+      SnapshotTable.commitMergeDV(spark, root2, img(2L -> "B2"), "k",
+        retain = 4)((_, b) => b)
+      intercept[IllegalArgumentException] {
+        SnapshotTable.dropColumn(spark, root2, "k")
+      }
+    }
+  }
+
+  test("rename composes with deletion vectors and the changelog: a " +
+      "DV'd table renamed keeps serving the merged image, and " +
+      "commitMergeDV on the new name matches the existing vectors") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 8L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      SnapshotTable.commitMergeDV(spark, root, img(2L -> "B2"), "k",
+        retain = 8)((_, b) => b)
+      SnapshotTable.renameColumn(spark, root, "k", "key", retain = 8)
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.where(col("key") === 2L).collect()
+        .map(_.getString(1)).toSeq === Seq("B2"),
+        "DV application must survive the rename")
+      assert(cur.count() === 8)
+      // merge-on-read under the NEW name hits the same physical key
+      SnapshotTable.commitMergeDV(spark, root,
+        img(3L -> "B3").withColumnRenamed("k", "key"), "key",
+        retain = 8)((_, b) => b)
+      val after = SnapshotTable.read(spark, root).get
+      assert(after.where(col("key") === 3L).collect()
+        .map(_.getString(1)).toSeq === Seq("B3"))
+      assert(after.count() === 8)
+      // the changelog across the rename span classifies exactly the
+      // merged key (rename itself is change-free)
+      val vs = SnapshotTable.committedVersions(spark, root)
+      val ch = SnapshotTable.readChanges(spark, root,
+        vs(vs.size - 3), vs.last, "key")
+        .select(col("_change_type"), col("key"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+      assert(ch === Set(("update_preimage", 3L, "v3"),
+        ("update_postimage", 3L, "B3")))
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dsv2.{GraftScan, GraftScanBuilder, GraftTable}
+import graft.streaming.SnapshotTable
+
+/** The DataSource V2 front door serves EXACTLY the library images:
+  * format("graft") loads, option-pinned time travel, SQL catalog with
+  * VERSION/TIMESTAMP AS OF, predicate-pushdown file pruning against
+  * the stats/bloom manifest, DV application, and append writes. */
+class Dsv2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRoot(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_spec").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  private def img(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select(col("k"), col("v")).orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("format(\"graft\") serves the library image, including deletion " +
+      "vectors, and option pins (versionAsOf / timestampAsOf) serve " +
+      "time travel") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
+        img((1L to 8L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(4, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      // merge-on-read: hide key 3's original behind a DV entry
+      SnapshotTable.commitMergeDV(spark, root, img(3L -> "B3"), "k",
+        retain = 5)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+
+      val door = spark.read.format("graft").load(root)
+      assert(rowsOf(door) === rowsOf(SnapshotTable.read(spark, root).get))
+      assert(rowsOf(door).toMap.apply(3L) === "B3",
+        "the DV'd image must flow through the front door")
+
+      val pinned = spark.read.format("graft")
+        .option("versionAsOf", v1.toString).load(root)
+      assert(rowsOf(pinned)
+        === rowsOf(SnapshotTable.readVersion(spark, root, v1)))
+
+      val ts = SnapshotTable.commitTimestamp(spark, root, v2)
+      val byTs = spark.read.format("graft")
+        .option("timestampAsOf", ts.toString).load(root)
+      assert(rowsOf(byTs)
+        === rowsOf(SnapshotTable.readVersion(spark, root, v2)))
+
+      // snapshot isolation: the loaded frame is pinned — a commit
+      // landing after the load must not change what it serves
+      val before = spark.read.format("graft").load(root)
+      SnapshotTable.commitAppend(spark, root, img(99L -> "late"),
+        retain = 5)
+      assert(!rowsOf(before).exists(_._1 == 99L))
+    }
+  }
+
+  test("pushed range + point predicates PRUNE FILES through the scan " +
+      "(filesRead < filesTotal surfaced in the scan description), " +
+      "results stay exact, and untranslatable predicates prune nothing") {
+    withRoot { root =>
+      // range-clustered with stats AND bloom on k: both pruning paths
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 3)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val v = SnapshotTable.latestVersion(spark, root).get
+
+      // drive the public pushdown surface directly — the counters the
+      // description exposes are the spec's observable
+      def scanFor(filters: org.apache.spark.sql.sources.Filter*)
+          : GraftScan = {
+        val b = new GraftScanBuilder(root, v,
+          SnapshotTable.schemaOfVersion(spark, root, v))
+        b.pushFilters(filters.toArray)
+        b.build().asInstanceOf[GraftScan]
+      }
+      import org.apache.spark.sql.sources._
+      val range = scanFor(GreaterThanOrEqual("k", 10L),
+        LessThanOrEqual("k", 60L))
+      assert(range.filesRead < range.filesTotal,
+        s"range predicate must skip files: ${range.description()}")
+      assert(range.description().contains(
+        s"filesRead=${range.filesRead}/${range.filesTotal}"))
+      val point = scanFor(EqualTo("k", 250L))
+      assert(point.filesRead < point.filesTotal)
+      val opaque = scanFor(StringStartsWith("v", "v1"))
+      assert(opaque.filesRead === opaque.filesTotal,
+        "untranslatable predicates must prune nothing (conservative)")
+
+      // end-to-end: the same predicate through the SQL surface returns
+      // exactly the matching rows and shows the pushdown in the plan
+      val df = spark.read.format("graft").load(root)
+        .where(col("k") >= 10L && col("k") <= 60L)
+      assert(df.count() === 51)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"),
+        s"pushdown must surface in the physical plan:\n$plan")
+      // column pruning reaches the inner scan: a 1-column projection
+      // serves without error and with the right values
+      assert(spark.read.format("graft").load(root)
+        .select("v").where(col("v") === "v42").count() === 1)
+    }
+  }
+
+  test("SQL catalog: SELECT with VERSION AS OF / TIMESTAMP AS OF, " +
+      "INSERT INTO appends through commitAppend, and listTables sees " +
+      "committed tables") {
+    withRoot { wh =>
+      spark.conf.set("spark.sql.catalog.graft_t",
+        "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_t.warehouse", wh)
+      val root = s"$wh/events_t"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
+        img((1L to 5L).map(k => (k, s"v$k")): _*))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitMerge(spark, root, img(2L -> "B2"), "k",
+        retain = 5)((_, b) => b)
+
+      assert(spark.sql("SELECT count(*) AS n FROM graft_t.events_t")
+        .first().getLong(0) === 5)
+      assert(spark.sql(
+        "SELECT v FROM graft_t.events_t WHERE k = 2").first()
+        .getString(0) === "B2")
+      assert(spark.sql(
+        s"SELECT v FROM graft_t.events_t VERSION AS OF $v1 WHERE k = 2")
+        .first().getString(0) === "v2")
+      val ts = SnapshotTable.commitTimestamp(spark, root, v1)
+      val tsLit = new java.sql.Timestamp(ts).toString
+      assert(spark.sql(
+        s"SELECT v FROM graft_t.events_t TIMESTAMP AS OF '$tsLit' " +
+          "WHERE k = 2").first().getString(0) === "v2")
+
+      // write door: INSERT INTO rides commitAppend (a new version, no
+      // history rewrite)
+      val vBefore = SnapshotTable.latestVersion(spark, root).get
+      spark.sql("INSERT INTO graft_t.events_t VALUES (9, 'v9')")
+      val vAfter = SnapshotTable.latestVersion(spark, root).get
+      assert(vAfter > vBefore)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_t.events_t")
+        .first().getLong(0) === 6)
+      assert(SnapshotTable.newFiles(spark, root, vAfter).nonEmpty &&
+        SnapshotTable.newFiles(spark, root, vAfter).size <
+          SnapshotTable.fileCount(spark, root, vAfter),
+        "INSERT INTO must append O(delta), carrying history by reference")
+
+      // df-API write door
+      img(10L -> "v10").write.format("graft").mode("append").save(root)
+      assert(spark.read.format("graft").load(root).count() === 7)
+
+      assert(spark.sql("SHOW TABLES IN graft_t").collect()
+        .map(_.getString(1)).contains("events_t"))
+    }
+  }
+}

@@ -897,6 +897,136 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("N-WRITER CAS fuzz (round 18): six live writers mixing appends " +
+      "and merge-on-read upserts race CAS-pinned commits while a " +
+      "janitor interleaves compactSmall/vacuum/DV-folds — every batch " +
+      "lands exactly once, conflicts are the only failure mode, and " +
+      "the final image is the deterministic per-writer fold") {
+    withRoot { root =>
+      // seed key OUTSIDE every writer's private range (writer 0's
+      // first key is 0)
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 10)(_ =>
+        img(-1L -> "seed"))
+      val nWriters = 6
+      val batchesPerWriter = 4
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(nWriters + 1)
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[
+        String]()
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        val gate = new java.util.concurrent.CyclicBarrier(nWriters + 1)
+        def writer(w: Int): Future[Int] = Future {
+          gate.await()
+          var conflicts = 0
+          (0 until batchesPerWriter).foreach { b =>
+            val key = w * 1000L + b
+            var landed = false
+            var attempts = 0
+            while (!landed && attempts < 120) {
+              attempts += 1
+              val base = SnapshotTable.latestVersion(spark, root)
+                .getOrElse(SnapshotTable.EmptyBase)
+              try {
+                // even batches append a fresh writer-private key; odd
+                // batches UPSERT the writer's previous key through the
+                // DV path — writer-private keys make the final image
+                // deterministic whatever the cross-writer interleaving
+                if (b % 2 == 0)
+                  SnapshotTable.commitAppend(spark, root,
+                    img(key -> s"a$w-$b"), retain = 10,
+                    expectedBase = base)
+                else
+                  SnapshotTable.commitMergeDV(spark, root,
+                    img((key - 1) -> s"u$w-$b"), "k", retain = 10,
+                    expectedBase = base)((_, batch) => batch)
+                landed = true
+              } catch {
+                case _: graft.streaming.SnapshotConflictException =>
+                  conflicts += 1 // lost the race — re-resolve + retry
+                  // jittered backoff: CAS writers without it livelock
+                  // on each other (every conflict re-pins to the same
+                  // new base all at once)
+                  Thread.sleep(10 + ((w * 7 + attempts) % 40))
+                case e: Throwable =>
+                  unexpected.add(s"writer $w batch $b: $e"); landed = true
+              }
+            }
+            if (!landed) unexpected.add(s"writer $w batch $b starved")
+          }
+          done.incrementAndGet()
+          conflicts
+        }
+        val janitor: Future[Unit] = Future {
+          gate.await()
+          val rnd = new scala.util.Random(18)
+          // throttled: a maintenance daemon commits ORDERS OF
+          // MAGNITUDE less often than the write path — an unthrottled
+          // loop here starved the writers' CAS pins outright (every
+          // janitor commit invalidates every in-flight pin)
+          while (done.get() < nWriters) {
+            try rnd.nextInt(3) match {
+              case 0 => SnapshotTable.compactSmall(spark, root,
+                minBytes = 1024L * 1024, targetFiles = 2, retain = 10)
+              case 1 => SnapshotTable.vacuum(spark, root, retain = 10)
+              case 2 => SnapshotTable.foldDeletionVectors(spark, root,
+                retain = 10)
+            } catch {
+              case _: graft.streaming.SnapshotConflictException => ()
+              case e: Throwable => unexpected.add(s"janitor: $e")
+            }
+            var waited = 0
+            while (done.get() < nWriters && waited < 700) {
+              Thread.sleep(50); waited += 50
+            }
+          }
+        }
+        val conflictTotals =
+          try Await.result(
+            Future.sequence((0 until nWriters).map(writer) :+
+              janitor.map(_ => 0)),
+            scala.concurrent.duration.Duration(420, "s"))
+          finally {
+            // the root dir is deleted right after this block — every
+            // thread must be DEAD first or cleanup races their commits
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
+            ()
+          }
+        assert(unexpected.isEmpty,
+          s"non-conflict failures: ${unexpected.toArray.mkString("; ")}")
+        // contention really happened (the fuzz would prove nothing if
+        // the writers never raced)
+        assert(conflictTotals.sum > 0, "no conflicts — no race exercised")
+        val cur = SnapshotTable.read(spark, root).get
+        // exactly once: seed + one row per even batch's key; odd
+        // batches upsert in place, so counts never grow past that
+        val expectedKeys = (0 until nWriters).flatMap(w =>
+          (0 until batchesPerWriter by 2).map(b => w * 1000L + b))
+        assert(cur.count() === 1 + expectedKeys.size,
+          "a batch landed twice or vanished")
+        assert(cur.groupBy("k").count().where(col("count") =!= 1)
+          .count() === 0, "duplicated key")
+        // per-writer determinism: key w*1000+b holds its upsert when
+        // batch b+1 (odd) ran, else its append value
+        (0 until nWriters).foreach { w =>
+          (0 until batchesPerWriter by 2).foreach { b =>
+            val got = cur.where(col("k") === w * 1000L + b)
+              .select("v").first().getString(0)
+            val want =
+              if (b + 1 < batchesPerWriter) s"u$w-${b + 1}"
+              else s"a$w-$b"
+            assert(got === want, s"writer $w key $b: $got != $want")
+          }
+        }
+      } finally pool.shutdown()
+    }
+  }
+
   test("commitMerge pins a NON-DETERMINISTIC batch to one evaluation: " +
       "no key is ever duplicated or lost, and the pin is released") {
     withRoot { root =>
@@ -1306,6 +1436,145 @@ class SnapshotTableSpec extends AnyFunSuite {
         Seq("name42"))
       assert(sHit.filesRead < sHit.filesTotal)
       assert(sHit.df.where(col("v") === "name42").count() === 1)
+    }
+  }
+
+  test("a MAX-SIZE bloom probe compiles: no CodeGenerator interpreted " +
+      "fallback at bloomProbeMaxKeys values, through both readPrunedIn " +
+      "and the merge candidate stage (round-17 verdict: the OR-of-AND " +
+      "probe expansion blew janino's 64 KB method limit)") {
+    withRoot { root =>
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 4)(_ =>
+        img((1L to 400L).map(k => (7 * k, s"v${7 * k}")): _*)
+          .repartition(8, col("k")))
+      // capture ERROR events on Spark's codegen logger: the 64 KB
+      // overflow is CORRECT-but-interpreted (Spark falls back), so the
+      // only observable symptom is the logged compile failure
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val appender =
+        new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graft-codegen-probe", null, null, false,
+          Array.empty[org.apache.logging.log4j.core.config.Property]) {
+        override def append(
+            e: org.apache.logging.log4j.core.LogEvent): Unit =
+          if (e.getLevel.isMoreSpecificThan(
+              org.apache.logging.log4j.Level.ERROR)) {
+            errs.incrementAndGet(); ()
+          }
+      }
+      appender.start()
+      val logger = org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+      logger.addAppender(appender)
+      try {
+        val cap = SnapshotTable.bloomProbeMaxKeys
+        // half present (multiples of 7), half absent-but-in-range — the
+        // worst-case probe width through the point-lookup read path
+        val values: Seq[Any] =
+          (1L to (cap / 2).toLong).map(k => 7 * k) ++
+            (1L to (cap / 2).toLong).map(k => 7 * k + 3)
+        val ps = SnapshotTable.readPrunedIn(spark, root, "k", values)
+        assert(ps.df.where(col("k").isin(values: _*)).count()
+          === cap / 2)
+        // a cap-sized upsert batch exercises the same probe inside the
+        // merge candidate stage (the shape the merge fuzz tripped on)
+        SnapshotTable.commitMerge(spark, root,
+          img((1L to cap.toLong).map(k => (7 * k, s"m$k")): _*), "k",
+          retain = 4)((_, b) => b)
+        assert(SnapshotTable.read(spark, root).get.count() === 400)
+      } finally logger.removeAppender(appender)
+      assert(errs.get() === 0,
+        s"CodeGenerator logged ${errs.get()} compile failure(s) — the " +
+          "bloom probe fell out of whole-stage codegen")
+    }
+  }
+
+  test("restore: rollback to version k is METADATA-ONLY, equals the " +
+      "time-travel read, carries k's deletion vectors, survives " +
+      "vacuuming k itself (refcount protection), and readChanges " +
+      "across the restore emits the row-level diff it implies") {
+    withRoot { root =>
+      def segDirs(): Set[String] = {
+        val fs = fsFor(root)
+        fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("seg-"))
+          .map(_.getPath.getName).toSet
+      }
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 4)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitAppend(spark, root,
+        img((7L to 9L).map(k => (k, s"v$k")): _*), retain = 4)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // merge-on-read upsert: v3 hides the old rows of keys 2 and 7
+      // behind DV entries in CARRIED files
+      SnapshotTable.commitMergeDV(spark, root,
+        img(2L -> "B2", 7L -> "B7"), "k", retain = 4)((_, b) => b)
+      val v3 = SnapshotTable.latestVersion(spark, root).get
+      val segsBefore = segDirs()
+      // ---- restore to v2: the pre-merge image becomes head again ----
+      val r = SnapshotTable.restore(spark, root, v2, retain = 4)
+      assert(r > v3)
+      // metadata-only: zero new data segments were written
+      assert(segDirs() === segsBefore, "restore must not write data")
+      val restored = SnapshotTable.read(spark, root).get
+        .orderBy("k").collect().map(x => (x.getLong(0), x.getString(1)))
+      val travel = SnapshotTable.readVersion(spark, root, v2)
+        .orderBy("k").collect().map(x => (x.getLong(0), x.getString(1)))
+      assert(restored.toSeq === travel.toSeq)
+      assert(restored.map(_._2).toSet
+        === (1L to 9L).map(k => s"v$k").toSet)
+      // ---- the restore IS a change: un-applying the v2→v3 merge ----
+      val ch = SnapshotTable.readChanges(spark, root, v3, r, "k")
+        .collect().map(x => (x.getAs[String]("_change_type"),
+          x.getAs[Long]("k"), x.getAs[String]("v"))).toSet
+      assert(ch === Set(("update_preimage", 2L, "B2"),
+        ("update_postimage", 2L, "v2"),
+        ("update_preimage", 7L, "B7"),
+        ("update_postimage", 7L, "v7")))
+      // ---- restore-to-current is a version-free no-op ----
+      assert(SnapshotTable.restore(spark, root, r, retain = 4) === r)
+      assert(SnapshotTable.latestVersion(spark, root).get === r)
+      // ---- restore target must be committed ----
+      intercept[IllegalArgumentException] {
+        SnapshotTable.restore(spark, root, r + 500)
+      }
+      // ---- refcount protection: vacuum v1..v3 away, the restored
+      // head still serves k's files (its own manifest references
+      // them, so the segment sweep must keep every one) ----
+      SnapshotTable.commitAppend(spark, root, img(10L -> "v10"),
+        retain = 4)
+      SnapshotTable.vacuum(spark, root, retain = 2)
+      val vsLeft = SnapshotTable.committedVersions(spark, root)
+      assert(!vsLeft.contains(v2) && !vsLeft.contains(v3))
+      val after = SnapshotTable.read(spark, root).get
+      assert(after.count() === 10)
+      assert(after.where(col("k") === 2L).collect()
+        .map(_.getString(1)).toSeq === Seq("v2"))
+      // DV carry check on a restore TO the DV'd version: rebuild the
+      // same shape and roll back to v3's merge-on-read image
+      val root2 = root + "_dv"
+      SnapshotTable.commitWithStats(spark, root2, "k", retain = 6)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      SnapshotTable.commitMergeDV(spark, root2, img(2L -> "B2"), "k",
+        retain = 6)((_, b) => b)
+      val dv3 = SnapshotTable.latestVersion(spark, root2).get
+      SnapshotTable.commitMerge(spark, root2, img(2L -> "C2"), "k",
+        retain = 6)((_, b) => b)
+      val r2 = SnapshotTable.restore(spark, root2, dv3, retain = 6)
+      assert(r2 > dv3)
+      // the restored head serves the DV'd image: exactly one row for
+      // key 2, the merge-on-read value — the hidden original must not
+      // resurrect
+      val probe = SnapshotTable.read(spark, root2).get
+        .where(col("k") === 2L).collect()
+      assert(probe.map(_.getString(1)).toSeq === Seq("B2"))
+      assert(SnapshotTable.read(spark, root2).get.count() === 6)
     }
   }
 
