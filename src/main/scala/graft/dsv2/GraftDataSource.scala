@@ -239,11 +239,29 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
 /** The pinned, pruned scan. `description()` surfaces the file-skipping
   * decision (`filesRead=k/N`) so plans and tests can assert pruning
   * actually bit — the DSv2 analog of [[SnapshotTable.PrunedScan]]'s
-  * counters. */
+  * counters. Reports manifest-derived size/row statistics so Catalyst
+  * sizes the relation for join planning — a pruned graft scan under
+  * the broadcast threshold JOINS AS A BROADCAST through the front
+  * door, the decision that matters most at 100 TB. */
 class GraftScan(root: String, version: Long, required: StructType,
     kept: Seq[String], total: Int, pushed: Array[Filter])
-    extends Scan with V1Scan {
+    extends Scan with V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  private lazy val stats: (Option[Long], Option[Long]) =
+    SnapshotTable.filesStatsFor(SparkSession.active, root, version, kept)
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        stats._1.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        stats._2.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
 
   override def description(): String =
     s"GraftSnapshotScan root=$root version=$version " +

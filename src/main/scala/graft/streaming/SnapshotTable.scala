@@ -2558,6 +2558,39 @@ object SnapshotTable {
     }
   }
 
+  /** (bytes, rows) totals of a kept-file subset, straight off the
+    * stats manifest — the DSv2 scan's `estimateStatistics` source, so
+    * Catalyst sizes graft relations for join planning (a small pruned
+    * scan becomes broadcast-able) without touching a data file. Either
+    * side is None when the manifest predates that column; files with
+    * NULL recorded values contribute nothing (a conservative
+    * UNDER-estimate is still far better than the default "unknown =
+    * spark.sql.defaultSizeInBytes = huge"). One manifest-scale driver
+    * job per call — scans cache it per Scan instance. */
+  private[graft] def filesStatsFor(s: SparkSession, root: String,
+      v: Long, files: Seq[String]): (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v) ||
+        !hasStatsManifest(fs, root, v)) return (None, None)
+    val m = manifestDf(s, root, v)
+    val hasBytes = m.schema.fieldNames.contains("bytes")
+    val hasRows = m.schema.fieldNames.contains("rows")
+    if (!hasBytes && !hasRows) return (None, None)
+    import s.implicits._
+    val total = dataFiles(s, root, v)
+    val scoped =
+      if (files.size == total.size) m
+      else m.join(broadcast(files.toDF("file")), Seq("file"),
+        "left_semi")
+    val aggs = Seq(
+      if (hasBytes) sum(col("bytes")) else sum(lit(null).cast("long")),
+      if (hasRows) sum(col("rows")) else sum(lit(null).cast("long")))
+    val r = scoped.agg(aggs.head, aggs.tail: _*).first()
+    (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))
+  }
+
   /** Read a kept-file subset of version `v` under its recorded schema
     * with its deletion vectors applied — the DSv2 relation's executor
     * plan (the exact frame [[readPrunedBox]] builds after pruning). */

@@ -115,6 +115,41 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("the scan reports manifest statistics: numRows/sizeInBytes come " +
+      "from metadata, shrink under pruning, and Catalyst BROADCASTS a " +
+      "small front-door relation in a join") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 3)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val v = SnapshotTable.latestVersion(spark, root).get
+      def scanFor(filters: org.apache.spark.sql.sources.Filter*)
+          : GraftScan = {
+        val b = new GraftScanBuilder(root, v,
+          SnapshotTable.schemaOfVersion(spark, root, v))
+        b.pushFilters(filters.toArray)
+        b.build().asInstanceOf[GraftScan]
+      }
+      val full = scanFor().estimateStatistics()
+      assert(full.numRows.getAsLong === 400L)
+      assert(full.sizeInBytes.getAsLong > 0L)
+      import org.apache.spark.sql.sources._
+      val pruned = scanFor(LessThanOrEqual("k", 50L))
+        .estimateStatistics()
+      assert(pruned.numRows.getAsLong < 400L,
+        "pruned scan must report the kept files' rows only")
+      // end-to-end: the sized relation rides into join planning — a
+      // small graft table joined against a big frame broadcasts
+      val big = spark.range(0L, 200000L).toDF("k")
+      val joined = big.join(spark.read.format("graft").load(root), "k")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "small front-door relation must plan as the broadcast side:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+      assert(joined.count() === 400)
+    }
+  }
+
   test("SQL catalog: SELECT with VERSION AS OF / TIMESTAMP AS OF, " +
       "INSERT INTO appends through commitAppend, and listTables sees " +
       "committed tables") {
