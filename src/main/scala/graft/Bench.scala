@@ -80,7 +80,7 @@ object Bench {
     "set_intersect" -> 0.34, "set_intersect_all" -> 0.42,
     "set_union" -> 0.32, "set_union_all" -> 0.33,
     "side_output_split" -> 0.51, "sink_csv_roundtrip" -> 0.43,
-    "sink_foreach_upsert" -> 0.76, "sink_jdbc_board" -> 1.8,
+    "sink_foreach_upsert" -> 0.76, "sink_jdbc_board" -> 0.7,
     "sink_json_roundtrip" -> 0.38, "sink_orc_roundtrip" -> 0.62,
     "sink_parquet" -> 0.61, "sink_partitioned" -> 0.69,
     "sink_snapshot_merge" -> 0.25, "sink_xml_roundtrip" -> 0.35,
@@ -94,11 +94,11 @@ object Bench {
     "stream_upsert_latest" -> 0.38, "stream_watermark_late" -> 0.8,
     "stream_window_cumulate" -> 0.55, "stream_window_session" -> 0.72,
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
-    "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.0,
+    "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.8,
     "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
     "table_dsv2_read" -> 1.6,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
-    "table_merge_pruned" -> 0.5, "table_restore" -> 1.45,
+    "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,
     "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
     "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,

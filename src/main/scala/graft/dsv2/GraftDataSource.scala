@@ -109,20 +109,82 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
 object GraftTable {
   /** Resolve the pinned snapshot ONCE per load — the DSv2 analog of
-    * the library's resolve-once read. */
-  def resolve(root: String, options: CaseInsensitiveStringMap)
-      : GraftTable = {
+    * the library's resolve-once read. A `changesFrom` option routes to
+    * the CHANGE-FEED table instead (Delta `readChangeFeed` analog):
+    * `.option("changesFrom", v1)[.option("changesTo", v2)]
+    * .option("changeKey", k)` serves `readChanges(v1, v2, k)` — the
+    * row-level diff with its `_change_type` column — through the same
+    * standard door. */
+  def resolve(root: String, options: CaseInsensitiveStringMap): Table = {
     val s = SparkSession.active
-    val pinV = Option(options.get("versionAsOf")).map(_.trim.toLong)
-    val pinTs = Option(options.get("timestampAsOf")).map { raw =>
-      val t = raw.trim
-      // epoch millis, or any timestamp string Spark can cast
-      scala.util.Try(t.toLong).getOrElse(
-        java.sql.Timestamp.valueOf(
-          if (t.length == 10) t + " 00:00:00" else t).getTime)
+    Option(options.get("changesFrom")).map(_.trim.toLong) match {
+      case Some(vFrom) =>
+        val key = Option(options.get("changeKey")).getOrElse(
+          throw new IllegalArgumentException(
+            "change-feed reads need .option(\"changeKey\", <col>)"))
+        val vTo = Option(options.get("changesTo")).map(_.trim.toLong)
+          .getOrElse(SnapshotTable.resolveSnapshot(s, root, None, None))
+        new GraftChangesTable(root, vFrom, vTo, key)
+      case None =>
+        val pinV = Option(options.get("versionAsOf")).map(_.trim.toLong)
+        val pinTs = Option(options.get("timestampAsOf")).map { raw =>
+          val t = raw.trim
+          // epoch millis, or any timestamp string Spark can cast
+          scala.util.Try(t.toLong).getOrElse(
+            java.sql.Timestamp.valueOf(
+              if (t.length == 10) t + " 00:00:00" else t).getTime)
+        }
+        new GraftTable(root, SnapshotTable.resolveSnapshot(s, root, pinV,
+          pinTs))
     }
-    new GraftTable(root, SnapshotTable.resolveSnapshot(s, root, pinV,
-      pinTs))
+  }
+}
+
+/** CHANGE-FEED relation: the row-level diff between two committed
+  * versions, keyed — `readChanges` through the front door. Column
+  * pruning flows into the projection; file work is already O(touched)
+  * by the changelog's own design, so there is no further file
+  * pruning to push. */
+class GraftChangesTable(root: String, vFrom: Long, vTo: Long,
+    key: String) extends Table with SupportsRead {
+  private def spark = SparkSession.active
+
+  override def name(): String =
+    s"graft.`$root` changes v=$vFrom..v=$vTo by $key"
+
+  override def schema(): StructType =
+    StructType(SnapshotTable.schemaOfVersion(spark, root, vTo).fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder
+      with SupportsPushDownRequiredColumns {
+    private var required: StructType = schema()
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new Scan with V1Scan {
+      override def readSchema(): StructType = required
+      override def description(): String =
+        s"GraftChangesScan root=$root span=v$vFrom..v$vTo key=$key"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val req = required
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = req
+          override def buildScan(): RDD[Row] = {
+            import org.apache.spark.sql.functions.col
+            SnapshotTable.readChanges(context.sparkSession, root,
+              vFrom, vTo, key)
+              .select(req.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }
+        }.asInstanceOf[T]
+      }
+    }
   }
 }
 
@@ -366,10 +428,37 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft tables are created by their first SnapshotTable commit")
 
+  /** `ALTER TABLE` SQL over the column-mapping metadata commits: ADD /
+    * RENAME / DROP COLUMN each land as one metadata-only version (zero
+    * files rewritten; see [[SnapshotTable.renameColumn]] et al.).
+    * Nested-field changes and type changes are not supported. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE flows through the SnapshotTable library API")
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (SnapshotTable.latestVersion(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft supports top-level column renames only")
+        SnapshotTable.renameColumn(spark, root, r.fieldNames()(0),
+          r.newName()); ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft supports top-level column drops only")
+        SnapshotTable.dropColumn(spark, root, d.fieldNames()(0)); ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft supports top-level column adds only")
+        require(a.isNullable,
+          "added columns are nullable (existing rows serve NULL)")
+        SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
+          a.dataType()); ()
+      case c => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for graft tables: $c")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -749,7 +749,20 @@ object SnapshotTable {
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
     val stagePath = new Path(stage)
     try {
-      writeText(fs, new Path(s"$stage/$parentFile"), v.toString)
+      // chain-length discipline matches data commits: a metadata
+      // commit under the checkpoint interval writes only the pointer;
+      // at the interval it writes a full checkpoint (files sidecar +
+      // merged manifest) so a long run of renames can never grow an
+      // unbounded chain walk
+      if (chainDepth(fs, root, v) + 1 < checkpointInterval(s))
+        writeText(fs, new Path(s"$stage/$parentFile"), v.toString)
+      else {
+        writeText(fs, new Path(s"$stage/$filesSidecar"),
+          dataFiles(s, root, v).mkString("\n"))
+        if (hasStatsManifest(fs, root, v))
+          manifestDf(s, root, v).coalesce(1).write
+            .mode("overwrite").parquet(s"$stage/$manifestDir")
+      }
       writeText(fs, new Path(s"$stage/$schemaFile"), schema2.toDDL)
       // written UNCONDITIONALLY (even when trivial): an absent file
       // means "inherit the parent's mapping", and this commit's whole
@@ -792,6 +805,29 @@ object SnapshotTable {
       (StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
         cm.copy(map = cm.map - from + (to -> phys)))
+    }
+
+  /** ADD COLUMN as a METADATA-ONLY commit (round 18 — the explicit
+    * DDL form; evolution-through-append already adds columns
+    * implicitly when a delta carries them): the recorded schema grows
+    * a nullable field, zero files move, every existing row serves NULL
+    * for it. The physical name is assigned at this birth — fresh when
+    * the identity name is live or RETIRED (a re-added dropped column
+    * must never read the old files' stale bytes). */
+  def addColumn(s: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType, retain: Int = 2,
+      expectedBase: Long = AnyBase): Long =
+    schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
+      require(!schema.fieldNames.contains(name),
+        s"add: column '$name' already exists")
+      val taken = schema.fieldNames.map(cm.physical).toSet ++
+        cm.retired ++ cm.map.values
+      val cm2 =
+        if (!taken.contains(name)) cm
+        else cm.copy(map = cm.map + (name -> Iterator.from(2)
+          .map(i => s"${name}__v$i").find(!taken.contains(_)).get))
+      (StructType(schema.fields :+
+        StructField(name, dataType, nullable = true)), cm2)
     }
 
   /** DROP COLUMN (round 18): metadata-only — the column disappears

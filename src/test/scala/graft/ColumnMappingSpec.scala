@@ -150,6 +150,43 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("a long run of metadata-only schema commits CHECKPOINTS at the " +
+      "manifest interval — chain walks stay bounded and reads/pruning " +
+      "survive") {
+    withRoot { root =>
+      try {
+        spark.conf.set("spark.graft.manifestCheckpointInterval", "3")
+        SnapshotTable.commitWithStats(spark, root, "k", retain = 12)(_ =>
+          img((1L to 100L).map(k => (k, s"v$k")): _*)
+            .repartitionByRange(4, col("k")))
+        (1 to 7).foreach { i =>
+          val (from, to) = if (i % 2 == 1) ("k", "kk") else ("kk", "k")
+          SnapshotTable.renameColumn(spark, root, from, to, retain = 12)
+        }
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val vs = SnapshotTable.committedVersions(spark, root)
+        // at least one RENAME version wrote a full checkpoint (its own
+        // _files sidecar) — without the bound, all 7 would chain
+        val renameCheckpoints = vs.tail.count(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/v=$v/_files")))
+        assert(renameCheckpoints >= 2,
+          s"expected interval checkpoints among the renames, got " +
+            s"$renameCheckpoints")
+        val cur = SnapshotTable.read(spark, root).get
+        assert(cur.columns.toSeq === Seq("kk", "v"))
+        assert(cur.count() === 100)
+        val pruned = SnapshotTable.readPruned(spark, root,
+          lit(5L), lit(20L))
+        assert(pruned.filesRead < pruned.filesTotal,
+          "pruning must survive a checkpointed rename chain")
+        assert(pruned.df.where(col("kk").between(5L, 20L)).count()
+          === 16)
+      } finally
+        spark.conf.set("spark.graft.manifestCheckpointInterval", "8")
+    }
+  }
+
   test("rename composes with deletion vectors and the changelog: a " +
       "DV'd table renamed keeps serving the merged image, and " +
       "commitMergeDV on the new name matches the existing vectors") {

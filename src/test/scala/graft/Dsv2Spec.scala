@@ -150,6 +150,43 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("change-feed option: .option(\"changesFrom\"/\"changesTo\"/" +
+      "\"changeKey\") serves exactly the library readChanges diff " +
+      "through the front door, with column pruning") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 6)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(2, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitMergeDV(spark, root,
+        img(2L -> "B2", 9L -> "new9"), "k", retain = 6)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val door = spark.read.format("graft")
+        .option("changesFrom", v1.toString)
+        .option("changesTo", v2.toString)
+        .option("changeKey", "k").load(root)
+        .select("_change_type", "k", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+      val lib = SnapshotTable.readChanges(spark, root, v1, v2, "k")
+        .select("_change_type", "k", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+      assert(door === lib)
+      assert(door === Set(("update_preimage", 2L, "v2"),
+        ("update_postimage", 2L, "B2"), ("insert", 9L, "new9")))
+      // changesTo defaults to latest; pruned projection serves
+      assert(spark.read.format("graft")
+        .option("changesFrom", v1.toString).option("changeKey", "k")
+        .load(root).select("_change_type").count() === 3)
+      // missing changeKey fails loudly
+      intercept[IllegalArgumentException] {
+        spark.read.format("graft")
+          .option("changesFrom", v1.toString).load(root)
+      }
+    }
+  }
+
   test("SQL catalog: SELECT with VERSION AS OF / TIMESTAMP AS OF, " +
       "INSERT INTO appends through commitAppend, and listTables sees " +
       "committed tables") {
@@ -197,6 +234,37 @@ class Dsv2Spec extends AnyFunSuite {
 
       assert(spark.sql("SHOW TABLES IN graft_t").collect()
         .map(_.getString(1)).contains("events_t"))
+    }
+  }
+
+  test("ALTER TABLE SQL: ADD / RENAME / DROP COLUMN land as " +
+      "metadata-only column-mapping commits through the catalog") {
+    withRoot { wh =>
+      spark.conf.set("spark.sql.catalog.graft_a",
+        "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_a.warehouse", wh)
+      val root = s"$wh/t_alter"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 5L).map(k => (k, s"v$k")): _*))
+      def segCount: Int = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("seg-"))
+      }
+      val segsBefore = segCount
+      spark.sql("ALTER TABLE graft_a.t_alter RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE graft_a.t_alter ADD COLUMN score DOUBLE")
+      assert(spark.sql(
+        "SELECT label, score FROM graft_a.t_alter WHERE k = 3")
+        .collect().map(r => (r.getString(0), r.isNullAt(1))).toSeq
+        === Seq(("v3", true)))
+      spark.sql("ALTER TABLE graft_a.t_alter DROP COLUMN score")
+      assert(!spark.table("graft_a.t_alter").columns.contains("score"))
+      assert(spark.table("graft_a.t_alter").columns.toSeq
+        === Seq("k", "label"))
+      assert(segCount === segsBefore,
+        "DDL must be metadata-only — zero data segments written")
     }
   }
 }
