@@ -53,8 +53,60 @@ import graft.streaming.SnapshotTable
   * filter as residual) — manifest pruning is conservative by design,
   * so correctness never depends on it. */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  // ---- streaming doors (see GraftStreaming for semantics) ----------
+
+  private def streamSchema(params: Map[String, String]): StructType = {
+    val s = SparkSession.active
+    val root = params.getOrElse("path", throw new IllegalArgumentException(
+      "readStream.format(\"graft\") needs a table root: .load(<root>)"))
+    GraftStreaming.changeSchema(SnapshotTable.schemaOfVersion(s, root,
+      SnapshotTable.resolveSnapshot(s, root, None, None)))
+  }
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamSchema(parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "readStream.format(\"graft\") needs a table root"))
+    val key = parameters.getOrElse("changekey",
+      parameters.getOrElse("changeKey",
+        throw new IllegalArgumentException(
+          "graft streaming source needs .option(\"changeKey\", <col>)")))
+    new GraftStreamSource(ctx, root, key,
+      parameters.get("startingversion")
+        .orElse(parameters.get("startingVersion")).map(_.trim.toLong))
+  }
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "writeStream.format(\"graft\") needs a table root"))
+    val key = parameters.getOrElse("mergekey",
+      parameters.getOrElse("mergeKey",
+        throw new IllegalArgumentException(
+          "graft streaming sink needs .option(\"mergeKey\", <col>)")))
+    val mode = parameters.getOrElse("mode", "mor").toLowerCase
+    require(mode == "mor" || mode == "cow",
+      s"graft sink mode must be mor|cow, got $mode")
+    new GraftStreamSink(root, key,
+      parameters.getOrElse("appid",
+        parameters.getOrElse("appId", s"graft-sink:$root")),
+      parameters.getOrElse("retain", "2").toInt, mode == "mor")
+  }
 
   /** `df.write.format("graft").mode(m).save(root)` — the
     * DataFrameWriter path routes V1-style even for TableProvider

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SnapshotTable
+
+/** The STREAMING front door (round 18): `readStream.format("graft")`
+  * tails the lake table's committed versions as a changelog;
+  * `writeStream.format("graft")` merges micro-batches exactly-once via
+  * the txn replay guard — both through the standard Spark surface. */
+class StreamingDoorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withRoot(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("sdoor_spec")
+      .toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  private def img(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  test("readStream.format(\"graft\") tails the table: initial snapshot " +
+      "as inserts, then exactly each commit's row-level changes — " +
+      "matching the library readChanges") {
+    withRoot { root =>
+      val ckpt = root + "_ckpt"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "v1", 2L -> "v2"))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      SnapshotTable.commitMergeDV(spark, root,
+        img(2L -> "B2", 3L -> "v3"), "k", retain = 8)((_, b) => b)
+
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long, String)]()
+      def drain(): Set[(String, Long, String)] = {
+        val out = scala.collection.mutable.Set.empty[
+          (String, Long, String)]
+        var x = buf.poll()
+        while (x != null) { out += x; x = buf.poll() }
+        out.toSet
+      }
+      def runTail(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("changeKey", "k")
+          .option("startingVersion", v1.toString).load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.select("_change_type", "k", "v").collect().foreach(r =>
+                buf.add((r.getString(0), r.getLong(1), r.getString(2))))
+              ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runTail()
+      assert(drain() === Set(
+        ("insert", 1L, "v1"), ("insert", 2L, "v2"),
+        ("update_preimage", 2L, "v2"), ("update_postimage", 2L, "B2"),
+        ("insert", 3L, "v3")))
+
+      // RESTART from the checkpoint after another commit: only the new
+      // span's changes arrive (no snapshot replay)
+      SnapshotTable.commitMergeDV(spark, root, img(1L -> "C1"), "k",
+        retain = 8)((_, b) => b)
+      runTail()
+      assert(drain() === Set(
+        ("update_preimage", 1L, "v1"), ("update_postimage", 1L, "C1")))
+    }
+  }
+
+  test("writeStream.format(\"graft\") merges micro-batches into the " +
+      "lake table exactly-once: keyed replace, DV merge commits, and " +
+      "a replayed batch id is skipped") {
+    withRoot { root =>
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val ckpt = root + "_ckpt"
+      // seed so the sink's merges have a base with stats
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "seed1", 2L -> "seed2"))
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("k", "v")
+        .writeStream.format("graft")
+        .option("mergeKey", "k").option("appId", "door-test")
+        .option("retain", "8")
+        .option("checkpointLocation", ckpt).start(root)
+      try {
+        input.addData((2L, "b0"), (10L, "b0x"))
+        q.processAllAvailable()
+        input.addData((10L, "b1"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.count() === 3)
+      assert(cur.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "seed1"), (2L, "b0"), (10L, "b1")))
+      // merge-on-read: the sink's commits carried the base files (no
+      // rewrite) — v1's files are a subset of the latest's
+      val vs = SnapshotTable.committedVersions(spark, root)
+      assert(SnapshotTable.dataFiles(spark, root, vs.head).toSet
+        .subsetOf(SnapshotTable.dataFiles(spark, root, vs.last).toSet),
+        "sink must merge-on-read by default")
+      // REPLAY: re-delivering an absorbed batch id must be a no-op
+      val vBefore = SnapshotTable.latestVersion(spark, root).get
+      new graft.dsv2.GraftStreamSink(root, "k", "door-test",
+        retain = 8, mor = true)
+        .addBatch(0L, img(2L -> "ZOMBIE"))
+      assert(SnapshotTable.latestVersion(spark, root).get === vBefore,
+        "replayed batch must not commit")
+      assert(SnapshotTable.read(spark, root).get
+        .where(col("k") === 2L).first().getString(1) === "b0")
+    }
+  }
+}
