@@ -100,7 +100,8 @@ object Bench {
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,
     "table_schema_evolution" -> 0.91,
-    "table_stats_pruning" -> 1.39, "table_time_travel" -> 1.67,
+    "table_stats_pruning" -> 1.39, "table_stream_door" -> 4.0,
+    "table_time_travel" -> 1.67,
     "table_zorder_skipping" -> 2.1, "udf_scalar" -> 0.33,
     "udtf_generator" -> 0.4, "win_dist" -> 1.45,
     "win_first_last" -> 0.64, "win_gapfill" -> 0.86,

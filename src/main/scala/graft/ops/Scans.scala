@@ -873,6 +873,45 @@ object Scans {
         .orderBy("version")
     }),
 
+    // THE STREAMING DOOR END-TO-END (round 18; the standard-surface
+    // companion to table_cdf_stream's library stepper): a REAL
+    // `spark.readStream.format("graft")` query tails the shared cdf
+    // chain — bootstrap image as inserts, then each span's row-level
+    // changes — into per-batch-id parquet (foreachBatch overwrite:
+    // idempotent under at-least-once redelivery), and the emitted
+    // changelog FOLDS to the chain's final image via the retract
+    // algebra (inserts+postimages ∖ preimages+deletes). The fold is
+    // BATCHING-INSENSITIVE: however the offsets split across batches
+    // (one drain, restarts mid-chain, per-version steps),
+    // intermediate pre/post pairs cancel and the same image remains —
+    // which is why a checkpointed streaming consumer at 100 TB can
+    // crash/resume anywhere without the downstream fold noticing. The
+    // oracle recomputes the image aggregate directly from events;
+    // StreamingDoorSpec pins restart-mid-chain and sink replay.
+    "table_stream_door" -> ((s, d) => {
+      val root = cdfChainRoot(s, d)
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val base = Artifacts.scratch(s, s"stream_door_${tag}_$snap")
+      val q = s.readStream.format("graft")
+        .option("changeKey", "user_id").load(root)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$base/batches/b$id"); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val all = s.read.parquet(s"$base/batches/b*")
+      val pos = all.where(col("_change_type")
+        .isin("insert", "update_postimage")).drop("_change_type")
+      val neg = all.where(col("_change_type")
+        .isin("delete", "update_preimage")).drop("_change_type")
+      pos.exceptAll(neg)
+        .agg(count(lit(1)).as("n_users"),
+          sum(round(col("value"), 2).cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+        .withColumn("streamed", lit(true))
+    }),
+
     "table_bloom_skipping" -> ((s, d) => {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
@@ -1661,6 +1700,26 @@ object Scans {
         | CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_value
         |FROM img WHERE rn = 1 GROUP BY v ORDER BY version""".stripMargin,
+    // the streaming DOOR's folded changelog lands on the chain's final
+    // image: per-user latest over even events plus odd events for the
+    // bottom half of users (the v=3 arm of the cdf oracle)
+    "table_stream_door" ->
+      """WITH cap AS (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |    AS c FROM events),
+        |src AS (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value
+        |  FROM events e, cap
+        |  WHERE e.event_id % 2 = 0
+        |     OR (e.event_id % 2 = 1 AND e.user_id <= 2 * cap.c)),
+        |img AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM src)
+        |SELECT count(*) AS n_users,
+        | CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_value, TRUE AS streamed
+        |FROM img WHERE rn = 1""".stripMargin,
     // the streamed (version-tailing) consumer must land on the SAME
     // board the batch fold produces — identical oracle by design
     "table_cdf_stream" ->
