@@ -105,7 +105,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new GraftStreamSink(root, key,
       parameters.getOrElse("appid",
         parameters.getOrElse("appId", s"graft-sink:$root")),
-      parameters.getOrElse("retain", "2").toInt, mode == "mor")
+      parameters.get("retain").map(_.toInt)
+        .getOrElse(GraftTable.retain(ctx.sparkSession)),
+      mode == "mor")
   }
 
   /** `df.write.format("graft").mode(m).save(root)` — the
@@ -125,14 +127,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     import org.apache.spark.sql.SaveMode._
     val exists = SnapshotTable.latestVersion(s, root).nonEmpty
     mode match {
-      case Append => SnapshotTable.commitAppend(s, root, data); ()
-      case Overwrite => SnapshotTable.commit(s, root)(_ => data); ()
+      case Append => SnapshotTable.commitAppend(s, root, data,
+        retain = GraftTable.retain(s)); ()
+      case Overwrite =>
+        SnapshotTable.commit(s, root,
+          retain = GraftTable.retain(s))(_ => data); ()
       case ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at $root (mode ErrorIfExists)")
-        SnapshotTable.commit(s, root)(_ => data); ()
+        SnapshotTable.commit(s, root,
+          retain = GraftTable.retain(s))(_ => data); ()
       case Ignore =>
-        if (!exists) { SnapshotTable.commit(s, root)(_ => data); () }
+        if (!exists) {
+          SnapshotTable.commit(s, root,
+            retain = GraftTable.retain(s))(_ => data); ()
+        }
     }
     val v = SnapshotTable.latestVersion(s, root).get
     new GraftV1Relation(ctx, root, v,
@@ -160,6 +169,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 }
 
 object GraftTable {
+  /** Version-retention horizon for FRONT-DOOR writes (INSERT INTO,
+    * df-writer saves, SQL DELETE, ALTER TABLE, the streaming sink):
+    * the doors have no per-call `retain` parameter like the library
+    * API, so they honor the session conf `spark.graft.retain`
+    * (default 2, the library default). Set it to the table's write
+    * horizon — a front-door write must never vacuum history a
+    * longer-horizon library writer is preserving (the same lesson
+    * compact() learned in round 15). */
+  private[dsv2] def retain(s: SparkSession): Int =
+    s.conf.get("spark.graft.retain", "2").toInt
+
   /** Resolve the pinned snapshot ONCE per load — the DSv2 analog of
     * the library's resolve-once read. A `changesFrom` option routes to
     * the CHANGE-FEED table instead (Delta `readChangeFeed` analog):
@@ -240,10 +260,65 @@ class GraftChangesTable(root: String, vFrom: Long, vTo: Long,
   }
 }
 
-/** One pinned snapshot of a graft table, as a DSv2 [[Table]]. */
+/** One pinned snapshot of a graft table, as a DSv2 [[Table]].
+  * `SupportsDelete` serves SQL `DELETE FROM … WHERE key = v` /
+  * `key IN (…)` as a MERGE-ON-READ commit: the matching rows hide
+  * behind deletion-vector tombstones, zero data files rewritten — the
+  * O(batch) point-delete shape a GDPR erasure pipeline needs at
+  * 100 TB. Only single-column equality/IN predicates are deletable
+  * this way (`canDeleteWhere` says no to anything else, and Spark
+  * falls back with a clear error); compaction folds the tombstones
+  * physically later, like every DV. */
 class GraftTable(val root: String, val snapshotVersion: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def spark = SparkSession.active
+
+  /** (column, values) when the conjunction is deletable point-wise:
+    * equality / IN / null-safe equality on ONE column. */
+  private def pointDelete(filters: Array[Filter])
+      : Option[(String, Seq[Any])] = {
+    val perFilter = filters.toSeq.map {
+      case EqualTo(c, v) if v != null => Some((c, Seq(v)))
+      case EqualNullSafe(c, v) if v != null => Some((c, Seq(v)))
+      case In(c, vs) if vs != null && vs.nonEmpty && !vs.contains(null)
+        => Some((c, vs.toSeq))
+      case _ => None
+    }
+    if (perFilter.isEmpty || perFilter.exists(_.isEmpty)) None
+    else {
+      val cols = perFilter.flatten.map(_._1).distinct
+      if (cols.size != 1) None
+      // a conjunction of IN/= on the same column intersects
+      else Some((cols.head,
+        perFilter.flatten.map(_._2.toSet).reduce(_ intersect _).toSeq))
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pointDelete(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (c, vals) = pointDelete(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "graft DELETE supports single-column equality/IN predicates " +
+          s"(got ${filters.mkString(", ")}); rewrite via the library " +
+          "commit() for arbitrary predicates"))
+    val s = spark
+    val schema = SnapshotTable.schemaOfVersion(s, root,
+      SnapshotTable.resolveSnapshot(s, root, None, None))
+    require(schema.fieldNames.contains(c),
+      s"DELETE column '$c' not in table schema")
+    import scala.jdk.CollectionConverters._
+    val keys = s.createDataFrame(
+      vals.map(v => org.apache.spark.sql.Row(v)).asJava,
+      StructType(Seq(schema(c))))
+    // resolve emits NOTHING for the matched keys: their rows tombstone
+    // away behind the DV; unmatched values never touch a file
+    SnapshotTable.commitMergeDV(s, root, keys, c,
+      retain = GraftTable.retain(s))((_, b) => b.limit(0))
+    ()
+  }
 
   override def name(): String = s"graft.`$root` @ v=$snapshotVersion"
 
@@ -271,7 +346,8 @@ class GraftTable(val root: String, val snapshotVersion: Long)
               require(!overwrite,
                 "graft DSv2 supports append writes; use the library " +
                   "commit() for full-image rewrites")
-              SnapshotTable.commitAppend(data.sparkSession, root, data)
+              SnapshotTable.commitAppend(data.sparkSession, root,
+                data, retain = GraftTable.retain(data.sparkSession))
               ()
             }
           }
@@ -494,18 +570,19 @@ class GraftCatalog extends TableCatalog {
         require(r.fieldNames.length == 1,
           "graft supports top-level column renames only")
         SnapshotTable.renameColumn(spark, root, r.fieldNames()(0),
-          r.newName()); ()
+          r.newName(), retain = GraftTable.retain(spark)); ()
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft supports top-level column drops only")
-        SnapshotTable.dropColumn(spark, root, d.fieldNames()(0)); ()
+        SnapshotTable.dropColumn(spark, root, d.fieldNames()(0),
+          retain = GraftTable.retain(spark)); ()
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft supports top-level column adds only")
         require(a.isNullable,
           "added columns are nullable (existing rows serve NULL)")
         SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
-          a.dataType()); ()
+          a.dataType(), retain = GraftTable.retain(spark)); ()
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft tables: $c")
     }

@@ -237,6 +237,53 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM SQL: point deletes land as merge-on-read DV " +
+      "commits — zero files rewritten, rows tombstoned, time travel " +
+      "intact; non-point predicates are rejected up front") {
+    withRoot { wh =>
+      spark.conf.set("spark.sql.catalog.graft_d",
+        "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_d.warehouse", wh)
+      // front-door writes honor the session horizon — the test needs
+      // the pre-delete versions retained for the time-travel check
+      spark.conf.set("spark.graft.retain", "8")
+      val root = s"$wh/t_del"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 8L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val filesBefore = SnapshotTable.dataFiles(spark, root, v1).toSet
+
+      spark.sql("DELETE FROM graft_d.t_del WHERE k = 3")
+      spark.sql("DELETE FROM graft_d.t_del WHERE k IN (5, 6, 99)")
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // merge-on-read: every original file carried by reference
+      assert(filesBefore.subsetOf(
+        SnapshotTable.dataFiles(spark, root, v2).toSet),
+        "DELETE must not rewrite data files")
+      assert(spark.sql("SELECT k FROM graft_d.t_del ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 7L, 8L))
+      // time travel still serves the pre-delete image
+      assert(SnapshotTable.readVersion(spark, root, v1).count() === 8)
+      // arbitrary predicates are not silently mis-deleted
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft_d.t_del WHERE v LIKE 'v%'")
+      }
+      assert(e.getMessage.contains("DELETE") ||
+        e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      // compaction folds the tombstones physically
+      SnapshotTable.compact(spark, root, targetFiles = 2, retain = 8)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vC = SnapshotTable.latestVersion(spark, root).get
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v=$vC/_dv")))
+      assert(spark.sql("SELECT count(*) FROM graft_d.t_del")
+        .first().getLong(0) === 5)
+      spark.conf.set("spark.graft.retain", "2")
+    }
+  }
+
   test("ALTER TABLE SQL: ADD / RENAME / DROP COLUMN land as " +
       "metadata-only column-mapping commits through the catalog") {
     withRoot { wh =>
