@@ -298,6 +298,21 @@ class GraftTable(val root: String, val snapshotVersion: Long)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pointDelete(filters).isDefined
 
+  /** SQL `TRUNCATE TABLE`: one empty-image commit — history stays
+    * time-travelable behind the new head until retention passes (a
+    * truncate is an UNDOABLE incident-response action here, unlike a
+    * filesystem wipe; [[SnapshotTable.restore]] brings the data
+    * back). */
+  override def truncateTable(): Boolean = {
+    val s = spark
+    val schema = SnapshotTable.schemaOfVersion(s, root,
+      SnapshotTable.resolveSnapshot(s, root, None, None))
+    SnapshotTable.commit(s, root, retain = GraftTable.retain(s))(cur =>
+      cur.map(_.limit(0)).getOrElse(
+        s.createDataFrame(new java.util.ArrayList[Row](), schema)))
+    true
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (c, vals) = pointDelete(filters).getOrElse(
       throw new UnsupportedOperationException(

@@ -280,6 +280,14 @@ class Dsv2Spec extends AnyFunSuite {
         s"$root/v=$vC/_dv")))
       assert(spark.sql("SELECT count(*) FROM graft_d.t_del")
         .first().getLong(0) === 5)
+      // TRUNCATE = one empty-image commit; restore undoes it
+      val vPre = SnapshotTable.latestVersion(spark, root).get
+      spark.sql("TRUNCATE TABLE graft_d.t_del")
+      assert(spark.sql("SELECT count(*) FROM graft_d.t_del")
+        .first().getLong(0) === 0)
+      SnapshotTable.restore(spark, root, vPre, retain = 8)
+      assert(spark.sql("SELECT count(*) FROM graft_d.t_del")
+        .first().getLong(0) === 5)
       spark.conf.set("spark.graft.retain", "2")
     }
   }
