@@ -187,6 +187,34 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("rename composes with the DSv2 front door: format(\"graft\") " +
+      "serves the new logical names, pushed predicates on the renamed " +
+      "column still prune files, and SQL sees the renamed schema") {
+    withRoot { root =>
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 4)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      SnapshotTable.renameColumn(spark, root, "k", "key", retain = 4)
+      val door = spark.read.format("graft").load(root)
+      assert(door.columns.toSeq === Seq("key", "v"))
+      assert(door.where(col("key") === 42L).collect()
+        .map(_.getString(1)).toSeq === Seq("v42"))
+      // pushdown on the RENAMED logical name prunes via the stable
+      // physical manifest columns
+      val v = SnapshotTable.latestVersion(spark, root).get
+      val b = new graft.dsv2.GraftScanBuilder(root, v,
+        SnapshotTable.schemaOfVersion(spark, root, v))
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.LessThanOrEqual("key", 50L)))
+      val scan = b.build().asInstanceOf[graft.dsv2.GraftScan]
+      assert(scan.filesRead < scan.filesTotal,
+        s"pushdown must prune through the rename: ${scan.description()}")
+      assert(spark.read.format("graft").load(root)
+        .where(col("key") <= 50L).count() === 50)
+    }
+  }
+
   test("rename composes with deletion vectors and the changelog: a " +
       "DV'd table renamed keeps serving the merged image, and " +
       "commitMergeDV on the new name matches the existing vectors") {
