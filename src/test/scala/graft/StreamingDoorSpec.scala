@@ -75,6 +75,57 @@ class StreamingDoorSpec extends AnyFunSuite {
     }
   }
 
+  test("a RESTORE mid-stream reaches tailing consumers as the " +
+      "rollback's row-level diff — the un-apply of the bad commit") {
+    withRoot { root =>
+      val ckpt = root + "_ckpt"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "v1", 2L -> "v2"))
+      val vGood = SnapshotTable.latestVersion(spark, root).get
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long, String)]()
+      def runTail(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("changeKey", "k").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.select("_change_type", "k", "v").collect().foreach(r =>
+                buf.add((r.getString(0), r.getLong(1), r.getString(2))))
+              ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runTail(); buf.clear() // consume the bootstrap
+      // the BAD commit lands and is consumed downstream...
+      SnapshotTable.commitMergeDV(spark, root, img(2L -> "POISON"), "k",
+        retain = 8)((_, b) => b)
+      runTail()
+      val poisoned = {
+        val out = scala.collection.mutable.Set.empty[
+          (String, Long, String)]
+        var x = buf.poll()
+        while (x != null) { out += x; x = buf.poll() }
+        out.toSet
+      }
+      assert(poisoned === Set(("update_preimage", 2L, "v2"),
+        ("update_postimage", 2L, "POISON")))
+      // ...then the rollback: consumers see the EXACT un-apply, so a
+      // downstream retract-fold heals without re-bootstrapping
+      SnapshotTable.restore(spark, root, vGood, retain = 8)
+      runTail()
+      val healed = {
+        val out = scala.collection.mutable.Set.empty[
+          (String, Long, String)]
+        var x = buf.poll()
+        while (x != null) { out += x; x = buf.poll() }
+        out.toSet
+      }
+      assert(healed === Set(("update_preimage", 2L, "POISON"),
+        ("update_postimage", 2L, "v2")))
+    }
+  }
+
   test("writeStream.format(\"graft\") merges micro-batches into the " +
       "lake table exactly-once: keyed replace, DV merge commits, and " +
       "a replayed batch id is skipped") {
