@@ -83,9 +83,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters.getOrElse("changeKey",
         throw new IllegalArgumentException(
           "graft streaming source needs .option(\"changeKey\", <col>)")))
+    val maxV = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger"))
+      .map(_.trim.toLong)
+    maxV.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
     new GraftStreamSource(ctx, root, key,
       parameters.get("startingversion")
-        .orElse(parameters.get("startingVersion")).map(_.trim.toLong))
+        .orElse(parameters.get("startingVersion")).map(_.trim.toLong),
+      maxV, Some(metadataPath))
   }
 
   override def createSink(ctx: SQLContext,
@@ -106,7 +112,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters.getOrElse("appid",
         parameters.getOrElse("appId", s"graft-sink:$root")),
       parameters.get("retain").map(_.toInt)
-        .getOrElse(GraftTable.retain(ctx.sparkSession)),
+        .getOrElse(GraftTable.retain(ctx.sparkSession, root)),
       mode == "mor")
   }
 
@@ -128,19 +134,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val exists = SnapshotTable.latestVersion(s, root).nonEmpty
     mode match {
       case Append => SnapshotTable.commitAppend(s, root, data,
-        retain = GraftTable.retain(s)); ()
+        retain = GraftTable.retain(s, root)); ()
       case Overwrite =>
         SnapshotTable.commit(s, root,
-          retain = GraftTable.retain(s))(_ => data); ()
+          retain = GraftTable.retain(s, root))(_ => data); ()
       case ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at $root (mode ErrorIfExists)")
         SnapshotTable.commit(s, root,
-          retain = GraftTable.retain(s))(_ => data); ()
+          retain = GraftTable.retain(s, root))(_ => data); ()
       case Ignore =>
         if (!exists) {
           SnapshotTable.commit(s, root,
-            retain = GraftTable.retain(s))(_ => data); ()
+            retain = GraftTable.retain(s, root))(_ => data); ()
         }
     }
     val v = SnapshotTable.latestVersion(s, root).get
@@ -156,14 +162,37 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p.get
   }
 
+  /** Resolve-ONCE memo (round-19 advice): Spark calls `inferSchema`
+    * then `getTable` with the same options on the same provider
+    * instance; resolving twice opens a race where a commit landing
+    * between the calls yields a relation whose Catalyst schema came
+    * from one version while the scan pins another. The memo keys on
+    * the full option map, so a different load (other root / pin)
+    * never reuses a stale resolution. */
+  @volatile private var lastResolved: (Map[String, String], Table) = null
+
+  private def optKey(options: CaseInsensitiveStringMap)
+      : Map[String, String] =
+    options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
+
+  private def resolveOnce(options: CaseInsensitiveStringMap): Table = {
+    val key = optKey(options)
+    val memo = lastResolved
+    if (memo != null && memo._1 == key) memo._2
+    else {
+      val t = GraftTable.resolve(rootOf(options), options)
+      lastResolved = (key, t)
+      t
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.resolve(rootOf(options), options).schema()
+    resolveOnce(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    GraftTable.resolve(
-      rootOf(new CaseInsensitiveStringMap(properties)),
-      new CaseInsensitiveStringMap(properties))
+    resolveOnce(new CaseInsensitiveStringMap(properties))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -172,13 +201,31 @@ object GraftTable {
   /** Version-retention horizon for FRONT-DOOR writes (INSERT INTO,
     * df-writer saves, SQL DELETE, ALTER TABLE, the streaming sink):
     * the doors have no per-call `retain` parameter like the library
-    * API, so they honor the session conf `spark.graft.retain`
-    * (default 2, the library default). Set it to the table's write
-    * horizon — a front-door write must never vacuum history a
-    * longer-horizon library writer is preserving (the same lesson
+    * API, so they honor max(session conf `spark.graft.retain`
+    * (default 2), the TABLE's recorded horizon) — the horizon is the
+    * max retain any committer ever declared at this root, carried as
+    * a per-version sidecar ([[SnapshotTable.retentionHorizon]]), so
+    * one SQL INSERT from a default-conf session can never silently
+    * and irreversibly vacuum the time-travel history a retain=8
+    * library writer was preserving (round-19 advice; the same lesson
     * compact() learned in round 15). */
-  private[dsv2] def retain(s: SparkSession): Int =
-    s.conf.get("spark.graft.retain", "2").toInt
+  private[dsv2] def retain(s: SparkSession, root: String): Int =
+    math.max(s.conf.get("spark.graft.retain", "2").toInt,
+      SnapshotTable.retentionHorizon(s, root))
+
+  /** Parse a `timestampAsOf` option string to epoch millis in UTC
+    * (deterministic across driver timezones). Accepts `yyyy-MM-dd`,
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` (space or 'T'), and any ISO-8601
+    * instant/offset form. */
+  private[graft] def parseUtcMillis(t: String): Long = {
+    val iso = (if (t.length == 10) t + "T00:00:00" else t)
+      .replace(' ', 'T')
+    scala.util.Try(java.time.OffsetDateTime.parse(iso)
+        .toInstant.toEpochMilli)
+      .orElse(scala.util.Try(java.time.Instant.parse(iso).toEpochMilli))
+      .getOrElse(java.time.LocalDateTime.parse(iso)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+  }
 
   /** Resolve the pinned snapshot ONCE per load — the DSv2 analog of
     * the library's resolve-once read. A `changesFrom` option routes to
@@ -201,10 +248,13 @@ object GraftTable {
         val pinV = Option(options.get("versionAsOf")).map(_.trim.toLong)
         val pinTs = Option(options.get("timestampAsOf")).map { raw =>
           val t = raw.trim
-          // epoch millis, or any timestamp string Spark can cast
-          scala.util.Try(t.toLong).getOrElse(
-            java.sql.Timestamp.valueOf(
-              if (t.length == 10) t + " 00:00:00" else t).getTime)
+          // epoch millis, or a timestamp string interpreted in UTC —
+          // NEVER the driver's default zone (round-19 advice: commit
+          // timestamps are epoch millis, so `Timestamp.valueOf` made
+          // the same option string resolve DIFFERENT versions on
+          // differently-zoned drivers). An explicit zone/offset in
+          // the string is honored; a bare date/time is UTC.
+          scala.util.Try(t.toLong).getOrElse(parseUtcMillis(t))
         }
         new GraftTable(root, SnapshotTable.resolveSnapshot(s, root, pinV,
           pinTs))
@@ -307,7 +357,7 @@ class GraftTable(val root: String, val snapshotVersion: Long)
     val s = spark
     val schema = SnapshotTable.schemaOfVersion(s, root,
       SnapshotTable.resolveSnapshot(s, root, None, None))
-    SnapshotTable.commit(s, root, retain = GraftTable.retain(s))(cur =>
+    SnapshotTable.commit(s, root, retain = GraftTable.retain(s, root))(cur =>
       cur.map(_.limit(0)).getOrElse(
         s.createDataFrame(new java.util.ArrayList[Row](), schema)))
     true
@@ -331,7 +381,7 @@ class GraftTable(val root: String, val snapshotVersion: Long)
     // resolve emits NOTHING for the matched keys: their rows tombstone
     // away behind the DV; unmatched values never touch a file
     SnapshotTable.commitMergeDV(s, root, keys, c,
-      retain = GraftTable.retain(s))((_, b) => b.limit(0))
+      retain = GraftTable.retain(s, root))((_, b) => b.limit(0))
     ()
   }
 
@@ -362,7 +412,7 @@ class GraftTable(val root: String, val snapshotVersion: Long)
                 "graft DSv2 supports append writes; use the library " +
                   "commit() for full-image rewrites")
               SnapshotTable.commitAppend(data.sparkSession, root,
-                data, retain = GraftTable.retain(data.sparkSession))
+                data, retain = GraftTable.retain(data.sparkSession, root))
               ()
             }
           }
@@ -585,19 +635,19 @@ class GraftCatalog extends TableCatalog {
         require(r.fieldNames.length == 1,
           "graft supports top-level column renames only")
         SnapshotTable.renameColumn(spark, root, r.fieldNames()(0),
-          r.newName(), retain = GraftTable.retain(spark)); ()
+          r.newName(), retain = GraftTable.retain(spark, root)); ()
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft supports top-level column drops only")
         SnapshotTable.dropColumn(spark, root, d.fieldNames()(0),
-          retain = GraftTable.retain(spark)); ()
+          retain = GraftTable.retain(spark, root)); ()
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft supports top-level column adds only")
         require(a.isNullable,
           "added columns are nullable (existing rows serve NULL)")
         SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
-          a.dataType(), retain = GraftTable.retain(spark)); ()
+          a.dataType(), retain = GraftTable.retain(spark, root)); ()
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft tables: $c")
     }

@@ -62,10 +62,51 @@ private[dsv2] object GraftStreaming {
     m.invoke(session, rdd, df.schema,
       java.lang.Boolean.valueOf(isStreaming)).asInstanceOf[DataFrame]
   }
+
+  // ---- throttle position sidecar (under the source's checkpoint-
+  // scoped metadataPath; write-then-rename so a torn write reads as
+  // absent — the fallback is one unthrottled batch, never a
+  // regressed offset) ------------------------------------------------
+
+  private val positionFile = "graft-throttle-position"
+
+  def readPosition(conf: org.apache.hadoop.conf.Configuration,
+      metadataPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, positionFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val raw = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        raw.toLongOption
+      } finally in.close()
+    }
+  }
+
+  def writePosition(conf: org.apache.hadoop.conf.Configuration,
+      metadataPath: String, v: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$positionFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, positionFile)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+  }
 }
 
 class GraftStreamSource(ctx: SQLContext, root: String, key: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
   private def s = ctx.sparkSession
 
   // the bootstrap version is pinned at source creation (restarts
@@ -76,14 +117,65 @@ class GraftStreamSource(ctx: SQLContext, root: String, key: String,
       throw new IllegalStateException(
         s"no committed version at $root")))
 
+  // BACKLOG THROTTLE bookkeeping (round-19 verdict item 4): the
+  // furthest span end this source has handed the engine, persisted
+  // under the source's OWN checkpoint-scoped metadataPath so a
+  // RESTARTED source seeds from it. The invariant that makes the
+  // throttle safe: getOffset must NEVER offer an offset below the
+  // engine's committed position (a regressed offset would commit,
+  // move the engine's start backwards, and re-deliver an already-
+  // delivered span — duplicate retract rows corrupt the fold). Every
+  // committed batch had getBatch called first, which persists the
+  // position before returning — so the seeded value is always >= the
+  // committed offset, and a missing/unreadable seed falls back to
+  // one UNTHROTTLED batch (today's behavior), never to regression.
+  private def hadoopConf =
+    ctx.sparkSession.sparkContext.hadoopConfiguration
+
+  @volatile private var lastPlanned: Option[Long] =
+    for {
+      mp <- metadataPath if maxVersionsPerTrigger.isDefined
+      v <- GraftStreaming.readPosition(hadoopConf, mp)
+    } yield v
+
+  private def recordPlanned(endV: Long): Unit = {
+    val next = math.max(endV, lastPlanned.getOrElse(Long.MinValue))
+    if (!lastPlanned.contains(next)) {
+      lastPlanned = Some(next)
+      for (mp <- metadataPath if maxVersionsPerTrigger.isDefined)
+        GraftStreaming.writePosition(hadoopConf, mp, next)
+    }
+  }
+
   override def schema: StructType = GraftStreaming.changeSchema(
     SnapshotTable.schemaOfVersion(s, root,
       SnapshotTable.resolveSnapshot(s, root, None, None)))
 
+  /** Without a cap, the offered offset is the table head — a consumer
+    * restarting after long downtime then drains its ENTIRE version
+    * backlog as ONE micro-batch (readChanges over the whole span),
+    * arbitrarily large at 100 TB. `.option("maxVersionsPerTrigger",
+    * n)` caps each offered span at n versions past the last planned
+    * position (Delta's maxFilesPerTrigger analog); the changelog fold
+    * is batching-insensitive by contract, so the final image is
+    * identical however the spans split. */
   override def getOffset: Option[Offset] =
-    SnapshotTable.latestVersion(s, root).map(LongOffset(_))
+    SnapshotTable.latestVersion(s, root).map { latest =>
+      val capped = (maxVersionsPerTrigger, lastPlanned) match {
+        case (Some(n), Some(from)) => math.min(latest, from + n)
+        case (Some(n), None) =>
+          // fresh query (no persisted position): the first batch is
+          // the bootstrap image at startV plus the span to the
+          // offered end — cap the span past startV
+          math.min(latest, startV + n)
+        case _ => latest
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    recordPlanned(math.max(GraftStreaming.versionOf(end),
+      start.map(GraftStreaming.versionOf).getOrElse(Long.MinValue)))
     import org.apache.spark.sql.functions.{col, lit}
     val endV = GraftStreaming.versionOf(end)
     val df = start match {
@@ -97,9 +189,11 @@ class GraftStreamSource(ctx: SQLContext, root: String, key: String,
           SnapshotTable.readChanges(s, root, startV, endV, key))
       case Some(so) =>
         val sv = GraftStreaming.versionOf(so)
-        if (sv == endV)
-          SnapshotTable.readVersion(s, root, endV).limit(0)
-            .withColumn("_change_type", lit("insert"))
+        // >= (not ==): defensive — an offset regression must serve an
+        // EMPTY batch, never an inverted (duplicate-delivering) span
+        if (sv >= endV)
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         else SnapshotTable.readChanges(s, root, sv, endV, key)
     }
     GraftStreaming.replan(

@@ -893,6 +893,30 @@ object Scans {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
       val base = Artifacts.scratch(s, s"stream_door_${tag}_$snap")
+      // RE-RUN SAFETY (round-19 verdict item 3, the r18 bench-tail
+      // flake): the scratch persists across invocations, and the
+      // checkpoint + batches dirs are only meaningful as a PAIR — a
+      // fully-drained checkpoint with the batch output missing makes
+      // the re-run produce zero new batches and the glob below throw
+      // PATH_NOT_FOUND; the reverse (batches without checkpoint)
+      // would re-stream from scratch under a possibly different batch
+      // split and leave stale higher-numbered files polluting the
+      // fold. Either half missing → wipe both and re-stream clean.
+      // Both present → the stream RESUMES (drains nothing new when
+      // already complete) and the existing batches serve — warm
+      // re-invocation reads, never re-streams.
+      locally {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val ckpt = new org.apache.hadoop.fs.Path(s"$base/ckpt")
+        val batches = new org.apache.hadoop.fs.Path(s"$base/batches")
+        val haveCkpt = fs.exists(ckpt)
+        val haveBatches = fs.exists(batches) &&
+          fs.listStatus(batches).nonEmpty
+        if (haveCkpt != haveBatches) {
+          fs.delete(ckpt, true); fs.delete(batches, true); ()
+        }
+      }
       val q = s.readStream.format("graft")
         .option("changeKey", "user_id").load(root)
         .writeStream.option("checkpointLocation", s"$base/ckpt")

@@ -176,6 +176,29 @@ object SnapshotTable {
     * un-time-travelable, its exclusively-referenced segments
     * refcount-reclaimed) while its few KB of chain metadata stay until
     * no survivor's walk passes through them. */
+  /** TABLE-LEVEL retention HORIZON (round-19 advice): the maximum
+    * `retain` any committer has ever declared at this root, carried
+    * forward version-to-version as a per-version sidecar (atomic with
+    * the commit, like every stage artifact). The FRONT DOORS — which
+    * have no per-call `retain` parameter — honor
+    * max(sessionConf, horizon), so one SQL `INSERT INTO` from a
+    * session that never set `spark.graft.retain` can no longer
+    * silently vacuum an 8-version time-travel history a library
+    * writer was preserving down to the 2-version default. Library
+    * calls keep their explicit parameter: retention policy stays a
+    * deliberate per-caller decision there. */
+  private val retainFile = "_retain"
+
+  /** The recorded retention horizon of the table's latest version
+    * (0 when the table predates the sidecar or is empty). */
+  def retentionHorizon(s: SparkSession, root: String): Int = {
+    val fs = fsOf(s, root)
+    latestVersion(s, root).map { v =>
+      val p = new Path(s"$root/v=$v/$retainFile")
+      if (fs.exists(p)) readText(fs, p).trim.toInt else 0
+    }.getOrElse(0)
+  }
+
   private val parentFile = "_parent"
   private val filesNewSidecar = "_files_new"
   private val removedSidecar = "_removed"
@@ -508,13 +531,21 @@ object SnapshotTable {
     * case — compaction folds it before it grows). */
   private def readFilesVisible(s: SparkSession, root: String, v: Long,
       files: Seq[String], schema: StructType,
-      keepFileCol: Option[String] = None): DataFrame = {
+      keepFileCol: Option[String] = None,
+      cmOverride: Option[ColMap] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     // files store PHYSICAL column names (stable across renames); the
     // read happens under the physical shape — including the DV
     // anti-join, whose recorded key is physical — and the output
-    // projection aliases physical → logical in one select
-    val cm = colmapOf(fsOf(s, root), root, v)
+    // projection aliases physical → logical in one select.
+    // `cmOverride`: readChanges reads vFrom-side pre-images under
+    // vTo's SCHEMA, so the logical→physical resolution must also be
+    // vTo's — vFrom's map predates any in-span rename and would
+    // identity-fall-back to a physical name the files never carried,
+    // silently serving NULL pre-images (round-19 advice). Physical
+    // names are stable across renames, so the newer map resolves
+    // older files correctly by construction.
+    val cm = cmOverride.getOrElse(colmapOf(fsOf(s, root), root, v))
     val pSchema = physSchema(schema, cm)
     val logicalOut = schema.fieldNames.toSeq.map(c =>
       col(cm.physical(c)).as(c))
@@ -952,12 +983,18 @@ object SnapshotTable {
       s"change key '$key' not in v=$vTo schema")
     val from = dataFiles(s, root, vFrom).toSet
     val to = dataFiles(s, root, vTo).toSet
+    // BOTH endpoints resolve logical→physical with vTo's colmap:
+    // physical names are rename-stable, so the newer map reads the
+    // older files exactly, while vFrom's map would null a column
+    // renamed inside the span (round-19 advice)
+    val cmTo = colmapOf(fsOf(s, root), root, vTo)
     def readSetAt(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty) emptyFrame(s, schema)
       // each side VISIBLE under its own version's deletion vectors —
       // a DV'd row of a dropped file was already logically deleted
       // before the span and must not resurface as a pre-image
-      else readFilesVisible(s, root, v, files.toSeq.sorted, schema)
+      else readFilesVisible(s, root, v, files.toSeq.sorted, schema,
+        cmOverride = Some(cmTo))
     // merge-on-read transitions change row VISIBILITY in carried files
     // via DV entries instead of rewriting, in BOTH directions: a
     // forward merge ADDS entries (rows newly hidden — extra
@@ -994,7 +1031,7 @@ object SnapshotTable {
         if (deltaFiles.isEmpty) emptyFrame(s, schema)
         else {
           // physical read (dvKey is recorded physical), logical out
-          val cm = colmapOf(fsOf(s, root), root, vTo)
+          val cm = cmTo
           s.read.schema(physSchema(schema, cm))
             .parquet(deltaFiles.sorted.map(f => s"$root/$f"): _*)
             .withColumn("_graft_rf", relFile)
@@ -1466,10 +1503,27 @@ object SnapshotTable {
     * otherwise the error is real and propagates untouched. */
   private def conflictOrRethrow(s: SparkSession, root: String,
       base: Option[Long], e: Throwable): Nothing = {
+    // only I/O-SHAPED failures are eligible for reclassification: a
+    // genuine defect (bad data, a resolver bug, an executor OOM) that
+    // merely COINCIDES with an unrelated concurrent commit must
+    // propagate as itself, not get retried to the loop bound and
+    // resurface typed as a conflict (round-19 advice). The vacuumed-
+    // base race always surfaces as FileNotFound / FAILED_READ_FILE
+    // somewhere in the cause chain — that is the signature we match.
+    def ioShaped(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+        .exists { c =>
+          c.isInstanceOf[java.io.FileNotFoundException] || {
+            val m = Option(c.getMessage).getOrElse("")
+            m.contains("FAILED_READ_FILE") ||
+              m.contains("PATH_NOT_FOUND") ||
+              m.contains("FileNotFound")
+          }
+        }
     val nowLatest =
       try versionsOf(s, root).lastOption
       catch { case _: Throwable => base } // listing failed — keep e
-    if (!e.isInstanceOf[SnapshotConflictException] &&
+    if (!e.isInstanceOf[SnapshotConflictException] && ioShaped(e) &&
         nowLatest != base) {
       val c = new SnapshotConflictException(
         s"snapshot commit conflict at $root: base " +
@@ -1999,8 +2053,19 @@ object SnapshotTable {
     val next = finalizePublish(s, root, stagePath, base, casBase, retain,
       Some(segPath))
     // post-commit policy hook (no-op unless the session opted in; a
-    // maintenance commit cannot re-trigger itself)
-    autoMaintain(s, root, retain)
+    // maintenance commit cannot re-trigger itself). The commit above
+    // is ALREADY PUBLISHED — a maintenance failure here (a lost
+    // compaction race is routine under concurrent writers) must never
+    // surface as a failed commit: a plain-retry caller would re-apply
+    // and double-commit the batch (round-19 advice). Swallow and warn;
+    // the next data commit re-triggers the policy anyway.
+    try autoMaintain(s, root, retain)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"graft: post-commit auto-maintenance at " +
+        s"$root failed after v=$next published (commit unaffected; " +
+        s"next commit retries): ${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}")
+    }
     next
   }
 
@@ -2088,6 +2153,17 @@ object SnapshotTable {
     // never read it as an aged unreferenced corpse in the window
     // before the manifest referencing it lands
     segPath.foreach(p => graft.ops.FsAtomic.touch(fs, p))
+    // retention horizon: monotone max of every committer's declared
+    // retain, carried version-to-version so the front doors (which
+    // have no per-call retain) can honor the longest-horizon writer
+    // (round-19 advice). Written here so EVERY commit shape — data,
+    // metadata-only, restore — carries it.
+    val horizon = math.max(retain,
+      base.map { v =>
+        val p = new Path(s"$root/v=$v/$retainFile")
+        if (fs.exists(p)) readText(fs, p).trim.toInt else 0
+      }.getOrElse(0))
+    writeText(fs, new Path(s"$stage/$retainFile"), horizon.toString)
     // commit wall time, stamped as late as possible (atomic with the
     // version — the stage is still private until the rename)
     writeText(fs, new Path(s"$stage/$commitTsFile"),

@@ -250,4 +250,37 @@ class ColumnMappingSpec extends AnyFunSuite {
         ("update_postimage", 3L, "B3")))
     }
   }
+
+  test("readChanges across a rename + COW-merge span resolves " +
+      "pre-image files with the NEWER colmap: the renamed column's " +
+      "pre-values come from the stable physical bytes, never NULL " +
+      "(round-19 advice)") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 8L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      // rename the VALUE column, then a COPY-ON-WRITE merge: the
+      // touched file is dropped from vTo, so its rows flow through the
+      // pre-image file read (readSetAt), the path that used to resolve
+      // with vFrom's colmap — where "label" does not exist and
+      // identity-falls-back to a physical name the old files never
+      // carried, nulling every pre-value and breaking the cohabitant
+      // cancellation
+      SnapshotTable.renameColumn(spark, root, "v", "label", retain = 8)
+      SnapshotTable.commitMerge(spark, root,
+        img(2L -> "B2").withColumnRenamed("v", "label"), "k",
+        retain = 8)((_, b) => b)
+      val v3 = SnapshotTable.latestVersion(spark, root).get
+      val ch = SnapshotTable.readChanges(spark, root, v1, v3, "k")
+        .select(col("_change_type"), col("k"), col("label"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+      // exact classification: cohabitants of the rewritten file cancel
+      // (their pre- and post-bytes agree), and the one merged key
+      // carries its ORIGINAL value as the pre-image
+      assert(ch === Set(("update_preimage", 2L, "v2"),
+        ("update_postimage", 2L, "B2")))
+    }
+  }
 }

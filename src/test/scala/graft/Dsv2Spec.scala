@@ -292,6 +292,75 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("timestampAsOf option strings parse in UTC: the same string " +
+      "resolves the same version under any driver default timezone " +
+      "(round-19 advice)") {
+    val tzs = Seq("GMT+9", "GMT-7", "UTC").map(
+      java.util.TimeZone.getTimeZone)
+    val saved = java.util.TimeZone.getDefault
+    try {
+      // pure parse: one string, three forced defaults, one answer
+      val parsed = tzs.map { tz =>
+        java.util.TimeZone.setDefault(tz)
+        GraftTable.parseUtcMillis("2026-08-16 09:00:00")
+      }
+      assert(parsed.distinct.size === 1,
+        s"timestampAsOf parse must not depend on the driver zone: $parsed")
+      assert(parsed.head ===
+        java.time.Instant.parse("2026-08-16T09:00:00Z").toEpochMilli)
+      // explicit offsets are honored, date-only means UTC midnight
+      assert(GraftTable.parseUtcMillis("2026-08-16T09:00:00+02:00") ===
+        java.time.Instant.parse("2026-08-16T07:00:00Z").toEpochMilli)
+      assert(GraftTable.parseUtcMillis("2026-08-16") ===
+        java.time.Instant.parse("2026-08-16T00:00:00Z").toEpochMilli)
+    } finally java.util.TimeZone.setDefault(saved)
+    // end-to-end: a UTC-rendered commit timestamp pins its version
+    // through the option regardless of the driver default
+    withRoot { root =>
+      SnapshotTable.commit(spark, root, retain = 5)(_ => img(1L -> "a"))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      Thread.sleep(5)
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"), retain = 5)
+      val ts = SnapshotTable.commitTimestamp(spark, root, v1)
+      val tsStr = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts))
+      try {
+        java.util.TimeZone.setDefault(
+          java.util.TimeZone.getTimeZone("GMT+9"))
+        assert(rowsOf(spark.read.format("graft")
+          .option("timestampAsOf", tsStr).load(root))
+          === rowsOf(SnapshotTable.readVersion(spark, root, v1)))
+      } finally java.util.TimeZone.setDefault(saved)
+    }
+  }
+
+  test("front-door writes honor the table's recorded retention " +
+      "horizon: a default-conf SQL INSERT can no longer vacuum the " +
+      "history a retain=8 library writer was preserving (round-19 " +
+      "advice)") {
+    withRoot { root =>
+      assert(spark.conf.get("spark.graft.retain", "2") === "2",
+        "test precondition: session horizon at its default")
+      SnapshotTable.commit(spark, root, retain = 8)(_ => img(1L -> "a"))
+      SnapshotTable.commitAppend(spark, root, img(2L -> "b"), retain = 8)
+      SnapshotTable.commitAppend(spark, root, img(3L -> "c"), retain = 8)
+      val before = SnapshotTable.committedVersions(spark, root)
+      assert(before.size === 3)
+      assert(SnapshotTable.retentionHorizon(spark, root) === 8)
+      // front-door append from a session that never set the conf: the
+      // recorded horizon (8) must win over the session default (2)
+      img(4L -> "d").write.format("graft").mode("append").save(root)
+      val after = SnapshotTable.committedVersions(spark, root)
+      assert(before.toSet.subsetOf(after.toSet),
+        s"front-door write vacuumed preserved history: $before -> $after")
+      assert(after.size === 4)
+      // every commit shape carries the horizon forward
+      assert(SnapshotTable.retentionHorizon(spark, root) === 8)
+    }
+  }
+
   test("ALTER TABLE SQL: ADD / RENAME / DROP COLUMN land as " +
       "metadata-only column-mapping commits through the catalog") {
     withRoot { wh =>

@@ -126,6 +126,107 @@ class StreamingDoorSpec extends AnyFunSuite {
     }
   }
 
+  test("maxVersionsPerTrigger throttles a version backlog into capped " +
+      "micro-batches — across a restart too — and the retract fold is " +
+      "identical to the unthrottled drain (round-19 verdict item 4)") {
+    withRoot { root =>
+      val ckpt = root + "_ckpt"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 20)(_ =>
+        img(1L -> "v1", 2L -> "v2"))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      // a 9-version backlog accumulates while no consumer runs
+      (1 to 9).foreach(i => SnapshotTable.commitAppend(spark, root,
+        img((100L + i) -> s"w$i"), retain = 20))
+
+      val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[
+        Int]()
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long, String)]()
+      def runTail(cap: Int): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("changeKey", "k")
+          .option("startingVersion", v1.toString)
+          .option("maxVersionsPerTrigger", cap.toString).load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              val got = df.select("_change_type", "k", "v").collect()
+              batchSizes.add(got.length)
+              got.foreach(r => rows.add(
+                (r.getString(0), r.getLong(1), r.getString(2))))
+              ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runTail(cap = 3)
+      // 9 versions at <=3/trigger: at least ceil(9/3)=3 spans (the
+      // bootstrap span is capped too), never one giant batch
+      val nonEmpty1 = batchSizes.size()
+      assert(nonEmpty1 >= 3,
+        s"backlog must drain in capped spans, got $nonEmpty1 batches " +
+          s"of sizes ${batchSizes.toArray.mkString(",")}")
+      // the fold equals the table image regardless of the batching
+      def fold(): Set[(Long, String)] = {
+        val all = rows.toArray(Array.empty[(String, Long, String)])
+        val pos = all.filter(t => t._1 == "insert" ||
+          t._1 == "update_postimage").map(t => (t._2, t._3))
+        val neg = all.filter(t => t._1 == "delete" ||
+          t._1 == "update_preimage").map(t => (t._2, t._3))
+        // bag difference (no duplicate deliveries expected)
+        val negBag = scala.collection.mutable.Map.empty[(Long, String),
+          Int].withDefaultValue(0)
+        neg.foreach(t => negBag(t) += 1)
+        pos.flatMap { t =>
+          if (negBag(t) > 0) { negBag(t) -= 1; None } else Some(t)
+        }.toSet
+      }
+      val expected = SnapshotTable.read(spark, root).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fold() === expected)
+
+      // RESTART with more backlog: the persisted throttle position
+      // seeds the restarted source — capped spans continue, no span is
+      // re-delivered (the fold stays exact), no regression batch
+      batchSizes.clear()
+      (10 to 15).foreach(i => SnapshotTable.commitAppend(spark, root,
+        img((100L + i) -> s"w$i"), retain = 20))
+      runTail(cap = 2)
+      assert(batchSizes.size() >= 3,
+        s"post-restart backlog must stay capped, got " +
+          s"${batchSizes.toArray.mkString(",")}")
+      val expected2 = SnapshotTable.read(spark, root).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fold() === expected2,
+        "restart must not re-deliver or skip any span")
+    }
+  }
+
+  test("the table_stream_door contract key is re-run-safe on its " +
+      "shared scratch: warm re-invocation, and recovery from an " +
+      "orphaned checkpoint whose batch output is gone (the r18 bench " +
+      "flake)") {
+    def run() = TestSpark.q("table_stream_door").collect()
+    val first = run()
+    assert(first.length === 1 && !first.head.isNullAt(0))
+    // warm re-invocation: same JVM, checkpoint fully drained, batches
+    // present — must read, not PATH_NOT_FOUND
+    val second = run()
+    assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
+    // orphaned checkpoint: kill the batch output, keep the checkpoint
+    // (the r18 failure shape) — the key must self-heal by re-streaming
+    val tag = new java.io.File(TestSpark.sf).getName
+    val snap = graft.ops.Snapshot.of(Seq(s"${TestSpark.sf}/events.parquet"))
+    val base = graft.ops.Artifacts.scratch(spark,
+      s"stream_door_${tag}_$snap")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"),
+      true), "precondition: batch output existed")
+    val third = run()
+    assert(third.map(_.toString).toSeq === first.map(_.toString).toSeq,
+      "orphaned checkpoint must self-heal to the same fold")
+  }
+
   test("writeStream.format(\"graft\") merges micro-batches into the " +
       "lake table exactly-once: keyed replace, DV merge commits, and " +
       "a replayed batch id is skipped") {
