@@ -274,7 +274,8 @@ object Bench {
       artifactLine("table_artifact_build",
         only.forall(_.exists(Set("sink_snapshot_merge",
           "table_merge_pruned", "table_changelog", "table_cdf_consume",
-          "table_cdf_stream", "table_merge_dv")))) {
+          "table_cdf_stream", "table_merge_dv", "table_merge_sql",
+          "table_delete_sql")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)

@@ -584,8 +584,15 @@ class GraftCatalog extends TableCatalog {
     val root = rootOf(ident)
     if (SnapshotTable.latestVersion(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
-    new GraftTable(root,
-      SnapshotTable.resolveSnapshot(spark, root, pinV, pinTs))
+    val v = SnapshotTable.resolveSnapshot(spark, root, pinV, pinTs)
+    // a DECLARED row identity upgrades the table to the row-level
+    // command surface (MERGE INTO / arbitrary DELETE / UPDATE via
+    // SupportsDelta); undeclared tables stay on the plain surface —
+    // row identity is an explicit contract, never inferred
+    SnapshotTable.rowIdColumn(spark, root) match {
+      case Some(rid) => new GraftRowLevelTable(root, v, rid)
+      case None => new GraftTable(root, v)
+    }
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -615,11 +622,39 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     SnapshotTable.latestVersion(spark, rootOf(ident)).nonEmpty
 
+  /** SQL `CREATE TABLE` / CTAS (round-19 verdict item 6): the first
+    * commit IS table creation here, so CREATE lands an empty image at
+    * the declared schema — one normal version, full commit protocol —
+    * and CTAS follows with the query's rows through the standard
+    * append write (Spark's non-staging CTAS = createTable +
+    * AppendData, dropping the table if the write fails).
+    * `TBLPROPERTIES` understood: `graft.rowid` declares the row
+    * identity (enables MERGE INTO / arbitrary DELETE / UPDATE);
+    * `graft.retain` seeds the retention horizon. Partition transforms
+    * are rejected loudly — graft layout is manifest-pruned, not
+    * hive-partitioned. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first SnapshotTable commit")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables prune by stats/bloom manifests; PARTITIONED BY " +
+        "is not supported — cluster with clusterByZ/clusterBy instead")
+    val root = rootOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val retain = math.max(
+      props.get("graft.retain").map(_.toInt)
+        .getOrElse(GraftTable.retain(spark, root)), 1)
+    SnapshotTable.commit(spark, root, retain = retain)(_ =>
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    props.get("graft.rowid").foreach { c =>
+      SnapshotTable.setRowId(spark, root, c)
+    }
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE` SQL over the column-mapping metadata commits: ADD /
     * RENAME / DROP COLUMN each land as one metadata-only version (zero
@@ -654,9 +689,23 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE flows through SnapshotTable retention/vacuum")
+  /** SQL `DROP TABLE`: recursive delete of the table root. Safe
+    * w.r.t. OTHER tables by construction — every byte a graft table
+    * owns (versions, segments, sidecars, deletion vectors) lives
+    * under its root and nothing outside references into it. NOT
+    * undoable (unlike TRUNCATE, which commits an empty image and
+    * stays restorable): dropping a table a concurrent writer is
+    * mid-commit into makes that writer fail loudly with read/conflict
+    * errors, the same contract every warehouse gives DROP. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (SnapshotTable.latestVersion(spark, root).isEmpty) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

@@ -936,6 +936,67 @@ object Scans {
         .withColumn("streamed", lit(true))
     }),
 
+    // SQL `MERGE INTO` through the DSv2 door (round-19 verdict item 1
+    // — "the genre's CDC upsert is the verb every warehouse SQL user
+    // reaches for first"): the SAME clause set merge_upsert expresses
+    // relationally, executed as a REAL MERGE statement against a graft
+    // lake table. Spark's SupportsDelta rewrite plans the join and
+    // evaluates WHEN MATCHED AND <cond> THEN DELETE / WHEN MATCHED
+    // THEN UPDATE / WHEN NOT MATCHED AND <cond> THEN INSERT (plus the
+    // cardinality check); the connector stages the row verbs and
+    // lowers them onto ONE merge-on-read commitMergeDV version —
+    // deletion-vector tombstones plus one fresh segment, zero base
+    // files rewritten (RowLevelSpec pins the structural claims; the
+    // oracle here is merge_upsert's, verbatim — the SQL merge must
+    // land the exact image the relational fold computes, with the
+    // clause labels reconstructed from the source/target images).
+    "table_merge_sql" -> ((s, d) => {
+      val root = mergeSqlRoot(s, d)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val tgtKeys = latest(ev.where(pmod(col("event_id"), lit(2)) === 0))
+        .select(col("user_id")).withColumn("in_t", lit(true))
+      val srcKeys = latest(ev.where(pmod(col("event_id"), lit(2)) === 1))
+        .select(col("user_id")).withColumn("in_s", lit(true))
+      graft.streaming.SnapshotTable.read(s, root).get
+        .join(tgtKeys, Seq("user_id"), "left_outer")
+        .join(srcKeys, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          when(col("in_s").isNull, lit("keep"))
+            .when(col("in_t").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          col("event_id"), col("ts_us"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // ARBITRARY-PREDICATE SQL DELETE (round-19 verdict item 5): the
+    // round-18 door rejected anything but single-column =/IN; with a
+    // declared row identity the delta rewrite now lowers ANY predicate
+    // onto merge-on-read tombstones — the matching rows' ids stage as
+    // delete verbs, one DV commit hides them, zero data files
+    // rewritten (`mor_delete` is the structural claim: every v1 file
+    // carried by reference into the post-delete version). The oracle
+    // recomputes the surviving latest image with the predicate negated.
+    "table_delete_sql" -> ((s, d) => {
+      val root = deleteSqlRoot(s, d)
+      val vs = graft.streaming.SnapshotTable.committedVersions(s, root)
+      val mor = graft.streaming.SnapshotTable
+        .dataFiles(s, root, vs.head).toSet
+        .subsetOf(graft.streaming.SnapshotTable
+          .dataFiles(s, root, vs.last).toSet)
+      graft.streaming.SnapshotTable.read(s, root).get
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("value"))
+        .withColumn("mor_delete", lit(mor))
+        .orderBy("user_id")
+    }),
+
     "table_bloom_skipping" -> ((s, d) => {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
@@ -1161,6 +1222,8 @@ object Scans {
     mergePrunedRoot(s, d)
     cdfChainRoot(s, d)
     mergeDvRoot(s, d)
+    mergeSqlRoot(s, d)
+    deleteSqlRoot(s, d)
     ()
   }
 
@@ -1337,6 +1400,115 @@ object Scans {
     * applies to its lost publishes. A winner that dies mid-build
     * leaves the wait to time out loudly (retry resumes at the
     * version-count gate and commits only the missing batches). */
+  /** Surface a [[graft.streaming.SnapshotConflictException]] buried in
+    * a wrapper's cause chain (a SQL command's V2 exec may re-wrap the
+    * commit's typed conflict) so buildVersionsOnce's adopt-the-winner
+    * retry recognizes a lost first-build race through the SQL door. */
+  private def rethrowConflictOr(e: Throwable): Nothing = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .collectFirst { case c: graft.streaming.SnapshotConflictException
+        => c }
+      .foreach(throw _)
+    throw e
+  }
+
+  private def sqlCatalogFor(s: org.apache.spark.sql.SparkSession,
+      name: String, warehouse: String): String = {
+    // catalog instances are cached per session once touched, so the
+    // name must be unique per warehouse — key it on the artifact tag
+    val cat = name.replaceAll("[^A-Za-z0-9_]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    cat
+  }
+
+  /** v1 = latest EVEN-event image per user (rowid user_id declared),
+    * v2 = the SQL `MERGE INTO` of the latest ODD-event image — the
+    * merge_upsert changeset through the real SQL door. */
+  private def mergeSqlRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val wh = Artifacts.scratch(s, s"merge_sql_${tag}_$snap")
+    val root = s"$wh/t"
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def latest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    buildVersionsOnce(s, root, 2) { (i, eb) =>
+      if (i == 0) {
+        graft.streaming.SnapshotTable.commitWithStats(s, root,
+          "user_id", retain = 4, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            latest(ev.where(pmod(col("event_id"), lit(2)) === 0))
+              .select(col("user_id"), col("event_id"), col("ts_us"),
+                col("value")), "user_id", 8))
+        ()
+      } else {
+        // resume-safe: a crash between v1 and the declaration leaves
+        // the table plain; re-declare before the merge (idempotent)
+        graft.streaming.SnapshotTable.setRowId(s, root, "user_id")
+        val cat = sqlCatalogFor(s, s"graft_msql_${tag}_$snap", wh)
+        latest(ev.where(pmod(col("event_id"), lit(2)) === 1))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("value"),
+            (col("event_type") === "error").as("s_del"))
+          .createOrReplaceTempView("graft_merge_sql_src")
+        try {
+          s.sql(
+            s"""MERGE INTO $cat.t AS t USING graft_merge_sql_src AS s
+               |ON t.user_id = s.user_id
+               |WHEN MATCHED AND s.s_del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET event_id = s.event_id,
+               |  ts_us = s.ts_us, value = s.value
+               |WHEN NOT MATCHED AND NOT s.s_del THEN
+               |  INSERT (user_id, event_id, ts_us, value)
+               |  VALUES (s.user_id, s.event_id, s.ts_us, s.value)"""
+              .stripMargin)
+          ()
+        } catch { case e: Throwable => rethrowConflictOr(e) }
+      }
+    }
+    root
+  }
+
+  /** v1 = latest image per user over ALL events (rowid declared),
+    * v2 = SQL `DELETE FROM t WHERE event_id % 7 = 3` — a predicate the
+    * point-delete surface could never express. */
+  private def deleteSqlRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val wh = Artifacts.scratch(s, s"delete_sql_${tag}_$snap")
+    val root = s"$wh/t"
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    buildVersionsOnce(s, root, 2) { (i, eb) =>
+      if (i == 0) {
+        graft.streaming.SnapshotTable.commitWithStats(s, root,
+          "user_id", retain = 4, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            ev.withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1).drop("rn"), "user_id", 8))
+        ()
+      } else {
+        graft.streaming.SnapshotTable.setRowId(s, root, "user_id")
+        val cat = sqlCatalogFor(s, s"graft_dsql_${tag}_$snap", wh)
+        try {
+          s.sql(s"DELETE FROM $cat.t WHERE event_id % 7 = 3"); ()
+        } catch { case e: Throwable => rethrowConflictOr(e) }
+      }
+    }
+    root
+  }
+
   private def buildVersionsOnce(s: org.apache.spark.sql.SparkSession,
       root: String, n: Int)(commitBatch: (Int, Long) => Unit): Unit = {
     def have: Int =
@@ -1434,6 +1606,36 @@ object Scans {
       }
       docs.count()
     }
+
+  /** Shared by merge_upsert (the relational fold) and table_merge_sql
+    * (the real SQL MERGE through the lake door): one clause-set, one
+    * expected image. */
+  private val mergeUpsertOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         round(value, 2) AS value
+      |  FROM events),
+      |tgt AS (
+      |  SELECT user_id, event_id AS t_id, ts_us AS t_us, value AS t_val
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+      |src AS (
+      |  SELECT user_id, event_id AS s_id, ts_us AS s_us, value AS s_val,
+      |         event_type = 'error' AS s_del
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM ev WHERE event_id % 2 = 1) WHERE rn = 1)
+      |SELECT user_id,
+      |  CASE WHEN s_id IS NULL THEN 'keep'
+      |       WHEN t_id IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action,
+      |  coalesce(s_id, t_id) AS event_id,
+      |  coalesce(s_us, t_us) AS ts_us,
+      |  coalesce(s_val, t_val) AS value
+      |FROM tgt FULL JOIN src USING (user_id)
+      |WHERE s_id IS NULL OR NOT s_del
+      |ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // round 13: both long-exempt keys gain oracles — the rate key's
@@ -1665,31 +1867,22 @@ object Scans {
         |   ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
-    "merge_upsert" ->
+    "merge_upsert" -> mergeUpsertOracle,
+    // the SQL MERGE INTO must land EXACTLY the image the relational
+    // merge fold computes — same oracle, verbatim (round-19 item 1)
+    "table_merge_sql" -> mergeUpsertOracle,
+    "table_delete_sql" ->
       """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |         round(value, 2) AS value
         |  FROM events),
-        |tgt AS (
-        |  SELECT user_id, event_id AS t_id, ts_us AS t_us, value AS t_val
+        |img AS (
+        |  SELECT user_id, event_id, ts_us, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts_us DESC, event_id DESC) AS rn
-        |        FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
-        |src AS (
-        |  SELECT user_id, event_id AS s_id, ts_us AS s_us, value AS s_val,
-        |         event_type = 'error' AS s_del
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |          ORDER BY ts_us DESC, event_id DESC) AS rn
-        |        FROM ev WHERE event_id % 2 = 1) WHERE rn = 1)
-        |SELECT user_id,
-        |  CASE WHEN s_id IS NULL THEN 'keep'
-        |       WHEN t_id IS NULL THEN 'insert'
-        |       ELSE 'update' END AS action,
-        |  coalesce(s_id, t_id) AS event_id,
-        |  coalesce(s_us, t_us) AS ts_us,
-        |  coalesce(s_val, t_val) AS value
-        |FROM tgt FULL JOIN src USING (user_id)
-        |WHERE s_id IS NULL OR NOT s_del
+        |        FROM ev) WHERE rn = 1)
+        |SELECT user_id, event_id, ts_us, value, TRUE AS mor_delete
+        |FROM img WHERE NOT (event_id % 7 = 3)
         |ORDER BY user_id""".stripMargin,
     // batching-insensitive latest image over ALL events (the three
     // build batches partition them); `file_merge` is the structural

@@ -199,6 +199,50 @@ object SnapshotTable {
     }.getOrElse(0)
   }
 
+  /** Declared ROW IDENTITY of the table (round 19): the column whose
+    * value names a logical row for SQL row-level commands (MERGE INTO,
+    * arbitrary-predicate DELETE/UPDATE through the DSv2 door). Stored
+    * at the table ROOT as the PHYSICAL column name — row identity is a
+    * table-lifetime contract like the deletion-vector key (which must
+    * agree with it), and physical names are rename-stable, so a later
+    * RENAME COLUMN keeps the declaration valid. Set explicitly
+    * ([[setRowId]], or `TBLPROPERTIES ('graft.rowid'='c')` at CREATE
+    * TABLE) — never inferred: silently guessing identity from the
+    * first column would make MERGE semantics depend on column order. */
+  private val rowIdFile = "_rowid"
+
+  /** The declared row-identity column as its CURRENT logical name
+    * (None when the table never declared one). */
+  def rowIdColumn(s: SparkSession, root: String): Option[String] = {
+    val fs = fsOf(s, root)
+    val p = new Path(s"$root/$rowIdFile")
+    if (!fs.exists(p)) None
+    else {
+      val phys = readText(fs, p).trim
+      latestVersion(s, root)
+        .map(v => colmapOf(fs, root, v).logical(phys))
+        .orElse(Some(phys))
+    }
+  }
+
+  /** Declare the table's row-identity column (by current logical
+    * name). Must exist in the schema and agree with the deletion-
+    * vector key when the table already carries vectors. */
+  def setRowId(s: SparkSession, root: String, c: String): Unit = {
+    val fs = fsOf(s, root)
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"cannot declare a row id on an empty table at $root"))
+    require(schemaOfVersion(s, root, v).fieldNames.contains(c),
+      s"row-id column '$c' not in table schema")
+    val phys = colmapOf(fs, root, v).physical(c)
+    dvOf(s, root, v).foreach { case (k, _) =>
+      require(k == phys, s"table at $root carries deletion vectors " +
+        s"keyed by '$k'; row id '$c' (physical '$phys') would be " +
+        "ambiguous") }
+    writeText(fs, new Path(s"$root/$rowIdFile"), phys)
+  }
+
   private val parentFile = "_parent"
   private val filesNewSidecar = "_files_new"
   private val removedSidecar = "_removed"
@@ -2109,12 +2153,22 @@ object SnapshotTable {
     val committed = nowCommitted.toSet
     val now = System.currentTimeMillis()
     val rootPath = new Path(root)
+    // one listing serves both stage sweeps: commit stages (`.stage-`)
+    // on the 15-min orphan gate, and row-level-command staging
+    // (`.deltastage-`, see GraftDeltaWrite — normally cleaned by its
+    // own commit/abort) on a 24 h gate, because a legitimate 100 TB
+    // merge can stage for hours before its driver commits
+    val deltaStageGateMs = 24L * 60 * 60 * 1000
     fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(".stage-") &&
-        st.getPath.getName != stagePath.getName &&
-        st.getModificationTime > 0 &&
-        now - st.getModificationTime > orphanGateMs)
+      .filter { st =>
+        st.isDirectory && st.getModificationTime > 0 && {
+          val n = st.getPath.getName
+          (n.startsWith(".stage-") && n != stagePath.getName &&
+            now - st.getModificationTime > orphanGateMs) ||
+          (n.startsWith(".deltastage-") &&
+            now - st.getModificationTime > deltaStageGateMs)
+        }
+      }
       .foreach(st => fs.delete(st.getPath, true))
     val live = allVersionDirs(fs, root).flatMap { st =>
       versionOfName(st.getPath.getName).map(v => (st, v))

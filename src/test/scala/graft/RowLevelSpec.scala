@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SnapshotTable
+
+/** SQL row-level commands through the DSv2 door (round 19): MERGE
+  * INTO, arbitrary-predicate DELETE, and UPDATE lower onto
+  * merge-on-read commitMergeDV via SupportsDelta — identical images
+  * to the library calls, zero base files rewritten. */
+class RowLevelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withWh(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("rl_spec").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  private def img(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, String)] =
+    df.select(col("k"), col("v")).orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def catalog(name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.dsv2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  test("MERGE INTO: matched UPDATE/DELETE + NOT MATCHED INSERT through " +
+      "SQL produce EXACTLY the library commitMergeDV image on a twin " +
+      "chain, merge-on-read (every base file carried)") {
+    withWh { wh =>
+      catalog("graft_m", wh)
+      def seed(root: String): Unit = {
+        SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+          img((1L to 8L).map(k => (k, s"v$k")): _*)
+            .repartitionByRange(3, col("k")))
+        SnapshotTable.setRowId(spark, root, "k")
+      }
+      val root = s"$wh/t_merge"
+      val twin = s"$wh/t_twin"
+      seed(root); seed(twin)
+
+      // the CDC batch: update k=2, delete k=5, insert k=99
+      import spark.implicits._
+      Seq((2L, "B2", "up"), (5L, "", "del"), (99L, "v99", "up"))
+        .toDF("k", "v", "op").createOrReplaceTempView("src")
+
+      val filesBefore = SnapshotTable.dataFiles(spark, root,
+        SnapshotTable.latestVersion(spark, root).get).toSet
+      spark.sql(
+        """MERGE INTO graft_m.t_merge AS t USING src AS s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED AND s.op != 'del' THEN INSERT (k, v)
+          |  VALUES (s.k, s.v)""".stripMargin)
+
+      // twin chain: the library merge the SQL must equal
+      SnapshotTable.commitMergeDV(spark, twin,
+        img(2L -> "B2", 5L -> "DEL", 99L -> "v99"), "k",
+        retain = 8)((_, b) => b.where(col("k") =!= 5L))
+
+      assert(rowsOf(spark.table("graft_m.t_merge"))
+        === rowsOf(SnapshotTable.read(spark, twin).get))
+      assert(rowsOf(spark.table("graft_m.t_merge")).toMap.get(5L).isEmpty)
+      assert(rowsOf(spark.table("graft_m.t_merge")).toMap.apply(2L)
+        === "B2")
+      // MERGE-ON-READ: SQL merge rewrote NOTHING — base files carried
+      val vAfter = SnapshotTable.latestVersion(spark, root).get
+      assert(filesBefore.subsetOf(
+        SnapshotTable.dataFiles(spark, root, vAfter).toSet),
+        "SQL MERGE must be merge-on-read (zero base files rewritten)")
+      // time travel intact
+      assert(SnapshotTable.readVersion(spark, root, vAfter - 1)
+        .count() === 8)
+    }
+  }
+
+  test("MERGE INTO enforces the cardinality contract: two source rows " +
+      "matching one target row fail loudly, table unchanged") {
+    withWh { wh =>
+      catalog("graft_c", wh)
+      val root = s"$wh/t_card"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "v1", 2L -> "v2"))
+      SnapshotTable.setRowId(spark, root, "k")
+      import spark.implicits._
+      Seq((2L, "a"), (2L, "b")).toDF("k", "v")
+        .createOrReplaceTempView("src_dup")
+      val vBefore = SnapshotTable.latestVersion(spark, root).get
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_c.t_card AS t USING src_dup AS s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("merge") ||
+        e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+      assert(SnapshotTable.latestVersion(spark, root).get === vBefore,
+        "a failed merge must not commit")
+    }
+  }
+
+  test("DELETE with an ARBITRARY predicate (range, LIKE) lowers onto " +
+      "merge-on-read tombstones when the table declares a row id — " +
+      "zero files rewritten, exact rows gone") {
+    withWh { wh =>
+      catalog("graft_ad", wh)
+      val root = s"$wh/t_adel"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 10L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(3, col("k")))
+      SnapshotTable.setRowId(spark, root, "k")
+      val filesBefore = SnapshotTable.dataFiles(spark, root,
+        SnapshotTable.latestVersion(spark, root).get).toSet
+      // range predicate — the round-18 surface rejected this outright
+      spark.sql("DELETE FROM graft_ad.t_adel WHERE k >= 4 AND k <= 6")
+      assert(rowsOf(spark.table("graft_ad.t_adel")).map(_._1)
+        === Seq(1L, 2L, 3L, 7L, 8L, 9L, 10L))
+      // non-key predicate
+      spark.sql("DELETE FROM graft_ad.t_adel WHERE v LIKE 'v1%'")
+      assert(rowsOf(spark.table("graft_ad.t_adel")).map(_._1)
+        === Seq(2L, 3L, 7L, 8L, 9L))
+      val vAfter = SnapshotTable.latestVersion(spark, root).get
+      assert(filesBefore.subsetOf(
+        SnapshotTable.dataFiles(spark, root, vAfter).toSet),
+        "arbitrary-predicate DELETE must be merge-on-read")
+      // the library image agrees (DV application on every read path)
+      assert(rowsOf(SnapshotTable.read(spark, root).get).map(_._1)
+        === Seq(2L, 3L, 7L, 8L, 9L))
+    }
+  }
+
+  test("UPDATE statement rides the same delta machinery: conditional " +
+      "SET lands as tombstone + fresh row, merge-on-read") {
+    withWh { wh =>
+      catalog("graft_u", wh)
+      val root = s"$wh/t_upd"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(2, col("k")))
+      SnapshotTable.setRowId(spark, root, "k")
+      val filesBefore = SnapshotTable.dataFiles(spark, root,
+        SnapshotTable.latestVersion(spark, root).get).toSet
+      spark.sql(
+        "UPDATE graft_u.t_upd SET v = concat(v, '!') WHERE k % 2 = 0")
+      assert(rowsOf(spark.table("graft_u.t_upd"))
+        === Seq((1L, "v1"), (2L, "v2!"), (3L, "v3"), (4L, "v4!"),
+          (5L, "v5"), (6L, "v6!")))
+      val vAfter = SnapshotTable.latestVersion(spark, root).get
+      assert(filesBefore.subsetOf(
+        SnapshotTable.dataFiles(spark, root, vAfter).toSet),
+        "UPDATE must be merge-on-read")
+    }
+  }
+
+  test("row identity is an explicit contract: MERGE on an undeclared " +
+      "table fails with Spark's standard error, setRowId validates " +
+      "schema and DV-key agreement, declaration survives a rename") {
+    withWh { wh =>
+      catalog("graft_r", wh)
+      val root = s"$wh/t_norid"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "v1"))
+      import spark.implicits._
+      Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("src_r")
+      intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_r.t_norid AS t USING src_r AS s
+            |ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"""
+            .stripMargin)
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotTable.setRowId(spark, root, "nope")
+      }
+      // declared id survives RENAME COLUMN (stored physical)
+      SnapshotTable.setRowId(spark, root, "k")
+      SnapshotTable.renameColumn(spark, root, "k", "key", retain = 8)
+      assert(SnapshotTable.rowIdColumn(spark, root) === Some("key"))
+      // and disagreement with an existing DV key is loud
+      val root2 = s"$wh/t_dvkey"
+      SnapshotTable.commitWithStats(spark, root2, "k", retain = 8)(_ =>
+        img(1L -> "v1", 2L -> "v2"))
+      SnapshotTable.commitMergeDV(spark, root2, img(2L -> "B2"), "k",
+        retain = 8)((_, b) => b)
+      intercept[IllegalArgumentException] {
+        SnapshotTable.setRowId(spark, root2, "v")
+      }
+      SnapshotTable.setRowId(spark, root2, "k") // agreeing is fine
+    }
+  }
+
+  test("SQL-only lifecycle: CREATE TABLE with TBLPROPERTIES, INSERT, " +
+      "CTAS, MERGE into the created table, DROP TABLE") {
+    withWh { wh =>
+      catalog("graft_l", wh)
+      spark.sql(
+        """CREATE TABLE graft_l.t_new (k BIGINT, v STRING)
+          |USING graft TBLPROPERTIES ('graft.rowid'='k')""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM graft_l.t_new")
+        .first().getLong(0) === 0)
+      spark.sql("INSERT INTO graft_l.t_new VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM graft_l.t_new")
+        .first().getLong(0) === 2)
+      // the created table is row-level-capable via its property
+      import spark.implicits._
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+        .createOrReplaceTempView("src_l")
+      spark.sql(
+        """MERGE INTO graft_l.t_new AS t USING src_l AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(rowsOf(spark.table("graft_l.t_new"))
+        === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // CTAS
+      spark.sql(
+        """CREATE TABLE graft_l.t_ctas USING graft AS
+          |SELECT k, upper(v) AS v FROM graft_l.t_new""".stripMargin)
+      assert(rowsOf(spark.table("graft_l.t_ctas"))
+        === Seq((1L, "A"), (2L, "B"), (3L, "C")))
+      // duplicate CREATE is loud
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft_l.t_new (k BIGINT) USING graft")
+      }
+      // DROP removes the root; the identifier is gone
+      spark.sql("DROP TABLE graft_l.t_ctas")
+      assert(!spark.sql("SHOW TABLES IN graft_l").collect()
+        .map(_.getString(1)).contains("t_ctas"))
+      assert(!new java.io.File(s"$wh/t_ctas").exists())
+    }
+  }
+}
