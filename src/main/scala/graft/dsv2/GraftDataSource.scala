@@ -497,12 +497,20 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
   * counters. Reports manifest-derived size/row statistics so Catalyst
   * sizes the relation for join planning — a pruned graft scan under
   * the broadcast threshold JOINS AS A BROADCAST through the front
-  * door, the decision that matters most at 100 TB. */
+  * door, the decision that matters most at 100 TB.
+  *
+  * Round 19: execution is a NATIVE [[GraftBatch]] (vectorized parquet
+  * straight to InternalRow/ColumnarBatch) — the round-18 `V1Scan`
+  * relation seam paid an InternalRow→Row→InternalRow conversion per
+  * served row; see GraftBatch's scaladoc for the DV/columnar split. */
 class GraftScan(root: String, version: Long, required: StructType,
     kept: Seq[String], total: Int, pushed: Array[Filter])
-    extends Scan with V1Scan
+    extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new GraftBatch(root, version, required, kept, pushed)
 
   private lazy val stats: (Option[Long], Option[Long]) =
     SnapshotTable.filesStatsFor(SparkSession.active, root, version, kept)
@@ -526,11 +534,6 @@ class GraftScan(root: String, version: Long, required: StructType,
   /** Observable pruning counters for specs. */
   def filesRead: Int = kept.size
   def filesTotal: Int = total
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new GraftV1Relation(context, root, version, required, kept)
-      .asInstanceOf[T]
 }
 
 /** The executed relation: the library's pruned + DV-applied DataFrame,

@@ -90,7 +90,7 @@ object SnapshotTable {
     * yet — the CAS form of "create". */
   val EmptyBase: Long = -1L
 
-  private def fsOf(s: SparkSession, root: String) =
+  private[graft] def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Parse a `v=N` dir name, skipping foreign names (an ops copy
@@ -314,7 +314,7 @@ object SnapshotTable {
 
   /** The PHYSICAL shape of a logical schema under a mapping — what the
     * data files actually store. */
-  private def physSchema(schema: StructType, cm: ColMap): StructType =
+  private[graft] def physSchema(schema: StructType, cm: ColMap): StructType =
     if (cm.isTrivial) schema
     else StructType(schema.fields.map(f =>
       f.copy(name = cm.physical(f.name))))
@@ -558,7 +558,7 @@ object SnapshotTable {
   private val dvValCol = "_graft_dvk"
 
   /** The DV key column + entries of version `v`, if it has any. */
-  private def dvOf(s: SparkSession, root: String,
+  private[graft] def dvOf(s: SparkSession, root: String,
       v: Long): Option[(String, DataFrame)] = {
     val fs = fsOf(s, root)
     if (!fs.exists(new Path(s"$root/v=$v/$dvDir"))) None
@@ -2734,6 +2734,29 @@ object SnapshotTable {
     * spark.sql.defaultSizeInBytes = huge"). One manifest-scale driver
     * job per call — scans cache it per Scan instance. */
   private[graft] def filesStatsFor(s: SparkSession, root: String,
+      v: Long, files: Seq[String]): (Option[Long], Option[Long]) = {
+    // memoized per (root, version, kept-set): committed versions are
+    // immutable, and Catalyst asks for relation stats on EVERY query —
+    // without the memo each front-door query pays one manifest-agg
+    // Spark job (~50-80 ms of pure driver latency, DoorAb round 19)
+    val memoKey = (root, v, files.hashCode)
+    val hit = statsMemo.synchronized(statsMemo.get(memoKey))
+    hit match {
+      case Some(r) => r
+      case None =>
+        val r = filesStatsForUncached(s, root, v, files)
+        statsMemo.synchronized {
+          if (statsMemo.size > 256) statsMemo.clear()
+          statsMemo.update(memoKey, r)
+        }
+        r
+    }
+  }
+
+  private val statsMemo = scala.collection.mutable.Map
+    .empty[(String, Long, Int), (Option[Long], Option[Long])]
+
+  private def filesStatsForUncached(s: SparkSession, root: String,
       v: Long, files: Seq[String]): (Option[Long], Option[Long]) = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)

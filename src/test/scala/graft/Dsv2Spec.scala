@@ -106,8 +106,13 @@ class Dsv2Spec extends AnyFunSuite {
         .where(col("k") >= 10L && col("k") <= 60L)
       assert(df.count() === 51)
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedFilters"),
-        s"pushdown must surface in the physical plan:\n$plan")
+      assert(plan.contains("pushedFilters=[GreaterThanOrEqual") &&
+        plan.contains("BatchScan"),
+        s"pushdown must surface in the native batch plan:\n$plan")
+      // round 19: the scan is a NATIVE DSv2 batch — vectorized parquet
+      // straight to columnar, no V1 Row conversion seam in the plan
+      assert(plan.contains("ColumnarToRow"),
+        s"a DV-free scan must serve COLUMNAR batches:\n$plan")
       // column pruning reaches the inner scan: a 1-column projection
       // serves without error and with the right values
       assert(spark.read.format("graft").load(root)
