@@ -96,8 +96,9 @@ object Bench {
     "stream_window_sliding" -> 0.55, "stream_window_tumbling" -> 0.43,
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.8,
     "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
-    "table_dsv2_read" -> 1.6,
+    "table_delete_sql" -> 0.55, "table_dsv2_read" -> 1.6,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
+    "table_merge_sql" -> 0.8,
     "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,
     "table_schema_evolution" -> 0.91,
     "table_stats_pruning" -> 1.39, "table_stream_door" -> 4.0,

@@ -662,29 +662,31 @@ class GraftCatalog extends TableCatalog {
   /** `ALTER TABLE` SQL over the column-mapping metadata commits: ADD /
     * RENAME / DROP COLUMN each land as one metadata-only version (zero
     * files rewritten; see [[SnapshotTable.renameColumn]] et al.).
-    * Nested-field changes and type changes are not supported. */
+    * Round 19: NESTED struct leaves supported via dotted paths
+    * (`ALTER TABLE t RENAME COLUMN meta.lang TO language`); leaves
+    * inside array/map elements and type changes are not. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (SnapshotTable.latestVersion(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
+    def pathOf(fieldNames: Array[String]): String = {
+      require(fieldNames.forall(!_.contains(".")),
+        "graft column mapping uses '.' as the path separator; " +
+          s"segments may not contain dots: ${fieldNames.mkString(".")}")
+      fieldNames.mkString(".")
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "graft supports top-level column renames only")
-        SnapshotTable.renameColumn(spark, root, r.fieldNames()(0),
+        SnapshotTable.renameColumn(spark, root, pathOf(r.fieldNames()),
           r.newName(), retain = GraftTable.retain(spark, root)); ()
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "graft supports top-level column drops only")
-        SnapshotTable.dropColumn(spark, root, d.fieldNames()(0),
+        SnapshotTable.dropColumn(spark, root, pathOf(d.fieldNames()),
           retain = GraftTable.retain(spark, root)); ()
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft supports top-level column adds only")
         require(a.isNullable,
           "added columns are nullable (existing rows serve NULL)")
-        SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
+        SnapshotTable.addColumn(spark, root, pathOf(a.fieldNames()),
           a.dataType(), retain = GraftTable.retain(spark, root)); ()
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft tables: $c")

@@ -312,20 +312,104 @@ object SnapshotTable {
         (cm.map.toSeq.sorted.map { case (l, p) => s"$l\t$p" } ++
           cm.retired.toSeq.sorted.map(p => s"!\t$p")).mkString("\n"))
 
+  /** Nullable-normalized type (our stand-in for the spark-private
+    * DataType.asNullable): struct casts rename positionally but can
+    * never ADD non-nullness the read frame does not carry. */
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = nullableDeep(at.elementType),
+        containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = nullableDeep(mt.keyType),
+        valueType = nullableDeep(mt.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** Physical FIELD of a logical field under the mapping — round 19
+    * extends the mapping to NESTED struct leaves via dotted logical
+    * paths (`meta.lang` → `meta.lang__v2`): the walk resolves each
+    * level's own path, so a renamed parent and a renamed leaf compose.
+    * Only struct nesting is mapped (leaves inside array/map elements
+    * keep identity names — documented limit). */
+  private def physField(f: StructField, cm: ColMap,
+      path: String): StructField = {
+    val mapped = cm.map.get(path)
+      .map(p => p.substring(p.lastIndexOf('.') + 1)).getOrElse(f.name)
+    val dt = f.dataType match {
+      case st: StructType =>
+        StructType(st.fields.map(c =>
+          physField(c, cm, s"$path.${c.name}")))
+      case other => other
+    }
+    f.copy(name = mapped, dataType = dt)
+  }
+
+  /** Full physical dotted path of a logical dotted path (identity
+    * segments compose with mapped ancestors). */
+  private def physPathOf(cm: ColMap, logicalPath: String): String =
+    cm.map.getOrElse(logicalPath, {
+      val i = logicalPath.lastIndexOf('.')
+      if (i < 0) logicalPath
+      else physPathOf(cm, logicalPath.substring(0, i)) +
+        logicalPath.substring(i)
+    })
+
+  /** Every leaf's (and struct node's) full physical path in a logical
+    * schema — the "taken" set nested ADD COLUMN checks against. */
+  private def physPathsOf(schema: StructType, cm: ColMap): Set[String] = {
+    def walk(fields: Seq[StructField], lPrefix: String,
+        pPrefix: String): Set[String] =
+      fields.flatMap { f =>
+        val lp = if (lPrefix.isEmpty) f.name else s"$lPrefix.${f.name}"
+        val pLeaf = cm.map.get(lp)
+          .map(p => p.substring(p.lastIndexOf('.') + 1)).getOrElse(f.name)
+        val pp = if (pPrefix.isEmpty) pLeaf else s"$pPrefix.$pLeaf"
+        Set(pp) ++ (f.dataType match {
+          case st: StructType => walk(st.fields.toSeq, lp, pp)
+          case _ => Set.empty[String]
+        })
+      }.toSet
+    walk(schema.fields.toSeq, "", "")
+  }
+
   /** The PHYSICAL shape of a logical schema under a mapping — what the
-    * data files actually store. */
+    * data files actually store (nested struct leaves included). */
   private[graft] def physSchema(schema: StructType, cm: ColMap): StructType =
     if (cm.isTrivial) schema
-    else StructType(schema.fields.map(f =>
-      f.copy(name = cm.physical(f.name))))
+    else StructType(schema.fields.map(f => physField(f, cm, f.name)))
 
-  /** Rename a logical-named frame to physical names for writing. */
+  /** Projection from the PHYSICAL frame back to logical names. A field
+    * whose nested names differ is rebuilt with one struct CAST —
+    * positional, so it exactly renames; plain fields alias. */
+  private def logicalProjection(schema: StructType,
+      cm: ColMap): Seq[Column] = {
+    import org.apache.spark.sql.functions.col
+    schema.fields.toSeq.map { f =>
+      val pf = physField(f, cm, f.name)
+      val base = col(pf.name)
+      // asNullable: cast renames positionally but cannot ADD
+      // non-nullness the parquet frame does not carry
+      (if (pf.dataType == f.dataType) base
+       else base.cast(nullableDeep(f.dataType))).as(f.name)
+    }
+  }
+
+  /** Rename a logical-named frame to physical names for writing
+    * (nested leaves via positional struct cast, like the read side). */
   private def toPhysical(df: DataFrame, cm: ColMap): DataFrame =
     if (cm.isTrivial) df
     else {
       import org.apache.spark.sql.functions.col
-      df.select(df.columns.toIndexedSeq.map(c =>
-        col(c).as(cm.physical(c))): _*)
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        val pf = physField(f, cm, f.name)
+        val base = col(f.name)
+        (if (pf.dataType == f.dataType) base
+         else base.cast(nullableDeep(pf.dataType))).as(pf.name)
+      }: _*)
     }
 
   /** Manifest-backed = has a file-list sidecar, a chain pointer, or a
@@ -591,8 +675,7 @@ object SnapshotTable {
     // older files correctly by construction.
     val cm = cmOverride.getOrElse(colmapOf(fsOf(s, root), root, v))
     val pSchema = physSchema(schema, cm)
-    val logicalOut = schema.fieldNames.toSeq.map(c =>
-      col(cm.physical(c)).as(c))
+    val logicalOut = logicalProjection(schema, cm)
     def rd(fl: Seq[String]): DataFrame =
       if (fl.isEmpty) emptyFrame(s, schema)
         .select((schema.fieldNames.map(col).toSeq ++
@@ -862,24 +945,74 @@ object SnapshotTable {
       segPath = None)
   }
 
-  /** RENAME COLUMN (round 18 — Delta column-mapping rename): a
+  /** Rebuild `schema` by applying `op` to the struct that directly
+    * holds the leaf named by `parent` (empty parent = top level).
+    * Fails loudly when any path segment is missing or non-struct. */
+  private def updateStructAt(schema: StructType, parent: Seq[String])(
+      op: StructType => StructType): StructType = parent match {
+    case Seq() => op(schema)
+    case head +: rest =>
+      require(schema.fieldNames.contains(head),
+        s"path segment '$head' not in ${schema.fieldNames.mkString(",")}")
+      StructType(schema.fields.map { f =>
+        if (f.name != head) f
+        else f.dataType match {
+          case st: StructType =>
+            f.copy(dataType = updateStructAt(st, rest)(op))
+          case other => throw new IllegalArgumentException(
+            s"path segment '$head' is not a struct (got $other)")
+        }
+      })
+  }
+
+  private def splitLeaf(path: String): (Seq[String], String) = {
+    val segs = path.split('.').toSeq
+    require(segs.forall(_.nonEmpty),
+      s"empty segment in column path '$path'")
+    (segs.init, segs.last)
+  }
+
+  /** RENAME COLUMN (round 18 — Delta column-mapping rename; round 19
+    * extends to NESTED struct leaves via dotted paths): a
     * metadata-only commit; the data files and stats manifest keep
     * their stable PHYSICAL name, the new logical name simply maps to
     * it — so zero bytes move and range/bloom pruning on the renamed
     * column keeps working (spec-pinned). Time travel: pre-rename
-    * versions keep serving the old name from their own schema. */
+    * versions keep serving the old name from their own schema.
+    * `from` may be a dotted path (`meta.lang`); `to` is the new LEAF
+    * name (or a full path with the identical parent). */
   def renameColumn(s: SparkSession, root: String, from: String,
       to: String, retain: Int = 2, expectedBase: Long = AnyBase): Long =
     schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
-      require(schema.fieldNames.contains(from),
-        s"rename: column '$from' not in table schema")
-      require(!schema.fieldNames.contains(to),
-        s"rename: column '$to' already exists")
-      require(from != to, "rename: old and new name are identical")
-      val phys = cm.physical(from)
-      (StructType(schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f)),
-        cm.copy(map = cm.map - from + (to -> phys)))
+      val (parent, leaf) = splitLeaf(from)
+      val toLeaf =
+        if (!to.contains('.')) to
+        else {
+          val (tp, tl) = splitLeaf(to)
+          require(tp == parent,
+            s"rename cannot MOVE a column across structs: $from -> $to")
+          tl
+        }
+      require(leaf != toLeaf, "rename: old and new name are identical")
+      val toPath = (parent :+ toLeaf).mkString(".")
+      val physOld = physPathOf(cm, from)
+      val schema2 = updateStructAt(schema, parent) { st =>
+        require(st.fieldNames.contains(leaf),
+          s"rename: column '$from' not in table schema")
+        require(!st.fieldNames.contains(toLeaf),
+          s"rename: column '$toPath' already exists")
+        StructType(st.fields.map(f =>
+          if (f.name == leaf) f.copy(name = toLeaf) else f))
+      }
+      // rekey DESCENDANT entries of a renamed struct (their logical
+      // paths changed with the parent; physical values are stable)
+      val rekeyed = cm.map.flatMap { case (l, p) =>
+        if (l == from) None
+        else if (l.startsWith(from + "."))
+          Some((toPath + l.stripPrefix(from)) -> p)
+        else Some(l -> p)
+      }
+      (schema2, cm.copy(map = rekeyed + (toPath -> physOld)))
     }
 
   /** ADD COLUMN as a METADATA-ONLY commit (round 18 — the explicit
@@ -893,16 +1026,28 @@ object SnapshotTable {
       dataType: org.apache.spark.sql.types.DataType, retain: Int = 2,
       expectedBase: Long = AnyBase): Long =
     schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
-      require(!schema.fieldNames.contains(name),
-        s"add: column '$name' already exists")
-      val taken = schema.fieldNames.map(cm.physical).toSet ++
-        cm.retired ++ cm.map.values
+      val (parent, leaf) = splitLeaf(name)
+      val schema2 = updateStructAt(schema, parent) { st =>
+        require(!st.fieldNames.contains(leaf),
+          s"add: column '$name' already exists")
+        StructType(st.fields :+
+          StructField(leaf, dataType, nullable = true))
+      }
+      // fresh physical when the identity path is live or RETIRED (a
+      // re-added dropped column must never read the old files' stale
+      // bytes) — computed over FULL physical paths so nested and
+      // top-level namespaces never collide
+      val taken = physPathsOf(schema, cm) ++ cm.retired ++ cm.map.values
+      val parentPhys =
+        if (parent.isEmpty) ""
+        else physPathOf(cm, parent.mkString(".")) + "."
+      val identity = parentPhys + leaf
       val cm2 =
-        if (!taken.contains(name)) cm
+        if (!taken.contains(identity)) cm
         else cm.copy(map = cm.map + (name -> Iterator.from(2)
-          .map(i => s"${name}__v$i").find(!taken.contains(_)).get))
-      (StructType(schema.fields :+
-        StructField(name, dataType, nullable = true)), cm2)
+          .map(i => s"$parentPhys${leaf}__v$i")
+          .find(!taken.contains(_)).get))
+      (schema2, cm2)
     }
 
   /** DROP COLUMN (round 18): metadata-only — the column disappears
@@ -915,17 +1060,26 @@ object SnapshotTable {
   def dropColumn(s: SparkSession, root: String, name: String,
       retain: Int = 2, expectedBase: Long = AnyBase): Long =
     schemaMetadataCommit(s, root, retain, expectedBase) { (schema, cm) =>
-      require(schema.fieldNames.contains(name),
-        s"drop: column '$name' not in table schema")
-      require(schema.size > 1, "drop: cannot drop the only column")
-      val phys = cm.physical(name)
+      val (parent, leaf) = splitLeaf(name)
+      val phys = physPathOf(cm, name)
       latestVersion(s, root).flatMap(v =>
         dvOf(s, root, v).map(_._1)).foreach(k =>
         require(k != phys,
           s"drop: column '$name' keys the table's deletion vectors " +
             "(row identity); compact first to fold them"))
-      (StructType(schema.fields.filterNot(_.name == name)),
-        cm.copy(map = cm.map - name, retired = cm.retired + phys))
+      val schema2 = updateStructAt(schema, parent) { st =>
+        require(st.fieldNames.contains(leaf),
+          s"drop: column '$name' not in table schema")
+        require(st.size > 1,
+          s"drop: cannot drop the only column of ${
+            if (parent.isEmpty) "the table" else parent.mkString(".")}")
+        StructType(st.fields.filterNot(_.name == leaf))
+      }
+      // retire the full physical path (and any descendant entries of a
+      // dropped struct go with it — their keys no longer resolve)
+      val kept = cm.map.filterNot { case (l, _) =>
+        l == name || l.startsWith(name + ".") }
+      (schema2, cm.copy(map = kept, retired = cm.retired + phys))
     }
 
   /** Per-version idempotence tokens, latest-wins per appId. Two
@@ -1081,8 +1235,7 @@ object SnapshotTable {
             .withColumn("_graft_rf", relFile)
             .join(delta, col("_graft_rf") === col("_graft_hf") &&
               col(dvKey) === col(dvValCol), "left_semi")
-            .select(schema.fieldNames.toIndexedSeq.map(c =>
-              col(cm.physical(c)).as(c)): _*)
+            .select(logicalProjection(schema, cm): _*)
         }
     }
     // hidden during the span: entries vTo has that vFrom lacked, in
@@ -1386,7 +1539,10 @@ object SnapshotTable {
       delta: StructType): StructType = {
     delta.fields.foreach { f =>
       prev.fields.find(_.name == f.name).foreach { p =>
-        require(p.dataType == f.dataType,
+        // nullable-normalized comparison: nested-field nullability is
+        // presentation (parquet frames are nullable anyway), never the
+        // type drift this guard exists to catch
+        require(nullableDeep(p.dataType) == nullableDeep(f.dataType),
           s"schema evolution supports ADD COLUMN only: '${f.name}' " +
             s"changes ${p.dataType.simpleString} -> " +
             f.dataType.simpleString)
