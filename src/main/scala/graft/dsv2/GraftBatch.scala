@@ -67,6 +67,22 @@ class GraftBatch(root: String, version: Long, required: StructType,
     val dvByFile: Map[String, Set[Any]] = dv match {
       case None => Map.empty
       case Some((key, entries)) =>
+        // the tombstone set is DRIVER-materialized for the broadcast
+        // filter — bounded in practice by compaction/auto-maintain
+        // (dvRowRatio folds vectors at 10% density), but a neglected
+        // table must fail LOUDLY here, never OOM the driver silently
+        val maxEntries = s.conf
+          .get("spark.graft.dsv2.maxDvBroadcastEntries", "4000000")
+          .toLong
+        val n = entries.count()
+        if (n > maxEntries) throw new IllegalStateException(
+          s"table at $root v=$version carries $n deletion-vector " +
+            s"entries — above spark.graft.dsv2.maxDvBroadcastEntries " +
+            s"($maxEntries), too many to serve through the front " +
+            "door's broadcast tombstone filter. Fold them first " +
+            "(SnapshotTable.foldDeletionVectors / compact, or enable " +
+            "spark.graft.autoMaintain.enabled), or read through the " +
+            "library API, whose DV anti-join stays distributed.")
         val keyType = fullPhys.fields.find(_.name == key).getOrElse(
           throw new IllegalStateException(
             s"DV key '$key' not in physical schema at $root v=$version"))

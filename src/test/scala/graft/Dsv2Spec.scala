@@ -297,6 +297,33 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("the native batch read's DV tombstone broadcast is bounded: " +
+      "above spark.graft.dsv2.maxDvBroadcastEntries the scan fails " +
+      "LOUDLY with fold guidance instead of OOMing the driver") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
+        img((1L to 8L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(2, col("k")))
+      SnapshotTable.commitMergeDV(spark, root,
+        img(2L -> "B2", 5L -> "B5"), "k", retain = 5)((_, b) => b)
+      try {
+        spark.conf.set("spark.graft.dsv2.maxDvBroadcastEntries", "1")
+        val e = intercept[Exception] {
+          spark.read.format("graft").load(root).count()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .take(8).toSeq
+        assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+          m.contains("maxDvBroadcastEntries"))), e.getMessage)
+      } finally spark.conf
+        .unset("spark.graft.dsv2.maxDvBroadcastEntries")
+      // back under the bound: the DV'd image serves exactly
+      assert(rowsOf(spark.read.format("graft").load(root)).toMap
+        .apply(2L) === "B2")
+    }
+  }
+
   test("timestampAsOf option strings parse in UTC: the same string " +
       "resolves the same version under any driver default timezone " +
       "(round-19 advice)") {

@@ -162,6 +162,48 @@ class RowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE full clause surface: NOT MATCHED BY SOURCE DELETE, " +
+      "UPDATE SET expressions mixing both sides, and a row-id " +
+      "REASSIGNMENT (update splits to tombstone + fresh row)") {
+    withWh { wh =>
+      catalog("graft_f", wh)
+      val root = s"$wh/t_full"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 6L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(2, col("k")))
+      SnapshotTable.setRowId(spark, root, "k")
+      import spark.implicits._
+      Seq((2L, "s2"), (3L, "s3"), (9L, "s9")).toDF("k", "v")
+        .createOrReplaceTempView("src_f")
+      val filesBefore = SnapshotTable.dataFiles(spark, root,
+        SnapshotTable.latestVersion(spark, root).get).toSet
+      spark.sql(
+        """MERGE INTO graft_f.t_full AS t USING src_f AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+', s.v)
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.k > 4 THEN DELETE"""
+          .stripMargin)
+      // matched: 2,3 updated with BOTH sides' values; 9 inserted;
+      // unmatched-by-source: 5,6 deleted (k>4), 1,4 kept
+      assert(rowsOf(spark.table("graft_f.t_full")) === Seq(
+        (1L, "v1"), (2L, "v2+s2"), (3L, "v3+s3"), (4L, "v4"),
+        (9L, "s9")))
+      val vAfter = SnapshotTable.latestVersion(spark, root).get
+      assert(filesBefore.subsetOf(
+        SnapshotTable.dataFiles(spark, root, vAfter).toSet),
+        "full-clause MERGE must stay merge-on-read")
+      // row-id reassignment through UPDATE: new identity inserted,
+      // old identity tombstoned — one merge-on-read commit
+      spark.sql("UPDATE graft_f.t_full SET k = k + 100 WHERE k <= 2")
+      assert(rowsOf(spark.table("graft_f.t_full")) === Seq(
+        (3L, "v3+s3"), (4L, "v4"), (9L, "s9"),
+        (101L, "v1"), (102L, "v2+s2")))
+      assert(rowsOf(SnapshotTable.read(spark, root).get) ===
+        rowsOf(spark.table("graft_f.t_full")),
+        "library read must agree after the id reassignment")
+    }
+  }
+
   test("row identity is an explicit contract: MERGE on an undeclared " +
       "table fails with Spark's standard error, setRowId validates " +
       "schema and DV-key agreement, declaration survives a rename") {
