@@ -50,13 +50,43 @@ import graft.streaming.SnapshotTable
   *    vectors fold (the same read-amplification trade the library
   *    path makes; bounded by the auto-maintain DV-density policy). */
 class GraftBatch(root: String, version: Long, required: StructType,
-    kept: Seq[String], pushed: Array[Filter]) extends Batch {
+    keptFn: () => Seq[String], pushed: Array[Filter]) extends Batch {
 
   private def spark = SparkSession.active
 
-  // ---- driver-side plan state (built once per batch) ---------------
+  // ---- driver-side plan state ---------------------------------------
+  // Keyed to the CURRENT kept set: runtime filtering (GraftScan.filter)
+  // can narrow it between toBatch and planInputPartitions, so the state
+  // and the inner scans rebuild when (and only when) the set changed.
 
-  private lazy val state: GraftBatch.PlanState = {
+  @volatile private var cache
+      : (Seq[String], GraftBatch.PlanState, Option[ParquetScan],
+        Option[ParquetScan]) = null
+
+  private def current: (Seq[String], GraftBatch.PlanState,
+      Option[ParquetScan], Option[ParquetScan]) = synchronized {
+    val kept = keptFn()
+    val c = cache
+    if (c != null && c._1 == kept) c
+    else {
+      val st = buildState(kept)
+      val plain =
+        if (st.unmasked.isEmpty) None
+        else Some(parquetScanOver(st, st.unmasked, st.physReq))
+      val masked =
+        if (st.masked.isEmpty) None
+        else Some(parquetScanOver(st, st.masked, st.maskedSchema))
+      val built = (kept, st, plain, masked)
+      cache = built
+      built
+    }
+  }
+
+  private def state: GraftBatch.PlanState = current._2
+  private def plainScan: Option[ParquetScan] = current._3
+  private def maskedScan: Option[ParquetScan] = current._4
+
+  private def buildState(kept: Seq[String]): GraftBatch.PlanState = {
     val s = spark
     val fs = SnapshotTable.fsOf(s, root)
     val cm = SnapshotTable.colmapOf(fs, root, version)
@@ -111,26 +141,15 @@ class GraftBatch(root: String, version: Long, required: StructType,
       maskedSchema = maskedSchema, keyAppended = keyAppended)
   }
 
-  // built ONCE per Batch: planInputPartitions and createReaderFactory
-  // both need the inner scans, and each construction pays a file
-  // listing (InMemoryFileIndex) — measured at ~80 ms/query of pure
-  // driver overhead when rebuilt per call (DoorAb, round 19)
-  private lazy val plainScan: Option[ParquetScan] =
-    if (state.unmasked.isEmpty) None
-    else Some(parquetScanOver(state.unmasked, state.physReq))
-  private lazy val maskedScan: Option[ParquetScan] =
-    if (state.masked.isEmpty) None
-    else Some(parquetScanOver(state.masked, state.maskedSchema))
-
-  private def parquetScanOver(files: Seq[String],
-      readSchema: StructType): ParquetScan = {
+  private def parquetScanOver(st: GraftBatch.PlanState,
+      files: Seq[String], readSchema: StructType): ParquetScan = {
     val s = spark
     val paths = files.map(f => new HPath(s"$root/$f")).toSeq
     val index = new InMemoryFileIndex(s, paths,
-      Map.empty[String, String], Some(state.fullPhys),
+      Map.empty[String, String], Some(st.fullPhys),
       FileStatusCache.getOrCreate(s), None, None)
     ParquetScan(s, s.sparkContext.hadoopConfiguration, index,
-      dataSchema = state.fullPhys, readDataSchema = readSchema,
+      dataSchema = st.fullPhys, readDataSchema = readSchema,
       readPartitionSchema = new StructType(),
       pushedFilters = physicalFilters,
       options = CaseInsensitiveStringMap.empty(),

@@ -504,13 +504,49 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
   * relation seam paid an InternalRow→Row→InternalRow conversion per
   * served row; see GraftBatch's scaladoc for the DV/columnar split. */
 class GraftScan(root: String, version: Long, required: StructType,
-    kept: Seq[String], total: Int, pushed: Array[Filter])
+    kept0: Seq[String], total: Int, pushed: Array[Filter])
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
 
+  /** The statically-pruned file set, narrowed further by RUNTIME
+    * filters ([[filter]]) before partition planning. */
+  @volatile private var kept: Seq[String] = kept0
+
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    new GraftBatch(root, version, required, kept, pushed)
+    new GraftBatch(root, version, required, () => kept, pushed)
+
+  /** RUNTIME file pruning (round 19 — the DSv2
+    * `SupportsRuntimeV2Filtering` seam, Spark's dynamic-partition-
+    * pruning generalization): a join against a filtered dimension
+    * hands this scan the dim side's key VALUES at execution time, and
+    * the same stats/bloom manifest that serves static pushdown turns
+    * them into file skips — a fact scan in a star join reads only the
+    * files that can hold surviving keys, decided AFTER the dim filter
+    * ran. Conservative like all pruning here: only IN/equality probes
+    * on manifest-backed columns narrow; everything else is ignored
+    * (Spark re-applies the join itself). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val s = SparkSession.active
+    SnapshotTable.prunableColumns(s, root, version)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val probes = predicates.toSeq.flatMap(GraftScan.inProbe)
+    if (probes.nonEmpty) {
+      val s = SparkSession.active
+      val (runtimeKept, _) = SnapshotTable.pruneFilesFor(s, root,
+        version, boxes = Nil, inProbes = probes)
+      val rk = runtimeKept.toSet
+      kept = kept.filter(rk.contains)
+    }
+  }
 
   private lazy val stats: (Option[Long], Option[Long]) =
     SnapshotTable.filesStatsFor(SparkSession.active, root, version, kept)
@@ -531,9 +567,44 @@ class GraftScan(root: String, version: Long, required: StructType,
       s"filesRead=${kept.size}/$total " +
       s"pushedFilters=${pushed.mkString("[", ", ", "]")}"
 
-  /** Observable pruning counters for specs. */
+  /** Observable pruning counters for specs (runtime narrowing
+    * included — read them AFTER execution to see dynamic skips). */
   def filesRead: Int = kept.size
   def filesTotal: Int = total
+}
+
+object GraftScan {
+  /** (column, values) from a v2 IN / equality predicate with literal
+    * values — the shapes Spark's runtime filtering emits. Values are
+    * converted from Catalyst internal to external so the pruning
+    * expressions can embed them as literals. */
+  private[dsv2] def inProbe(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression,
+      Literal, NamedReference}
+    def ext(l: Literal[_]): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(l.dataType).apply(l.value)
+    def split(children: Array[Expression])
+        : Option[(String, Seq[Any])] = {
+      val (refs, rest) = children.partition(
+        _.isInstanceOf[NamedReference])
+      if (refs.length != 1 || !rest.forall(_.isInstanceOf[Literal[_]]))
+        None
+      else {
+        val ref = refs.head.asInstanceOf[NamedReference]
+        if (ref.fieldNames().length != 1) None // nested: not prunable
+        else Some((ref.fieldNames()(0),
+          rest.toSeq.map(e => ext(e.asInstanceOf[Literal[_]]))))
+      }
+    }
+    p.name() match {
+      case "IN" | "=" =>
+        split(p.children()).filter(_._2.nonEmpty)
+      case _ => None
+    }
+  }
 }
 
 /** The executed relation: the library's pruned + DV-applied DataFrame,

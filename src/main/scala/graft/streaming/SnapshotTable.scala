@@ -1348,6 +1348,13 @@ object SnapshotTable {
   val bloomProbeMaxKeys: Int = 256
 
   /** Columns version `v`'s manifest carries a `bloom__c` filter for. */
+  /** Logical columns a runtime (or static) point probe can prune on:
+    * everything with range stats or a bloom filter in the manifest —
+    * the DSv2 scan's `filterAttributes` vocabulary. */
+  private[graft] def prunableColumns(s: SparkSession, root: String,
+      v: Long): Seq[String] =
+    (statsColsOf(s, root, v) ++ bloomColsOf(s, root, v)).distinct
+
   private def bloomColsOf(s: SparkSession, root: String,
       v: Long): Seq[String] = {
     val fs = fsOf(s, root)

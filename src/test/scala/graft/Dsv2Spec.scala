@@ -297,6 +297,58 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("RUNTIME V2 filtering: a join against a filtered dimension " +
+      "narrows the fact scan's file set at execution time through the " +
+      "stats/bloom manifest (round 19 — DPP for graft tables)") {
+    withRoot { root =>
+      try {
+      // fact: 40k keys range-clustered into 8 files, stats+bloom on
+      // k — big enough that the DIM side broadcasts (the scan reports
+      // manifest stats, so relative sizes drive the join planning)
+      import spark.implicits._
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 65536, retain = 3)(_ =>
+        spark.range(1, 40001).toDF("k")
+          .withColumn("v", concat(lit("v"), col("k")))
+          .repartitionByRange(8, col("k")))
+      // dim: parquet-backed (a local Seq constant-folds into a
+      // LocalRelation and DPP never sees a filterable side). The
+      // filter is on a NON-join column, so Catalyst can infer NO
+      // static k-predicate onto the fact — only the RUNTIME filter
+      // (the dim's surviving key VALUES, which concentrate in one
+      // fact file's range) can prune files
+      val dimPath = s"$root-dim"
+      (1L to 40000L).map(k =>
+        (k, if (k >= 3000 && k <= 3045) "hot" else "cold"))
+        .toDF("k", "cat")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val fact = spark.read.format("graft").load(root)
+      val joined = fact.join(dim.where(col("cat") === "hot"), Seq("k"))
+      // execute THIS plan (count() would build its own QueryExecution
+      // with a fresh, never-filtered scan instance)
+      assert(joined.collect().length === 46)
+      // the executed plan surfaces the scan's counters (the scan
+      // object itself hides inside AQE query stages): the description
+      // must show RUNTIME narrowing with EMPTY static pushdown — the
+      // dim's filter was not inferable onto k, so only the dynamic
+      // pruning expression can have skipped files
+      val plan = joined.queryExecution.executedPlan.toString
+      val m = "filesRead=(\\d+)/(\\d+) pushedFilters=\\[\\]".r
+        .findFirstMatchIn(plan).getOrElse(fail(
+          s"no graft scan with empty static pushdown in plan:\n" +
+            plan.take(3000)))
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"runtime filter must skip files: ${m.matched}\n" +
+          plan.take(3000))
+      assert(plan.contains("dynamicpruningexpression"),
+        s"the narrowing must come from a runtime filter:\n" +
+          plan.take(3000))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root-dim"))
+    }
+  }
+
   test("the native batch read's DV tombstone broadcast is bounded: " +
       "above spark.graft.dsv2.maxDvBroadcastEntries the scan fails " +
       "LOUDLY with fold guidance instead of OOMing the driver") {
