@@ -248,6 +248,49 @@ private[dsv2] case class GraftPlainPartition(inner: FilePartition)
 private[dsv2] case class GraftMaskedPartition(inner: FilePartition,
     file: String) extends InputPartition
 
+/** The COMPLETE-pushdown metadata-aggregate scan: one partition, one
+  * row, computed from the stats manifest on the driver (see
+  * [[GraftScanBuilder.pushAggregation]]) — values ship EXTERNAL and
+  * convert to Catalyst form in the reader, so everything stays plainly
+  * serializable. */
+class GraftMetaAggScan(root: String, version: Long,
+    aggSchema: StructType, values: Seq[Any])
+    extends org.apache.spark.sql.connector.read.Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetaAggScan root=$root v=$version " +
+      s"aggs=${aggSchema.fieldNames.mkString("[", ", ", "]")} " +
+      "(metadata-only: zero data files read)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMetaAggPartition(values))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schema = aggSchema
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vs = p.asInstanceOf[GraftMetaAggPartition].values
+        val row = InternalRow.fromSeq(vs.zip(schema.fields).map {
+          case (v, f) => CatalystTypeConverters
+            .createToCatalystConverter(f.dataType)(v)
+        })
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private[dsv2] case class GraftMetaAggPartition(values: Seq[Any])
+  extends InputPartition
+
 /** Dispatches plain partitions to the untouched inner parquet readers
   * (columnar when the session allows and no file is DV-masked), and
   * masked partitions to a row filter over the broadcast tombstone

@@ -429,9 +429,73 @@ class GraftTable(val root: String, val snapshotVersion: Long)
   * prunes the rest). */
 class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  /** METADATA-ONLY aggregate pushdown (round 19): an UNFILTERED
+    * `COUNT(*)` / `MIN(c)` / `MAX(c)` (no GROUP BY) is answered
+    * straight from the stats manifest when that answer is provably
+    * exact — no deletion vectors, every file's stats recorded (see
+    * [[SnapshotTable.metadataAggregates]]). `SELECT count(*) FROM t`
+    * on a 100 TB table then reads ZERO data files. COMPLETE pushdown:
+    * the scan serves the one final row; Spark skips its own
+    * re-aggregation. The framework only offers aggregates when no
+    * residual filter sits above the scan, and every filter here is
+    * residual by design — so a filtered query never reaches this path
+    * and correctness never depends on it. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // classify each aggregate: Some(left=count | right=(isMin, col))
+    val classified = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Left(()))
+      case m: Min => colOf(m.column).map(c => Right((true, c)))
+      case m: Max => colOf(m.column).map(c => Right((false, c)))
+      case _ => None
+    }
+    if (classified.exists(_.isEmpty)) return false
+    val wants = classified.flatten
+    val minCols = wants.collect { case Right((true, c)) => c }.distinct
+    val maxCols = wants.collect { case Right((false, c)) => c }.distinct
+    val s = SparkSession.active
+    SnapshotTable.metadataAggregates(s, root, version,
+      wantCount = wants.exists(_.isLeft), minCols, maxCols) match {
+      case None => false
+      case Some((cnt, mins, maxs)) =>
+        val fields = wants.map {
+          case Left(_) =>
+            org.apache.spark.sql.types.StructField("count(*)",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case Right((isMin, c)) =>
+            val dt = tableSchema(c).dataType
+            org.apache.spark.sql.types.StructField(
+              s"${if (isMin) "min" else "max"}($c)", dt)
+        }
+        val values = wants.map {
+          case Left(_) => cnt: Any
+          case Right((true, c)) => mins(c)
+          case Right((false, c)) => maxs(c)
+        }
+        metaAgg = Some((StructType(fields), values))
+        true
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = metaAgg.isDefined || pushAggregation(agg)
 
   private def translatable(f: Filter): Boolean = f match {
     case EqualTo(_, v) => v != null
@@ -454,7 +518,13 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan = metaAgg match {
+    case Some((schema, values)) =>
+      new GraftMetaAggScan(root, version, schema, values)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     // fold the pushed conjuncts into per-column range boxes (bounds
     // intersect) and point-probe sets for the bloom index
     val lo = scala.collection.mutable.Map.empty[String, Any]

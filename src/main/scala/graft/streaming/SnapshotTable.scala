@@ -1515,8 +1515,13 @@ object SnapshotTable {
         val byFile = agg.collect().map(r => r.getString(0) -> r).toMap
         val rows = files.map(f => byFile.get(f) match {
           case Some(r) => Row.fromSeq(r.toSeq :+ sizeOf(f))
-          case None => Row.fromSeq(f +:
-            Seq.fill(outSchema.size - 2)(null) :+ sizeOf(f))
+          // absent from the stats groupBy = the pass scanned the whole
+          // segment and this file contributed NOTHING — record the
+          // PROVEN rows=0 (null would read as "stats missing" and
+          // disqualify exact metadata-only aggregates; round 19), with
+          // vacuous null ranges
+          case None => Row.fromSeq((f +:
+            Seq.fill(outSchema.size - 3)(null)) ++ Seq(0L, sizeOf(f)))
         })
         (files, s.createDataFrame(
           java.util.Arrays.asList(rows: _*), outSchema))
@@ -2941,6 +2946,77 @@ object SnapshotTable {
     val r = scoped.agg(aggs.head, aggs.tail: _*).first()
     (if (r.isNullAt(0)) None else Some(r.getLong(0)),
       if (r.isNullAt(1)) None else Some(r.getLong(1)))
+  }
+
+  /** METADATA-ONLY aggregates (round 19 — the Delta/Iceberg
+    * "metadata-only query" shape, feeding the DSv2 aggregate
+    * pushdown): COUNT(*) = Σ manifest `rows`, MIN/MAX(c) = fold of the
+    * per-file exact ranges (recorded by Spark aggregation at commit
+    * time — never parquet-footer-truncated, so strings are exact too).
+    * Returns None unless the answer is provably EXACT:
+    *  - manifest-backed version with a stats manifest,
+    *  - NO deletion vectors (hidden rows falsify counts and can hide
+    *    extrema),
+    *  - every kept file records non-null `rows` (for count) and
+    *    non-null min/max for every requested column (a NULL range
+    *    means "not recorded" for evolution-era files — it cannot be
+    *    told apart from "all values null", so it disqualifies).
+    * One manifest-scale driver job; at 100 TB this answers
+    * `SELECT count(*), min(ts), max(ts) FROM t` without opening a
+    * single data file. */
+  private[graft] def metadataAggregates(s: SparkSession, root: String,
+      v: Long, wantCount: Boolean, minCols: Seq[String],
+      maxCols: Seq[String])
+      : Option[(Long, Map[String, Any], Map[String, Any])] = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v)) return None
+    if (dvOf(s, root, v).isDefined) return None
+    val files = dataFiles(s, root, v)
+    if (files.isEmpty)
+      return Some((0L, minCols.map(_ -> (null: Any)).toMap,
+        maxCols.map(_ -> (null: Any)).toMap))
+    if (!hasStatsManifest(fs, root, v)) return None
+    val statCols = statsColsOf(s, root, v).toSet
+    if (!(minCols ++ maxCols).forall(statCols.contains)) return None
+    val cm = colmapOf(fs, root, v)
+    val m = manifestDf(s, root, v)
+    // row counts gate EVERYTHING (count needs them; min/max use them
+    // to exempt genuinely EMPTY files from the stats requirement — a
+    // zero-row file's null ranges are vacuous, while a non-empty
+    // file's null range is ambiguous: "all values null" and "stats
+    // never recorded for this file" look identical, so it disqualifies)
+    if (!m.schema.fieldNames.contains("rows")) return None
+    def badRange(p: String, kind: String): Column =
+      sum(when(col("rows").isNull ||
+        (col("rows") > 0 && col(s"${kind}__$p").isNull), 1L)
+        .otherwise(0L))
+    val aggs =
+      Seq(sum(col("rows")).as("__cnt"),
+        count(col("rows")).as("__cnt_n"),
+        count(lit(1)).as("__files")) ++
+      minCols.flatMap { c =>
+        val p = cm.physical(c)
+        Seq(min(col(s"min__$p")).as(s"__min__$c"),
+          badRange(p, "min").as(s"__min_bad__$c"))
+      } ++
+      maxCols.flatMap { c =>
+        val p = cm.physical(c)
+        Seq(max(col(s"max__$p")).as(s"__max__$c"),
+          badRange(p, "max").as(s"__max_bad__$c"))
+      }
+    val r = m.agg(aggs.head, aggs.tail: _*).first()
+    def at(name: String): Any = r.get(r.fieldIndex(name))
+    val nFiles = at("__files").asInstanceOf[Long]
+    val complete =
+      at("__cnt_n") == nFiles &&
+        minCols.forall(c => at(s"__min_bad__$c") == 0L) &&
+        maxCols.forall(c => at(s"__max_bad__$c") == 0L)
+    if (!complete || nFiles != files.size.toLong) None
+    else Some((
+      if (wantCount) at("__cnt").asInstanceOf[Number].longValue else 0L,
+      minCols.map(c => c -> at(s"__min__$c")).toMap,
+      maxCols.map(c => c -> at(s"__max__$c")).toMap))
   }
 
   /** Read a kept-file subset of version `v` under its recorded schema

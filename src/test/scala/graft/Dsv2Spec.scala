@@ -349,6 +349,56 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("METADATA-ONLY aggregate pushdown: unfiltered COUNT(*)/MIN/MAX " +
+      "answer from the stats manifest (zero data files read), and " +
+      "every exactness hazard — filters, deletion vectors, stats-less " +
+      "files — falls back to the real scan (round 19)") {
+    withRoot { root =>
+      SnapshotTable.commitWithStatsCols(spark, root, Seq("k", "v"),
+        retain = 6)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val door = () => spark.read.format("graft").load(root)
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      // the happy path: answered from metadata, no parquet scan at all
+      val aggDf = door().agg(count(lit(1)).as("n"), min("k").as("mn"),
+        max("k").as("mx"))
+      val plan = planOf(aggDf)
+      assert(plan.contains("GraftMetaAggScan"),
+        s"unfiltered count/min/max must push to metadata:\n$plan")
+      assert(!plan.contains("GraftSnapshotScan"))
+      val r = aggDf.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2))
+        === ((400L, 1L, 400L)))
+      // min/max on a STRING column: manifest ranges are Spark-agg
+      // exact, never footer-truncated
+      val sDf = door().agg(min("v"), max("v"))
+      assert(planOf(sDf).contains("GraftMetaAggScan"))
+      assert(sDf.collect().head.toSeq === Seq("v1", "v99"))
+      // a FILTER disqualifies (all predicates are residual here)
+      assert(!planOf(door().where(col("k") > 10)
+        .agg(count(lit(1)))).contains("GraftMetaAggScan"))
+      // AVG / SUM / GROUP BY are not metadata-answerable
+      assert(!planOf(door().agg(sum("k"))).contains("GraftMetaAggScan"))
+      assert(!planOf(door().groupBy("v").agg(count(lit(1))))
+        .contains("GraftMetaAggScan"))
+      // DELETION VECTORS hide rows -> metadata would lie; fall back,
+      // and the fallen-back answer reflects the tombstones
+      SnapshotTable.commitMergeDV(spark, root, img(5L -> "B5"), "k",
+        retain = 6)((_, b) => b.limit(0)) // point delete of k=5
+      val afterDv = door().agg(count(lit(1)).as("n"))
+      assert(!planOf(afterDv).contains("GraftMetaAggScan"))
+      assert(afterDv.collect().head.getLong(0) === 399L)
+      // fold the vectors away: metadata answers again, tombstone-aware
+      SnapshotTable.foldDeletionVectors(spark, root, retain = 6)
+      val refolded = door().agg(count(lit(1)), min("k"), max("k"))
+      assert(planOf(refolded).contains("GraftMetaAggScan"))
+      assert(refolded.collect().head.toSeq === Seq(399L, 1L, 400L))
+    }
+  }
+
   test("the native batch read's DV tombstone broadcast is bounded: " +
       "above spark.graft.dsv2.maxDvBroadcastEntries the scan fails " +
       "LOUDLY with fold guidance instead of OOMing the driver") {
