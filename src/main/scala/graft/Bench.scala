@@ -97,6 +97,7 @@ object Bench {
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.8,
     "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
     "table_delete_sql" -> 0.55, "table_dsv2_read" -> 1.6,
+    "table_meta_agg" -> 0.5, "table_runtime_prune" -> 0.9,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_sql" -> 0.8,
     "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,
@@ -276,7 +277,8 @@ object Bench {
         only.forall(_.exists(Set("sink_snapshot_merge",
           "table_merge_pruned", "table_changelog", "table_cdf_consume",
           "table_cdf_stream", "table_merge_dv", "table_merge_sql",
-          "table_delete_sql")))) {
+          "table_delete_sql", "table_meta_agg",
+          "table_runtime_prune")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)

@@ -997,6 +997,57 @@ object Scans {
         .orderBy("user_id")
     }),
 
+    // METADATA-ONLY AGGREGATES through the door (round 19,
+    // SupportsPushDownAggregates complete pushdown): unfiltered
+    // count/min/max answer from the stats manifest — the plan holds a
+    // GraftMetaAggScan and ZERO parquet scans, asserted structurally
+    // (`metadata_only`); the oracle recomputes the same aggregates
+    // from the raw events. At 100 TB this is the difference between a
+    // millisecond metadata fold and a full-table scan for the
+    // row-count checks every pipeline run starts with.
+    "table_meta_agg" -> ((s, d) => {
+      val root = metaAggRoot(s, d)
+      val df = s.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+      df.collect() // execute THIS plan, then read its final shape
+      val plan = df.queryExecution.executedPlan.toString
+      val metaOnly = plan.contains("GraftMetaAggScan") &&
+        !plan.contains("GraftSnapshotScan")
+      df.withColumn("metadata_only", lit(metaOnly))
+    }),
+
+    // RUNTIME V2 FILTERING end-to-end (round 19,
+    // SupportsRuntimeV2Filtering): a star join against a dimension
+    // filtered on a NON-join column — nothing statically inferable
+    // onto the fact — still skips fact files, because the dim side's
+    // surviving key VALUES reach the scan at execution time and the
+    // stats/bloom manifest prunes with them. `runtime_pruned` asserts
+    // filesRead < filesTotal on the executed scan with an EMPTY static
+    // pushdown; the oracle recomputes the joined aggregate directly.
+    "table_runtime_prune" -> ((s, d) => {
+      val (root, dimPath) = runtimePruneRoot(s, d)
+      val fact = s.read.format("graft").load(root)
+      val dim = s.read.parquet(dimPath).where(col("cat") === "hot")
+        .select("user_id")
+      val joined = fact.join(dim, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+      val out = joined.orderBy("user_id")
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      val m = "filesRead=(\\d+)/(\\d+) pushedFilters=\\[\\]".r
+        .findFirstMatchIn(plan)
+      val pruned = m.exists(x => x.group(1).toInt < x.group(2).toInt) &&
+        plan.contains("dynamicpruningexpression")
+      out.withColumn("runtime_pruned", lit(pruned))
+    }),
+
     "table_bloom_skipping" -> ((s, d) => {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
@@ -1224,6 +1275,8 @@ object Scans {
     mergeDvRoot(s, d)
     mergeSqlRoot(s, d)
     deleteSqlRoot(s, d)
+    metaAggRoot(s, d)
+    runtimePruneRoot(s, d)
     ()
   }
 
@@ -1420,6 +1473,63 @@ object Scans {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.dsv2.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
     cat
+  }
+
+  /** One stats-covered table of the raw event columns — the
+    * metadata-aggregate key's subject (no deletion vectors, stats on
+    * the aggregated columns, so count/min/max answer exactly from the
+    * manifest). */
+  private def metaAggRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"meta_agg_${tag}_$snap") + "/t"
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+    buildVersionsOnce(s, root, 1) { (_, eb) =>
+      graft.streaming.SnapshotTable.commitWithStatsCols(s, root,
+        Seq("user_id", "ts_us"), retain = 2, expectedBase = eb)(_ =>
+        ev.repartition(8))
+      ()
+    }
+    root
+  }
+
+  /** Fact = all events clustered by user_id (stats+bloom), dim = one
+    * parquet of distinct users labeled hot/cold on a NON-join column —
+    * the runtime-filtering key's star-join subjects. Hot users are the
+    * bottom eighth of the id space, so they concentrate in few
+    * clustered fact files and ONLY the runtime key values can prune. */
+  private def runtimePruneRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val base = Artifacts.scratch(s, s"runtime_prune_${tag}_$snap")
+    val root = s"$base/t"
+    val dimPath = s"$base/dim"
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"))
+    buildVersionsOnce(s, root, 1) { (_, eb) =>
+      graft.streaming.SnapshotTable.commitWithSkipping(s, root,
+        statsCols = Seq("user_id"), bloomCols = Seq("user_id"),
+        retain = 2, expectedBase = eb)(_ =>
+        graft.streaming.SnapshotTable.clusterBy(ev, "user_id", 8))
+      ()
+    }
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dimPath/_SUCCESS"))) {
+      val uCap = ev.agg(floor(max(col("user_id")) / 8.0).cast("long"))
+        .first().getLong(0)
+      ev.select("user_id").distinct()
+        .withColumn("cat",
+          when(col("user_id") <= uCap, lit("hot")).otherwise(lit("cold")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dimPath)
+    }
+    (root, dimPath)
   }
 
   /** v1 = latest EVEN-event image per user (rowid user_id declared),
@@ -1871,6 +1981,21 @@ object Scans {
     // the SQL MERGE INTO must land EXACTLY the image the relational
     // merge fold computes — same oracle, verbatim (round-19 item 1)
     "table_merge_sql" -> mergeUpsertOracle,
+    "table_meta_agg" ->
+      """SELECT count(*) AS n, min(user_id) AS min_user,
+        | max(user_id) AS max_user, min(epoch_us(ts)) AS min_ts_us,
+        | max(epoch_us(ts)) AS max_ts_us, TRUE AS metadata_only
+        |FROM events""".stripMargin,
+    "table_runtime_prune" ->
+      """WITH cap AS (
+        |  SELECT CAST(floor(max(user_id) / 8.0) AS BIGINT) AS u
+        |  FROM events)
+        |SELECT e.user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  TRUE AS runtime_pruned
+        |FROM events e, cap WHERE e.user_id <= cap.u
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "table_delete_sql" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
