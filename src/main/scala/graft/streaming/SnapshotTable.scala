@@ -240,6 +240,17 @@ object SnapshotTable {
       require(k == phys, s"table at $root carries deletion vectors " +
         s"keyed by '$k'; row id '$c' (physical '$phys') would be " +
         "ambiguous") }
+    // null-free contract (round-20 advice): the DSv2 row-level door
+    // advertises the row-id attribute as non-nullable, and Catalyst
+    // FOLDS on that contract (`id IS NULL` → false) — declaring
+    // identity over a column with nulls would make reads silently
+    // wrong, so refuse here, at declaration time. limit(1) short-
+    // circuits the scan on the first offending row.
+    require(read(s, root).get
+        .filter(org.apache.spark.sql.functions.col(s"`$c`").isNull)
+        .limit(1).count() == 0L,
+      s"row-id column '$c' contains NULLs in the current image of " +
+        s"$root — row identity must be null-free")
     writeText(fs, new Path(s"$root/$rowIdFile"), phys)
   }
 
@@ -891,7 +902,8 @@ object SnapshotTable {
     * O(1) metadata however big the table — the entire point of stable
     * physical names. */
   private def schemaMetadataCommit(s: SparkSession, root: String,
-      retain: Int, casBase: Long)(
+      retain: Int, casBase: Long,
+      manifestXform: Option[DataFrame => DataFrame] = None)(
       xform: (StructType, ColMap) => (StructType, ColMap)): Long = {
     val fs = fsOf(s, root)
     val vs = versionsOf(s, root)
@@ -911,15 +923,21 @@ object SnapshotTable {
       // commit under the checkpoint interval writes only the pointer;
       // at the interval it writes a full checkpoint (files sidecar +
       // merged manifest) so a long run of renames can never grow an
-      // unbounded chain walk
-      if (chainDepth(fs, root, v) + 1 < checkpointInterval(s))
+      // unbounded chain walk. A manifestXform (type widening casts
+      // the stats columns) FORCES the checkpoint: later deltas record
+      // new-typed stats, and a chain read must never union old- and
+      // new-typed manifest columns.
+      if (manifestXform.isEmpty &&
+          chainDepth(fs, root, v) + 1 < checkpointInterval(s))
         writeText(fs, new Path(s"$stage/$parentFile"), v.toString)
       else {
         writeText(fs, new Path(s"$stage/$filesSidecar"),
           dataFiles(s, root, v).mkString("\n"))
-        if (hasStatsManifest(fs, root, v))
-          manifestDf(s, root, v).coalesce(1).write
+        if (hasStatsManifest(fs, root, v)) {
+          val m0 = manifestDf(s, root, v)
+          manifestXform.fold(m0)(_(m0)).coalesce(1).write
             .mode("overwrite").parquet(s"$stage/$manifestDir")
+        }
       }
       writeText(fs, new Path(s"$stage/$schemaFile"), schema2.toDDL)
       // written UNCONDITIONALLY (even when trivial): an absent file
@@ -1081,6 +1099,66 @@ object SnapshotTable {
         l == name || l.startsWith(name + ".") }
       (schema2, cm.copy(map = kept, retired = cm.retired + phys))
     }
+
+  /** ALTER COLUMN TYPE as a METADATA-ONLY commit (round-20 verdict
+    * item 6 — the Delta/Iceberg "type widening" evolution): the
+    * recorded schema's leaf widens to a LOSSLESS supertype (integral
+    * upward: byte→short→int→long; float→double) with zero data files
+    * rewritten — Spark 4's parquet readers serve the old physical
+    * type through the widened requested schema natively (the
+    * SPARK-40876 machinery both the vectorized and row readers
+    * carry). Time travel keeps serving each old version's own type.
+    * The commit forces a manifest CHECKPOINT with the column's
+    * min__/max__ stats cast to the new type, so later deltas (which
+    * record new-typed stats) never union mixed-typed manifest
+    * columns — stats pruning survives the widen (spec-pinned).
+    * Widening the deletion-vector key is refused while vectors exist
+    * (their entries are materialized under the old type); fold first. */
+  def widenColumn(s: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType, retain: Int = 2,
+      expectedBase: Long = AnyBase): Long = {
+    import org.apache.spark.sql.types._
+    val fs = fsOf(s, root)
+    val v0 = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"widen: no committed version at $root"))
+    val phys = physPathOf(colmapOf(fs, root, v0), name)
+    dvOf(s, root, v0).foreach { case (k, _) =>
+      require(k != phys,
+        s"widen: column '$name' keys the table's deletion vectors — " +
+          "fold them first (foldDeletionVectors/compact)") }
+    val widenable: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+    val castStats: DataFrame => DataFrame = { m =>
+      Seq(s"min__$phys", s"max__$phys").foldLeft(m)((df, c) =>
+        if (df.columns.contains(c)) df.withColumn(c, df(c).cast(to))
+        else df)
+    }
+    schemaMetadataCommit(s, root, retain, expectedBase,
+        manifestXform = Some(castStats)) { (schema, cm) =>
+      val (parent, leaf) = splitLeaf(name)
+      val schema2 = updateStructAt(schema, parent) { st =>
+        require(st.fieldNames.contains(leaf),
+          s"widen: column '$name' not in table schema")
+        StructType(st.fields.map { f =>
+          if (f.name != leaf) f
+          else {
+            require(f.dataType != to,
+              s"widen: column '$name' already has type ${to.sql}")
+            require(widenable.get(f.dataType).exists(_.contains(to)),
+              s"widen: ${f.dataType.sql} -> ${to.sql} is not a " +
+                "lossless widening (supported: byte/short/int upward " +
+                "to long, float -> double)")
+            f.copy(dataType = to)
+          }
+        })
+      }
+      (schema2, cm)
+    }
+  }
 
   /** Per-version idempotence tokens, latest-wins per appId. Two
     * formats coexist: the round-16 single-token file (`appId\nbatchId`,
@@ -2906,8 +2984,12 @@ object SnapshotTable {
     // memoized per (root, version, kept-set): committed versions are
     // immutable, and Catalyst asks for relation stats on EVERY query —
     // without the memo each front-door query pays one manifest-agg
-    // Spark job (~50-80 ms of pure driver latency, DoorAb round 19)
-    val memoKey = (root, v, files.hashCode)
+    // Spark job (~50-80 ms of pure driver latency, DoorAb round 19).
+    // Keyed on the FILE LIST ITSELF, not its 32-bit hashCode (round-20
+    // advice): a hash collision between two kept sets would serve the
+    // wrong size to Catalyst — a large relation misreported as tiny
+    // gets broadcast-planned, silently and unreproducibly.
+    val memoKey = (root, v, files.toList)
     val hit = statsMemo.synchronized(statsMemo.get(memoKey))
     hit match {
       case Some(r) => r
@@ -2922,7 +3004,7 @@ object SnapshotTable {
   }
 
   private val statsMemo = scala.collection.mutable.Map
-    .empty[(String, Long, Int), (Option[Long], Option[Long])]
+    .empty[(String, Long, List[String]), (Option[Long], Option[Long])]
 
   private def filesStatsForUncached(s: SparkSession, root: String,
       v: Long, files: Seq[String]): (Option[Long], Option[Long]) = {
@@ -3017,6 +3099,39 @@ object SnapshotTable {
       if (wantCount) at("__cnt").asInstanceOf[Number].longValue else 0L,
       minCols.map(c => c -> at(s"__min__$c")).toMap,
       maxCols.map(c => c -> at(s"__max__$c")).toMap))
+  }
+
+  /** LIMIT-pushdown file selection (round 20): the FEWEST kept files
+    * whose recorded row counts provably cover `limit` rows — a
+    * `SELECT … LIMIT 10` on a million-file table then plans one file
+    * instead of all of them. Exactness gates mirror
+    * [[metadataAggregates]]: every file's row count must be recorded
+    * and the version must be DV-free (a tombstoned file serves FEWER
+    * rows than its manifest count, so the cover could under-deliver);
+    * when any gate fails the caller keeps the full set — pushdown
+    * here is an optimization, never a semantics change. Files are
+    * taken largest-first to minimize the planned count. */
+  private[graft] def filesForLimit(s: SparkSession, root: String,
+      v: Long, limit: Long): Option[Seq[String]] = {
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v)) return None
+    if (dvOf(s, root, v).isDefined) return None
+    if (!hasStatsManifest(fs, root, v)) return None
+    val m = manifestDf(s, root, v)
+    if (!m.schema.fieldNames.contains("rows")) return None
+    val counts = m.select("file", "rows").collect()
+    if (counts.exists(_.isNullAt(1))) return None
+    val byRows = counts.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (f, n) => (-n, f) }
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = 0L
+    val it = byRows.iterator
+    while (acc < limit && it.hasNext) {
+      val (f, n) = it.next(); keep += f; acc += n
+    }
+    // acc < limit means the whole table is smaller than the limit —
+    // every file is needed, which is still a valid (trivial) cover
+    Some(keep.toSeq)
   }
 
   /** Read a kept-file subset of version `v` under its recorded schema

@@ -322,6 +322,91 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("TYPE WIDENING (round 20): ALTER COLUMN TYPE int->long / " +
+      "float->double is metadata-only — zero data files move, the " +
+      "widened type serves from old parquet, time travel keeps the " +
+      "old type, stats pruning survives, lossy changes refuse") {
+    withRoot { root =>
+      import spark.implicits._
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 6)(_ =>
+        (1 to 400).map(k => (k, k.toFloat / 2f, s"v$k"))
+          .toDF("k", "f", "v")
+          .repartitionByRange(8, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.read(spark, root).get.schema("k").dataType
+        === org.apache.spark.sql.types.IntegerType)
+      val segsBefore = segDirs(root)
+
+      SnapshotTable.widenColumn(spark, root, "k",
+        org.apache.spark.sql.types.LongType, retain = 6)
+      SnapshotTable.widenColumn(spark, root, "f",
+        org.apache.spark.sql.types.DoubleType, retain = 6)
+      assert(segDirs(root) === segsBefore,
+        "widening must not write data files")
+
+      // the widened schema serves the SAME values from old parquet
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.schema("k").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(cur.schema("f").dataType
+        === org.apache.spark.sql.types.DoubleType)
+      assert(cur.agg(sum("k")).first().getLong(0) === 80200L)
+      assert(cur.where(col("k") === 42L).select("v").first()
+        .getString(0) === "v42")
+
+      // time travel serves v1's own (narrow) type
+      assert(SnapshotTable.readVersion(spark, root, v1)
+        .schema("k").dataType
+        === org.apache.spark.sql.types.IntegerType)
+
+      // stats pruning still bites on the widened column, and a fresh
+      // append (recording LONG-typed stats) keeps the manifest chain
+      // consistent
+      SnapshotTable.commitAppend(spark, root,
+        (401 to 450).map(k => (k.toLong, k.toDouble / 2d, s"v$k"))
+          .toDF("k", "f", "v"), retain = 6)
+      val v3 = SnapshotTable.latestVersion(spark, root).get
+      val (kept, total) = SnapshotTable.pruneFilesFor(spark, root, v3,
+        boxes = Seq(("k", Some(10L), Some(60L))), inProbes = Nil)
+      assert(kept.size < total,
+        s"stats pruning must survive the widen: kept ${kept.size}/$total")
+      assert(SnapshotTable.read(spark, root).get.count() === 450)
+
+      // the DSv2 door serves the widened schema too
+      val door = spark.read.format("graft").load(root)
+      assert(door.schema("k").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(door.where(col("k") === 442L).count() === 1)
+
+      // lossy or nonsensical changes refuse loudly
+      intercept[IllegalArgumentException] {
+        SnapshotTable.widenColumn(spark, root, "v",
+          org.apache.spark.sql.types.LongType, retain = 6)
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotTable.widenColumn(spark, root, "k",
+          org.apache.spark.sql.types.IntegerType, retain = 6)
+      }
+    }
+  }
+
+  test("type widening through SQL: ALTER TABLE … ALTER COLUMN … TYPE " +
+      "BIGINT lands as one metadata commit via the catalog") {
+    withRoot { wh =>
+      import spark.implicits._
+      spark.conf.set("spark.sql.catalog.graft_ty",
+        "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_ty.warehouse", wh)
+      SnapshotTable.commitWithStats(spark, s"$wh/t", "k", retain = 6)(
+        _ => (1 to 100).map(k => (k, s"v$k")).toDF("k", "v"))
+      spark.sql("ALTER TABLE graft_ty.t ALTER COLUMN k TYPE BIGINT")
+      val df = spark.table("graft_ty.t")
+      assert(df.schema("k").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(df.agg(sum("k")).first().getLong(0) === 5050L)
+    }
+  }
+
   test("readChanges across a rename + COW-merge span resolves " +
       "pre-image files with the NEWER colmap: the renamed column's " +
       "pre-values come from the stable physical bytes, never NULL " +

@@ -120,6 +120,115 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT pushdown (round-20): a bare LIMIT plans only the fewest " +
+      "files whose manifest row counts cover it; DVs or filters keep " +
+      "the full set (exactness gates)") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val v = SnapshotTable.latestVersion(spark, root).get
+      def scanWithLimit(l: Int,
+          filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+          : GraftScan = {
+        val b = new GraftScanBuilder(root, v,
+          SnapshotTable.schemaOfVersion(spark, root, v))
+        if (filters.nonEmpty) b.pushFilters(filters.toArray)
+        b.pushLimit(l)
+        b.build().asInstanceOf[GraftScan]
+      }
+      // 400 rows over 8 files → LIMIT 10 needs exactly one file
+      val one = scanWithLimit(10)
+      assert(one.filesRead === 1 && one.filesTotal === 8,
+        s"LIMIT 10 must plan one covering file: ${one.description()}")
+      // a limit above the table size keeps every file (trivial cover)
+      assert(scanWithLimit(1000).filesRead === 8)
+      // with pushed filters the guard refuses (filters are residual —
+      // a row-count cover could under-deliver after filtering)
+      import org.apache.spark.sql.sources._
+      val filtered = scanWithLimit(10, Seq(GreaterThanOrEqual("k", 1L)))
+      assert(filtered.filesRead > 1 || filtered.filesTotal < 8,
+        "limit must not narrow beneath residual filters")
+      // end-to-end: the SQL LIMIT serves the right number of rows and
+      // the executed scan read fewer files than the table holds
+      val df = spark.read.format("graft").load(root).limit(7)
+      assert(df.count() === 7)
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.collect { case g: GraftScan => g }
+      assert(scans.nonEmpty && scans.head.filesRead < 8,
+        s"executed LIMIT scan must be file-narrowed: " +
+          scans.map(_.description()).mkString("; "))
+
+      // DV gate: tombstones mean manifest counts over-report visible
+      // rows — the cover must refuse and the full set serve
+      SnapshotTable.commitMergeDV(spark, root, img(3L -> "B3"), "k",
+        retain = 5)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val b2 = new GraftScanBuilder(root, v2,
+        SnapshotTable.schemaOfVersion(spark, root, v2))
+      b2.pushLimit(10)
+      val dvScan = b2.build().asInstanceOf[GraftScan]
+      assert(dvScan.filesRead === dvScan.filesTotal,
+        s"DV'd version must not limit-narrow: ${dvScan.description()}")
+      assert(spark.read.format("graft").load(root).limit(5).count() === 5)
+    }
+  }
+
+  test("CLUSTERED door writes (round-20): INSERT INTO requests range " +
+      "distribution + ordering on the table's stats columns, so " +
+      "door-appended files carry disjoint ranges and a range probe " +
+      "prunes them") {
+    withRoot { root =>
+      withWh { wh =>
+        SnapshotTable.commitWithStats(spark, s"$wh/t_cl", "k",
+          retain = 5)(_ => img(0L -> "seed"))
+        spark.conf.set("spark.sql.catalog.graft_w",
+          "graft.dsv2.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft_w.warehouse", wh)
+        try {
+          // tiny advisory size → the range-distributed INSERT fans
+          // out to several files even at spec scale
+          spark.conf.set(
+            "spark.graft.dsv2.writeAdvisoryPartitionBytes", "2048")
+          spark.sql(
+            """INSERT INTO graft_w.t_cl
+              |SELECT id AS k, concat('v', id) AS v
+              |FROM range(1, 2001)""".stripMargin)
+          val v = SnapshotTable.latestVersion(spark, s"$wh/t_cl").get
+          assert(SnapshotTable.fileCount(spark, s"$wh/t_cl", v) >= 3,
+            "precondition: the clustered INSERT landed several files")
+          // the door-written files must prune under a range probe —
+          // natural arrival-order partitioning could not
+          val b = new GraftScanBuilder(s"$wh/t_cl", v,
+            SnapshotTable.schemaOfVersion(spark, s"$wh/t_cl", v))
+          import org.apache.spark.sql.sources._
+          b.pushFilters(Array(
+            GreaterThanOrEqual("k", 100L), LessThanOrEqual("k", 160L)))
+          val probe = b.build().asInstanceOf[GraftScan]
+          assert(probe.filesRead < probe.filesTotal,
+            s"door-written files must carry disjoint ranges: " +
+              probe.description())
+          // image correctness end-to-end
+          assert(spark.sql(
+            "SELECT count(*) FROM graft_w.t_cl WHERE k BETWEEN 100 AND 160")
+            .first().getLong(0) === 61L)
+          assert(spark.table("graft_w.t_cl").count() === 2001L)
+        } finally {
+          spark.conf.unset("spark.graft.dsv2.writeAdvisoryPartitionBytes")
+        }
+      }
+    }
+  }
+
+  private def withWh(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_wh").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("the scan reports manifest statistics: numRows/sizeInBytes come " +
       "from metadata, shrink under pruning, and Catalyst BROADCASTS a " +
       "small front-door relation in a join") {
@@ -399,28 +508,40 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
-  test("the native batch read's DV tombstone broadcast is bounded: " +
-      "above spark.graft.dsv2.maxDvBroadcastEntries the scan fails " +
-      "LOUDLY with fold guidance instead of OOMing the driver") {
+  test("DISTRIBUTED DV application: above " +
+      "spark.graft.dsv2.maxDvBroadcastEntries the door degrades to " +
+      "per-file shard anti-joins (round-20 verdict item 2) — the " +
+      "image still matches the library read exactly, with no driver " +
+      "materialization of the tombstone set") {
     withRoot { root =>
       SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
-        img((1L to 8L).map(k => (k, s"v$k")): _*)
-          .repartitionByRange(2, col("k")))
+        img((1L to 40L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(4, col("k")))
       SnapshotTable.commitMergeDV(spark, root,
-        img(2L -> "B2", 5L -> "B5"), "k", retain = 5)((_, b) => b)
+        img(2L -> "B2", 5L -> "B5", 17L -> "B17", 33L -> "B33"), "k",
+        retain = 5)((_, b) => b)
       try {
+        // cap of 1 forces EVERY entry set over the broadcast bound —
+        // the old behavior refused here; now the scan must serve
         spark.conf.set("spark.graft.dsv2.maxDvBroadcastEntries", "1")
-        val e = intercept[Exception] {
-          spark.read.format("graft").load(root).count()
-        }
-        def chain(t: Throwable): Seq[Throwable] =
-          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-            .take(8).toSeq
-        assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
-          m.contains("maxDvBroadcastEntries"))), e.getMessage)
+        val door = spark.read.format("graft").load(root)
+        val lib = SnapshotTable.read(spark, root).get
+        assert(rowsOf(door) === rowsOf(lib),
+          "over-cap DV image must match the library anti-join exactly")
+        assert(rowsOf(door).toMap.apply(2L) === "B2")
+        assert(door.count() === 40L)
+        // pushed predicates still prune/serve correctly in shard mode
+        assert(rowsOf(spark.read.format("graft").load(root)
+          .where(col("k") === 17L)) === Seq((17L, "B17")))
+        // the shard artifact was staged (the distributed path ran)
+        val shards = new java.io.File(
+          graft.ops.Artifacts.root(spark).stripPrefix("file:"),
+          "dv_shards")
+        assert(shards.exists && shards.listFiles().nonEmpty,
+          "per-file DV shards must be staged under the artifact store")
       } finally spark.conf
         .unset("spark.graft.dsv2.maxDvBroadcastEntries")
-      // back under the bound: the DV'd image serves exactly
+      // back under the bound: the broadcast path serves the same image
       assert(rowsOf(spark.read.format("graft").load(root)).toMap
         .apply(2L) === "B2")
     }

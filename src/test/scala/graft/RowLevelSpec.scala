@@ -279,4 +279,84 @@ class RowLevelSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$wh/t_ctas").exists())
     }
   }
+
+  test("SQL maintenance verbs (round-20): CALL optimize / fold_dv / " +
+      "vacuum / restore complete the SQL-only operator lifecycle — " +
+      "CREATE → INSERT fragments → MERGE (DVs) → OPTIMIZE → VACUUM → " +
+      "RESTORE with zero library calls, each step's accounting checked") {
+    withWh { wh =>
+      catalog("graft_p", wh)
+      val root = s"$wh/t_m"
+      spark.sql(
+        """CREATE TABLE graft_p.t_m (k BIGINT, v STRING) USING graft
+          |TBLPROPERTIES ('graft.rowid'='k', 'graft.retain'='8')"""
+          .stripMargin)
+      // a drip of micro-INSERTs leaves fragments
+      (1 to 4).foreach(i => spark.sql(
+        s"INSERT INTO graft_p.t_m VALUES ($i, 'v$i')"))
+      import spark.implicits._
+      Seq((2L, "B2"), (9L, "v9")).toDF("k", "v")
+        .createOrReplaceTempView("src_p")
+      spark.sql(
+        """MERGE INTO graft_p.t_m AS t USING src_p AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val expected =
+        Seq((1L, "v1"), (2L, "B2"), (3L, "v3"), (4L, "v4"), (9L, "v9"))
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+      val vMerged = SnapshotTable.latestVersion(spark, root).get
+      assert(SnapshotTable.dvOf(spark, root, vMerged).nonEmpty,
+        "precondition: the MERGE left deletion vectors")
+
+      // fold_dv: vectors fold physically, image unchanged
+      val foldRow = spark.sql(
+        "CALL graft_p.fold_dv(table => 't_m')").collect().head
+      assert(foldRow.getInt(1) >= 1, "folded_files must count the fold")
+      assert(SnapshotTable.dvOf(spark, root,
+        SnapshotTable.latestVersion(spark, root).get).isEmpty,
+        "fold_dv must leave the head version DV-free")
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+
+      // optimize: fragments re-pack, image unchanged, fewer files
+      val optRow = spark.sql(
+        "CALL graft_p.optimize(table => 't_m')").collect().head
+      assert(optRow.getInt(2) < optRow.getInt(1),
+        s"optimize must shrink the file count, got $optRow")
+      assert(optRow.getInt(2) === 1)
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+      val vOpt = optRow.getLong(0)
+
+      // restore: back to the pre-optimize image (same rows here, but
+      // the HEAD must move and serve the target's file layout)
+      val resRow = spark.sql(
+        s"CALL graft_p.restore(table => 't_m', version => $vMerged)")
+        .collect().head
+      assert(resRow.getLong(0) > vOpt, "restore must commit a new head")
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+
+      // vacuum: count-based retention drops history
+      val before = SnapshotTable.committedVersions(spark, root).size
+      val vacRow = spark.sql(
+        "CALL graft_p.vacuum(table => 't_m', retain_versions => 2)")
+        .collect().head
+      assert(vacRow.getInt(0) === before && vacRow.getInt(1) === 2,
+        s"vacuum must report $before -> 2, got $vacRow")
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+      // age-based form with a zero-hour horizon keeps >= 1 version
+      spark.sql(
+        "CALL graft_p.vacuum(table => 't_m', older_than_hours => 0)")
+      assert(SnapshotTable.committedVersions(spark, root).size >= 1)
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+
+      // misuse is loud: both retention forms at once
+      intercept[Exception] {
+        spark.sql("CALL graft_p.vacuum(table => 't_m', " +
+          "retain_versions => 2, older_than_hours => 1)")
+      }
+      // unknown procedure is loud
+      intercept[Exception] {
+        spark.sql("CALL graft_p.frobnicate(table => 't_m')")
+      }
+    }
+  }
 }

@@ -201,30 +201,38 @@ class StreamingDoorSpec extends AnyFunSuite {
     }
   }
 
-  test("the table_stream_door contract key is re-run-safe on its " +
-      "shared scratch: warm re-invocation, and recovery from an " +
-      "orphaned checkpoint whose batch output is gone (the r18 bench " +
-      "flake)") {
+  test("the table_stream_door contract key is re-run-safe: the fold " +
+      "publishes atomically, warm re-invocation reads without " +
+      "re-streaming, and CONCURRENT invocations (the r18/r19 bench " +
+      "flake shape: a second process entering mid-stream) all land " +
+      "the same fold with no read error") {
     def run() = TestSpark.q("table_stream_door").collect()
     val first = run()
     assert(first.length === 1 && !first.head.isNullAt(0))
-    // warm re-invocation: same JVM, checkpoint fully drained, batches
-    // present — must read, not PATH_NOT_FOUND
+    // warm re-invocation: the _SUCCESS-gated folded artifact serves —
+    // no second stream, no second build (materialize-once)
+    val builds0 = graft.ops.Artifacts.buildsPerformed.get()
     val second = run()
     assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
-    // orphaned checkpoint: kill the batch output, keep the checkpoint
-    // (the r18 failure shape) — the key must self-heal by re-streaming
-    val tag = new java.io.File(TestSpark.sf).getName
-    val snap = graft.ops.Snapshot.of(Seq(s"${TestSpark.sf}/events.parquet"))
-    val base = graft.ops.Artifacts.scratch(spark,
-      s"stream_door_${tag}_$snap")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"),
-      true), "precondition: batch output existed")
-    val third = run()
-    assert(third.map(_.toString).toSeq === first.map(_.toString).toSeq,
-      "orphaned checkpoint must self-heal to the same fold")
+    assert(graft.ops.Artifacts.buildsPerformed.get() === builds0,
+      "warm re-invocation must read the folded artifact, not rebuild")
+    // concurrent cold invocations: wipe the published fold, then race
+    // three invocations. The old design's shared checkpoint/batches
+    // pair made this interleaving surface PATH_NOT_FOUND; with the
+    // per-attempt private work dir + atomic publish, every racer must
+    // return the same single-row fold.
+    val dir = new org.apache.hadoop.fs.Path(
+      graft.ops.Artifacts.root(spark) + "/stream_door_fold")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(dir, true), "precondition: published fold existed")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 3).map(_ => Future(run()))
+    val results = racers.map(Await.result(_, 10.minutes))
+    results.foreach(r => assert(r.map(_.toString).toSeq
+      === first.map(_.toString).toSeq,
+      "every concurrent invocation must land the identical fold"))
   }
 
   test("writeStream.format(\"graft\") merges micro-batches into the " +
