@@ -435,10 +435,14 @@ class GraftTable(val root: String, val snapshotVersion: Long)
             else Distributions.ordered(orders)
           override def requiredOrdering(): Array[SortOrder] = orders
           // let AQE pick the partition count from the delta's size —
-          // a micro-INSERT must not fan out to defaults
+          // a micro-INSERT must not fan out to defaults. Spark rejects
+          // an advisory size under the UNSPECIFIED distribution, so
+          // stats-less tables report 0 (= none).
           override def distributionStrictlyRequired(): Boolean = false
           override def advisoryPartitionSizeInBytes(): Long =
-            s.conf.get("spark.graft.dsv2.writeAdvisoryPartitionBytes",
+            if (orders.isEmpty) 0L
+            else s.conf.get(
+              "spark.graft.dsv2.writeAdvisoryPartitionBytes",
               (128L * 1024 * 1024).toString).toLong
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -515,35 +519,55 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
         Some(r.fieldNames()(0))
       case _ => None
     }
-    // classify each aggregate: Some(left=count | right=(isMin, col))
-    val classified = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(Left(()))
-      case m: Min => colOf(m.column).map(c => Right((true, c)))
-      case m: Max => colOf(m.column).map(c => Right((false, c)))
-      case _ => None
-    }
+    // classify each aggregate: (kind, column) with kind in
+    // count/min/max/sum. SUM (round 20) qualifies only on INTEGRAL
+    // columns — per-file long sums fold wrap-exactly like Spark's own
+    // long sum; float/double sums are order-sensitive and DECIMAL
+    // sums widen per level, so both stay scan-served.
+    def integral(c: String): Boolean =
+      tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType => true
+        case org.apache.spark.sql.types.ShortType => true
+        case org.apache.spark.sql.types.IntegerType => true
+        case org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    val classified: Seq[Option[(String, String)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count", ""))
+        case m: Min => colOf(m.column).map(("min", _))
+        case m: Max => colOf(m.column).map(("max", _))
+        case m: Sum if !m.isDistinct =>
+          colOf(m.column).filter(integral).map(("sum", _))
+        case _ => None
+      }
     if (classified.exists(_.isEmpty)) return false
     val wants = classified.flatten
-    val minCols = wants.collect { case Right((true, c)) => c }.distinct
-    val maxCols = wants.collect { case Right((false, c)) => c }.distinct
+    val minCols = wants.collect { case ("min", c) => c }.distinct
+    val maxCols = wants.collect { case ("max", c) => c }.distinct
+    val sumCols = wants.collect { case ("sum", c) => c }.distinct
     val s = SparkSession.active
     SnapshotTable.metadataAggregates(s, root, version,
-      wantCount = wants.exists(_.isLeft), minCols, maxCols) match {
+      wantCount = wants.exists(_._1 == "count"), minCols, maxCols,
+      sumCols) match {
       case None => false
-      case Some((cnt, mins, maxs)) =>
+      case Some((cnt, mins, maxs, sums)) =>
         val fields = wants.map {
-          case Left(_) =>
+          case ("count", _) =>
             org.apache.spark.sql.types.StructField("count(*)",
               org.apache.spark.sql.types.LongType, nullable = false)
-          case Right((isMin, c)) =>
-            val dt = tableSchema(c).dataType
-            org.apache.spark.sql.types.StructField(
-              s"${if (isMin) "min" else "max"}($c)", dt)
+          case ("sum", c) =>
+            org.apache.spark.sql.types.StructField(s"sum($c)",
+              org.apache.spark.sql.types.LongType)
+          case (kind, c) =>
+            org.apache.spark.sql.types.StructField(s"$kind($c)",
+              tableSchema(c).dataType)
         }
         val values = wants.map {
-          case Left(_) => cnt: Any
-          case Right((true, c)) => mins(c)
-          case Right((false, c)) => maxs(c)
+          case ("count", _) => cnt: Any
+          case ("min", c) => mins(c)
+          case ("max", c) => maxs(c)
+          case ("sum", c) => sums(c)
         }
         metaAgg = Some((StructType(fields), values))
         true

@@ -1021,7 +1021,10 @@ object Scans {
           min(col("user_id")).as("min_user"),
           max(col("user_id")).as("max_user"),
           min(col("ts_us")).as("min_ts_us"),
-          max(col("ts_us")).as("max_ts_us"))
+          max(col("ts_us")).as("max_ts_us"),
+          // round 20: unfiltered SUM of an integral stats column
+          // answers from the per-file sum__ manifest records too
+          sum(col("user_id")).as("sum_user"))
       df.collect() // execute THIS plan, then read its final shape
       val plan = df.queryExecution.executedPlan.toString
       val metaOnly = plan.contains("GraftMetaAggScan") &&
@@ -1624,7 +1627,10 @@ object Scans {
       d: String): String = {
     val tag = new java.io.File(d).getName
     val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-    val root = Artifacts.scratch(s, s"meta_agg_${tag}_$snap") + "/t"
+    // tag bumped round 20: the manifest shape gained per-file sum__
+    // records, and a stale content-keyed build would serve without
+    // them (the playbook's new-tag-on-new-shape rule)
+    val root = Artifacts.scratch(s, s"meta_agg_r20_${tag}_$snap") + "/t"
     val ev = t(s, d, "events")
       .select(col("user_id"), col("event_id"),
         ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
@@ -2267,7 +2273,9 @@ object Scans {
     "table_meta_agg" ->
       """SELECT count(*) AS n, min(user_id) AS min_user,
         | max(user_id) AS max_user, min(epoch_us(ts)) AS min_ts_us,
-        | max(epoch_us(ts)) AS max_ts_us, TRUE AS metadata_only
+        | max(epoch_us(ts)) AS max_ts_us,
+        | CAST(sum(user_id) AS BIGINT) AS sum_user,
+        | TRUE AS metadata_only
         |FROM events""".stripMargin,
     "table_runtime_prune" ->
       """WITH cap AS (

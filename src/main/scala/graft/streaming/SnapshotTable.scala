@@ -344,20 +344,32 @@ object SnapshotTable {
     * extends the mapping to NESTED struct leaves via dotted logical
     * paths (`meta.lang` → `meta.lang__v2`): the walk resolves each
     * level's own path, so a renamed parent and a renamed leaf compose.
-    * Only struct nesting is mapped (leaves inside array/map elements
-    * keep identity names — documented limit). */
+    * Round 20 extends the walk THROUGH array/map elements with the
+    * virtual segments `element` (array) and `value` (map value) —
+    * `items.element.price` names the price leaf inside each array
+    * element, and the positional casts both read/write sides already
+    * use rename inside container types exactly like plain structs. */
   private def physField(f: StructField, cm: ColMap,
       path: String): StructField = {
     val mapped = cm.map.get(path)
       .map(p => p.substring(p.lastIndexOf('.') + 1)).getOrElse(f.name)
-    val dt = f.dataType match {
+    f.copy(name = mapped, dataType = physType(f.dataType, cm, path))
+  }
+
+  private def physType(dt: org.apache.spark.sql.types.DataType,
+      cm: ColMap, path: String): org.apache.spark.sql.types.DataType =
+    dt match {
       case st: StructType =>
         StructType(st.fields.map(c =>
           physField(c, cm, s"$path.${c.name}")))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType =
+          physType(at.elementType, cm, s"$path.element"))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(valueType =
+          physType(mt.valueType, cm, s"$path.value"))
       case other => other
     }
-    f.copy(name = mapped, dataType = dt)
-  }
 
   /** Full physical dotted path of a logical dotted path (identity
     * segments compose with mapped ancestors). */
@@ -372,6 +384,15 @@ object SnapshotTable {
   /** Every leaf's (and struct node's) full physical path in a logical
     * schema — the "taken" set nested ADD COLUMN checks against. */
   private def physPathsOf(schema: StructType, cm: ColMap): Set[String] = {
+    def walkType(dt: org.apache.spark.sql.types.DataType,
+        lp: String, pp: String): Set[String] = dt match {
+      case st: StructType => walk(st.fields.toSeq, lp, pp)
+      case at: org.apache.spark.sql.types.ArrayType =>
+        walkType(at.elementType, s"$lp.element", s"$pp.element")
+      case mt: org.apache.spark.sql.types.MapType =>
+        walkType(mt.valueType, s"$lp.value", s"$pp.value")
+      case _ => Set.empty[String]
+    }
     def walk(fields: Seq[StructField], lPrefix: String,
         pPrefix: String): Set[String] =
       fields.flatMap { f =>
@@ -379,10 +400,7 @@ object SnapshotTable {
         val pLeaf = cm.map.get(lp)
           .map(p => p.substring(p.lastIndexOf('.') + 1)).getOrElse(f.name)
         val pp = if (pPrefix.isEmpty) pLeaf else s"$pPrefix.$pLeaf"
-        Set(pp) ++ (f.dataType match {
-          case st: StructType => walk(st.fields.toSeq, lp, pp)
-          case _ => Set.empty[String]
-        })
+        Set(pp) ++ walkType(f.dataType, lp, pp)
       }.toSet
     walk(schema.fields.toSeq, "", "")
   }
@@ -965,7 +983,10 @@ object SnapshotTable {
 
   /** Rebuild `schema` by applying `op` to the struct that directly
     * holds the leaf named by `parent` (empty parent = top level).
-    * Fails loudly when any path segment is missing or non-struct. */
+    * Round 20: the virtual segments `element` / `value` descend
+    * through array elements and map values, so DDL reaches leaves
+    * inside `array<struct<…>>` / `map<k, struct<…>>` too. Fails
+    * loudly when any path segment is missing or not traversable. */
   private def updateStructAt(schema: StructType, parent: Seq[String])(
       op: StructType => StructType): StructType = parent match {
     case Seq() => op(schema)
@@ -974,13 +995,27 @@ object SnapshotTable {
         s"path segment '$head' not in ${schema.fieldNames.mkString(",")}")
       StructType(schema.fields.map { f =>
         if (f.name != head) f
-        else f.dataType match {
-          case st: StructType =>
-            f.copy(dataType = updateStructAt(st, rest)(op))
-          case other => throw new IllegalArgumentException(
-            s"path segment '$head' is not a struct (got $other)")
-        }
+        else f.copy(dataType = descendAt(f.dataType, head, rest)(op))
       })
+  }
+
+  private def descendAt(dt: org.apache.spark.sql.types.DataType,
+      head: String, rest: Seq[String])(
+      op: StructType => StructType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => updateStructAt(st, rest)(op)
+    case at: org.apache.spark.sql.types.ArrayType
+        if rest.headOption.contains("element") =>
+      at.copy(elementType =
+        descendAt(at.elementType, "element", rest.tail)(op))
+    case mt: org.apache.spark.sql.types.MapType
+        if rest.headOption.contains("value") =>
+      mt.copy(valueType =
+        descendAt(mt.valueType, "value", rest.tail)(op))
+    case other => throw new IllegalArgumentException(
+      s"path segment '$head' is not traversable (got " +
+        s"${other.simpleString}; use '.element' under arrays, " +
+        "'.value' under map values)")
   }
 
   private def splitLeaf(path: String): (Seq[String], String) = {
@@ -1580,9 +1615,24 @@ object SnapshotTable {
           StructField("bytes", LongType, nullable = true)))))
       } else {
         // ONE pass computes every column's per-file stats (re-scanning
-        // the fresh segment once per column would be N delta passes)
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"))) :+
+        // the fresh segment once per column would be N delta passes).
+        // INTEGRAL stats columns also record a per-file SUM (round 20
+        // — wrap-consistent with Spark's own long sum), so unfiltered
+        // SUM joins COUNT/MIN/MAX in the metadata-only aggregate path;
+        // float/double sums are order-sensitive and stay scan-served.
+        val segSchema = s.read.parquet(s"$root/$segName").schema
+        def integral(c: String): Boolean =
+          segSchema.fields.find(_.name == c).map(_.dataType).exists {
+            case _: org.apache.spark.sql.types.ByteType => true
+            case _: org.apache.spark.sql.types.ShortType => true
+            case _: org.apache.spark.sql.types.IntegerType => true
+            case _: org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c")) ++
+            (if (integral(c))
+              Seq(sum(col(c)).as(s"sum__$c")) else Nil)) :+
           count(lit(1)).as("rows")
         val agg = s.read.parquet(s"$root/$segName")
           .groupBy(relFile.as("file"))
@@ -3048,8 +3098,9 @@ object SnapshotTable {
     * single data file. */
   private[graft] def metadataAggregates(s: SparkSession, root: String,
       v: Long, wantCount: Boolean, minCols: Seq[String],
-      maxCols: Seq[String])
-      : Option[(Long, Map[String, Any], Map[String, Any])] = {
+      maxCols: Seq[String], sumCols: Seq[String] = Nil)
+      : Option[(Long, Map[String, Any], Map[String, Any],
+        Map[String, Any])] = {
     import org.apache.spark.sql.functions._
     val fs = fsOf(s, root)
     if (!isManifestVersion(fs, root, v)) return None
@@ -3057,12 +3108,20 @@ object SnapshotTable {
     val files = dataFiles(s, root, v)
     if (files.isEmpty)
       return Some((0L, minCols.map(_ -> (null: Any)).toMap,
-        maxCols.map(_ -> (null: Any)).toMap))
+        maxCols.map(_ -> (null: Any)).toMap,
+        sumCols.map(_ -> (null: Any)).toMap))
     if (!hasStatsManifest(fs, root, v)) return None
     val statCols = statsColsOf(s, root, v).toSet
-    if (!(minCols ++ maxCols).forall(statCols.contains)) return None
+    if (!(minCols ++ maxCols ++ sumCols).forall(statCols.contains))
+      return None
     val cm = colmapOf(fs, root, v)
     val m = manifestDf(s, root, v)
+    // per-file SUMs (round 20) exist only for integral stats columns
+    // and only in manifests written since; every file must carry one
+    // (or be a proven rows=0 file) for the fold to be exact
+    if (sumCols.exists(c =>
+        !m.schema.fieldNames.contains(s"sum__${cm.physical(c)}")))
+      return None
     // row counts gate EVERYTHING (count needs them; min/max use them
     // to exempt genuinely EMPTY files from the stats requirement — a
     // zero-row file's null ranges are vacuous, while a non-empty
@@ -3086,6 +3145,13 @@ object SnapshotTable {
         val p = cm.physical(c)
         Seq(max(col(s"max__$p")).as(s"__max__$c"),
           badRange(p, "max").as(s"__max_bad__$c"))
+      } ++
+      sumCols.flatMap { c =>
+        val p = cm.physical(c)
+        // fold of longs wraps exactly like Spark's own long sum —
+        // the metadata answer equals the scan answer bit-for-bit
+        Seq(sum(col(s"sum__$p").cast("long")).as(s"__sum__$c"),
+          badRange(p, "sum").as(s"__sum_bad__$c"))
       }
     val r = m.agg(aggs.head, aggs.tail: _*).first()
     def at(name: String): Any = r.get(r.fieldIndex(name))
@@ -3093,12 +3159,14 @@ object SnapshotTable {
     val complete =
       at("__cnt_n") == nFiles &&
         minCols.forall(c => at(s"__min_bad__$c") == 0L) &&
-        maxCols.forall(c => at(s"__max_bad__$c") == 0L)
+        maxCols.forall(c => at(s"__max_bad__$c") == 0L) &&
+        sumCols.forall(c => at(s"__sum_bad__$c") == 0L)
     if (!complete || nFiles != files.size.toLong) None
     else Some((
       if (wantCount) at("__cnt").asInstanceOf[Number].longValue else 0L,
       minCols.map(c => c -> at(s"__min__$c")).toMap,
-      maxCols.map(c => c -> at(s"__max__$c")).toMap))
+      maxCols.map(c => c -> at(s"__max__$c")).toMap,
+      sumCols.map(c => c -> at(s"__sum__$c")).toMap))
   }
 
   /** LIMIT-pushdown file selection (round 20): the FEWEST kept files

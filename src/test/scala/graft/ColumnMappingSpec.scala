@@ -322,6 +322,89 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("ARRAY/MAP-ELEMENT nested DDL (round 20): leaves inside " +
+      "array<struct> rename/add/drop metadata-only via the virtual " +
+      "'.element' segment — data intact, time travel serves the old " +
+      "names, dropped element physicals never resurface") {
+    withRoot { root =>
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq((10L, "a"), (11L, "b"))),
+        (2L, Seq((20L, "c"))))
+        .toDF("k", "items")
+        .selectExpr("k",
+          "transform(items, x -> named_struct('price', x._1, " +
+            "'tag', x._2)) AS items")
+      SnapshotTable.commitAppend(spark, root, df, retain = 6)
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      val segsBefore = segDirs(root)
+
+      // rename a leaf inside the array elements
+      SnapshotTable.renameColumn(spark, root, "items.element.price",
+        "cost", retain = 6)
+      assert(segDirs(root) === segsBefore,
+        "element rename must not write data")
+      val cur = SnapshotTable.read(spark, root).get
+      assert(cur.selectExpr("k", "items[0].cost AS c0")
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq === Seq((1L, 10L), (2L, 20L)))
+      // time travel serves v1's own element names
+      assert(SnapshotTable.readVersion(spark, root, v1)
+        .selectExpr("items[0].price").count() === 2)
+
+      // add + drop inside the elements, also metadata-only
+      SnapshotTable.addColumn(spark, root, "items.element.note",
+        org.apache.spark.sql.types.StringType, retain = 6)
+      val withNote = SnapshotTable.read(spark, root).get
+      assert(withNote.selectExpr("items[0].note").collect()
+        .forall(_.isNullAt(0)),
+        "existing element rows must serve NULL for the added leaf")
+      SnapshotTable.dropColumn(spark, root, "items.element.tag",
+        retain = 6)
+      val dropped = SnapshotTable.read(spark, root).get
+      val elemFields = dropped.schema("items").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq
+      assert(!elemFields.contains("tag") && elemFields.contains("cost"))
+      assert(segDirs(root) === segsBefore)
+
+      // a NEW append under the evolved schema round-trips: the write
+      // side renames element leaves to physical names positionally
+      val add = Seq((3L, Seq((30L, "late"))))
+        .toDF("k", "items")
+        .selectExpr("k",
+          "transform(items, x -> named_struct('cost', x._1, " +
+            "'note', x._2)) AS items")
+      SnapshotTable.commitAppend(spark, root, add, retain = 6)
+      val fin = SnapshotTable.read(spark, root).get
+      assert(fin.selectExpr("k", "items[0].cost AS c",
+        "items[0].note AS n").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse(""))).toSeq
+        === Seq((1L, 10L, ""), (2L, 20L, ""), (3L, 30L, "late")))
+
+      // re-adding a dropped element leaf gets a FRESH physical: old
+      // 'tag' bytes must never resurface
+      SnapshotTable.addColumn(spark, root, "items.element.tag",
+        org.apache.spark.sql.types.StringType, retain = 6)
+      assert(SnapshotTable.read(spark, root).get
+        .selectExpr("items[0].tag").collect().forall(_.isNullAt(0)),
+        "re-added element leaf must not read the dropped bytes")
+
+      // SQL surface: ALTER TABLE ... RENAME COLUMN items.element.cost
+      spark.conf.set("spark.sql.catalog.graft_ae",
+        "graft.dsv2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_ae.warehouse",
+        new java.io.File(root).getParent)
+      val tbl = new java.io.File(root).getName
+      spark.sql(s"ALTER TABLE graft_ae.`$tbl` RENAME COLUMN " +
+        "items.element.cost TO amount")
+      assert(spark.table(s"graft_ae.`$tbl`")
+        .selectExpr("items[0].amount").count() === 3)
+    }
+  }
+
   test("TYPE WIDENING (round 20): ALTER COLUMN TYPE int->long / " +
       "float->double is metadata-only — zero data files move, the " +
       "widened type serves from old parquet, time travel keeps the " +

@@ -486,11 +486,19 @@ class Dsv2Spec extends AnyFunSuite {
       val sDf = door().agg(min("v"), max("v"))
       assert(planOf(sDf).contains("GraftMetaAggScan"))
       assert(sDf.collect().head.toSeq === Seq("v1", "v99"))
+      // SUM of an integral stats column (round 20): per-file sum__
+      // records fold to the exact long sum with zero parquet scans
+      val sumDf = door().agg(sum("k").as("s"), count(lit(1)).as("n"))
+      val sumPlan = planOf(sumDf)
+      assert(sumPlan.contains("GraftMetaAggScan"),
+        s"unfiltered integral SUM must push to metadata:\n$sumPlan")
+      assert(!sumPlan.contains("GraftSnapshotScan"))
+      assert(sumDf.collect().head.toSeq === Seq(80200L, 400L))
       // a FILTER disqualifies (all predicates are residual here)
       assert(!planOf(door().where(col("k") > 10)
         .agg(count(lit(1)))).contains("GraftMetaAggScan"))
-      // AVG / SUM / GROUP BY are not metadata-answerable
-      assert(!planOf(door().agg(sum("k"))).contains("GraftMetaAggScan"))
+      // AVG / SUM-of-string / GROUP BY are not metadata-answerable
+      assert(!planOf(door().agg(avg("k"))).contains("GraftMetaAggScan"))
       assert(!planOf(door().groupBy("v").agg(count(lit(1))))
         .contains("GraftMetaAggScan"))
       // DELETION VECTORS hide rows -> metadata would lie; fall back,
