@@ -104,19 +104,22 @@ class GraftBatch(root: String, version: Long, required: StructType,
            StructType) = dv match {
       case None => (Map.empty, Map.empty, new StructType())
       case Some((key, entries)) =>
-        // SMALL vector sets (the steady state — compaction and
-        // auto-maintain fold at 10% density) driver-materialize for
-        // the broadcast filter. ABOVE the cap (round-20 verdict item
-        // 2: a hot CDC table between folds can legitimately exceed it
-        // at 100 TB) the door DEGRADES to a distributed plan instead
-        // of refusing: one Spark job shards the entries by data file
-        // into a content-keyed artifact (immutable per version, so
-        // the cost amortizes across queries), and each masked
-        // partition reads ONLY ITS OWN file's shard executor-side —
-        // a per-file hash anti-join whose build side never touches
-        // the driver.
+        // SMALL vector sets driver-materialize for the broadcast
+        // filter. ABOVE the cap (round-20 verdict item 2) the door
+        // switches to the DISTRIBUTED plan instead of refusing: one
+        // Spark job shards the entries by data file into a
+        // content-keyed artifact (immutable per version, so the cost
+        // amortizes across queries), and each masked partition reads
+        // ONLY ITS OWN file's shard executor-side — a per-file hash
+        // anti-join whose build side never touches the driver. The
+        // default cap is deliberately LOW: the broadcast path pays
+        // the driver collect + Set build PER QUERY (DvDoorScale, 20M
+        // rows/16 files: 50k entries broadcast 2.9 s ≈ distributed
+        // 2.7 s; 500k: 7.1 vs 3.0; 6M: 77 vs 9.4 — distributed
+        // dominates everywhere except trivially small sets, where
+        // the one-time staging job isn't worth its ~1-2 s).
         val maxEntries = s.conf
-          .get("spark.graft.dsv2.maxDvBroadcastEntries", "4000000")
+          .get("spark.graft.dsv2.maxDvBroadcastEntries", "131072")
           .toLong
         val keyType = fullPhys.fields.find(_.name == key).getOrElse(
           throw new IllegalStateException(
@@ -132,23 +135,37 @@ class GraftBatch(root: String, version: Long, required: StructType,
               (f, rows.map(r => toInternal(r.get(1))).toSet) },
             Map.empty[String, Seq[(String, Long)]], new StructType())
         } else {
-          val staged = GraftBatch.stageDvShards(s, root, version, entries)
-          // file names only (bounded by the file count, never the
-          // entry count) — the entries themselves stay distributed
-          val dvFiles = entries.select("file").distinct()
-            .collect().map(_.getString(0))
-          val sfs = new HPath(staged)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val shards = dvFiles.map { f =>
-            val dir = new HPath(s"$staged/fh=${GraftBatch.md5hex(f)}")
-            val fl = sfs.listStatus(dir).toSeq
-              .filter(x => !x.getPath.getName.startsWith("_") &&
-                !x.getPath.getName.startsWith("."))
-              .map(x => (x.getPath.toString, x.getLen))
-            require(fl.nonEmpty,
-              s"DV shard for '$f' missing under $staged")
-            f -> fl
-          }.toMap
+          // memoized per (root, version): the shard layout is
+          // immutable once staged, and each query builds a fresh
+          // GraftBatch — without the memo every over-cap query
+          // repays the distinct-files job plus one listStatus per
+          // DV'd file at plan time
+          // bound check OUTSIDE computeIfAbsent: clear() inside the
+          // mapping function would lock bins under a held bin lock
+          if (GraftBatch.shardMemo.size > 64)
+            GraftBatch.shardMemo.clear()
+          val shards = GraftBatch.shardMemo.computeIfAbsent(
+            (root, version), { _ =>
+              val staged =
+                GraftBatch.stageDvShards(s, root, version, entries)
+              // file names only (bounded by the file count, never
+              // the entry count) — entries stay distributed
+              val dvFiles = entries.select("file").distinct()
+                .collect().map(_.getString(0))
+              val sfs = new HPath(staged)
+                .getFileSystem(s.sparkContext.hadoopConfiguration)
+              dvFiles.map { f =>
+                val dir =
+                  new HPath(s"$staged/fh=${GraftBatch.md5hex(f)}")
+                val fl = sfs.listStatus(dir).toSeq
+                  .filter(x => !x.getPath.getName.startsWith("_") &&
+                    !x.getPath.getName.startsWith("."))
+                  .map(x => (x.getPath.toString, x.getLen))
+                require(fl.nonEmpty,
+                  s"DV shard for '$f' missing under $staged")
+                f -> fl
+              }.toMap
+            })
           (Map.empty[String, Set[Any]], shards, entries.schema)
         }
     }
@@ -318,6 +335,12 @@ class GraftBatch(root: String, version: Long, required: StructType,
 }
 
 private[graft] object GraftBatch {
+  /** (root, version) → per-file shard listing; versions are immutable
+    * so entries never invalidate (coarse clear keeps it bounded). */
+  private[dsv2] val shardMemo = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long),
+      Map[String, Seq[(String, Long)]]]()
+
   case class PlanState(cmTrivial: Boolean, fullPhys: StructType,
     physReq: StructType, masked: Seq[String], unmasked: Seq[String],
     dvByFile: Map[String, Set[Any]], dvKeyPhys: String,

@@ -473,7 +473,8 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaAgg: Option[(StructType, Seq[Any])] = None
@@ -495,6 +496,30 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     else { limit = Some(l); true }
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown (round 20, `SupportsPushDownTopN`): `ORDER BY c
+    * [DESC] LIMIT k` on a stats column narrows the planned files to
+    * those that can hold a top-k row (see
+    * [[SnapshotTable.filesForTopN]] for the exactness argument).
+    * PARTIAL — Spark re-sorts and re-limits above the scan, so the
+    * kept superset is always correct. */
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions
+        .SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      NullOrdering, SortDirection}
+    if (pushed.nonEmpty || l <= 0 || orders.length != 1) return false
+    orders.head.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        topN = Some((r.fieldNames()(0),
+          orders.head.direction() == SortDirection.DESCENDING,
+          orders.head.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+        true
+      case _ => false
+    }
+  }
 
   /** METADATA-ONLY aggregate pushdown (round 19): an UNFILTERED
     * `COUNT(*)` / `MIN(c)` / `MAX(c)` (no GROUP BY) is answered
@@ -521,9 +546,11 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     }
     // classify each aggregate: (kind, column) with kind in
     // count/min/max/sum. SUM (round 20) qualifies only on INTEGRAL
-    // columns — per-file long sums fold wrap-exactly like Spark's own
-    // long sum; float/double sums are order-sensitive and DECIMAL
-    // sums widen per level, so both stay scan-served.
+    // columns — per-file sums are recorded and folded in
+    // DECIMAL(38,0) (ANSI long sums throw on overflow mid-stats
+    // otherwise) and converted to the query's long result under an
+    // exactness gate; float/double sums are order-sensitive and
+    // DECIMAL sums widen per level, so both stay scan-served.
     def integral(c: String): Boolean =
       tableSchema.fields.find(_.name == c).map(_.dataType).exists {
         case org.apache.spark.sql.types.ByteType => true
@@ -641,13 +668,19 @@ class GraftScanBuilder(root: String, version: Long, tableSchema: StructType)
     // pushed LIMIT narrows the planned files to a row-count cover;
     // only reachable with zero pushed filters, where kept == all
     // files, so the cover (computed over all files) is a subset
-    val limited = limit match {
-      case Some(l) if pushed.isEmpty =>
+    val limited = (limit, topN) match {
+      case (Some(l), _) if pushed.isEmpty =>
         SnapshotTable.filesForLimit(s, root, version, l.toLong) match {
           // the cover must be a subset of kept or it is no cover at
           // all — serve the un-narrowed set rather than risk under-
           // delivering (defensive; unreachable while the pushLimit
           // guard keeps this path filter-free)
+          case Some(cover) if cover.forall(kept.toSet) => cover
+          case _ => kept
+        }
+      case (_, Some((c, desc, nullsFirst, k))) if pushed.isEmpty =>
+        SnapshotTable.filesForTopN(s, root, c, version, desc,
+          nullsFirst, k.toLong) match {
           case Some(cover) if cover.forall(kept.toSet) => cover
           case _ => kept
         }

@@ -104,16 +104,22 @@ private[dsv2] object GraftProcedures {
     * SnapshotTable.compact]]); min_bytes > 0 → incremental small-file
     * re-pack ([[SnapshotTable.compactSmall]] — healthy files carry by
     * reference, the Delta-OPTIMIZE-shaped maintenance that stays
-    * O(fragments) at 100 TB). */
+    * O(fragments) at 100 TB). `cluster_by` (round 20 — the `OPTIMIZE
+    * … ZORDER BY` analog) rewrites the image range-clustered on one
+    * column ([[SnapshotTable.clusterBy]]) or Z-ordered on two
+    * ([[SnapshotTable.clusterByZ]]) into `target_files` files, with
+    * stats recorded on the cluster columns so skipping bites. */
   private final class OptimizeProc(cat: GraftCatalog)
       extends GraftProc(cat) {
     override def name(): String = "optimize"
     override def description(): String =
-      "compact a graft table (min_bytes > 0: re-pack small files only)"
+      "compact a graft table (min_bytes > 0: re-pack small files " +
+        "only; cluster_by => 'c1[,c2]': range/Z-order rewrite)"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       paramD("min_bytes", LongType, "0"),
-      paramD("target_files", IntegerType, "1"))
+      paramD("target_files", IntegerType, "1"),
+      paramD("cluster_by", StringType, "''"))
     private val out = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files_before", IntegerType, nullable = false),
@@ -123,13 +129,27 @@ private[dsv2] object GraftProcedures {
       val r = root(input.getUTF8String(0).toString)
       val minBytes = input.getLong(1)
       val target = input.getInt(2)
+      val clusterBy = Option(input.getUTF8String(3))
+        .map(_.toString.trim).filter(_.nonEmpty)
+        .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+      require(clusterBy.size <= 2,
+        "cluster_by takes one column (range) or two (Z-order)")
+      require(clusterBy.isEmpty || minBytes == 0L,
+        "cluster_by rewrites the whole image; min_bytes applies only " +
+          "to plain small-file compaction")
       val retain = tableRetain(r)
       val before = SnapshotTable.fileCount(s, r,
         SnapshotTable.latestVersion(s, r).get)
-      val v =
-        if (minBytes > 0L)
-          SnapshotTable.compactSmall(s, r, minBytes, target, retain)
-        else SnapshotTable.compact(s, r, target, retain)
+      val v = clusterBy match {
+        case Nil =>
+          if (minBytes > 0L)
+            SnapshotTable.compactSmall(s, r, minBytes, target, retain)
+          else SnapshotTable.compact(s, r, target, retain)
+        case cols =>
+          // stats union + bloom carry live in the library verb — a
+          // maintenance pass must never drop existing skipping
+          SnapshotTable.clusterRewrite(s, r, cols, target, retain)
+      }
       result(out, v, before, SnapshotTable.fileCount(s, r, v))
     }
   }

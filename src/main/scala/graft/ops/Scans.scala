@@ -1166,7 +1166,9 @@ object Scans {
           sum(round(col("value"), 2).cast("decimal(18,2)"))
             .cast("double").as("sum_value"))
       val capKey = "spark.graft.dsv2.maxDvBroadcastEntries"
-      val prev = s.conf.get(capKey, "4000000")
+      // getOption/unset restore: baking any literal here would pin
+      // the session to a stale engine default for every later DV read
+      val prev = s.conf.getOption(capKey)
       val (overCapRow, staged) =
         try {
           s.conf.set(capKey, "1")
@@ -1180,7 +1182,8 @@ object Scans {
             s.sparkContext.hadoopConfiguration)
           (r, fs.exists(new org.apache.hadoop.fs.Path(shardDir,
             "_SUCCESS")))
-        } finally s.conf.set(capKey, prev)
+        } finally prev.fold(s.conf.unset(capKey))(v =>
+          s.conf.set(capKey, v))
       val libRow = agg(st.read(s, root).get
         .select(col("user_id"), col("value"))).collect().head
       val ok = staged && overCapRow.toString == libRow.toString

@@ -1168,9 +1168,18 @@ object SnapshotTable {
       IntegerType -> Set[DataType](LongType),
       FloatType -> Set[DataType](DoubleType))
     val castStats: DataFrame => DataFrame = { m =>
-      Seq(s"min__$phys", s"max__$phys").foldLeft(m)((df, c) =>
+      import org.apache.spark.sql.functions.lit
+      val cast = Seq(s"min__$phys", s"max__$phys").foldLeft(m)((df, c) =>
         if (df.columns.contains(c)) df.withColumn(c, df(c).cast(to))
         else df)
+      // bloom bitsets hash the VALUE under its type — probes after the
+      // widen hash the new type, so old bitsets would silently miss
+      // matching files. Null them (a null bloom is conservatively
+      // unprunable); the next clustering/compaction rebuilds them.
+      val bloomC = s"bloom__$phys"
+      if (cast.columns.contains(bloomC))
+        cast.withColumn(bloomC, lit(null).cast(cast.schema(bloomC).dataType))
+      else cast
     }
     schemaMetadataCommit(s, root, retain, expectedBase,
         manifestXform = Some(castStats)) { (schema, cm) =>
@@ -1629,10 +1638,20 @@ object SnapshotTable {
             case _: org.apache.spark.sql.types.LongType => true
             case _ => false
           }
+        // nulls__ (round 20): per-file NULL counts make ORDER BY …
+        // LIMIT k file covers exact (TopN pushdown needs non-null row
+        // counts — nulls sort outside the value order). sum__ records
+        // in DECIMAL(38,0): under ANSI (the Spark 4 default) a long
+        // sum THROWS on overflow, and a file of epoch-micro
+        // timestamps overflows a long at ~5k rows — the stats pass
+        // must never be the thing that fails a commit.
         val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c")) ++
+          Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L))
+              .as(s"nulls__$c")) ++
             (if (integral(c))
-              Seq(sum(col(c)).as(s"sum__$c")) else Nil)) :+
+              Seq(sum(col(c).cast("decimal(38,0)")).as(s"sum__$c"))
+            else Nil)) :+
           count(lit(1)).as("rows")
         val agg = s.read.parquet(s"$root/$segName")
           .groupBy(relFile.as("file"))
@@ -1803,6 +1822,18 @@ object SnapshotTable {
     val fs = fsOf(s, root)
     val base = latestVersion(s, root)
     casCheck(root, base, expectedBase)
+    // row-identity contract (round-20 advice follow-through): the
+    // declaration asserts the id column null-free, and the DSv2
+    // row-level door advertises it non-nullable — so every APPEND
+    // must uphold it too, or a later `id IS NULL` constant-folds over
+    // silently-wrong data. O(delta) check, only on declared tables,
+    // only when the delta carries the column.
+    rowIdColumn(s, root).filter(delta.columns.contains).foreach { rid =>
+      require(delta.filter(org.apache.spark.sql.functions
+          .col(s"`$rid`").isNull).limit(1).count() == 0L,
+        s"append to $root carries NULL values in declared row-id " +
+          s"column '$rid' — row identity must stay null-free")
+    }
     val inherited = statsCols.getOrElse(
       base.map(v => statsColsOf(s, root, v)).getOrElse(Nil))
     // bloom columns inherit like stats columns: an appended table keeps
@@ -3035,11 +3066,15 @@ object SnapshotTable {
     // immutable, and Catalyst asks for relation stats on EVERY query —
     // without the memo each front-door query pays one manifest-agg
     // Spark job (~50-80 ms of pure driver latency, DoorAb round 19).
-    // Keyed on the FILE LIST ITSELF, not its 32-bit hashCode (round-20
-    // advice): a hash collision between two kept sets would serve the
-    // wrong size to Catalyst — a large relation misreported as tiny
-    // gets broadcast-planned, silently and unreproducibly.
-    val memoKey = (root, v, files.toList)
+    // Keyed on a STRONG (128-bit) digest of the file list, not its
+    // 32-bit hashCode (round-20 advice): a hashCode collision between
+    // two kept sets would serve the wrong size to Catalyst — a large
+    // relation misreported as tiny gets broadcast-planned, silently.
+    // The digest (vs the list itself) keeps each of the 256 memo
+    // entries O(1) instead of O(#files) driver strings.
+    val memoKey = (root, v, java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(files.mkString("\n").getBytes("UTF-8")).toSeq)
     val hit = statsMemo.synchronized(statsMemo.get(memoKey))
     hit match {
       case Some(r) => r
@@ -3054,7 +3089,7 @@ object SnapshotTable {
   }
 
   private val statsMemo = scala.collection.mutable.Map
-    .empty[(String, Long, List[String]), (Option[Long], Option[Long])]
+    .empty[(String, Long, Seq[Byte]), (Option[Long], Option[Long])]
 
   private def filesStatsForUncached(s: SparkSession, root: String,
       v: Long, files: Seq[String]): (Option[Long], Option[Long]) = {
@@ -3148,9 +3183,12 @@ object SnapshotTable {
       } ++
       sumCols.flatMap { c =>
         val p = cm.physical(c)
-        // fold of longs wraps exactly like Spark's own long sum —
-        // the metadata answer equals the scan answer bit-for-bit
-        Seq(sum(col(s"sum__$p").cast("long")).as(s"__sum__$c"),
+        // fold in DECIMAL(38,0) — per-file sums are recorded decimal
+        // (and any long-typed records from older manifests cast
+        // losslessly); the long conversion happens below with an
+        // exactness gate
+        Seq(sum(col(s"sum__$p").cast("decimal(38,0)"))
+            .as(s"__sum__$c"),
           badRange(p, "sum").as(s"__sum_bad__$c"))
       }
     val r = m.agg(aggs.head, aggs.tail: _*).first()
@@ -3162,11 +3200,25 @@ object SnapshotTable {
         maxCols.forall(c => at(s"__max_bad__$c") == 0L) &&
         sumCols.forall(c => at(s"__sum_bad__$c") == 0L)
     if (!complete || nFiles != files.size.toLong) None
-    else Some((
-      if (wantCount) at("__cnt").asInstanceOf[Number].longValue else 0L,
-      minCols.map(c => c -> at(s"__min__$c")).toMap,
-      maxCols.map(c => c -> at(s"__max__$c")).toMap,
-      sumCols.map(c => c -> at(s"__sum__$c")).toMap))
+    else {
+      // decimal total → long with an EXACTNESS gate: a table whose
+      // true sum exceeds Long range must fall back to the scan, which
+      // reproduces the query's own ANSI overflow semantics honestly
+      val sums = scala.collection.mutable.Map.empty[String, Any]
+      for (c <- sumCols) at(s"__sum__$c") match {
+        case null => sums(c) = null
+        case d: java.math.BigDecimal =>
+          try sums(c) = d.longValueExact()
+          catch { case _: ArithmeticException => return None }
+        case other => sums(c) = other
+      }
+      Some((
+        if (wantCount) at("__cnt").asInstanceOf[Number].longValue
+        else 0L,
+        minCols.map(c => c -> at(s"__min__$c")).toMap,
+        maxCols.map(c => c -> at(s"__max__$c")).toMap,
+        sums.toMap))
+    }
   }
 
   /** LIMIT-pushdown file selection (round 20): the FEWEST kept files
@@ -3189,6 +3241,13 @@ object SnapshotTable {
     if (!m.schema.fieldNames.contains("rows")) return None
     val counts = m.select("file", "rows").collect()
     if (counts.exists(_.isNullAt(1))) return None
+    // completeness gate (the metadataAggregates discipline): every
+    // data file must have exactly one manifest row — a missing row
+    // would drop a file from the cover silently, a duplicate would
+    // over-count and under-deliver
+    val named = counts.map(_.getString(0))
+    if (named.toSet != dataFiles(s, root, v).toSet ||
+        named.length != named.toSet.size) return None
     val byRows = counts.map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (f, n) => (-n, f) }
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -3200,6 +3259,87 @@ object SnapshotTable {
     // acc < limit means the whole table is smaller than the limit —
     // every file is needed, which is still a valid (trivial) cover
     Some(keep.toSeq)
+  }
+
+  /** TopN-pushdown file selection (round 20): the files that can hold
+    * a row of `ORDER BY c [DESC] LIMIT k` — `ORDER BY ts DESC LIMIT
+    * 100` on a time-clustered table then plans a couple of files, not
+    * the table. Exactness: accumulate per-file NON-NULL row counts
+    * best-bound-first (DESC: by min__c descending — every non-null
+    * row of a file is ≥ its min) until ≥ k rows are covered; the k-th
+    * best value is provably ≥/≤ that threshold, so any file whose
+    * opposite bound cannot reach it holds no result row. Gates: no
+    * deletion vectors, complete rows/nulls__/range records (nulls__
+    * ships with round-20 manifests; older tables keep the full set),
+    * no nulls when the ordering puts them FIRST (they'd occupy the
+    * top), and at least k non-null rows (else nulls pad from
+    * arbitrary files). Conservative by construction — a kept superset
+    * is always correct, Spark re-sorts and re-limits above. */
+  private[graft] def filesForTopN(s: SparkSession, root: String,
+      c: String, v: Long, descending: Boolean, nullsFirst: Boolean,
+      k: Long): Option[Seq[String]] = {
+    val fs = fsOf(s, root)
+    if (!isManifestVersion(fs, root, v)) return None
+    if (dvOf(s, root, v).isDefined) return None
+    if (!hasStatsManifest(fs, root, v)) return None
+    if (!statsColsOf(s, root, v).contains(c)) return None
+    val p = colmapOf(fs, root, v).physical(c)
+    val m = manifestDf(s, root, v)
+    if (!Seq("rows", s"nulls__$p", s"min__$p", s"max__$p")
+        .forall(m.schema.fieldNames.contains)) return None
+    case class F(file: String, nonNull: Long, nulls: Long,
+      mn: Any, mx: Any)
+    val raw = m.select(org.apache.spark.sql.functions.col("file"),
+      org.apache.spark.sql.functions.col("rows"),
+      org.apache.spark.sql.functions.col(s"nulls__$p"),
+      org.apache.spark.sql.functions.col(s"min__$p"),
+      org.apache.spark.sql.functions.col(s"max__$p")).collect()
+    // completeness gate: exactly one manifest row per data file (see
+    // filesForLimit — a missing file would vanish from the cover)
+    val named = raw.map(_.getString(0))
+    if (named.toSet != dataFiles(s, root, v).toSet ||
+        named.length != named.toSet.size) return None
+    val parsed = raw.map { r =>
+      if (r.isNullAt(1)) None // rows unrecorded: bail
+      else {
+        val rows = r.getLong(1)
+        if (rows == 0L) Some(F(r.getString(0), 0L, 0L, null, null))
+        else if (r.isNullAt(2)) None // nulls__ unrecorded (pre-r20)
+        else {
+          val nulls = r.getLong(2)
+          val mn = if (r.isNullAt(3)) null else r.get(3)
+          val mx = if (r.isNullAt(4)) null else r.get(4)
+          // non-null rows demand a recorded range, and the range must
+          // be ORDERABLE driver-side (binary stats are not Comparable
+          // — bail to the full set rather than throw mid-plan)
+          if (rows - nulls > 0 && (mn == null || mx == null)) None
+          else if (mn != null && (!mn.isInstanceOf[Comparable[_]] ||
+            !mx.isInstanceOf[Comparable[_]])) None
+          else Some(F(r.getString(0), rows - nulls, nulls, mn, mx))
+        }
+      }
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val files = parsed.flatten
+    if (nullsFirst && files.exists(_.nulls > 0)) return None
+    if (files.map(_.nonNull).sum < k) return None
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val nonEmpty = files.filter(_.nonNull > 0)
+    val sorted =
+      if (descending) nonEmpty.sortWith((x, y) => cmp(x.mn, y.mn) > 0)
+      else nonEmpty.sortWith((x, y) => cmp(x.mx, y.mx) < 0)
+    var acc = 0L
+    var thr: Any = null
+    val it = sorted.iterator
+    while (acc < k && it.hasNext) {
+      val f = it.next()
+      acc += f.nonNull
+      thr = if (descending) f.mn else f.mx
+    }
+    Some(nonEmpty.filter(f =>
+      if (descending) cmp(f.mx, thr) >= 0 else cmp(f.mn, thr) <= 0)
+      .map(_.file).toSeq)
   }
 
   /** Read a kept-file subset of version `v` under its recorded schema
@@ -3274,6 +3414,31 @@ object SnapshotTable {
   def clusterBy(df: DataFrame, c: String, partitions: Int): DataFrame =
     df.repartitionByRange(partitions,
       org.apache.spark.sql.functions.col(c)).sortWithinPartitions(c)
+
+  /** CLUSTERING REWRITE as a maintenance verb (round 20 — the Delta
+    * `OPTIMIZE … ZORDER BY` analog the SQL `CALL optimize(cluster_by
+    * => …)` procedure lowers onto): rewrite the whole image
+    * range-clustered on one column or Z-ordered on two, into
+    * `targetFiles` files. Stats columns are the UNION of the existing
+    * recorded set and the cluster columns, and bloom columns carry —
+    * a maintenance pass that promises better skipping must never
+    * silently drop the skipping the table already had. */
+  def clusterRewrite(s: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int, retain: Int = 2): Long = {
+    require(cols.nonEmpty && cols.size <= 2,
+      "clusterRewrite takes one column (range) or two (Z-order)")
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"clusterRewrite: no committed version at $root"))
+    commitCore(s, root, retain,
+      (statsColsOf(s, root, v) ++ cols).distinct,
+      carriedFrom = None, bloomCols = bloomColsOf(s, root, v)) { cur =>
+      val img = cur().getOrElse(throw new IllegalStateException(
+        s"clusterRewrite: no committed version at $root"))
+      if (cols.size == 1) clusterBy(img, cols.head, targetFiles)
+      else clusterByZ(img, cols(0), cols(1), targetFiles)
+    }
+  }
 
   /** Small-file COMPACTION (the maintenance op every table format
     * ships — Iceberg's rewrite_data_files / Delta's OPTIMIZE): commit

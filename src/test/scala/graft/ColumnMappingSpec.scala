@@ -473,6 +473,38 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("widening a BLOOM-indexed column nulls its bitsets: the old " +
+      "hashes were computed under the narrow type, so a post-widen " +
+      "point probe must keep files conservatively rather than " +
+      "silently skip matching rows") {
+    withRoot { root =>
+      import spark.implicits._
+      SnapshotTable.commitWithSkipping(spark, root, Seq("k"), Seq("k"),
+        bloomBits = 4096, retain = 6)(_ =>
+        (1 to 400).map(k => (k, s"v$k")).toDF("k", "v")
+          .repartitionByRange(8, col("k")))
+      val v1 = SnapshotTable.latestVersion(spark, root).get
+      // pre-widen: the bloom prunes a point probe
+      val (k1, t1) = SnapshotTable.pruneFilesFor(spark, root, v1,
+        boxes = Nil, inProbes = Seq(("k", Seq(42))))
+      assert(k1.size < t1, "precondition: bloom pruning bites")
+      SnapshotTable.widenColumn(spark, root, "k",
+        org.apache.spark.sql.types.LongType, retain = 6)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      // post-widen: probes hash the LONG value — stale int-hashed
+      // bitsets are nulled, so the probe keeps every file (range
+      // pruning still bites; here the probe is bloom-only)
+      val (k2, _) = SnapshotTable.pruneFilesFor(spark, root, v2,
+        boxes = Nil, inProbes = Seq(("k", Seq(42L))))
+      // correctness first: the matching row is served regardless
+      assert(SnapshotTable.read(spark, root).get
+        .where(col("k") === 42L).count() === 1)
+      assert(k2.map(_.split('/').last).toSet
+        .contains(k1.map(_.split('/').last).head) || k2.size >= k1.size,
+        "nulled blooms must never skip the file holding the match")
+    }
+  }
+
   test("type widening through SQL: ALTER TABLE … ALTER COLUMN … TYPE " +
       "BIGINT lands as one metadata commit via the catalog") {
     withRoot { wh =>

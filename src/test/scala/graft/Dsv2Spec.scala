@@ -176,6 +176,72 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("TopN pushdown (round-20): ORDER BY c DESC LIMIT k plans only " +
+      "the files that can hold a top-k row; nulls-first orderings and " +
+      "DV'd versions refuse; results stay exact end-to-end") {
+    withRoot { root =>
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 5)(_ =>
+        img((1L to 400L).map(k => (k, s"v$k")): _*)
+          .repartitionByRange(8, col("k")))
+      val v = SnapshotTable.latestVersion(spark, root).get
+      def scanTop(desc: Boolean, k: Int): GraftScan = {
+        import org.apache.spark.sql.connector.expressions.{
+          Expressions, NullOrdering, SortDirection}
+        val b = new GraftScanBuilder(root, v,
+          SnapshotTable.schemaOfVersion(spark, root, v))
+        // real SQL defaults: DESC ships NULLS_LAST, ASC NULLS_FIRST —
+        // the ASC arm exercises the nulls-first path on null-free data
+        // (the exists-nulls refusal guard passes vacuously)
+        val dir = if (desc) SortDirection.DESCENDING
+          else SortDirection.ASCENDING
+        val no = if (desc) NullOrdering.NULLS_LAST
+          else NullOrdering.NULLS_FIRST
+        assert(b.pushTopN(Array(Expressions.sort(
+          Expressions.column("k"), dir, no)), k))
+        b.build().asInstanceOf[GraftScan]
+      }
+      // 400 rows / 8 range-disjoint files: top-10 DESC lives in the
+      // last file, bottom-10 ASC in the first
+      val top = scanTop(desc = true, k = 10)
+      assert(top.filesRead === 1 && top.filesTotal === 8,
+        s"DESC top-10 must plan one file: ${top.description()}")
+      val bottom = scanTop(desc = false, k = 10)
+      assert(bottom.filesRead === 1,
+        s"ASC top-10 must plan one file: ${bottom.description()}")
+      // spanning k: top-60 needs two files
+      assert(scanTop(desc = true, k = 60).filesRead === 2)
+      // end-to-end: the SQL ORDER BY ... LIMIT returns the exact rows
+      // and the executed scan was file-narrowed
+      val df = spark.read.format("graft").load(root)
+        .orderBy(col("k").desc).limit(5)
+      assert(df.collect().map(_.getLong(0)).toSeq
+        === Seq(400L, 399L, 398L, 397L, 396L))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.collect { case g: GraftScan => g }
+      assert(scans.nonEmpty && scans.head.filesRead < 8,
+        s"executed TopN scan must be file-narrowed: " +
+          scans.map(_.description()).mkString("; "))
+      // DV gate: tombstoned rows invalidate the non-null row counts
+      SnapshotTable.commitMergeDV(spark, root, img(400L -> "B400"),
+        "k", retain = 5)((_, b) => b)
+      val v2 = SnapshotTable.latestVersion(spark, root).get
+      val b2 = new GraftScanBuilder(root, v2,
+        SnapshotTable.schemaOfVersion(spark, root, v2))
+      import org.apache.spark.sql.connector.expressions.{
+        Expressions, NullOrdering, SortDirection}
+      assert(b2.pushTopN(Array(Expressions.sort(Expressions.column("k"),
+        SortDirection.DESCENDING, NullOrdering.NULLS_LAST)), 10))
+      val dvScan = b2.build().asInstanceOf[GraftScan]
+      assert(dvScan.filesRead === dvScan.filesTotal,
+        s"DV'd version must not TopN-narrow: ${dvScan.description()}")
+      assert(spark.read.format("graft").load(root)
+        .orderBy(col("k").desc).limit(1).collect().head.getString(1)
+        === "B400")
+    }
+  }
+
   test("CLUSTERED door writes (round-20): INSERT INTO requests range " +
       "distribution + ordering on the table's stats columns, so " +
       "door-appended files carry disjoint ranges and a range probe " +

@@ -357,6 +357,19 @@ class RowLevelSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("CALL graft_p.frobnicate(table => 't_m')")
       }
+
+      // cluster_by: the OPTIMIZE ... ZORDER BY analog — range-cluster
+      // rewrite with stats on the cluster column, so a range probe
+      // prunes afterwards
+      val clRow = spark.sql("CALL graft_p.optimize(table => 't_m', " +
+        "cluster_by => 'k', target_files => 3)").collect().head
+      assert(clRow.getInt(2) === 3)
+      assert(rowsOf(spark.table("graft_p.t_m")) === expected)
+      val vCl = SnapshotTable.latestVersion(spark, root).get
+      val (kept, total) = SnapshotTable.pruneFilesFor(spark, root, vCl,
+        boxes = Seq(("k", Some(9L), Some(9L))), inProbes = Nil)
+      assert(kept.size < total,
+        s"clustered rewrite must enable range pruning: ${kept.size}/$total")
     }
   }
 }
