@@ -97,7 +97,10 @@ object Bench {
     "table_bloom_skipping" -> 1.2, "table_cdf_consume" -> 1.8,
     "table_cdf_stream" -> 1.8, "table_changelog" -> 1.0,
     "table_delete_sql" -> 0.55, "table_dsv2_read" -> 1.6,
-    "table_meta_agg" -> 0.5, "table_runtime_prune" -> 0.9,
+    "table_meta_agg" -> 1.0, "table_runtime_prune" -> 2.0,
+    "table_sql_maintenance" -> 0.5, "table_limit_door" -> 0.8,
+    "table_type_widening" -> 0.6, "table_clustered_write" -> 1.4,
+    "table_dv_distributed" -> 1.8,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_sql" -> 0.8,
     "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,

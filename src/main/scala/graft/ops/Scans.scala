@@ -1413,17 +1413,22 @@ object Scans {
     * median an artifact of session order. */
   def tableArtifactBuild(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
-    snapMergeRoot(s, d)
-    mergePrunedRoot(s, d)
-    cdfChainRoot(s, d)
-    mergeDvRoot(s, d)
-    mergeSqlRoot(s, d)
-    deleteSqlRoot(s, d)
-    metaAggRoot(s, d)
-    runtimePruneRoot(s, d)
-    sqlMaintRoot(s, d)
-    widenRoot(s, d)
-    clusteredWriteRoot(s, d)
+    def tr(n: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      if (sys.env.contains("GRAFT_ARTIFACT_TIMING"))
+        println(f"ABUILD $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    tr("snapMerge")(snapMergeRoot(s, d))
+    tr("mergePruned")(mergePrunedRoot(s, d))
+    tr("cdfChain")(cdfChainRoot(s, d))
+    tr("mergeDv")(mergeDvRoot(s, d))
+    tr("mergeSql")(mergeSqlRoot(s, d))
+    tr("deleteSql")(deleteSqlRoot(s, d))
+    tr("metaAgg")(metaAggRoot(s, d))
+    tr("runtimePrune")(runtimePruneRoot(s, d))
+    tr("sqlMaint")(sqlMaintRoot(s, d))
+    tr("widen")(widenRoot(s, d))
+    tr("clusteredWrite")(clusteredWriteRoot(s, d))
     ()
   }
 
