@@ -281,7 +281,13 @@ object Bench {
           "table_merge_pruned", "table_changelog", "table_cdf_consume",
           "table_cdf_stream", "table_merge_dv", "table_merge_sql",
           "table_delete_sql", "table_meta_agg",
-          "table_runtime_prune")))) {
+          "table_runtime_prune",
+          // round-20 keys whose roots the composite also builds —
+          // missing here means a subset run bills the build to the
+          // key's own timed sample
+          "table_sql_maintenance", "table_limit_door",
+          "table_type_widening", "table_clustered_write",
+          "table_dv_distributed", "table_stream_door")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)
@@ -353,6 +359,13 @@ object Bench {
     // on) guaranteed to fit the tail window; the complete map lands in
     // /tmp/graft_bench.json as the first-class record (copied into
     // BENCH_r*_samples/ each round).
+    // SPARK_GRAFT_BENCH_FULL redirects the complete per-key record —
+    // a sample loop writes each run's full map straight into
+    // BENCH_r*_samples/ instead of overwriting one /tmp path
+    // (round-20 review: three samples all pointed at the same
+    // clobbered file, losing per-key data for ~180 of 210 keys)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/tmp/graft_bench.json")
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -360,10 +373,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"queries":$slow,"errors":$errs,""" +
         s""""reruns":$reruns,$probeJson,""" +
-        s""""full":"/tmp/graft_bench.json","sf":"$sfDir"}"""
+        s""""full":"$fullPath","sf":"$sfDir"}"""
     println(shortLine)
     try {
-      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
+      val w = new java.io.PrintWriter(fullPath)
       try w.println(line) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
