@@ -38,7 +38,8 @@ import graft.streaming.SnapshotTable
   * query. */
 private[dsv2] object GraftProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "fold_dv", "restore")
+  val names: Seq[String] = Seq("optimize", "vacuum", "fold_dv",
+    "restore", "history", "clone")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     // accept CALL graft.proc(...) and CALL graft.system.proc(...)
@@ -50,6 +51,8 @@ private[dsv2] object GraftProcedures {
       case "vacuum" => new VacuumProc(cat)
       case "fold_dv" => new FoldDvProc(cat)
       case "restore" => new RestoreProc(cat)
+      case "history" => new HistoryProc(cat)
+      case "clone" => new CloneProc(cat)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: " +
           names.mkString(", "))
@@ -69,21 +72,28 @@ private[dsv2] object GraftProcedures {
     root
   }
 
-  /** One-row result served through Spark's LocalScan (driver-local,
-    * zero tasks — the right shape for a maintenance summary). */
-  private final class OneRowScan(schema: StructType, row: InternalRow)
-      extends LocalScan {
-    override def readSchema(): StructType = schema
-    override def rows(): Array[InternalRow] = Array(row)
-  }
-
+  /** Result rows served through Spark's LocalScan (driver-local,
+    * zero tasks — the right shape for maintenance summaries and
+    * metadata listings). */
   private def result(schema: StructType, values: Any*)
+      : JIterator[Scan] = resultRows(schema, Seq(values))
+
+  /** Multi-row procedure result (history): same LocalScan shape, one
+    * InternalRow per input row. */
+  private def resultRows(schema: StructType, rows: Seq[Seq[Any]])
       : JIterator[Scan] = {
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-    val row = InternalRow.fromSeq(values.zip(schema.fields).map {
-      case (v, f) => conv.createToCatalystConverter(f.dataType)(v) })
+    val internal = rows.map(vals =>
+      InternalRow.fromSeq(vals.zip(schema.fields).map {
+        case (v, f) => conv.createToCatalystConverter(f.dataType)(v) }))
     JCollections.singletonList[Scan](
-      new OneRowScan(schema, row)).iterator()
+      new RowsScan(schema, internal.toArray)).iterator()
+  }
+
+  private final class RowsScan(schema: StructType,
+      rs: Array[InternalRow]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = rs
   }
 
   private abstract class GraftProc(cat: GraftCatalog)
@@ -231,6 +241,91 @@ private[dsv2] object GraftProcedures {
       val target = input.getLong(1)
       val v = SnapshotTable.restore(s, r, target, tableRetain(r))
       result(out, v, target)
+    }
+  }
+
+  /** `history`: one row per committed version — the Delta `DESCRIBE
+    * HISTORY` / Iceberg `snapshots` analog ([[SnapshotTable.history]];
+    * pure metadata, no data file opened). `rows`/`bytes` are NULL for
+    * versions that never recorded stats; `rows` counts PHYSICAL
+    * manifest rows (DV-hidden included — `dv_files` says whether any
+    * are). */
+  private final class HistoryProc(cat: GraftCatalog)
+      extends GraftProc(cat) {
+    override def name(): String = "history"
+    override def description(): String =
+      "list committed versions: commit time, file/byte/row " +
+        "accounting, deletion-vector presence (metadata-only)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true),
+      StructField("dv_files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val s = spark
+      val r = root(input.getUTF8String(0).toString)
+      resultRows(out, SnapshotTable.history(s, r).map { vi =>
+        Seq(vi.version,
+          new java.sql.Timestamp(vi.committedAtMs),
+          vi.files, vi.bytes.orNull, vi.rows.orNull, vi.dvFiles)
+      })
+    }
+  }
+
+  /** `clone`: deep clone into THIS catalog ([[SnapshotTable.cloneTo]]
+    * — distributed byte copy, stats/DV/colmap/rowid carried verbatim,
+    * EmptyBase-CAS publish). The source is a table name in this
+    * catalog (`source`) or an external storage root (`source_path`) —
+    * the path form is how an un-cataloged library table enters the
+    * catalog. `version` pins the cloned snapshot (default: latest). */
+  private final class CloneProc(cat: GraftCatalog)
+      extends GraftProc(cat) {
+    override def name(): String = "clone"
+    override def description(): String =
+      "deep-clone a table (byte copy; stats, deletion vectors, " +
+        "column mapping and row identity carried) into this catalog"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("target", StringType),
+      paramD("source", StringType, "''"),
+      paramD("source_path", StringType, "''"),
+      paramD("version", LongType, "-1"))
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("cloned_from", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val s = spark
+      val targetName = input.getUTF8String(0).toString
+      val source = Option(input.getUTF8String(1))
+        .map(_.toString.trim).filter(_.nonEmpty)
+      val sourcePath = Option(input.getUTF8String(2))
+        .map(_.toString.trim).filter(_.nonEmpty)
+      val pin = input.getLong(3)
+      require(source.nonEmpty != sourcePath.nonEmpty,
+        "clone: pass exactly one of source (a table in this catalog) " +
+          "or source_path (a graft table root)")
+      val src = source.map(root).getOrElse {
+        val p = sourcePath.get
+        require(SnapshotTable.latestVersion(spark, p).nonEmpty,
+          s"clone: no committed graft table at source_path $p")
+        p
+      }
+      // target resolves WITHOUT the committed-table requirement — it
+      // must not exist yet; cloneTo's EmptyBase CAS enforces that
+      val parts = targetName.split('.')
+      val dst = cat.rootOfIdent(
+        Identifier.of(parts.dropRight(1), parts.last))
+      // resolve "latest" BEFORE the copy so the reported cloned_from
+      // can't drift if a source commit lands mid-clone
+      val from =
+        if (pin < 0L) SnapshotTable.latestVersion(s, src).get else pin
+      val v = SnapshotTable.cloneTo(s, src, dst, from,
+        GraftTable.retain(spark, src))
+      result(out, v, SnapshotTable.fileCount(s, dst, v), from)
     }
   }
 }

@@ -1192,6 +1192,93 @@ object Scans {
         .withColumn("dv_distributed", lit(ok))
     }),
 
+    // TABLE HISTORY through the SQL door (round 20 — the Delta
+    // `DESCRIBE HISTORY` / Iceberg `snapshots` analog): `CALL
+    // cat.history(table => 't')` over the type-widening chain lists
+    // every committed version's commit time and file/byte/row
+    // accounting from PURE METADATA (file list + stats manifest — no
+    // data file is opened, so a 100 TB table's history costs
+    // O(versions) manifest reads). The oracle recomputes each
+    // version's physical row count from the build rule (v1 = the
+    // even-parity per-user counts, v2 = the metadata-only widen
+    // carrying the same files, v3 = + the odd-parity users), and
+    // `meta_ok` asserts the audit invariants: every version accounts
+    // files >= 1 and positive bytes, no deletion vectors on this
+    // chain, commit times nondecreasing in version order.
+    "table_history" -> ((s, d) => {
+      val root = widenRoot(s, d)
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val cat = sqlCatalogFor(s, s"graft_widen_${tag}_$snap",
+        root.stripSuffix("/t"))
+      val h = s.sql(s"CALL $cat.history(table => 't')").collect()
+        .sortBy(_.getLong(0))
+      val metaOk = h.length == 3 &&
+        h.forall(r => r.getInt(2) >= 1 && !r.isNullAt(3) &&
+          r.getLong(3) > 0L && !r.isNullAt(4) && r.getInt(5) == 0) &&
+        h.map(_.getTimestamp(1).getTime).sliding(2)
+          .forall(p => p.length < 2 || p(0) <= p(1))
+      import s.implicits._
+      h.toSeq.zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong,
+          if (r.isNullAt(4)) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(r.getLong(4)), metaOk)
+      }.toDF("version", "n_rows", "meta_ok")
+    }),
+
+    // DEEP CLONE through the SQL door (round 20 — the Delta `CREATE
+    // TABLE … DEEP CLONE` analog): `CALL cat.clone(target => 't',
+    // source_path => <merge_dv root>)` byte-copies the DV'd merge
+    // table's kept segments by one distributed job (no re-encode, no
+    // shuffle, no driver bytes) and publishes a full checkpoint
+    // carrying the stats manifest, deletion vectors, and schema
+    // verbatim, CAS-pinned to the empty base. The oracle hashes the
+    // ENTIRE cloned image against the source's build rule — a clone
+    // that dropped a DV, a stats row, or a file would mismatch — and
+    // `cloned` structurally asserts the byte-copy shape: identical
+    // kept-file lists, DVs still live on the clone (merge-on-read
+    // semantics carried, not folded), stats manifest present so
+    // pruning keeps biting.
+    "table_clone" -> ((s, d) => {
+      val src = mergeDvRoot(s, d)
+      val st = graft.streaming.SnapshotTable
+      val tag = new java.io.File(d).getName
+      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+      val wh = Artifacts.scratch(s, s"clone_r20_${tag}_$snap")
+      val root = s"$wh/t"
+      if (st.latestVersion(s, root).isEmpty) {
+        val cat = sqlCatalogFor(s, s"graft_clone_${tag}_$snap", wh)
+        try {
+          s.sql(s"CALL $cat.clone(target => 't', " +
+            s"source_path => '$src')").collect(); ()
+        } catch { case e: Throwable =>
+          // lost the EmptyBase create race to a concurrent identical
+          // cloner: adopt the winner (content-keyed target, same
+          // source version — the image converges) and wait bounded
+          // for its publish, the buildVersionsOnce discipline
+          try rethrowConflictOr(e) catch {
+            case _: graft.streaming.SnapshotConflictException =>
+              val deadline = System.nanoTime() + 120L * 1000000000L
+              while (st.latestVersion(s, root).isEmpty &&
+                  System.nanoTime() < deadline) Thread.sleep(200)
+              require(st.latestVersion(s, root).nonEmpty,
+                s"lost the clone race at $root but no winner published")
+          }
+        }
+      }
+      val sv = st.latestVersion(s, src).get
+      val cv = st.latestVersion(s, root).get
+      val cloned =
+        st.dataFiles(s, root, cv) == st.dataFiles(s, src, sv) &&
+        st.dvOf(s, root, cv).nonEmpty &&
+        st.statsManifest(s, root, cv).columns.contains("min__user_id")
+      st.read(s, root).get
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ep(col("ts")).as("ts_us"), round(col("value"), 2).as("value"))
+        .withColumn("cloned", lit(cloned))
+        .orderBy("user_id")
+    }),
+
     "table_bloom_skipping" -> ((s, d) => {
       val tag = new java.io.File(d).getName
       val snap = Snapshot.of(Seq(s"$d/events.parquet"))
@@ -2348,6 +2435,41 @@ object Scans {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM src)
         |WHERE rn = 1""".stripMargin,
+    // per-version PHYSICAL row counts of the widen chain, from the
+    // build rule: v1 = even-parity per-user counts, v2 = the
+    // metadata-only widen (same files, same rows), v3 = + the
+    // odd-parity users' append
+    "table_history" ->
+      """WITH ec AS (SELECT count(DISTINCT user_id) AS n FROM events
+        |            WHERE event_id % 2 = 0),
+        |oc AS (SELECT count(DISTINCT user_id) AS n FROM events
+        |       WHERE event_id % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(ec.n AS BIGINT) AS n_rows, TRUE AS meta_ok FROM ec
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(ec.n AS BIGINT), TRUE FROM ec
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(ec.n + oc.n AS BIGINT), TRUE
+        |FROM ec, oc
+        |ORDER BY version""".stripMargin,
+    // the clone serves BIT-IDENTICAL image rows to table_merge_dv's
+    // source build rule — one oracle text, read through the copy
+    "table_clone" ->
+      """WITH cap AS (SELECT CAST(floor(max(user_id) / 4.0) AS BIGINT)
+        |    AS c FROM events),
+        |src AS (
+        |  SELECT user_id, event_id, event_type, ts, value FROM events
+        |  WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.event_type, e.ts, e.value
+        |  FROM events e, cap
+        |  WHERE e.event_id % 2 = 1 AND e.user_id > cap.c
+        |    AND e.user_id <= 2 * cap.c)
+        |SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        | round(value, 2) AS value, TRUE AS cloned
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM src)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "table_delete_sql" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

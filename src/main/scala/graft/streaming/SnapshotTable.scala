@@ -914,6 +914,140 @@ object SnapshotTable {
       segPath = None)
   }
 
+  /** One committed version's audit record (see [[history]]): commit
+    * wall time (monotonized against version order, like TIMESTAMP AS
+    * OF resolution), file/byte/row accounting from the stats manifest
+    * (None when the version never recorded them — stats-less chains
+    * and legacy dirs stay honestly unknown rather than paying a data
+    * scan), and the count of files carrying live deletion vectors.
+    * `rows` is the PHYSICAL manifest count — DV-hidden rows included,
+    * exactly what the version's storage holds. */
+  final case class VersionInfo(version: Long, committedAtMs: Long,
+      files: Int, bytes: Option[Long], rows: Option[Long],
+      dvFiles: Int)
+
+  /** TABLE HISTORY (round 20 — the Delta `DESCRIBE HISTORY` /
+    * Iceberg `snapshots` metadata-table analog): one [[VersionInfo]]
+    * per committed version, ascending. Pure metadata — the file list
+    * and stats manifest answer everything; no data file is opened, so
+    * the cost is O(versions) manifest reads however big the table.
+    * Served through SQL as `CALL <cat>.history(table => 't')`. */
+  def history(s: SparkSession, root: String): Seq[VersionInfo] = {
+    val vs = versionsOf(s, root)
+    effectiveTimestamps(s, root, vs).map { case (v, ts) =>
+      val files = dataFiles(s, root, v)
+      val (bytes, rows) = filesStatsFor(s, root, v, files)
+      val dvFiles = dvOf(s, root, v)
+        .map(_._2.select("file").distinct().count().toInt)
+        .getOrElse(0)
+      VersionInfo(v, ts, files.size, bytes, rows, dvFiles)
+    }
+  }
+
+  /** DEEP CLONE (round 20 — the Delta `CREATE TABLE … DEEP CLONE`
+    * analog): materialize committed version `version` of `root`
+    * (default: latest) as version 0 of a FRESH table at `targetRoot`,
+    * copying data bytes but never re-encoding them — each kept
+    * segment file is byte-copied to the same root-relative path by
+    * one distributed job (a 100 TB clone is a pure parallel I/O pass:
+    * no decode, no shuffle, no driver bytes), and the new version is
+    * a full checkpoint referencing the copies with the source's
+    * resolved stats manifest, deletion vectors, column mapping,
+    * schema, and row-identity declaration carried VERBATIM — pruning,
+    * merge-on-read visibility, and the row-level command surface work
+    * on the clone exactly as on the source. A clone is a new table
+    * identity: history before the cloned version is not carried
+    * (audit stays with the source), idempotence tokens are not
+    * carried (a stream writing to the clone is a new sink), and the
+    * retention horizon restarts at max(`retain`, source horizon) so a
+    * clone can never silently under-retain what the source promised.
+    *
+    * Publication is the normal commit protocol at `targetRoot` —
+    * copied segments are invisible until the staged metadata publishes
+    * by rename + exclusive marker create, CAS-pinned to [[EmptyBase]]:
+    * two racing cloners (or a clone racing any CREATE) resolve to
+    * exactly one winner, and a loser's already-copied segments are
+    * unreferenced orphans the age-gated refcount sweep reclaims.
+    * LEGACY (pre-manifest) sources — whose files live inside version
+    * dirs that retention deletes whole, so byte-referencing their
+    * layout would plant orphan-swept `v=N` dirs in the target — fall
+    * back to one full re-encoding commit, stats-less (documented:
+    * migrate with commitAppend first to keep stats). Returns the
+    * clone's committed version (0). */
+  def cloneTo(s: SparkSession, root: String, targetRoot: String,
+      version: Long = -1L, retain: Int = 2): Long = {
+    require(new Path(root) != new Path(targetRoot),
+      s"cloneTo: source and target are the same root $root")
+    val vs = versionsOf(s, root)
+    require(vs.nonEmpty, s"cloneTo: no committed version at $root")
+    val v = if (version < 0L) vs.last else version
+    require(vs.contains(v),
+      s"cloneTo: v=$v is not a committed version of $root")
+    casCheck(targetRoot, versionsOf(s, targetRoot).lastOption, EmptyBase)
+    val cloneRetain = math.max(retain, retentionHorizon(s, root))
+    val files = dataFiles(s, root, v)
+    if (!isManifestVersion(fsOf(s, root), root, v) ||
+        !files.forall(_.startsWith("seg-")))
+      // legacy/self-contained layout: one re-encoding commit (same
+      // migration reasoning as restore-of-legacy)
+      return commit(s, targetRoot, cloneRetain,
+        expectedBase = EmptyBase)(_ => readVersionUnchecked(s, root, v))
+    val srcFs = fsOf(s, root)
+    val dstFs = fsOf(s, targetRoot)
+    // distributed byte copy, one task per file. Hadoop Configuration
+    // is not Serializable (and Spark's wrapper is private[spark]), so
+    // ship it as its own wire format — Writable bytes — and rebuild
+    // per partition; executors then resolve the same FileSystems the
+    // driver did, which is what makes this copy work on hdfs://s3a://
+    // roots, not just local mode
+    val confBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      s.sparkContext.hadoopConfiguration.write(dos)
+      dos.close(); bos.toByteArray
+    }
+    val srcRoot = root
+    val dstRoot = targetRoot
+    s.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .foreachPartition { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
+        it.foreach { rel =>
+          val from = new Path(s"$srcRoot/$rel")
+          val to = new Path(s"$dstRoot/$rel")
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+            false, true, conf)
+        }
+      }
+    val stage = s"$targetRoot/.stage-${java.util.UUID.randomUUID()}"
+    val stagePath = new Path(stage)
+    try {
+      writeText(dstFs, new Path(s"$stage/$filesSidecar"),
+        files.mkString("\n"))
+      if (hasStatsManifest(srcFs, root, v))
+        manifestDf(s, root, v).coalesce(1).write
+          .mode("overwrite").parquet(s"$stage/$manifestDir")
+      dvOf(s, root, v).foreach { case (k, dv) =>
+        dv.coalesce(1).write.mode("overwrite").parquet(s"$stage/$dvDir")
+        writeText(dstFs, new Path(s"$stage/$dvKeyFile"), k)
+      }
+      writeColmap(dstFs, stage, colmapOf(srcFs, root, v))
+      writeText(dstFs, new Path(s"$stage/$schemaFile"),
+        schemaOfVersion(s, root, v).toDDL)
+      // row identity is a ROOT sidecar: declare it before publish (an
+      // unreferenced declaration at a still-empty root is harmless)
+      val ridP = new Path(s"$root/$rowIdFile")
+      if (srcFs.exists(ridP))
+        writeText(dstFs, new Path(s"$targetRoot/$rowIdFile"),
+          readText(srcFs, ridP))
+    } catch { case e: Throwable => dstFs.delete(stagePath, true); throw e }
+    finalizePublish(s, targetRoot, stagePath, None, EmptyBase,
+      cloneRetain, segPath = None)
+  }
+
   /** A METADATA-ONLY schema commit (rename/drop — round 18): a DELTA
     * version carrying the base's files untouched (`_parent` pointer,
     * zero new files) with a new recorded schema and column mapping.

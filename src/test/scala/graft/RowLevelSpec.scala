@@ -372,4 +372,117 @@ class RowLevelSpec extends AnyFunSuite {
         s"clustered rewrite must enable range pruning: ${kept.size}/$total")
     }
   }
+
+  test("CALL history (round 20): one metadata-only audit row per " +
+      "committed version — manifest rows/bytes, DV presence, commit " +
+      "times monotone; stats-less versions answer NULL honestly") {
+    withWh { wh =>
+      catalog("graft_hi", wh)
+      val root = s"$wh/t_h"
+      // v(1): 2 rows with stats; v(2): +1 append; v(3): merge-on-read
+      // update of k=2 — physical rows grow by the merged row while a
+      // DV hides its predecessor
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "a", 2L -> "b"))
+      SnapshotTable.commitAppend(spark, root, img(3L -> "c"),
+        retain = 8)
+      SnapshotTable.commitMergeDV(spark, root, img(2L -> "B"), "k",
+        retain = 8)((_, b) => b)
+      val h = spark.sql("CALL graft_hi.history(table => 't_h')")
+        .collect()
+      assert(h.length === 3)
+      assert(h.map(_.getLong(0)).toSeq ===
+        SnapshotTable.committedVersions(spark, root))
+      val ts = h.map(_.getTimestamp(1).getTime).toSeq
+      assert(ts === ts.sorted, s"commit times must be monotone: $ts")
+      assert(h.map(_.getInt(2)).toSeq.forall(_ >= 1))
+      assert(h.forall(r => !r.isNullAt(3) && r.getLong(3) > 0L),
+        "stats-bearing versions must account bytes")
+      // physical manifest rows: 2, 3, 3 + the merged row (the DV'd
+      // predecessor still counts — history reports STORAGE, and the
+      // dv_files column says why visible < physical)
+      assert(h.map(_.getLong(4)).toSeq === Seq(2L, 3L, 4L))
+      assert(h.map(_.getInt(5)).toSeq.take(2) === Seq(0, 0))
+      assert(h.last.getInt(5) >= 1,
+        "the merge version must report its deletion-vector'd files")
+      // a chain that never recorded stats answers NULL, not a scan
+      val bare = s"$wh/t_bare"
+      SnapshotTable.commit(spark, bare, 8)(_ => img(9L -> "z"))
+      val hb = spark.sql("CALL graft_hi.history(table => 't_bare')")
+        .collect()
+      assert(hb.length === 1 && hb.head.isNullAt(3) &&
+        hb.head.isNullAt(4) && hb.head.getInt(2) >= 1)
+    }
+  }
+
+  test("CALL clone (round 20): deep clone byte-copies the kept " +
+      "segments and carries stats, DVs, colmap and row identity — " +
+      "identical image, independent lifecycle, EmptyBase-CAS loud on " +
+      "an existing target") {
+    withWh { wh =>
+      catalog("graft_cl", wh)
+      val root = s"$wh/src"
+      // a source exercising every sidecar: stats (commitWithStats),
+      // row identity, a rename (non-trivial colmap), a merge-on-read
+      // update (live DVs)
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img(1L -> "a", 2L -> "b", 3L -> "c"))
+      SnapshotTable.setRowId(spark, root, "k")
+      SnapshotTable.renameColumn(spark, root, "v", "val", retain = 8)
+      SnapshotTable.commitMergeDV(spark, root, img(2L -> "B")
+        .withColumnRenamed("v", "val"), "k", retain = 8)((_, b) => b)
+      val sv = SnapshotTable.latestVersion(spark, root).get
+      val row = spark.sql("CALL graft_cl.clone(target => 'dst', " +
+        "source => 'src')").collect().head
+      assert(row.getLong(0) === 0L && row.getLong(2) === sv)
+      val dst = s"$wh/dst"
+      // bit-identical image under the clone's own read path
+      val image = (r: String) => SnapshotTable.read(spark, r).get
+        .select(col("k"), col("val")).orderBy("k").collect().toSeq
+      assert(image(dst) === image(root))
+      assert(image(dst).map(r => (r.getLong(0), r.getString(1)))
+        === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // byte-copy shape: same kept files, stats manifest and DVs live
+      assert(SnapshotTable.dataFiles(spark, dst, 0L)
+        === SnapshotTable.dataFiles(spark, root, sv))
+      assert(SnapshotTable.statsManifest(spark, dst, 0L).columns
+        .contains("min__k"))
+      // row identity carried: the SQL row-level surface works on the
+      // clone — and mutating the clone never touches the source
+      spark.sql("DELETE FROM graft_cl.dst WHERE k = 3")
+      assert(image(dst).map(_.getLong(0)) === Seq(1L, 2L))
+      assert(SnapshotTable.latestVersion(spark, root).get === sv)
+      assert(image(root).map(_.getLong(0)) === Seq(1L, 2L, 3L))
+      // version pin: clone of the pre-merge snapshot serves ITS image
+      spark.sql("CALL graft_cl.clone(target => 'dst0', " +
+        s"source => 'src', version => ${sv - 1})").collect()
+      assert(image(s"$wh/dst0").map(r => (r.getLong(0), r.getString(1)))
+        === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // an existing target conflicts loudly (EmptyBase CAS), and the
+      // source/source_path params are exactly-one-of
+      val conflict = intercept[Exception] {
+        spark.sql("CALL graft_cl.clone(target => 'dst', " +
+          "source => 'src')").collect()
+      }
+      assert(Iterator.iterate(conflict: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[graft.streaming.SnapshotConflictException]))
+      intercept[Exception] {
+        spark.sql("CALL graft_cl.clone(target => 'dst2', " +
+          s"source => 'src', source_path => '$root')").collect()
+      }
+      // LEGACY source (pre-manifest self-contained dir): falls back
+      // to one re-encoding commit — image served, stats honestly
+      // absent
+      val leg = s"$wh/legacy"
+      img(7L -> "x").write.parquet(s"$leg/v=1")
+      SnapshotTable.fsOf(spark, leg).create(
+        new org.apache.hadoop.fs.Path(s"$leg/v=1/_COMMITTED"),
+        false).close()
+      spark.sql("CALL graft_cl.clone(target => 'dstleg', " +
+        s"source_path => '$leg')").collect()
+      assert(SnapshotTable.read(spark, s"$wh/dstleg").get
+        .select(col("k")).collect().map(_.getLong(0)).toSeq === Seq(7L))
+    }
+  }
 }
