@@ -101,6 +101,7 @@ object Bench {
     "table_sql_maintenance" -> 0.5, "table_limit_door" -> 0.8,
     "table_type_widening" -> 0.6, "table_clustered_write" -> 1.4,
     "table_dv_distributed" -> 1.8,
+    "table_history" -> 0.9, "table_clone" -> 1.0,
     "table_incremental_append" -> 1.5, "table_merge_dv" -> 0.8,
     "table_merge_sql" -> 0.8,
     "table_merge_pruned" -> 0.25, "table_restore" -> 1.45,
@@ -287,7 +288,8 @@ object Bench {
           // key's own timed sample
           "table_sql_maintenance", "table_limit_door",
           "table_type_widening", "table_clustered_write",
-          "table_dv_distributed", "table_stream_door")))) {
+          "table_dv_distributed", "table_stream_door",
+          "table_history", "table_clone")))) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir)
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)

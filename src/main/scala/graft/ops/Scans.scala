@@ -1242,30 +1242,7 @@ object Scans {
     "table_clone" -> ((s, d) => {
       val src = mergeDvRoot(s, d)
       val st = graft.streaming.SnapshotTable
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val wh = Artifacts.scratch(s, s"clone_r20_${tag}_$snap")
-      val root = s"$wh/t"
-      if (st.latestVersion(s, root).isEmpty) {
-        val cat = sqlCatalogFor(s, s"graft_clone_${tag}_$snap", wh)
-        try {
-          s.sql(s"CALL $cat.clone(target => 't', " +
-            s"source_path => '$src')").collect(); ()
-        } catch { case e: Throwable =>
-          // lost the EmptyBase create race to a concurrent identical
-          // cloner: adopt the winner (content-keyed target, same
-          // source version — the image converges) and wait bounded
-          // for its publish, the buildVersionsOnce discipline
-          try rethrowConflictOr(e) catch {
-            case _: graft.streaming.SnapshotConflictException =>
-              val deadline = System.nanoTime() + 120L * 1000000000L
-              while (st.latestVersion(s, root).isEmpty &&
-                  System.nanoTime() < deadline) Thread.sleep(200)
-              require(st.latestVersion(s, root).nonEmpty,
-                s"lost the clone race at $root but no winner published")
-          }
-        }
-      }
+      val root = cloneRoot(s, d)
       val sv = st.latestVersion(s, src).get
       val cv = st.latestVersion(s, root).get
       val cloned =
@@ -1516,6 +1493,7 @@ object Scans {
     tr("sqlMaint")(sqlMaintRoot(s, d))
     tr("widen")(widenRoot(s, d))
     tr("clusteredWrite")(clusteredWriteRoot(s, d))
+    tr("clone")(cloneRoot(s, d))
     ()
   }
 
@@ -1676,6 +1654,39 @@ object Scans {
             col("user_id") > uCap && col("user_id") <= 2 * uCap),
           "user_id", retain = 2, expectedBase = eb)(upsertMerge)
       ()
+    }
+    root
+  }
+
+  /** The deep-clone target (round 20): the merge_dv table cloned
+    * through `CALL clone(source_path => …)` into its own content-keyed
+    * warehouse — built once; a lost EmptyBase create race to a
+    * concurrent identical cloner is adopted like every first-build
+    * race (content-keyed target, same pinned source version — the
+    * image converges). */
+  private def cloneRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val src = mergeDvRoot(s, d)
+    val st = graft.streaming.SnapshotTable
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val wh = Artifacts.scratch(s, s"clone_r20_${tag}_$snap")
+    val root = s"$wh/t"
+    if (st.latestVersion(s, root).isEmpty) {
+      val cat = sqlCatalogFor(s, s"graft_clone_${tag}_$snap", wh)
+      try {
+        s.sql(s"CALL $cat.clone(target => 't', " +
+          s"source_path => '$src')").collect(); ()
+      } catch { case e: Throwable =>
+        try rethrowConflictOr(e) catch {
+          case _: graft.streaming.SnapshotConflictException =>
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (st.latestVersion(s, root).isEmpty &&
+                System.nanoTime() < deadline) Thread.sleep(200)
+            require(st.latestVersion(s, root).nonEmpty,
+              s"lost the clone race at $root but no winner published")
+        }
+      }
     }
     root
   }
