@@ -315,8 +315,13 @@ private[dsv2] object GraftProcedures {
         p
       }
       // target resolves WITHOUT the committed-table requirement — it
-      // must not exist yet; cloneTo's EmptyBase CAS enforces that
+      // must not exist yet; cloneTo's EmptyBase CAS enforces that.
+      // Every name part must be non-empty: '' would resolve to the
+      // warehouse root itself and plant a table image beside every
+      // real table's directory.
       val parts = targetName.split('.')
+      require(parts.nonEmpty && parts.forall(_.trim.nonEmpty),
+        s"clone: invalid target table name '$targetName'")
       val dst = cat.rootOfIdent(
         Identifier.of(parts.dropRight(1), parts.last))
       // resolve "latest" BEFORE the copy so the reported cloned_from

@@ -933,10 +933,35 @@ object SnapshotTable {
     * the cost is O(versions) manifest reads however big the table.
     * Served through SQL as `CALL <cat>.history(table => 't')`. */
   def history(s: SparkSession, root: String): Seq[VersionInfo] = {
+    val fs = fsOf(s, root)
     val vs = versionsOf(s, root)
     effectiveTimestamps(s, root, vs).map { case (v, ts) =>
       val files = dataFiles(s, root, v)
-      val (bytes, rows) = filesStatsFor(s, root, v, files)
+      // COMPLETE-or-NULL accounting: filesStatsFor's sum() skips
+      // null-stat rows (a chain can mix stats-bearing fresh files
+      // with stats-less carried ones — commitMergeDV on a stats-less
+      // base writes a manifest for its fresh segment only), which is
+      // fine for Catalyst's conservative sizing but would let an
+      // AUDIT verb report a partial sum as a definite answer. Count
+      // the non-null stat rows against the kept-file count and
+      // answer NULL unless every file is accounted.
+      val (bytes, rows) =
+        if (files.isEmpty) (Some(0L), Some(0L))
+        else if (!isManifestVersion(fs, root, v) ||
+            !hasStatsManifest(fs, root, v)) (None, None)
+        else {
+          import org.apache.spark.sql.functions._
+          val m = manifestDf(s, root, v)
+          val names = m.schema.fieldNames.toSet
+          def tally(c: String): Option[Long] =
+            if (!names.contains(c)) None
+            else {
+              val r = m.agg(count(col(c)), sum(col(c))).first()
+              if (r.getLong(0) == files.size.toLong) Some(r.getLong(1))
+              else None
+            }
+          (tally("bytes"), tally("rows"))
+        }
       val dvFiles = dvOf(s, root, v)
         .map(_._2.select("file").distinct().count().toInt)
         .getOrElse(0)
@@ -987,7 +1012,7 @@ object SnapshotTable {
     val cloneRetain = math.max(retain, retentionHorizon(s, root))
     val files = dataFiles(s, root, v)
     if (!isManifestVersion(fsOf(s, root), root, v) ||
-        !files.forall(_.startsWith("seg-")))
+        !files.forall(_.startsWith(segPrefix)))
       // legacy/self-contained layout: one re-encoding commit (same
       // migration reasoning as restore-of-legacy)
       return commit(s, targetRoot, cloneRetain,
@@ -1017,9 +1042,29 @@ object SnapshotTable {
         it.foreach { rel =>
           val from = new Path(s"$srcRoot/$rel")
           val to = new Path(s"$dstRoot/$rel")
-          org.apache.hadoop.fs.FileUtil.copy(
-            from.getFileSystem(conf), from, to.getFileSystem(conf), to,
-            false, true, conf)
+          val dstFs = to.getFileSystem(conf)
+          // copy through a task-unique temp name and RENAME into
+          // place — never a truncating overwrite of the final path: a
+          // racing identical cloner (the adopt-the-winner first-build
+          // race) must not zero a file the winner already published,
+          // and a crashed attempt must leave only temp orphans, never
+          // a partial file under a final name. A final-name file that
+          // already exists is therefore COMPLETE and content-identical
+          // (segment names are uuid-unique per source) — skip, or
+          // drop the temp when the rename loses the race.
+          if (!dstFs.exists(to)) {
+            val tmp = new Path(to.getParent,
+              s".clonetmp-${java.util.UUID.randomUUID()}")
+            org.apache.hadoop.fs.FileUtil.copy(
+              from.getFileSystem(conf), from, dstFs, tmp,
+              false, true, conf)
+            if (!dstFs.rename(tmp, to)) {
+              dstFs.delete(tmp, false)
+              require(dstFs.exists(to),
+                s"clone copy: rename $tmp -> $to failed with no " +
+                  "concurrent copy in place")
+            }
+          }
         }
       }
     val stage = s"$targetRoot/.stage-${java.util.UUID.randomUUID()}"
@@ -1037,15 +1082,21 @@ object SnapshotTable {
       writeColmap(dstFs, stage, colmapOf(srcFs, root, v))
       writeText(dstFs, new Path(s"$stage/$schemaFile"),
         schemaOfVersion(s, root, v).toDDL)
-      // row identity is a ROOT sidecar: declare it before publish (an
-      // unreferenced declaration at a still-empty root is harmless)
-      val ridP = new Path(s"$root/$rowIdFile")
-      if (srcFs.exists(ridP))
-        writeText(dstFs, new Path(s"$targetRoot/$rowIdFile"),
-          readText(srcFs, ridP))
     } catch { case e: Throwable => dstFs.delete(stagePath, true); throw e }
-    finalizePublish(s, targetRoot, stagePath, None, EmptyBase,
-      cloneRetain, segPath = None)
+    val cloned = finalizePublish(s, targetRoot, stagePath, None,
+      EmptyBase, cloneRetain, segPath = None)
+    // row identity is a ROOT sidecar, declared only AFTER the publish
+    // succeeded: a clone that loses the EmptyBase race to a concurrent
+    // CREATE must never leave the source's declaration planted on the
+    // winner's table (a silently WRONG row-level surface); the
+    // worst a crash in this window leaves is a clone MISSING its
+    // declaration — loud by design ("row identity is an explicit
+    // contract"), recoverable via setRowId.
+    val ridP = new Path(s"$root/$rowIdFile")
+    if (srcFs.exists(ridP))
+      writeText(dstFs, new Path(s"$targetRoot/$rowIdFile"),
+        readText(srcFs, ridP))
+    cloned
   }
 
   /** A METADATA-ONLY schema commit (rename/drop — round 18): a DELTA

@@ -412,6 +412,16 @@ class RowLevelSpec extends AnyFunSuite {
         .collect()
       assert(hb.length === 1 && hb.head.isNullAt(3) &&
         hb.head.isNullAt(4) && hb.head.getInt(2) >= 1)
+      // MIXED manifest (review finding): a merge on the stats-less
+      // base writes stats for its fresh segment only — a partial sum
+      // must NOT be reported as a definite answer
+      SnapshotTable.commitMergeDV(spark, bare, img(9L -> "Z"), "k",
+        retain = 8)((_, b) => b)
+      val hm = spark.sql("CALL graft_hi.history(table => 't_bare')")
+        .collect().last
+      assert(hm.isNullAt(3) && hm.isNullAt(4),
+        s"partial stats must report NULL, got $hm")
+      assert(hm.getInt(5) >= 1)
     }
   }
 
@@ -471,6 +481,13 @@ class RowLevelSpec extends AnyFunSuite {
         spark.sql("CALL graft_cl.clone(target => 'dst2', " +
           s"source => 'src', source_path => '$root')").collect()
       }
+      // an empty target name must not resolve to the warehouse root
+      intercept[Exception] {
+        spark.sql("CALL graft_cl.clone(target => '', source => 'src')")
+          .collect()
+      }
+      assert(!new java.io.File(s"$wh/v=0").exists(),
+        "an invalid clone target must plant nothing in the warehouse")
       // LEGACY source (pre-manifest self-contained dir): falls back
       // to one re-encoding commit — image served, stats honestly
       // absent
@@ -483,6 +500,47 @@ class RowLevelSpec extends AnyFunSuite {
         s"source_path => '$leg')").collect()
       assert(SnapshotTable.read(spark, s"$wh/dstleg").get
         .select(col("k")).collect().map(_.getLong(0)).toSeq === Seq(7L))
+    }
+  }
+
+  test("clone under TRUE concurrency: two cloners race the same " +
+      "target on live threads — exactly one commits, the loser " +
+      "conflicts, and the winner's published files stay intact " +
+      "(temp+rename copies, never a truncating overwrite)") {
+    withWh { wh =>
+      val root = s"$wh/src"
+      SnapshotTable.commitWithStats(spark, root, "k", retain = 8)(_ =>
+        img((1L to 64L).map(i => i -> s"v$i"): _*))
+      val dst = s"$wh/dst_race"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def attempt(): Future[Either[Throwable, Long]] = Future {
+        gate.await()
+        try Right(SnapshotTable.cloneTo(spark, root, dst))
+        catch { case e: Throwable => Left(e) }
+      }
+      val (a, b) = (attempt(), attempt())
+      gate.countDown()
+      val rs = Seq(Await.result(a, 120.seconds),
+        Await.result(b, 120.seconds))
+      val wins = rs.collect { case Right(v) => v }
+      val losses = rs.collect { case Left(e) => e }
+      assert(wins === Seq(0L),
+        s"exactly one cloner must win, got $rs")
+      assert(losses.forall { e =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(_.isInstanceOf[graft.streaming.SnapshotConflictException])
+      }, s"the loser must conflict loudly, got $losses")
+      // the winner's table reads back complete — every published file
+      // is a whole parquet (a truncating loser copy would fail here)
+      val image = SnapshotTable.read(spark, dst).get
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(image === (1L to 64L))
+      assert(SnapshotTable.dataFiles(spark, dst, 0L)
+        === SnapshotTable.dataFiles(spark, root,
+          SnapshotTable.latestVersion(spark, root).get))
     }
   }
 }
