@@ -1033,8 +1033,14 @@ object SnapshotTable {
     }
     val srcRoot = root
     val dstRoot = targetRoot
+    // one slice per file up to 4x the cluster's parallelism (a copy
+    // task is pure I/O — modest oversubscription hides per-file
+    // latency variance on object stores without flooding the scheduler
+    // on a million-file clone)
+    val slices = math.max(1, math.min(files.size,
+      s.sparkContext.defaultParallelism * 4))
     s.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .parallelize(files, slices)
       .foreachPartition { it =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.readFields(new java.io.DataInputStream(
