@@ -267,18 +267,30 @@ object Bench {
         }
         Seq((name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
       }
+    // round-20 optimization: ALL materialization jobs (table chains,
+    // trade-graph edges, dedup cluster chain, IVF centroids, binary
+    // fixture) build in ONE parallel phase inside the table line —
+    // independent jobs overlap (guide §2.6), so the phase wall clock
+    // is max(slowest chain, sum/threads) instead of the sum. The
+    // table line therefore runs FIRST; the graph line after it finds
+    // the artifact published and reports the ~0 s warm check (its
+    // line is kept — never remove/rename — and still pays the build
+    // in graph-only subset runs, where the table line is skipped).
+    val llmArtifactKeys = Set("llm_dedup_clusters", "llm_dedup_prune",
+      "llm_dedup_ngram_jaccard", "llm_dedup_incremental",
+      "llm_dedup_embcos", "llm_knn_ivf", "llm_semdedup")
     val artifactLines: Seq[(String, Double)] =
-      artifactLine("graph_artifact_build",
-        only.forall(_.exists(_.startsWith("graph_")))) {
-        graft.ops.Graph.tradeGraph(spark, sfDir); ()
-      } ++
       // round 16: the merge-table builds used to bill themselves to
       // whichever reader key ran first alphabetically (r15 billed
       // table_merge_pruned 3.0 s of build); a table build is a
       // materialization job — timed as its own line, the reader keys
       // measure query latency against the published table
       artifactLine("table_artifact_build",
-        only.forall(_.exists(Set("sink_snapshot_merge",
+        only.forall(ks => ks.exists(llmArtifactKeys) ||
+          ks.contains("source_binary_files") ||
+          ks.contains("join_bucketed_colocated") ||
+          ks.exists(_.startsWith("graph_")) ||
+          ks.exists(Set("sink_snapshot_merge",
           "table_merge_pruned", "table_changelog", "table_cdf_consume",
           "table_cdf_stream", "table_merge_dv", "table_merge_sql",
           "table_delete_sql", "table_meta_agg",
@@ -289,8 +301,25 @@ object Bench {
           "table_sql_maintenance", "table_limit_door",
           "table_type_widening", "table_clustered_write",
           "table_dv_distributed", "table_stream_door",
-          "table_history", "table_clone")))) {
-        graft.ops.Scans.tableArtifactBuild(spark, sfDir)
+          "table_history", "table_clone",
+          // round-20 optimization: the formerly in-key builds moved
+          // into the (now parallel) build phase — see
+          // OPTIMIZATION_r20.md for the attribution change
+          "table_time_travel", "table_schema_evolution",
+          "table_stats_pruning", "table_zorder_skipping",
+          "table_incremental_append", "table_bloom_skipping",
+          "table_restore")))) {
+        graft.ops.Scans.tableArtifactBuild(spark, sfDir,
+          includeGraph =
+            only.forall(_.exists(_.startsWith("graph_"))),
+          includeLlm = only.forall(_.exists(llmArtifactKeys)),
+          includeBin = only.forall(_.contains("source_binary_files")),
+          includeBucketed =
+            only.forall(_.contains("join_bucketed_colocated")))
+      } ++
+      artifactLine("graph_artifact_build",
+        only.forall(_.exists(_.startsWith("graph_")))) {
+        graft.ops.Graph.tradeGraph(spark, sfDir); ()
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -84,14 +84,66 @@ object Graph {
       d: String): org.apache.spark.sql.DataFrame =
     OpCache.track(tradeGraph(s, d).repartition(col("src")))
 
+  /** |N| per corpus snapshot, computed once per JVM (content-keyed
+    * like the artifact it derives from): pagerank needs the exact
+    * count for its teleport term anyway, and the broadcast gate reads
+    * the same scalar — the memo makes the gate free for the OTHER
+    * loops instead of charging each one a distinct-count job. */
+  private val nodeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nodeCount(s: org.apache.spark.sql.SparkSession, d: String,
+      nodes: => org.apache.spark.sql.DataFrame): Long =
+    nodeCountCache.computeIfAbsent(
+      Snapshot.of(Seq(s"$d/orders.parquet", s"$d/lineitem.parquet")),
+      _ => java.lang.Long.valueOf(nodes.count())).longValue()
+
+  /** Round-20 optimization: the per-round STATE side (ranks / dist /
+    * labels — |N| rows against the stationary |E|-row edge table) may
+    * be broadcast when it provably fits, which removes the state-side
+    * exchange AND the join stage barrier from every round — the guide
+    * §3.1 "broadcast the side that fits" choice made adaptively. The
+    * queries gate on the ACTUAL node count (a 1-row scalar they
+    * already compute or whose distinct-build they already pay), not
+    * on an estimate: `auto` broadcasts below
+    * `spark.graft.graphBroadcastMaxNodes` (default 4M rows — ~160 MB
+    * built, comfortably under the 8 GB/512M-row broadcast cap;
+    * `on`/`off` force either side for A/B and deployments). Results
+    * are identical either way because every per-round aggregate here
+    * is order-independent by construction (DECIMAL sums, min, count,
+    * min_by).
+    *
+    * DEFAULT IS OFF — the GraphAb interleaved median-of-5 A/Bs
+    * (sf0.1, local[32], BENCH_LOG round-20-opt) measured a WASH:
+    * first session pagerank off=8.35 on=6.06 (drifting box, pairwise
+    * 4/5 on), calm session off=4.88 on=5.04, BFS 2.78/2.74, and LPA
+    * lost all 5 pairs under broadcast in both sessions (2.84→3.48,
+    * 3.36→3.73 — two aggregations per round amortize the removed
+    * exchange worse than they pay the per-round broadcast build). In
+    * local mode the state exchange is a memcpy; the conf stays for
+    * real clusters, where a per-round |N|-row network shuffle is the
+    * thing `auto` would remove. */
+  private[graft] def stateBroadcast(
+      s: org.apache.spark.sql.SparkSession, n: => Long): Boolean =
+    s.conf.getOption("spark.graft.graphStateBroadcast")
+      .getOrElse("off") match {
+      case "on" => true
+      case "off" => false
+      case _ => n <= s.conf
+        .getOption("spark.graft.graphBroadcastMaxNodes")
+        .map(_.toLong).getOrElse(4000000L)
+    }
+
   /** ONE damped, quantized PageRank iteration: ranks(node, rank) ⋈
     * outEdges on the source key, contributions grouped by destination
     * — a single keyed shuffle, equi joins only (plan-asserted in
-    * PlanSpec on exactly this un-checkpointed plan). */
+    * PlanSpec on exactly this un-checkpointed plan with the default
+    * non-broadcast state side). */
   def iterate(ranks: org.apache.spark.sql.DataFrame,
-      oe: org.apache.spark.sql.DataFrame, teleport: Double)
+      oe: org.apache.spark.sql.DataFrame, teleport: Double,
+      bcastState: Boolean = false)
       : org.apache.spark.sql.DataFrame =
-    oe.join(ranks, oe("src") === ranks("node"))
+    oe.join(if (bcastState) broadcast(ranks) else ranks,
+        oe("src") === ranks("node"))
       .groupBy(col("dst"))
       .agg(round(lit(teleport) + lit(damping) *
         sum(round(col("rank") / col("deg"), 12)
@@ -106,9 +158,12 @@ object Graph {
     * relaxation). Linear in |E|, equi join only (plan-asserted
     * un-checkpointed in PlanSpec). */
   def spIterate(dist: org.apache.spark.sql.DataFrame,
-      oe: org.apache.spark.sql.DataFrame)
+      oe: org.apache.spark.sql.DataFrame,
+      bcastState: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    val cand = oe.join(dist.where(col("dist") < Inf),
+    val frontier = dist.where(col("dist") < Inf)
+    val cand = oe.join(
+        if (bcastState) broadcast(frontier) else frontier,
         oe("src") === dist("node"))
       .select(oe("dst").as("node"), (col("dist") + 1L).as("dist"))
     dist.union(cand).groupBy("node").agg(min(col("dist")).as("dist"))
@@ -121,9 +176,11 @@ object Graph {
     * partials, no per-group sort/window (plan-asserted un-checkpointed
     * in PlanSpec). */
   def lpIterate(labels: org.apache.spark.sql.DataFrame,
-      oe: org.apache.spark.sql.DataFrame)
+      oe: org.apache.spark.sql.DataFrame,
+      bcastState: Boolean = false)
       : org.apache.spark.sql.DataFrame =
-    oe.join(labels, oe("src") === labels("node"))
+    oe.join(if (bcastState) broadcast(labels) else labels,
+        oe("src") === labels("node"))
       .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
       .agg(min_by(col("label"),
@@ -144,7 +201,8 @@ object Graph {
       val nodes = oe.select(col("src")).distinct()
       // the only driver-side scalar is |N| — one count aggregate, the
       // same class as the dedup-cluster loop's convergence probe
-      val n = nodes.count()
+      val n = nodeCount(s, d, nodes)
+      val bc = stateBroadcast(s, n)
       val teleport = 0.15 / n // driver-computed double, same IEEE value
       // as the oracle's CAST(0.15 AS DOUBLE) / n
       var ranks = nodes.select(col("src").as("node"),
@@ -158,7 +216,7 @@ object Graph {
         // median-of-5 A/B (LpaAb, BENCH_LOG) confirmed the round-11
         // single measurement (lazy wins at sf0.1 and ×10), with the
         // conf as the deployment override.
-        ranks = iterate(ranks, oe, teleport)
+        ranks = iterate(ranks, oe, teleport, bc)
           .localCheckpoint(eagerCkpt(s))
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
     }),
@@ -173,7 +231,12 @@ object Graph {
     // nodes (dist ≤ spIters by construction).
     "graph_shortest_path" -> ((s, d) => {
       val oe = partitionedEdges(s, d)
-      var dist = oe.select(col("src")).distinct()
+      val nodes = oe.select(col("src")).distinct()
+      // |N| is the broadcast gate's input — the same 1-row scalar
+      // class as pagerank's teleport count, and memoized per corpus
+      // so only the first family query pays the count job
+      val bc = stateBroadcast(s, nodeCount(s, d, nodes))
+      var dist = nodes
         .select(col("src").as("node"),
           when(col("src") === SpSeed, lit(0L)).otherwise(lit(Inf))
             .as("dist"))
@@ -181,7 +244,7 @@ object Graph {
         // lazy by default, like the pagerank loop above (dist is
         // referenced twice per round, so truncation stays MANDATORY —
         // only the per-round materialization job is elective)
-        dist = spIterate(dist, oe).localCheckpoint(eagerCkpt(s))
+        dist = spIterate(dist, oe, bc).localCheckpoint(eagerCkpt(s))
       dist.where(col("dist") < Inf).orderBy(col("dist"), col("node"))
     }),
 
@@ -207,10 +270,17 @@ object Graph {
       // the default below, with the conf as the deployment override.
       val ckpt = s.conf.getOption("spark.graft.lpaCheckpoint")
         .map(_.toBoolean).getOrElse(LpaCheckpointDefault)
+      // GraphAb round-20: LPA stays on the SHUFFLE path at every scale
+      // — the interleaved A/B had broadcast losing all 5 pairs (median
+      // 2.84 vs 3.48 s): a 3-round loop with TWO aggregations per
+      // round amortizes the removed exchange worse than it pays the
+      // per-round broadcast build. Conf still forces it for A/Bs.
+      val bc = s.conf.getOption("spark.graft.graphStateBroadcast")
+        .contains("on")
       var labels = oe.select(col("src")).distinct()
         .select(col("src").as("node"), col("src").as("label"))
       for (_ <- 1 to lpIters) {
-        labels = lpIterate(labels, oe)
+        labels = lpIterate(labels, oe, bc)
         if (ckpt) labels = labels.localCheckpoint(false)
       }
       labels.groupBy(col("label").as("community"))

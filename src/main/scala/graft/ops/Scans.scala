@@ -440,29 +440,7 @@ object Scans {
     // the per-user latest image over batches 1..k (event_id mod 3),
     // so the oracle reconstructs each snapshot with one window per k.
     "table_time_travel" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      // the `_m` tag keys the root to the MANIFEST-BACKED layout
-      // (round 15): an old self-contained root on the same box keeps
-      // serving legacy reads, while this key rebuilds once and proves
-      // time travel on manifest versions
-      val root = Artifacts.scratch(s, s"time_travel_m_${tag}_$snap")
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts"), col("value"))
-      // gate on the COUNT of committed versions, not mere existence: a
-      // prior process that died after 1-2 of the 3 commits would
-      // otherwise leave a root that skips the build forever and fails
-      // readVersion(latest-2) on an uncommitted version. Version k
-      // holds batches 0..k merged, so resuming at batch `have` on top
-      // of the existing state commits exactly the missing versions and
-      // converges to the identical content-keyed table.
-      buildVersionsOnce(s, root, 3) { (i, eb) =>
-        val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
-        graft.streaming.SnapshotTable.commit(s, root, retain = 3,
-          expectedBase = eb)(state => upsertMerge(state, batch))
-        ()
-      }
+      val root = timeTravelRoot(s, d)
       // resolve the three PHYSICAL committed versions by listing (not
       // latest-2..latest arithmetic — orphan-skip numbering can leave
       // committed versions non-contiguous) and report them as 1..3
@@ -507,40 +485,7 @@ object Scans {
     // pre-evolution version, where the column doesn't exist at all) —
     // reconstructable by the oracle from events + the build rule.
     "table_schema_evolution" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      // round 15: the evolution commit is now a TRUE ADD COLUMN —
-      // commitAppend writes only batch 2's files and a manifest
-      // referencing batch 1's untouched files under the merged schema
-      // (the pre-round-15 build re-wrote the union; at 100 TB that is
-      // the O(table)-per-commit defect the manifest layout removes)
-      val root = Artifacts.scratch(s, s"schema_evo_m_${tag}_$snap")
-      val ev = t(s, d, "events")
-      def batch(i: Int): org.apache.spark.sql.DataFrame = {
-        val half = ev.where(pmod(col("event_id"), lit(2)) === i)
-        if (i == 0) half.select(col("user_id"), col("event_id"),
-          col("value"))
-        else half.select(col("user_id"), col("event_id"), col("value"),
-          to_date(col("ts")).as("day"))
-      }
-      // round 18 — RENAME arm: versions 3-4 round-trip a column rename
-      // (day → day_r18 → day) through the column-mapping metadata
-      // commits. Both are METADATA-ONLY (zero files written; the
-      // structural boolean asserts the final file list is version 2's
-      // verbatim), and the oracle VALUES are unchanged because a
-      // rename round-trip is content-neutral — exactly the claim.
-      buildVersionsOnce(s, root, 4) { (i, eb) =>
-        if (i < 2)
-          graft.streaming.SnapshotTable.commitAppend(s, root, batch(i),
-            retain = 4, expectedBase = eb)
-        else if (i == 2)
-          graft.streaming.SnapshotTable.renameColumn(s, root,
-            "day", "day_r18", retain = 4, expectedBase = eb)
-        else
-          graft.streaming.SnapshotTable.renameColumn(s, root,
-            "day_r18", "day", retain = 4, expectedBase = eb)
-        ()
-      }
+      val root = schemaEvoRoot(s, d)
       val vs = graft.streaming.SnapshotTable
         .committedVersions(s, root).takeRight(4)
       val renameNeutral =
@@ -587,19 +532,7 @@ object Scans {
     // touching 800k file footers and reading one driver-side table of
     // ranges.
     "table_stats_pruning" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
-      val root = Artifacts.scratch(s, s"stats_prune_m_${tag}_$snap")
-      buildVersionsOnce(s, root, 1) { (_, eb) =>
-        graft.streaming.SnapshotTable.commitWithStats(
-          s, root, "o_orderdate", expectedBase = eb)(_ =>
-          graft.streaming.SnapshotTable.clusterBy(
-            t(s, d, "orders").select(col("o_orderkey"),
-              col("o_orderstatus"), col("o_totalprice"),
-              col("o_orderdate")),
-            "o_orderdate", 8))
-        ()
-      }
+      val root = statsPruneRoot(s, d)
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1996-06-30").cast("timestamp")
       val pruned = graft.streaming.SnapshotTable.readPruned(s, root, lo, hi)
@@ -629,19 +562,7 @@ object Scans {
     // layout that serves BOTH "this month" and "this customer segment"
     // slices from one copy of the data.
     "table_zorder_skipping" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
-      val root = Artifacts.scratch(s, s"zorder_m_${tag}_$snap")
-      buildVersionsOnce(s, root, 1) { (_, eb) =>
-        graft.streaming.SnapshotTable.commitWithStatsCols(
-          s, root, Seq("o_orderdate", "o_custkey"), expectedBase = eb)(_ =>
-          graft.streaming.SnapshotTable.clusterByZ(
-            t(s, d, "orders").select(col("o_orderkey"),
-              col("o_orderstatus"), col("o_totalprice"),
-              col("o_orderdate"), col("o_custkey")),
-            "o_orderdate", "o_custkey", 16))
-        ()
-      }
+      val root = zorderRoot(s, d)
       val dLo = lit("1996-01-01").cast("timestamp")
       val dHi = lit("1996-12-31").cast("timestamp")
       // the box bound comes from the o_custkey MANIFEST (max-of-max ≡
@@ -686,18 +607,7 @@ object Scans {
     // this is the difference between a daily append costing the delta
     // and costing the table.
     "table_incremental_append" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val root = Artifacts.scratch(s, s"incr_append_${tag}_$snap")
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts"), col("value"))
-      buildVersionsOnce(s, root, 4) { (i, eb) =>
-        graft.streaming.SnapshotTable.commitAppend(s, root,
-          ev.where(pmod(col("event_id"), lit(4)) === i), retain = 4,
-          expectedBase = eb)
-        ()
-      }
+      val root = incrAppendRoot(s, d)
       val vs = graft.streaming.SnapshotTable
         .committedVersions(s, root).takeRight(4)
       vs.zipWithIndex.map { case (v, i) =>
@@ -906,34 +816,7 @@ object Scans {
     // invocations resolve through materialize's rename race — no
     // interleaving can surface as a read error.
     "table_stream_door" -> ((s, d) => {
-      val root = cdfChainRoot(s, d)
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val folded = Artifacts.materialize(s, "stream_door_fold",
-          s"${tag}_$snap") { tmp =>
-        val hc = s.sparkContext.hadoopConfiguration
-        val work = Artifacts.scratch(s, "stream_door_work_" +
-          java.util.UUID.randomUUID().toString.take(8))
-        val workPath = new org.apache.hadoop.fs.Path(work)
-        try {
-          val q = s.readStream.format("graft")
-            .option("changeKey", "user_id").load(root)
-            .writeStream.option("checkpointLocation", s"$work/ckpt")
-            .foreachBatch {
-              (df: org.apache.spark.sql.DataFrame, id: Long) =>
-                df.write.mode("overwrite")
-                  .parquet(s"$work/batches/b$id"); ()
-            }.start()
-          try q.processAllAvailable() finally q.stop()
-          // stage the concatenated changelog; Spark's committer leaves
-          // the _SUCCESS materialize requires for a complete artifact
-          s.read.parquet(s"$work/batches/b*")
-            .write.mode("overwrite").parquet(tmp.toString)
-        } finally {
-          workPath.getFileSystem(hc).delete(workPath, true); ()
-        }
-      }
-      val all = s.read.parquet(folded)
+      val all = s.read.parquet(streamDoorFolded(s, d))
       val pos = all.where(col("_change_type")
         .isin("insert", "update_postimage")).drop("_change_type")
       val neg = all.where(col("_change_type")
@@ -1257,31 +1140,10 @@ object Scans {
     }),
 
     "table_bloom_skipping" -> ((s, d) => {
-      val tag = new java.io.File(d).getName
-      val snap = Snapshot.of(Seq(s"$d/events.parquet"))
-      val root = Artifacts.scratch(s, s"bloom_skip_${tag}_$snap")
+      val root = bloomSkipRoot(s, d)
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), col("value"))
-      buildVersionsOnce(s, root, 1) { (_, eb) =>
-        // hash-distribute via an EXPLICIT bucket column, not
-        // repartition(16, user_id): upsertMerge's window already
-        // hash-partitions by user_id, so when the session's
-        // shuffle.partitions happens to equal 16 the optimizer removes
-        // the "redundant" repartition and AQE then coalesces the tiny
-        // window shuffle to ONE output file — no multi-file layout, no
-        // skipping to prove (caught at sf0.1 under SPARK_GRAFT_CPUS=16;
-        // a bucket expression is never partitioning-equal to the
-        // window's, so the shuffle survives every session shape)
-        graft.streaming.SnapshotTable.commitWithSkipping(s, root,
-          statsCols = Seq("user_id"), bloomCols = Seq("user_id"),
-          retain = 2, expectedBase = eb)(_ =>
-          upsertMerge(None, ev)
-            .withColumn("_b", pmod(hash(col("user_id")), lit(16)))
-            .repartition(16, col("_b"))
-            .drop("_b"))
-        ()
-      }
       val probes = ev.select("user_id").distinct()
         .orderBy("user_id").limit(3)
         .collect().map(_.getLong(0)).toSeq
@@ -1468,6 +1330,194 @@ object Scans {
     root
   }
 
+  /** The folded stream-door changelog artifact `table_stream_door`
+    * reads (extracted round-20 optimization round: the streaming run
+    * is a materialization job like the table builds — it now lands in
+    * the parallel `table_artifact_build` phase). The streaming
+    * checkpoint and per-batch output live in a PER-ATTEMPT private
+    * work dir (UUID suffix) that no other invocation — same JVM or
+    * not — ever touches, and are deleted once the fold is staged; the
+    * only shared state is the marker-gated folded artifact, so warm
+    * invocations read the folded artifact and concurrent cold
+    * invocations resolve through materialize's rename race. */
+  private def streamDoorFolded(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val root = cdfChainRoot(s, d)
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    Artifacts.materialize(s, "stream_door_fold",
+        s"${tag}_$snap") { tmp =>
+      val hc = s.sparkContext.hadoopConfiguration
+      val work = Artifacts.scratch(s, "stream_door_work_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val workPath = new org.apache.hadoop.fs.Path(work)
+      try {
+        val q = s.readStream.format("graft")
+          .option("changeKey", "user_id").load(root)
+          .writeStream.option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              df.write.mode("overwrite")
+                .parquet(s"$work/batches/b$id"); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        // stage the concatenated changelog; Spark's committer leaves
+        // the _SUCCESS materialize requires for a complete artifact
+        s.read.parquet(s"$work/batches/b*")
+          .write.mode("overwrite").parquet(tmp.toString)
+      } finally {
+        workPath.getFileSystem(hc).delete(workPath, true); ()
+      }
+    }
+  }
+
+  /** The 3-version upsert chain `table_time_travel` reads (round-20
+    * optimization: extracted from the key body so the build lands in
+    * the `table_artifact_build` materialization line with the other
+    * table builds — the same accounting move rounds 16/19 made for the
+    * merge tables; the key itself now measures query latency against
+    * the published chain). Gate on the COUNT of committed versions,
+    * not mere existence: a prior process that died after 1-2 of the 3
+    * commits would otherwise leave a root that skips the build forever
+    * and fails readVersion(latest-2) on an uncommitted version. */
+  private def timeTravelRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"time_travel_m_${tag}_$snap")
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    buildVersionsOnce(s, root, 3) { (i, eb) =>
+      val batch = ev.where(pmod(col("event_id"), lit(3)) === i)
+      graft.streaming.SnapshotTable.commit(s, root, retain = 3,
+        expectedBase = eb)(state => upsertMerge(state, batch))
+      ()
+    }
+    root
+  }
+
+  /** The 4-version evolution chain `table_schema_evolution` reads:
+    * v1/v2 = the two event halves (v2 carrying the new `day` column —
+    * a TRUE ADD COLUMN, only batch 2's files written), v3/v4 = the
+    * rename round-trip day → day_r18 → day (both METADATA-ONLY). */
+  private def schemaEvoRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"schema_evo_m_${tag}_$snap")
+    val ev = t(s, d, "events")
+    def batch(i: Int): org.apache.spark.sql.DataFrame = {
+      val half = ev.where(pmod(col("event_id"), lit(2)) === i)
+      if (i == 0) half.select(col("user_id"), col("event_id"),
+        col("value"))
+      else half.select(col("user_id"), col("event_id"), col("value"),
+        to_date(col("ts")).as("day"))
+    }
+    buildVersionsOnce(s, root, 4) { (i, eb) =>
+      if (i < 2)
+        graft.streaming.SnapshotTable.commitAppend(s, root, batch(i),
+          retain = 4, expectedBase = eb)
+      else if (i == 2)
+        graft.streaming.SnapshotTable.renameColumn(s, root,
+          "day", "day_r18", retain = 4, expectedBase = eb)
+      else
+        graft.streaming.SnapshotTable.renameColumn(s, root,
+          "day_r18", "day", retain = 4, expectedBase = eb)
+      ()
+    }
+    root
+  }
+
+  /** The orders table range-clustered on o_orderdate into 8 files
+    * with a stats manifest — `table_stats_pruning`'s subject. */
+  private def statsPruneRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
+    val root = Artifacts.scratch(s, s"stats_prune_m_${tag}_$snap")
+    buildVersionsOnce(s, root, 1) { (_, eb) =>
+      graft.streaming.SnapshotTable.commitWithStats(
+        s, root, "o_orderdate", expectedBase = eb)(_ =>
+        graft.streaming.SnapshotTable.clusterBy(
+          t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate")),
+          "o_orderdate", 8))
+      ()
+    }
+    root
+  }
+
+  /** The orders table Morton-clustered on (o_orderdate, o_custkey)
+    * into 16 files — `table_zorder_skipping`'s subject. */
+  private def zorderRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/orders.parquet"))
+    val root = Artifacts.scratch(s, s"zorder_m_${tag}_$snap")
+    buildVersionsOnce(s, root, 1) { (_, eb) =>
+      graft.streaming.SnapshotTable.commitWithStatsCols(
+        s, root, Seq("o_orderdate", "o_custkey"), expectedBase = eb)(_ =>
+        graft.streaming.SnapshotTable.clusterByZ(
+          t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_custkey")),
+          "o_orderdate", "o_custkey", 16))
+      ()
+    }
+    root
+  }
+
+  /** The 4-version append chain `table_incremental_append` reads. */
+  private def incrAppendRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"incr_append_${tag}_$snap")
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    buildVersionsOnce(s, root, 4) { (i, eb) =>
+      graft.streaming.SnapshotTable.commitAppend(s, root,
+        ev.where(pmod(col("event_id"), lit(4)) === i), retain = 4,
+        expectedBase = eb)
+      ()
+    }
+    root
+  }
+
+  /** The hash-distributed 16-file bloom-manifest table
+    * `table_bloom_skipping` probes. Hash-distribute via an EXPLICIT
+    * bucket column, not repartition(16, user_id): upsertMerge's window
+    * already hash-partitions by user_id, so when the session's
+    * shuffle.partitions happens to equal 16 the optimizer removes the
+    * "redundant" repartition and AQE then coalesces the tiny window
+    * shuffle to ONE output file — no multi-file layout, no skipping to
+    * prove (caught at sf0.1 under SPARK_GRAFT_CPUS=16; a bucket
+    * expression is never partitioning-equal to the window's, so the
+    * shuffle survives every session shape). */
+  private def bloomSkipRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tag = new java.io.File(d).getName
+    val snap = Snapshot.of(Seq(s"$d/events.parquet"))
+    val root = Artifacts.scratch(s, s"bloom_skip_${tag}_$snap")
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    buildVersionsOnce(s, root, 1) { (_, eb) =>
+      graft.streaming.SnapshotTable.commitWithSkipping(s, root,
+        statsCols = Seq("user_id"), bloomCols = Seq("user_id"),
+        retain = 2, expectedBase = eb)(_ =>
+        upsertMerge(None, ev)
+          .withColumn("_b", pmod(hash(col("user_id")), lit(16)))
+          .repartition(16, col("_b"))
+          .drop("_b"))
+      ()
+    }
+    root
+  }
+
   /** Materialize the two content-keyed merge-table artifacts the
     * sink_snapshot_merge / table_merge_pruned / table_changelog keys
     * read — the bench times this as its own `table_artifact_build`
@@ -1476,24 +1526,104 @@ object Scans {
     * whichever key runs first alphabetically would make that key's
     * median an artifact of session order. */
   def tableArtifactBuild(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = {
+      d: String, includeGraph: Boolean = false,
+      includeLlm: Boolean = false, includeBin: Boolean = false,
+      includeBucketed: Boolean = false): Unit = {
     def tr(n: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); f
       if (sys.env.contains("GRAFT_ARTIFACT_TIMING"))
         println(f"ABUILD $n ${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    tr("snapMerge")(snapMergeRoot(s, d))
-    tr("mergePruned")(mergePrunedRoot(s, d))
-    tr("cdfChain")(cdfChainRoot(s, d))
-    tr("mergeDv")(mergeDvRoot(s, d))
-    tr("mergeSql")(mergeSqlRoot(s, d))
-    tr("deleteSql")(deleteSqlRoot(s, d))
-    tr("metaAgg")(metaAggRoot(s, d))
-    tr("runtimePrune")(runtimePruneRoot(s, d))
-    tr("sqlMaint")(sqlMaintRoot(s, d))
-    tr("widen")(widenRoot(s, d))
-    tr("clusteredWrite")(clusteredWriteRoot(s, d))
-    tr("clone")(cloneRoot(s, d))
+    // The chains are mutually independent (distinct content-keyed
+    // roots; only `clone` consumes another build's output, so it runs
+    // in the same task after its source). Each chain is a sequence of
+    // SMALL commits — driver latency and sub-second jobs that leave
+    // most of the cluster idle — so the builds overlap as concurrent
+    // jobs from a bounded pool (optimization guide §2.6: independent
+    // materialization jobs back-fill each other's stragglers; FIFO
+    // scheduling gives exactly that). Parallelism scales with the
+    // session's cores (not a local[32] constant): cores/6 bounded to
+    // [2, n_builds], overridable via spark.graft.artifactBuildThreads.
+    // Measured sf0.1, local[32], same 18 chains/commits (wall clock
+    // only): 84.3 s sequential → 19.2 s @4 / 16.3 s @5 / 16.7 s @6 /
+    // 25.8 s @8 threads — past ~cores/6 the latency-sensitive chains
+    // (the streaming fold's microbatches, the SQL-door merges) queue
+    // behind each other's tasks and the critical path stretches, so
+    // the default sits at the measured knee, not at max width.
+    // longest-first (LPT): the measured sequential costs put the
+    // stream-door fold, snapMerge, and the SQL-door chains on the
+    // critical path — submitting them first keeps the wall clock at
+    // max(longest chain, sum/threads) instead of longest-chain-last
+    // the cross-family materialized artifacts (trade-graph edge table,
+    // dedup cluster chain, IVF centroids, binary fixture dir) join the
+    // same phase when the caller says their consumers will run — they
+    // are content-keyed builds exactly like the table chains, and
+    // overlapping them here removes their cost from whichever family
+    // key would otherwise pay it first (the bench's graph_artifact_
+    // build line then reports the ~0 s of an already-built artifact)
+    val extras: Seq[(String, () => Any)] =
+      (if (includeGraph) Seq(("graphEdges",
+        () => { Graph.tradeGraph(s, d); () })) else Nil) ++
+      (if (includeLlm) Seq(
+        ("llmClusters",
+          () => LlmExtra.materializeClusterArtifacts(s, d)),
+        ("llmIvf", () => LlmExtra.materializeIvfArtifacts(s, d)))
+      else Nil) ++
+      (if (includeBucketed) Seq(("bucketedJoin",
+        () => { Joins.bucketedTables(s, d); () })) else Nil)
+    // NOT in the phase: the source_binary_files fixture (5000 tiny
+    // file creates). Measured in-phase at 45.4 s wall — per-file
+    // create/checksum IO collapses under the parquet chains' commit
+    // traffic — vs ~0.5 s when the key builds it alone; a small-file
+    // fan-out job wants the disk to itself (guide §6 small-files).
+    val _ = includeBin
+    val builds: Seq[(String, () => Any)] = extras ++ Seq(
+      ("cdfChain+streamDoor", () => {
+        cdfChainRoot(s, d); streamDoorFolded(s, d) }),
+      ("snapMerge", () => snapMergeRoot(s, d)),
+      ("mergeSql", () => mergeSqlRoot(s, d)),
+      ("sqlMaint", () => sqlMaintRoot(s, d)),
+      ("deleteSql", () => deleteSqlRoot(s, d)),
+      ("mergeDv+clone", () => { mergeDvRoot(s, d); cloneRoot(s, d) }),
+      ("mergePruned", () => mergePrunedRoot(s, d)),
+      ("runtimePrune", () => runtimePruneRoot(s, d)),
+      ("metaAgg", () => metaAggRoot(s, d)),
+      ("widen", () => widenRoot(s, d)),
+      ("clusteredWrite", () => clusteredWriteRoot(s, d)),
+      ("zorder", () => zorderRoot(s, d)),
+      ("restore", () => restoreRoot(s, d)),
+      ("timeTravel", () => timeTravelRoot(s, d)),
+      ("bloomSkip", () => bloomSkipRoot(s, d)),
+      ("incrAppend", () => incrAppendRoot(s, d)),
+      ("statsPrune", () => statsPruneRoot(s, d)),
+      ("schemaEvo", () => schemaEvoRoot(s, d)))
+    val nThreads = s.conf.getOption("spark.graft.artifactBuildThreads")
+      .map(_.toInt)
+      .getOrElse(math.max(2, math.min(builds.size,
+        s.sparkContext.defaultParallelism / 6)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val futures = builds.map { case (n, f) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // jobs submitted from pool threads need the session's
+            // thread-locals (active session for resolution, job
+            // description for the UI)
+            org.apache.spark.sql.SparkSession.setActiveSession(s)
+            s.sparkContext.setJobDescription(s"artifact build: $n")
+            tr(n)(f())
+          }
+        })
+      }
+      // surface the FIRST real failure (unwrapped), not the wrapper —
+      // the bench's artifactLine catch records it as the line's error
+      futures.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally { pool.shutdown() }
     ()
   }
 
