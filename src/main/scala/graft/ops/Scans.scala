@@ -933,14 +933,20 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)"))
             .cast("double").as("total"))
-      val out = joined.orderBy("user_id")
-      out.collect()
-      val plan = out.queryExecution.executedPlan.toString
+      // round-20 optimization: the executed-plan probe only needs the
+      // SAME runtime-filtered scan + join to run — a 1-row aggregate
+      // on top exercises the identical dynamicpruning subquery and
+      // filesRead accounting at roughly half the old probe's cost
+      // (the full groupBy + global sort + per-row collect re-ran a
+      // second time under the bench's noop sink anyway)
+      val probe = fact.join(dim, Seq("user_id")).agg(count(lit(1)))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
       val m = "filesRead=(\\d+)/(\\d+) pushedFilters=\\[\\]".r
         .findFirstMatchIn(plan)
       val pruned = m.exists(x => x.group(1).toInt < x.group(2).toInt) &&
         plan.contains("dynamicpruningexpression")
-      out.withColumn("runtime_pruned", lit(pruned))
+      joined.orderBy("user_id").withColumn("runtime_pruned", lit(pruned))
     }),
 
     // SQL MAINTENANCE LIFECYCLE (round-20 verdict item 3): the chain
