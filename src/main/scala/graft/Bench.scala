@@ -284,46 +284,54 @@ object Bench {
     val llmArtifactKeys = Set("llm_dedup_clusters", "llm_dedup_prune",
       "llm_dedup_ngram_jaccard", "llm_dedup_incremental",
       "llm_dedup_embcos", "llm_knn_ivf", "llm_semdedup")
+    // readers of the table chains the phase builds — a subset naming
+    // NONE of these must not pay the 18 table builds (round-20 verdict:
+    // a graph-only subset run triggered the full table phase)
+    val tableArtifactKeys = Set("sink_snapshot_merge",
+      "table_merge_pruned", "table_changelog", "table_cdf_consume",
+      "table_cdf_stream", "table_merge_dv", "table_merge_sql",
+      "table_delete_sql", "table_meta_agg", "table_runtime_prune",
+      "table_sql_maintenance", "table_limit_door",
+      "table_type_widening", "table_clustered_write",
+      "table_dv_distributed", "table_stream_door",
+      "table_history", "table_clone",
+      "table_time_travel", "table_schema_evolution",
+      "table_stats_pruning", "table_zorder_skipping",
+      "table_incremental_append", "table_bloom_skipping",
+      "table_restore")
+    // Derby (embedded JDBC) keys: the ENGINE boot (~1-2 s of class
+    // loading + recovery check) is session infrastructure, not query
+    // work — it lands in the phase so the alphabetically-first JDBC
+    // key stops billing it (round-20 verdict item 5)
+    val jdbcKeys = Set("ads_top_products", "sink_jdbc_board",
+      "source_jdbc_dim")
+    // each family's builds run only when the subset will read them;
+    // full runs (no subset) build everything
+    val includeTables = only.forall(_.exists(tableArtifactKeys))
+    val includeGraph = only.forall(_.exists(_.startsWith("graph_")))
+    val includeLlm = only.forall(_.exists(llmArtifactKeys))
+    val includeBucketed =
+      only.forall(_.contains("join_bucketed_colocated"))
+    val includeJdbc = only.forall(_.exists(jdbcKeys))
     val artifactLines: Seq[(String, Double)] =
       // round 16: the merge-table builds used to bill themselves to
       // whichever reader key ran first alphabetically (r15 billed
       // table_merge_pruned 3.0 s of build); a table build is a
       // materialization job — timed as its own line, the reader keys
       // measure query latency against the published table
+      // a GRAPH-ONLY subset does not fire this line: the graph line
+      // below pays its own (single, unparallelizable) build there,
+      // exactly as the adjacent comment always claimed
       artifactLine("table_artifact_build",
-        only.forall(ks => ks.exists(llmArtifactKeys) ||
-          ks.contains("source_binary_files") ||
-          ks.contains("join_bucketed_colocated") ||
-          ks.exists(_.startsWith("graph_")) ||
-          ks.exists(Set("sink_snapshot_merge",
-          "table_merge_pruned", "table_changelog", "table_cdf_consume",
-          "table_cdf_stream", "table_merge_dv", "table_merge_sql",
-          "table_delete_sql", "table_meta_agg",
-          "table_runtime_prune",
-          // round-20 keys whose roots the composite also builds —
-          // missing here means a subset run bills the build to the
-          // key's own timed sample
-          "table_sql_maintenance", "table_limit_door",
-          "table_type_widening", "table_clustered_write",
-          "table_dv_distributed", "table_stream_door",
-          "table_history", "table_clone",
-          // round-20 optimization: the formerly in-key builds moved
-          // into the (now parallel) build phase — see
-          // OPTIMIZATION_r20.md for the attribution change
-          "table_time_travel", "table_schema_evolution",
-          "table_stats_pruning", "table_zorder_skipping",
-          "table_incremental_append", "table_bloom_skipping",
-          "table_restore")))) {
+        includeTables || includeLlm || includeBucketed || includeJdbc) {
         graft.ops.Scans.tableArtifactBuild(spark, sfDir,
-          includeGraph =
-            only.forall(_.exists(_.startsWith("graph_"))),
-          includeLlm = only.forall(_.exists(llmArtifactKeys)),
-          includeBin = only.forall(_.contains("source_binary_files")),
-          includeBucketed =
-            only.forall(_.contains("join_bucketed_colocated")))
+          includeTables = includeTables,
+          includeGraph = includeGraph,
+          includeLlm = includeLlm,
+          includeBucketed = includeBucketed,
+          includeJdbc = includeJdbc)
       } ++
-      artifactLine("graph_artifact_build",
-        only.forall(_.exists(_.startsWith("graph_")))) {
+      artifactLine("graph_artifact_build", includeGraph) {
         graft.ops.Graph.tradeGraph(spark, sfDir); ()
       }
     val results = artifactLines ++ SparkEntry.queries.toSeq.sortBy(_._1)
@@ -410,11 +418,19 @@ object Bench {
         s""""n_queries":${results.size},"queries":$slow,"errors":$errs,""" +
         s""""reruns":$reruns,$probeJson,""" +
         s""""full":"$fullPath","sf":"$sfDir"}"""
-    println(shortLine)
     try {
       val w = new java.io.PrintWriter(fullPath)
       try w.println(line) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
-    spark.stop()
+    // The one-line JSON is the FINAL stdout act (round-20 verdict item
+    // 7: round 19's driver lost its round-over-round comparison to a
+    // stack trace interleaved before the line). spark.stop() runs
+    // FIRST — its shutdown logging (stderr) and any late task noise
+    // land before the contract line — and defensively: a stop-time
+    // throwable must not cost the run its artifact.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(shortLine)
+    System.out.flush()
   }
 }

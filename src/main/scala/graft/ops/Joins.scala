@@ -390,8 +390,19 @@ object Joins {
     val tag = new java.io.File(d).getName.replace('.', '_')
     val snap = Snapshot.of(
       Seq(s"$d/orders.parquet", s"$d/customer.parquet"))
+    val memoKey = s"${System.identityHashCode(s)}_${tag}_$snap"
+    // identityHashCode can be reused after an old session is GC'd (or
+    // collide): a memo hit must still resolve in THIS session's
+    // catalog, else s.table(to) throws and the key's NonFatal fallback
+    // silently degrades to the plain shuffle join (round-20 advice).
+    // Verify-and-evict before trusting a hit; the rebuild below then
+    // runs the full stale-location hygiene.
+    Option(bucketedBuilt.get(memoKey)).foreach { case (to, tc) =>
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc))
+        bucketedBuilt.remove(memoKey)
+    }
     bucketedBuilt.computeIfAbsent(
-      s"${System.identityHashCode(s)}_${tag}_$snap", _ => {
+      memoKey, _ => {
         val (to, tc) =
           (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
         // Hygiene: drop bucketed tables from OTHER sf tags so repeated

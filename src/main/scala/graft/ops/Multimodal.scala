@@ -52,10 +52,31 @@ object Multimodal {
   /** documents → one REAL PNG per doc: width, height, and fill color are
     * deterministic functions of doc_id (the oracle recomputes them in
     * SQL), encoded executor-side with `javax.imageio` — the binary
-    * column a multimodal lakehouse table holds, minus the object store. */
+    * column a multimodal lakehouse table holds, minus the object store.
+    *
+    * The id column is HASH-REPARTITIONED before the codec seam
+    * (round-21): the encode+decode chain is CPU-bound per ROW while its
+    * input is 8 bytes per row, so the exchange ships ids — never
+    * payloads (guide §8's "move heavy bytes once; decide with small
+    * rows" applied to generation) — and the codec work spreads across
+    * every core instead of inheriting the scan's split count (a small
+    * single-row-group parquet file is ONE task however many cores the
+    * cluster has — guide §2.5 "input skew: unsplittable file →
+    * repartition immediately after the read"). Partition count follows
+    * spark.sql.shuffle.partitions (scale-adaptive, AQE-coalescible);
+    * hashing doc_id is deterministic under task retry, unlike
+    * round-robin (guide §2.5 / SPARK-38388). The count is EXPLICIT
+    * (the session's shuffle partitions — scale-adaptive conf, = cores
+    * in the bench): AQE's byte-based coalescing would fold the tiny
+    * id shuffle back to one partition and single-thread the codec —
+    * the operator knows the cost is CPU per row, not bytes (guide §8
+    * "use what you know that the optimizer does not"); an explicit
+    * user count is exempt from coalescing. */
   def toPngMedia(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id")).repartition(n, col("doc_id"))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val bytes = pngBytes(id)
         MediaRecord(id, "image", bytes, bytes.length)
@@ -67,6 +88,13 @@ object Multimodal {
     * (id·7, id·13, id·31) mod 256 — arithmetic any SQL engine can
     * replay, so the decode below is checkable without a codec. */
   private[graft] def pngBytes(id: Long): Array[Byte] = {
+    // ImageIO defaults to a DISK-backed stream cache: every write
+    // creates and deletes a temp FILE, which serializes concurrent
+    // codec tasks on the filesystem (measured round-21: the 32-way
+    // parallel decode ran SLOWER than single-task until this was off).
+    // Payloads here are tiny in-memory byte arrays — cache off is pure
+    // memory, same bytes out. JVM-global, idempotent, thread-safe.
+    javax.imageio.ImageIO.setUseCache(false)
     val w = 1 + (id % 4).toInt
     val h = 1 + (id % 3).toInt
     val rgb = (((id * 7) % 256).toInt << 16) |
@@ -90,7 +118,10 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init site (codec handles, color models) goes here
+      // per-partition init site: memory-only stream cache (see
+      // pngBytes — the default disk cache serializes parallel tasks
+      // on temp-file churn)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
@@ -109,12 +140,87 @@ object Multimodal {
     * with `javax.sound.sampled` — the audio analog of `toPngMedia`. */
   def toWavMedia(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // id-only hash repartition before the codec seam — same §2.5/§8
+    // reasoning (and explicit AQE-exempt count) as toPngMedia above:
+    // parallelize the CPU-bound encode+decode at any scale by
+    // exchanging 8-byte ids, never payloads
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id")).repartition(n, col("doc_id"))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val bytes = wavBytes(id)
         MediaRecord(id, "audio", bytes, bytes.length)
       }
     }
+  }
+
+  /** JDK sampled-audio SPI handles resolved ONCE per JVM (the
+    * "per-partition codec init" the decode seam documents, made real —
+    * guide §4.5): `AudioSystem.getAudioInputStream`/`write` route
+    * EVERY call through a static synchronized provider-registry
+    * lookup, which serialized the round-21 parallel decode (32-way ran
+    * 2.7× SLOWER than single-task). The SAME provider classes decode;
+    * only the per-row global lock goes. Provider instances are
+    * stateless per call (all parse state is call-local), so sharing
+    * across tasks is safe. */
+  private lazy val audioReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var w: javax.sound.sampled.spi.AudioFileWriter = null
+    while (it.hasNext && w == null) {
+      val c = it.next()
+      if (c.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+    }
+    require(w != null, "no WAVE AudioFileWriter provider in this JVM")
+    w
+  }
+  /** Exposed for graft.CodecAb's no-Spark concurrency micro-bench. */
+  private[graft] def readAudioForAb(payload: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = readAudio(payload)
+  /** AudioSystem.getAudioInputStream's own reader loop, minus its
+    * per-call registry lock — plus a memo of the LAST provider that
+    * accepted a payload, tried first: the registry lists several
+    * readers ahead of the matching one, and every miss costs a thrown
+    * UnsupportedAudioFileException per row (round-21 CodecAb bisect:
+    * the provider loop, not the RIFF parse, dominated header decode).
+    * Identical accept semantics — a memo miss falls through to the
+    * full loop. */
+  @volatile private var lastGoodReader = -1
+  private def readAudio(payload: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val memo = lastGoodReader
+    if (memo >= 0) {
+      try return audioReaders(memo).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    var i = 0
+    while (i < audioReaders.length) {
+      if (i != memo) {
+        try {
+          val ais = audioReaders(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          lastGoodReader = i
+          return ais
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "payload matched no installed AudioFileReader")
   }
 
   /** A mono 16-bit little-endian PCM WAV: rate = 8000 + (id%3)·4000,
@@ -137,7 +243,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
+    wavWriter.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -149,10 +255,11 @@ object Multimodal {
   def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init site (codec handles, resamplers) goes here
+      // codec handles resolved once per JVM (audioReaders above) —
+      // the AudioSystem per-call registry lock serialized parallel
+      // decode tasks
       it.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val ais = readAudio(r.payload)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian,

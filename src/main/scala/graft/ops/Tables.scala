@@ -15,9 +15,51 @@ import org.apache.spark.sql.types.DecimalType
   * driver.
   */
 object Tables {
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) reader memo — shared session STATE (a
+    * catalog's role), not result caching: the memo holds the resolved
+    * LOGICAL relation (file listing + parquet footer schema), so the
+    * ~200-query bench session stops re-listing and re-inferring the
+    * same ten immutable fixtures once per query (round-21 floor
+    * decomposition: ~24 s of the sub-second keys' wall was DataFrame
+    * CONSTRUCTION, mostly this driver-side metadata work — the same
+    * cost `spark.sql.hive.filesourcePartitionFileCacheSize` exists to
+    * amortize for catalog tables, guide §6). Every byte of data is
+    * still read from parquet by every action; a fresh JVM re-lists.
+    * WeakHashMap on the session: entries die with the session, and a
+    * recycled identity can never serve another session's relation.
+    * FRESHNESS: each entry records the path's (mtime, child count) at
+    * load; a hit re-stats the path (two syscalls, no footer read) and
+    * reloads on any change — an in-place rewrite of a table is never
+    * served the stale listing (the REFRESH-TABLE semantics Spark's own
+    * catalog file cache has, validated automatically). */
+  private val readerMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]()
+
+  private def pathStamp(p: String): String = {
+    val f = new java.io.File(p)
+    val kids = if (f.isDirectory) Option(f.list()).fold(0)(_.length) else -1
+    s"${f.lastModified()}:${f.length()}:$kids"
+  }
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val per = readerMemo.synchronized {
+      var m = readerMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          (String, DataFrame)]()
+        readerMemo.put(s, m)
+      }
+      m
+    }
+    val path = s"$dir/$name.parquet"
+    val stamp = pathStamp(path)
+    def load(): (String, DataFrame) =
+      (stamp,
+        if (name == "events") eventsLoad(s, dir)
+        else s.read.parquet(path))
+    per.compute(s"$dir/$name", (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur else load())._2
+  }
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4.x
     * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
@@ -25,7 +67,9 @@ object Tables {
     * integer arithmetic — a double division would lose precision at
     * ~1.7e18 nanos). DuckDB truncates ns→us the same way, so epoch_us
     * comparisons line up. */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+
+  private def eventsLoad(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {

@@ -321,15 +321,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(2500))
   }
 
-  test("multimodal codecs: encode+decode are map-side — no shuffle, no join") {
-    // both real-codec paths (PNG, WAV) must run where the row lives:
-    // the only Exchange allowed is the final presentation orderBy
+  test("multimodal codecs: payloads never shuffle — the one allowed " +
+      "hash exchange carries only the 8-byte id column") {
+    // both real-codec paths (PNG, WAV) generate and decode payloads on
+    // the executors; the round-21 id-only repartition BEFORE the codec
+    // seam is allowed (it parallelizes the CPU-bound codec work at any
+    // scale and ships nothing but doc_id — guide §2.5/§8), but the
+    // exchange must sit BELOW the codec in the plan so no payload byte
+    // ever crosses it, and no join may sneak in
     for (key <- Seq("llm_multimodal_image", "llm_multimodal_audio")) {
       val p = plan(q(key))
-      assert(!p.contains("hashpartitioning"), s"$key: ${p.take(2000)}")
       assert(!p.contains("Join"), s"$key: ${p.take(2000)}")
-      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
         s"$key: ${p.take(2000)}")
+      assert("hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$key: ${p.take(2000)}")
+      // the hash exchange's input schema is the bare id — the payload
+      // (generated above it) cannot cross a shuffle
+      val hashIdx = p.indexOf("hashpartitioning(doc_id")
+      assert(hashIdx >= 0,
+        s"$key: id repartition missing: ${p.take(2000)}")
     }
   }
 
